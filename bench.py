@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Headline-query benchmark. Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs every catalog query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; per-query time is
+the full plan+execute wall clock, materialized via a count-style
+collect of the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scratchdb_spark import queries as catalog  # noqa: E402
+from scratchdb_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark("scratchdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    for name, spec in sorted(catalog.registry().items()):
+        t0 = time.perf_counter()
+        df = spec.spark_fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Table catalog utilities.
+
+Two concerns:
+
+1. Test-data loading: register the driver's parquet tables
+   (``/root/testdata/sf*/<name>.parquet``) as temp views so queries can
+   reference them by name. Scans stay lazy — Catalyst pushes filters and
+   prunes columns into the parquet reader.
+
+2. Managed-table lifecycle for the ingest path — the reference's
+   auto-DDL (N4 create / N5 evolve / N6 aligned append;
+   destinations/duckdb/insert.go:12-110): Parquet tables under a
+   warehouse dir, one database per destination ID, schema that only
+   grows, first-batch-wins column types.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_testdata(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: Iterable[str] = TESTDATA_TABLES,
+) -> None:
+    """Register each parquet table in ``sf_dir`` as a temp view."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Parquet TIMESTAMP(NANOS) columns — Spark cannot read these as
+    timestamps (PARQUET_TYPE_ILLEGAL); detected from the footer."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy DataFrame over one test-data parquet table.
+
+    Handles nanosecond-precision parquet timestamps (e.g. events.ts):
+    read as epoch-nanos long via ``nanosAsLong``, then convert with
+    integer division (``div`` keeps int64 precision; a double round-trip
+    would corrupt epoch-nanos above 2^53).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Managed tables (ingest destination), reference parity:
+#   CREATE TABLE IF NOT EXISTS t (__row_id BIGINT)   duckdb/insert.go:72-76
+#   ALTER TABLE ADD COLUMN IF NOT EXISTS             duckdb/insert.go:12-26
+#   INSERT ... BY NAME (missing cols -> NULL)        duckdb/insert.go:56-70
+# ---------------------------------------------------------------------------
+
+#: ingest type tag -> Spark type (SURVEY.md §1.2 lattice)
+_TAG_TO_SPARK: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.LongType(),
+    "float": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "null": T.StringType(),  # all-null column defaults to string
+    "undefined": T.StringType(),
+}
+
+
+def spark_type_for_tag(tag: str) -> T.DataType:
+    return _TAG_TO_SPARK.get(tag, T.StringType())
+
+
+class Warehouse:
+    """Parquet-backed managed tables, one subdir per (database, table).
+
+    Spark-first notes: tables are plain parquet directories written with
+    ``mergeSchema`` reads, so column adds are metadata-only; appends are
+    new parquet files (the reference's append-only model — no UPDATE or
+    DELETE exists in ScratchDB). The authoritative schema is kept in the
+    parquet footers and unioned at read with mergeSchema=true.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, database: str, table: str) -> str:
+        return os.path.join(self.root, str(database), table)
+
+    def exists(self, database: str, table: str) -> bool:
+        p = self._path(database, table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def create_empty_table(self, database: str, table: str) -> None:
+        """N4: auto-create with the single ``__row_id BIGINT`` column."""
+        if self.exists(database, table):
+            return
+        schema = T.StructType([T.StructField("__row_id", T.LongType())])
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(self._path(database, table))
+
+    def schema(self, database: str, table: str) -> T.StructType:
+        return self.read(database, table).schema
+
+    def read(self, database: str, table: str) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self._path(database, table)
+        )
+
+    def tables(self, database: str) -> list[str]:
+        """N11 tables catalog."""
+        dbdir = os.path.join(self.root, str(database))
+        if not os.path.isdir(dbdir):
+            return []
+        return sorted(
+            d for d in os.listdir(dbdir)
+            if os.path.isdir(os.path.join(dbdir, d))
+        )
+
+    def columns(self, database: str, table: str) -> list[tuple[str, str]]:
+        """N12 columns catalog: (name, spark sql type) pairs."""
+        return [
+            (f.name, f.dataType.simpleString())
+            for f in self.schema(database, table).fields
+        ]
+
+    def append_aligned(
+        self,
+        database: str,
+        table: str,
+        batch: DataFrame,
+    ) -> None:
+        """N5+N6: evolve schema (add new columns) then append by name.
+
+        First-batch-wins typing: a column already in the table keeps its
+        type; incoming values are cast best-effort (``try_cast``
+        semantics — non-coercible becomes NULL), matching our documented
+        divergence from per-backend coercion (SURVEY.md §1.3). Columns
+        in the table but absent from the batch become NULL; brand-new
+        columns are added with the batch's inferred type.
+        """
+        self.create_empty_table(database, table)
+        existing = self.schema(database, table)
+        existing_names = {f.name for f in existing.fields}
+        batch_fields = {f.name: f for f in batch.schema.fields}
+
+        cols = []
+        # existing columns keep their table type (first wins)
+        for f in existing.fields:
+            if f.name in batch_fields:
+                cols.append(
+                    F.col(f.name).try_cast(f.dataType).alias(f.name)
+                )
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        # new columns append with batch type (schema grows monotonically)
+        for name, f in batch_fields.items():
+            if name not in existing_names:
+                cols.append(F.col(name).alias(name))
+
+        aligned = batch.select(*cols)
+        aligned.write.mode("append").option("mergeSchema", "true").parquet(
+            self._path(database, table)
+        )
