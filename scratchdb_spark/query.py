@@ -58,13 +58,22 @@ def _json_value(v):
 def stream_json(df: DataFrame) -> Iterator[str]:
     """Yield chunks of a single JSON array (reference N9).
 
-    ``df.toJSON`` serializes rows JVM-side; we only join with commas
-    and brackets, like the reference's linked-list line reader
+    Rows serialize JVM-side via ``to_json`` with
+    ``ignoreNullFields=false`` — NULL columns must appear as ``null``
+    (JSONEachRow convention); we only join with commas and brackets,
+    like the reference's linked-list line reader
     (clickhouse/query.go:19-54) that exists to avoid a trailing comma.
     """
+    from pyspark.sql import functions as F
+
+    json_col = df.select(
+        F.to_json(
+            F.struct(*df.columns), {"ignoreNullFields": "false"}
+        ).alias("j")
+    )
     yield "["
     first = True
-    for line in df.toJSON().toLocalIterator(prefetchPartitions=True):
+    for (line,) in json_col.toLocalIterator(prefetchPartitions=True):
         if first:
             first = False
             yield line
@@ -106,4 +115,4 @@ def query_csv(spark: SparkSession, query: str) -> str:
 
 def to_json_rows(df: DataFrame) -> list[dict]:
     """Decoded-row convenience used by tests and the API layer."""
-    return [json.loads(line) for line in df.toJSON().toLocalIterator()]
+    return json.loads("".join(stream_json(df)))

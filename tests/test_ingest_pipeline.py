@@ -1,0 +1,145 @@
+"""Round-trip ingest tests (FIXTURES.md F1-F8; model:
+destinations/clickhouse/clickhouse_test.go round-trip pattern)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from scratchdb_spark.ingest.ids import SnowflakeGenerator
+from scratchdb_spark.ingest.pipeline import IngestPipeline, PartialInsertError
+from scratchdb_spark.ingest.writer import BufferedWriter
+from scratchdb_spark.tables import Warehouse
+
+
+@pytest.fixture()
+def pipe(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "warehouse"))
+    return IngestPipeline(spark, wh)
+
+
+def rows_of(pipe, db, tbl):
+    return [r.asDict() for r in pipe.warehouse.read(db, tbl).collect()]
+
+
+def test_f8_round_trip(pipe):
+    pipe.insert("db1", "tbl", '{"msg":"hello world"}')
+    pipe.flush()
+    rows = rows_of(pipe, "db1", "tbl")
+    assert len(rows) == 1
+    assert rows[0]["msg"] == "hello world"
+    assert isinstance(rows[0]["__row_id"], int)
+
+
+def test_f1_types(pipe):
+    pipe.insert("db1", "t1", '{"s":"hi","i":42,"f":1.5,"b":true,"n":null}')
+    pipe.flush()
+    schema = {f.name: f.dataType.simpleString()
+              for f in pipe.warehouse.schema("db1", "t1").fields}
+    assert schema == {
+        "__row_id": "bigint", "s": "string", "i": "bigint",
+        "f": "double", "b": "boolean", "n": "string",
+    }
+    r = rows_of(pipe, "db1", "t1")[0]
+    assert (r["s"], r["i"], r["f"], r["b"], r["n"]) == ("hi", 42, 1.5, True, None)
+
+
+def test_f2_array_body(pipe):
+    n = pipe.insert("db1", "t2", '[{"x":1},{"x":2}]')
+    assert n == 2
+    pipe.flush()
+    assert sorted(r["x"] for r in rows_of(pipe, "db1", "t2")) == [1, 2]
+
+
+def test_f2_invalid_json(pipe):
+    with pytest.raises(ValueError):
+        pipe.insert("db1", "t2", "{not json")
+
+
+def test_f2_partial_failure(pipe):
+    # non-object item fails, valid items still stored (data.go:140-150)
+    with pytest.raises(PartialInsertError):
+        pipe.insert("db1", "t3", '[{"x":1}, 5, {"x":2}]')
+    pipe.flush()
+    assert sorted(r["x"] for r in rows_of(pipe, "db1", "t3")) == [1, 2]
+
+
+def test_f3_horizontal(pipe):
+    pipe.insert("db1", "t4", '{"user":{"name":"alice","tags":["a","b"]},"n":1}')
+    pipe.flush()
+    r = rows_of(pipe, "db1", "t4")[0]
+    assert r["user_name"] == "alice"
+    assert (r["user_tags_0"], r["user_tags_1"], r["n"]) == ("a", "b", 1)
+
+
+def test_f4_vertical(pipe):
+    pipe.insert("db1", "t5", '{"a":[1,2],"b":["x","y"],"k":"c"}', flatten="vertical")
+    pipe.flush()
+    rows = rows_of(pipe, "db1", "t5")
+    assert len(rows) == 4
+    assert {(r["a"], r["b"]) for r in rows} == {(1, "x"), (1, "y"), (2, "x"), (2, "y")}
+    assert len({r["___document_id"] for r in rows}) == 1
+    assert len({r["__row_id"] for r in rows}) == 4  # each exploded row gets an id
+
+
+def test_f6_schema_evolution(pipe):
+    pipe.insert("db1", "t6", '{"a":1}')
+    pipe.flush()
+    pipe.insert("db1", "t6", '{"a":2,"b":"x"}')
+    pipe.flush()
+    rows = rows_of(pipe, "db1", "t6")
+    schema = {f.name: f.dataType.simpleString()
+              for f in pipe.warehouse.schema("db1", "t6").fields}
+    assert schema["a"] == "bigint" and schema["b"] == "string"
+    by_a = {r["a"]: r for r in rows}
+    assert by_a[1]["b"] is None and by_a[2]["b"] == "x"
+    # batch3: conflicting type -> first wins, value coerced (cast-else-null)
+    pipe.insert("db1", "t6", '{"a":"oops"}')
+    pipe.flush()
+    schema = {f.name: f.dataType.simpleString()
+              for f in pipe.warehouse.schema("db1", "t6").fields}
+    assert schema["a"] == "bigint"
+    vals = sorted((r["a"] is None) for r in rows_of(pipe, "db1", "t6"))
+    assert vals == [False, False, True]
+
+
+def test_f7_caller_row_id(pipe):
+    pipe.insert("db1", "t7", '{"__row_id":7,"x":1}')
+    pipe.flush()
+    assert rows_of(pipe, "db1", "t7")[0]["__row_id"] == 7
+
+
+def test_catalog_endpoints(pipe):
+    pipe.insert("db9", "zeta", '{"x":1}')
+    pipe.insert("db9", "alpha", '{"y":"s"}')
+    pipe.flush()
+    assert pipe.warehouse.tables("db9") == ["alpha", "zeta"]
+    cols = dict(pipe.warehouse.columns("db9", "alpha"))
+    assert cols == {"__row_id": "bigint", "y": "string"}
+
+
+def test_buffered_writer_rotation(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    done = []
+    writer = BufferedWriter(
+        str(tmp_path / "buf"), max_rows=3, max_age_seconds=0,
+        on_closed=lambda db, tbl, p: done.append((db, tbl, p)),
+    )
+    pipe = IngestPipeline(spark, wh, writer=writer)
+    for i in range(7):
+        pipe.insert("db1", "t", json.dumps({"i": i}))
+    assert len(done) == 2  # two rotations at 3 rows each
+    writer.flush_all()
+    assert len(done) == 3
+    for db, tbl, path in done:
+        pipe.append_ndjson_file(db, tbl, path)
+    assert sorted(r["i"] for r in rows_of(pipe, "db1", "t")) == list(range(7))
+
+
+def test_snowflake_unique_and_ordered():
+    g = SnowflakeGenerator(node_id=5)
+    ids = [g.next_id() for _ in range(5000)]
+    assert len(set(ids)) == 5000
+    assert ids == sorted(ids)
+    assert all(0 < i < 2**63 for i in ids)
