@@ -1,0 +1,305 @@
+"""HTTP service over the engine (reference: pkg/api/*).
+
+stdlib-only (the container has no FastAPI/Flask): a ThreadingHTTPServer
+whose handler dispatches on the reference's route table. Query results
+stream chunk-by-chunk (``query.stream_json`` / ``stream_csv`` ->
+chunked responses), mirroring the reference's no-full-materialization
+design.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import threading
+import time
+import uuid as uuidlib
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from .. import query as q
+from ..ingest.pipeline import IngestPipeline, PartialInsertError
+from ..tables import Warehouse
+
+
+def _hash_key(key: str) -> str:
+    return hashlib.sha256(key.encode()).hexdigest()
+
+
+@dataclass
+class ShareLink:
+    """models.ShareLink (storage/database/models/models.go:16-22)."""
+
+    uuid: str
+    destination_id: str
+    query: str
+    expires_at: float
+
+
+@dataclass
+class ScratchAPI:
+    """Engine facade bound to one SparkSession + warehouse.
+
+    API keys: hashed-key -> destination id (gorm.go:202-205 semantics);
+    an optional admin key selects the destination via the
+    ``destination_id`` query param (auth.go:29-40).
+    """
+
+    spark: SparkSession
+    warehouse: Warehouse
+    api_keys: dict[str, str] = field(default_factory=dict)  # hash -> dest
+    admin_key_hash: str | None = None
+    shares: dict[str, ShareLink] = field(default_factory=dict)
+    healthy: bool = True
+
+    def add_api_key(self, key: str, destination_id: str) -> None:
+        self.api_keys[_hash_key(key)] = str(destination_id)
+
+    def set_admin_key(self, key: str) -> None:
+        self.admin_key_hash = _hash_key(key)
+
+    def resolve_destination(self, params: dict) -> str | None:
+        key = (params.get("api_key") or [""])[0]
+        h = _hash_key(key)
+        if self.admin_key_hash and h == self.admin_key_hash:
+            return (params.get("destination_id") or ["-1"])[0]
+        return self.api_keys.get(h)
+
+    # -- engine ops --------------------------------------------------------
+
+    def insert(self, dest: str, table: str, body: bytes, flatten: str) -> int:
+        pipe = IngestPipeline(self.spark, self.warehouse)
+        try:
+            n = pipe.insert(dest, table, body, flatten)
+        except PartialInsertError:
+            # valid items must still be stored (data.go:140-150)
+            pipe.flush()
+            raise
+        pipe.flush()  # synchronous mode for the local API
+        return n
+
+    def _register_views(self, dest: str) -> None:
+        for t in self.warehouse.tables(dest):
+            self.warehouse.read(dest, t).createOrReplaceTempView(t)
+
+    def run_query(self, dest: str, sql: str, fmt: str):
+        self._register_views(dest)
+        df = q.execute(self.spark, sql)
+        if fmt == "csv":
+            return "text/csv", q.stream_csv(df)
+        return "application/json", q.stream_json(df)
+
+    def create_share(self, dest: str, sql: str, duration_s: int) -> str:
+        share_id = str(uuidlib.uuid4())
+        self.shares[share_id] = ShareLink(
+            uuid=share_id,
+            destination_id=dest,
+            query=sql,
+            expires_at=time.time() + duration_s,
+        )
+        return share_id
+
+    def get_share(self, share_id: str) -> ShareLink | None:
+        link = self.shares.get(share_id)
+        if link is None or link.expires_at <= time.time():  # gorm.go:112
+            return None
+        return link
+
+
+def make_handler(api: ScratchAPI):
+    class Handler(BaseHTTPRequestHandler):
+        # -- plumbing ------------------------------------------------------
+        def log_message(self, *a):  # silence default stderr logging
+            pass
+
+        def _send(self, code: int, body: str | bytes,
+                  ctype: str = "text/plain") -> None:
+            data = body.encode() if isinstance(body, str) else body
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _send_stream(self, ctype: str, chunks) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for chunk in chunks:
+                data = chunk.encode()
+                if not data:
+                    continue
+                self.wfile.write(f"{len(data):X}\r\n".encode())
+                self.wfile.write(data + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        def _params(self) -> dict:
+            return parse_qs(urlparse(self.path).query)
+
+        def _route(self) -> str:
+            return urlparse(self.path).path
+
+        def _auth(self) -> str | None:
+            dest = api.resolve_destination(self._params())
+            if dest is None:
+                self._send(401, "Unauthorized")
+            return dest
+
+        def _body(self) -> bytes:
+            n = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(n) if n else b""
+
+        # -- routes ----------------------------------------------------------
+        def do_GET(self):
+            path = self._route()
+            if path == "/healthcheck":
+                if api.healthy:
+                    self._send(200, json.dumps(True), "application/json")
+                else:
+                    self._send(503, "unhealthy")
+                return
+            m = re.fullmatch(r"/share/([^/]+)/data\.(\w+)", path)
+            if m:
+                return self._share_data(m.group(1), m.group(2))
+            if path == "/api/data/query":
+                return self._query()
+            if path == "/api/tables":
+                return self._tables()
+            m = re.fullmatch(r"/api/tables/([^/]+)/columns", path)
+            if m:
+                return self._columns(m.group(1))
+            if path == "/api/destinations":
+                dest = self._auth()
+                if dest is None:
+                    return
+                dests = sorted(set(api.api_keys.values()))
+                self._send(200, json.dumps(dests), "application/json")
+                return
+            self._send(404, "not found")
+
+        def do_POST(self):
+            path = self._route()
+            m = re.fullmatch(r"/api/data/insert/([^/]+)", path)
+            if m:
+                return self._insert(m.group(1))
+            if path == "/api/data/query":
+                return self._query()
+            if path == "/api/data/query/share":
+                return self._create_share()
+            self._send(404, "not found")
+
+        # -- handlers ----------------------------------------------------
+        def _insert(self, table: str):
+            dest = self._auth()
+            if dest is None:
+                return
+            flatten = (self._params().get("flatten") or ["horizontal"])[0]
+            flatten = "vertical" if flatten == "vertical" else "horizontal"
+            try:
+                api.insert(dest, table, self._body(), flatten)
+                self._send(200, "ok")
+            except PartialInsertError:
+                # data.go:140-150: valid items stored, 500 returned
+                self._send(500, "Partially inserted data")
+            except ValueError as e:
+                self._send(400, str(e))
+            except Exception as e:
+                self._send(500, str(e))
+
+        def _query(self):
+            dest = self._auth()
+            if dest is None:
+                return
+            params = self._params()
+            sql = (params.get("query") or [""])[0]
+            if self.command == "POST" and not sql:
+                body = self._body()
+                try:
+                    parsed = json.loads(body)
+                    sql = parsed.get("query", "") if isinstance(parsed, dict) else ""
+                except json.JSONDecodeError:
+                    sql = body.decode()
+            fmt = (params.get("format") or ["json"])[0]
+            try:
+                ctype, chunks = api.run_query(dest, sql, fmt)
+                self._send_stream(ctype, chunks)
+            except q.QueryError as e:
+                self._send(400, str(e))
+            except Exception as e:
+                self._send(500, str(e))
+
+        def _tables(self):
+            dest = self._auth()
+            if dest is None:
+                return
+            self._send(
+                200, json.dumps(api.warehouse.tables(dest)), "application/json"
+            )
+
+        def _columns(self, table: str):
+            dest = self._auth()
+            if dest is None:
+                return
+            try:
+                cols = [
+                    {"name": n, "type": t}
+                    for n, t in api.warehouse.columns(dest, table)
+                ]
+            except Exception:
+                self._send(404, "table not found")
+                return
+            self._send(200, json.dumps(cols), "application/json")
+
+        def _create_share(self):
+            dest = self._auth()
+            if dest is None:
+                return
+            try:
+                body = json.loads(self._body())
+                sql = body.get("query", "")
+                duration = int(body.get("duration", 0))
+            except (json.JSONDecodeError, TypeError, ValueError):
+                self._send(400, "Invalid request body")
+                return
+            if not sql:
+                self._send(400, "Query cannot be empty")
+                return
+            share_id = api.create_share(dest, sql, duration)
+            self._send(200, json.dumps({"id": share_id}), "application/json")
+
+        def _share_data(self, share_id: str, fmt: str):
+            try:
+                uuidlib.UUID(share_id)
+            except ValueError:
+                self._send(400, "invalid uuid")
+                return
+            link = api.get_share(share_id)
+            if link is None:
+                self._send(404, "Query not found")
+                return
+            try:
+                ctype, chunks = api.run_query(
+                    link.destination_id, link.query, fmt
+                )
+                self._send_stream(ctype, chunks)
+            except Exception as e:
+                self._send(500, str(e))
+
+    return Handler
+
+
+def make_server(api: ScratchAPI, port: int = 0) -> ThreadingHTTPServer:
+    """Bind a threading HTTP server (port=0 -> ephemeral)."""
+    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(api))
+
+
+def serve_background(api: ScratchAPI, port: int = 0) -> tuple[ThreadingHTTPServer, int]:
+    srv = make_server(api, port)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]

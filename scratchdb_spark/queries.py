@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .tables import table
+from .operators.asof import asof_join
+from .tables import register_testdata, table
 
 
 @dataclass(frozen=True)
@@ -86,6 +87,1325 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run one SQL query against the test-data views — the product's
+    pass-through surface (reference N8): users send raw SELECT text."""
+    register_testdata(spark, sf_dir)
+    return spark.sql(query)
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.2: inner/left/full/cross/semi/anti, theta, as-of)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: 3-way join + agg + deterministic top-k.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    ords = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY r_name, n_name
+    """,
+    doc="TPC-H Q5: 6-way star join; dims broadcast.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    reg = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_left_outer_spend",
+    """
+    SELECT c_nationkey,
+           count(DISTINCT c_custkey)            AS n_customers,
+           count(o_orderkey)                    AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    """,
+    doc="Left outer join preserving customers without orders.",
+)
+def join_left_outer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders")
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-semi join (IN subquery).",
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders")
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-anti join (NOT EXISTS).",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    ords = table(spark, sf_dir, "orders")
+    return (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "join_full_outer_nation_profile",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey, n_customers, n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    doc="Full outer join of two aggregates.",
+)
+def join_full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"), "n_customers", "n_suppliers"
+    )
+
+
+@register(
+    "join_theta_nation_pairs",
+    """
+    SELECT n1.n_regionkey AS regionkey, count(*) AS n_pairs
+    FROM nation n1
+    JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey
+     AND n1.n_nationkey < n2.n_nationkey
+    GROUP BY n1.n_regionkey
+    """,
+    doc="Theta join (equi + inequality condition).",
+)
+def join_theta_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .groupBy(F.col("n1.n_regionkey").alias("regionkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "join_cross_region_segment",
+    """
+    SELECT r_name, seg
+    FROM region
+    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    """,
+    doc="Cross join (small x small).",
+)
+def join_cross_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = table(spark, sf_dir, "region").select("r_name")
+    seg = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return reg.crossJoin(seg)
+
+
+@register(
+    "asof_last_click_before_purchase",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             (event_type = 'purchase') AS is_left
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, value, is_left,
+             last_value(CASE WHEN NOT is_left THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, is_left, event_id
+                     ROWS UNBOUNDED PRECEDING) AS asof_value
+      FROM tagged
+    )
+    SELECT event_id, user_id,
+           round(value, 4)      AS purchase_value,
+           round(asof_value, 4) AS asof_value
+    FROM w WHERE is_left
+    """,
+    doc="As-of join: per purchase, most recent click value at-or-before "
+        "(operators/asof.py union+window plan — one shuffle, skew-safe).",
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (distinct, having, rollup/cube/grouping sets, stats)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_distinct_having",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    HAVING count(*) > 100
+    """,
+    doc="Distinct aggregates + HAVING.",
+)
+def agg_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 100)
+    )
+
+
+@register(
+    "agg_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals.",
+)
+def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions.",
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS via the SQL pass-through surface.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+    )
+
+
+@register(
+    "agg_stats_moments",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                 AS sd_qty,
+           round(var_samp(l_quantity), 4)                    AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (stddev/var/corr/covar).",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "agg_conditional_sums",
+    """
+    SELECT c_nationkey,
+           count(*) AS n_cust,
+           sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n_building,
+           round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END), 2) AS pos_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Conditional aggregation (CASE inside SUM).",
+)
+def agg_conditional_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+        ).alias("n_building"),
+        F.round(
+            F.sum(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(0)),
+            2,
+        ).alias("pos_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topk_orders_per_priority",
+    """
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total, rn
+    FROM (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+    doc="Top-k per group via ranking window.",
+)
+def window_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "window_running_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders WHERE o_custkey < 100
+    """,
+    doc="Running total (ROWS frame).",
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        )
+    )
+
+
+@register(
+    "window_lag_lead_events",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events WHERE event_type = 'click'
+    """,
+    doc="lag/lead analytics.",
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_range_frame_price",
+    """
+    SELECT o_orderkey,
+           count(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_similar
+    FROM orders WHERE o_custkey < 200
+    """,
+    doc="RANGE frame with a value offset.",
+)
+def window_range_frame_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # double-valued RANGE offsets aren't expressible via the
+    # rowsBetween/rangeBetween Python API -> window expression
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .selectExpr(
+            "o_orderkey",
+            """count(*) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_similar""",
+        )
+    )
+
+
+@register(
+    "window_ntile_balance",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+    doc="ntile quartiles per segment.",
+)
+def window_ntile_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", F.ntile(4).over(w).alias("quartile"))
+    )
+
+
+@register(
+    "window_first_last_value",
+    """
+    SELECT DISTINCT user_id,
+           round(first_value(value) OVER w, 4) AS first_val,
+           round(last_value(value)  OVER w, 4) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value with full-partition frame.",
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.round(F.first("value").over(w), 4).alias("first_val"),
+            F.round(F.last("value").over(w), 4).alias("last_val"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_expensive_parts",
+    """
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+    """,
+    doc="Global top-k (TakeOrderedAndProject physical plan).",
+)
+def topk_expensive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+        .limit(20)
+    )
+
+
+@register(
+    "setop_union_all_nationkeys",
+    """
+    SELECT nk, count(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk FROM supplier
+    ) u GROUP BY nk
+    """,
+    doc="UNION ALL.",
+)
+def setop_union_all_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "setop_intersect_nationkeys",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct).",
+)
+def setop_intersect_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_nationkeys",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="EXCEPT (distinct).",
+)
+def setop_except_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    # subtract == EXCEPT (set semantics); exceptAll would keep keys
+    # that appear on both sides with different multiplicities
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / CTEs (via the SQL pass-through surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "subq_scalar_above_avg_price",
+    """
+    SELECT p_partkey, round(p_retailprice, 2) AS price
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+    doc="Scalar subquery.",
+)
+def subq_scalar_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey, round(p_retailprice, 2) AS price
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        """,
+    )
+
+
+@register(
+    "subq_in_big_spenders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    doc="IN subquery (decorrelates to semi join).",
+)
+def subq_in_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+    )
+
+
+@register(
+    "subq_exists_correlated",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    """,
+    doc="Correlated EXISTS.",
+)
+def subq_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+        """,
+    )
+
+
+@register(
+    "cte_top_supplier_revenue",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-07-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 style: CTE + scalar subquery over it.",
+)
+def cte_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-07-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+@register(
+    "fn_string_part_names",
+    """
+    SELECT p_partkey,
+           upper(p_name)                       AS name_upper,
+           substring(p_name, 1, 4)             AS name_prefix,
+           length(p_name)                      AS name_len,
+           concat(p_brand, ':', p_type)        AS brand_type,
+           replace(p_name, ' ', '_')           AS name_snake,
+           split_part(p_name, ' ', 1)          AS first_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    WHERE p_name LIKE '%bolt%'
+    """,
+    doc="String function family + LIKE pushdown.",
+)
+def fn_string_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "fn_datetime_monthly_orders",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="date_trunc monthly rollup.",
+)
+def fn_datetime_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "fn_datetime_parts",
+    """
+    SELECT o_orderkey,
+           CAST(extract(year  FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+           CAST(extract(day   FROM o_orderdate) AS INTEGER) AS dom,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders WHERE o_orderkey < 500
+    """,
+    doc="extract() fields + interval arithmetic.",
+)
+def fn_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
+
+
+@register(
+    "fn_math_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4)            AS abs_d,
+           CAST(floor(l_quantity) AS BIGINT)           AS qty_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           round(sqrt(l_quantity), 4)                  AS qty_sqrt,
+           round(ln(l_extendedprice), 4)               AS price_ln,
+           round(power(1 + l_tax, 2), 4)               AS tax_sq,
+           l_orderkey % 7                              AS key_mod
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    doc="Math function family.",
+)
+def fn_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_d"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 4).alias("tax_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "fn_conditional_buckets",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bucket,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
+           count(*) AS n,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    doc="CASE WHEN / coalesce / nullif.",
+)
+def fn_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bucket")
+    )
+    seg2 = F.coalesce(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+    ).alias("seg2")
+    return cust.groupBy(bucket, seg2).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+    )
+
+
+@register(
+    "fn_json_extract_events",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON scalar extraction over the events.props JSON column.",
+)
+def fn_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "fn_array_vector_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
+           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 3) AS vec_sum,
+           round(sqrt(list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 3)
+             AS vec_norm
+    FROM embeddings WHERE vec_id < 100
+    """,
+    doc="Array lambda functions (aggregate/transform) over embeddings.",
+)
+def fn_array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec_sum = F.aggregate(
+        as_double, F.lit(0.0), lambda acc, x: acc + x
+    )
+    vec_sq = F.aggregate(
+        as_double, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(as_double, 1), 4).alias("first_elem"),
+        F.round(vec_sum, 3).alias("vec_sum"),
+        F.round(F.sqrt(vec_sq), 3).alias("vec_norm"),
+    )
+
+
+@register(
+    "fn_explode_vectors",
+    """
+    SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+           round(CAST(embedding[i] AS DOUBLE), 4) AS val
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    WHERE vec_id < 5
+    """,
+    doc="posexplode / unnest-with-index parity.",
+)
+def fn_explode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact vs approximate aggregates
+# ---------------------------------------------------------------------------
+
+@register(
+    "count_distinct_exact_median",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.5), 4) AS median_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact distinct count + exact interpolated median.",
+)
+def count_distinct_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.percentile("value", 0.5), 4).alias("median_value"),
+    )
+
+
+@register(
+    "approx_distinct_quantiles",
+    None,  # approximate sketches differ across engines -> rows-only check
+    doc="approx_count_distinct (HLL++) + percentile_approx; no oracle "
+        "because sketch implementations differ between Spark and DuckDB.",
+)
+def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.percentile_approx("value", 0.5), 4).alias("approx_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / similarity / text analysis / multimodal
+# (beyond reference parity — SURVEY.md §7 milestone 5)
+# ---------------------------------------------------------------------------
+
+#: DuckDB-side normalized token list (must mirror dedup.normalize_text)
+_DUCK_TOKENS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+#: DuckDB-side distinct 3-gram shingles (mirrors dedup.token_shingles)
+_DUCK_SHINGLES = f"""
+  list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
+                 FOR i IN generate_series(1, greatest(len(w) - 2, 1))])
+""".strip()
+
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy, deterministic keeper (min id).",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_near_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+                 4) AS jaccard_sim
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
+    """,
+    doc="MinHash+LSH near-dup pairs (jaccard >= 0.8 on 3-gram shingles); "
+        "oracle is the exact quadratic jaccard — LSH capture probability "
+        "at j=0.8 with 16 bands x 4 rows is ~0.9998, and the verify stage "
+        "removes false positives, so outputs match w.h.p.",
+)
+def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash_clusters",
+    None,  # xxhash64 is not reproducible in DuckDB -> rows-only check
+    doc="SimHash fingerprint clusters (identical 64-bit fingerprints).",
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_clusters
+
+    return simhash_clusters(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_ngram_jaccard_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w
+            FROM documents WHERE doc_id < 100)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+                 4) AS jaccard_sim
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          >= 0.2 * len(list_distinct(list_concat(a.sh, b.sh)))
+    """,
+    doc="Exact pairwise n-gram jaccard on a bounded slice.",
+)
+def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+           FROM q JOIN c ON query_id <> neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos_sim,
+                  CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-k (exact ANN baseline): query side "
+        "broadcast, one streaming pass over the corpus.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # LSH bucketing is engine-specific -> rows-only check
+    doc="Random-hyperplane LSH ANN: bucket-join candidates then exact "
+        "cosine — the linear-cost scale path for 100 TB corpora.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries_df, k=5)
+
+
+@register(
+    "emb_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.4
+    """,
+    doc="Embedding near-duplicate pairs above a cosine threshold.",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import cosine_pairs_above
+
+    return cosine_pairs_above(table(spark, sf_dir, "embeddings"), 0.4)
+
+
+@register(
+    "text_langid",
+    """
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    h AS (
+      SELECT doc_id,
+        len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','ein','zu'))) AS de_hits,
+        len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it')))       AS en_hits,
+        len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es')))        AS es_hits,
+        len(list_filter(w, x -> x IN ('le','les','des','et','une','est','dans','pour'))) AS fr_hits
+      FROM t)
+    SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+           CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+                WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
+                WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
+                WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM h
+    """.format(toks=_DUCK_TOKENS),
+    doc="Stopword-ratio language ID (deterministic tie-break ladder).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import lang_id
+
+    return lang_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({toks}) AS n_tokens,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             len(list_filter({toks},
+                 x -> x IN ('the','a','and','of','to','in','is','it')))
+               / CAST(len({toks}) AS DOUBLE) AS stop_ratio
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(alpha_ratio, 4) AS alpha_ratio,
+           round(stop_ratio, 4) AS stop_ratio,
+           round(least(1.0, n_tokens / 50.0) * (1 - punct_ratio) * alpha_ratio
+                 * (0.5 + least(0.5, stop_ratio * 2)), 4) AS quality
+    FROM t
+    """.format(toks=_DUCK_TOKENS),
+    doc="Quality features + composite score.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_score
+
+    return quality_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace, BPE-ish regex, chars/4 estimate.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_stats
+
+    return token_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             {toks} AS w
+      FROM documents)
+    SELECT doc_id,
+           md5(norm) AS md5_fp,
+           CAST(list_sum(list_transform(generate_series(1, len(w)),
+                i -> i * (length(w[i]) * 131 + ascii(w[i])))) AS BIGINT)
+             AS poly_fp
+    FROM t
+    """.format(toks=_DUCK_TOKENS),
+    doc="Document fingerprints: md5 of normalized text + positional "
+        "polynomial hash.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import fingerprint
+
+    return fingerprint(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_payload_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal binary column plumbing: payload + typed metadata "
+        "(decode kernels stubbed — libs absent; see operators/multimodal).",
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_payload
+
+    docs = attach_payload(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_fake_features",
+    None,  # mapInPandas stub kernel -> rows-only check
+    doc="Arrow-batched mapInPandas feature extraction over binary "
+        "payloads (deterministic stub kernel; real decode not installed).",
+)
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_payload, extract_features
+
+    docs = attach_payload(table(spark, sf_dir, "documents"))
+    feats = extract_features(docs)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
     )
 
 

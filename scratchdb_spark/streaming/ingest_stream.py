@@ -1,0 +1,99 @@
+"""Streaming ingest + event-time operators.
+
+``start_ingest_stream`` replaces the reference's ticker/queue/worker
+pipeline (datasink/filesystem + workers/workers.go): the closed-NDJSON
+landing dir becomes a file-source stream; each micro-batch runs the
+same infer -> evolve -> aligned-append path as the batch pipeline via
+``foreachBatch``. Checkpointing makes delivery at-least-once across
+restarts — the property the reference got from its DB queue with
+``FOR UPDATE SKIP LOCKED`` (storage/database/gorm/queue.go:29-63).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ingest.pipeline import IngestPipeline
+from ..tables import Warehouse
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    landing_dir: str,
+    database: str,
+    table: str,
+    checkpoint_dir: str,
+    trigger_seconds: float | None = None,
+    available_now: bool = False,
+):
+    """Stream NDJSON files from ``landing_dir/{database}/{table}`` into
+    the managed table. Returns the StreamingQuery.
+
+    Scale notes: ``maxFilesPerTrigger`` bounds micro-batch size the way
+    the reference's rotation thresholds bounded file size; the text is
+    read as whole lines (schema applied inside foreachBatch so the
+    type-vote semantics stay identical to the batch path).
+    """
+    src_dir = os.path.join(landing_dir, str(database), table)
+    os.makedirs(src_dir, exist_ok=True)
+    pipe = IngestPipeline(spark, warehouse)
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "16")
+        .load(src_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        lines = [r.value for r in batch_df.collect() if r.value.strip()]
+        # driver-side vote + distributed append — same as batch path;
+        # one rotated file is bounded by the writer's rotation limits
+        pipe.append_ndjson_lines(database, table, lines)
+
+    writer = raw.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Event-time tumbling-window counts with late-data handling —
+    works on a streaming OR batch events DataFrame (same code path)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours"):
+    """Stateful streaming dedup on event_id within the watermark — the
+    streaming analogue of exact dedup (bounded state). On a batch frame
+    (same code path reused for backfills) this degrades to plain
+    dropDuplicates, since watermark-scoped dedup state is stream-only."""
+    if events.isStreaming:
+        return events.withWatermark(
+            "ts", watermark
+        ).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])

@@ -1,0 +1,182 @@
+"""API-surface tests (routes of api/router.go:48-70, FIXTURES.md F8/F9)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from scratchdb_spark.api.app import ScratchAPI, serve_background
+from scratchdb_spark.tables import Warehouse
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    wh = Warehouse(spark, str(tmp_path_factory.mktemp("api_wh")))
+    api = ScratchAPI(spark=spark, warehouse=wh)
+    api.add_api_key("key1", "dest1")
+    api.set_admin_key("adminkey")
+    srv, port = serve_background(api)
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(url: str):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_healthcheck(server):
+    assert _get(f"{server}/healthcheck") == (200, "true")
+
+
+def test_auth_required(server):
+    code, _ = _get(f"{server}/api/tables")
+    assert code == 401
+    code, _ = _get(f"{server}/api/tables?api_key=wrong")
+    assert code == 401
+
+
+def test_round_trip_f8(server):
+    code, body = _post(
+        f"{server}/api/data/insert/tbl?api_key=key1",
+        b'{"msg":"hello world"}',
+    )
+    assert (code, body) == (200, "ok")
+    code, body = _get(
+        f"{server}/api/data/query?api_key=key1&query=select+*+from+tbl"
+    )
+    assert code == 200
+    rows = json.loads(body)
+    assert len(rows) == 1
+    assert rows[0]["msg"] == "hello world"
+    assert isinstance(rows[0]["__row_id"], int)
+
+
+def test_csv_format_null_literal(server):
+    _post(
+        f"{server}/api/data/insert/csvt?api_key=key1",
+        b'[{"a":1,"b":"x"},{"a":2}]',
+    )
+    code, body = _get(
+        f"{server}/api/data/query?api_key=key1&format=csv"
+        "&query=select+a,b+from+csvt+order+by+a"
+    )
+    assert code == 200
+    lines = body.strip().splitlines()
+    assert lines[0] == "a,b"
+    assert lines[1] == "1,x"
+    assert lines[2] == "2,null"  # NULL renders as literal null
+
+
+def test_invalid_json_400(server):
+    code, _ = _post(f"{server}/api/data/insert/tbl?api_key=key1", b"{bad")
+    assert code == 400
+
+
+def test_partial_failure_500(server):
+    code, body = _post(
+        f"{server}/api/data/insert/pf?api_key=key1", b'[{"x":1}, 7]'
+    )
+    assert code == 500
+    assert body == "Partially inserted data"
+    code, body = _get(
+        f"{server}/api/data/query?api_key=key1&query=select+x+from+pf"
+    )
+    assert json.loads(body) == [{"x": 1}]
+
+
+def test_query_guard_400(server):
+    code, _ = _get(
+        f"{server}/api/data/query?api_key=key1&query=drop+table+tbl"
+    )
+    assert code == 400
+
+
+def test_tables_and_columns(server):
+    code, body = _get(f"{server}/api/tables?api_key=key1")
+    assert code == 200
+    assert "tbl" in json.loads(body)
+    code, body = _get(f"{server}/api/tables/tbl/columns?api_key=key1")
+    cols = {c["name"]: c["type"] for c in json.loads(body)}
+    assert cols["msg"] == "string"
+    assert cols["__row_id"] == "bigint"
+
+
+def test_vertical_flatten_param(server):
+    _post(
+        f"{server}/api/data/insert/vt?api_key=key1&flatten=vertical",
+        b'{"a":[1,2],"k":"c"}',
+    )
+    code, body = _get(
+        f"{server}/api/data/query?api_key=key1&query="
+        "select+a,k,__order_a+from+vt+order+by+a"
+    )
+    rows = json.loads(body)
+    assert [(r["a"], r["k"], r["__order_a"]) for r in rows] == [
+        (1, "c", 0), (2, "c", 1),
+    ]
+
+
+def test_share_lifecycle(server):
+    _post(
+        f"{server}/api/data/insert/sh_tbl?api_key=key1",
+        b'{"msg":"hello world"}',
+    )
+    code, body = _post(
+        f"{server}/api/data/query/share?api_key=key1",
+        json.dumps({"query": "select msg from sh_tbl", "duration": 3600}).encode(),
+    )
+    assert code == 200
+    share_id = json.loads(body)["id"]
+    # public fetch, no api_key
+    code, body = _get(f"{server}/share/{share_id}/data.json")
+    assert code == 200
+    assert json.loads(body)[0]["msg"] == "hello world"
+    code, body = _get(f"{server}/share/{share_id}/data.csv")
+    assert code == 200 and body.splitlines()[0] == "msg"
+    # unknown uuid -> 404; garbage -> 400
+    code, _ = _get(f"{server}/share/00000000-0000-0000-0000-000000000000/data.json")
+    assert code == 404
+    code, _ = _get(f"{server}/share/nope/data.json")
+    assert code == 400
+
+
+def test_share_expiry(server):
+    code, body = _post(
+        f"{server}/api/data/query/share?api_key=key1",
+        json.dumps({"query": "select 1 as one", "duration": -1}).encode(),
+    )
+    share_id = json.loads(body)["id"]
+    code, _ = _get(f"{server}/share/{share_id}/data.json")
+    assert code == 404  # already expired
+
+
+def test_admin_key_destination_override(server):
+    code, body = _post(
+        f"{server}/api/data/insert/adm?api_key=adminkey&destination_id=dest9",
+        b'{"z": 1}',
+    )
+    assert code == 200
+    code, body = _get(
+        f"{server}/api/data/query?api_key=adminkey&destination_id=dest9"
+        "&query=select+z+from+adm"
+    )
+    assert json.loads(body) == [{"z": 1}]
+    # dest1's catalog must NOT contain adm (tenant isolation)
+    code, body = _get(f"{server}/api/tables?api_key=key1")
+    assert "adm" not in json.loads(body)
