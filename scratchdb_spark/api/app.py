@@ -56,8 +56,34 @@ class ScratchAPI:
     shares: dict[str, ShareLink] = field(default_factory=dict)
     healthy: bool = True
 
+    #: request metrics (reference N20: Prometheus middleware,
+    #: api/router.go:18-28 / prometheus.go) — counters + latency sums
+    #: exposed text-format at /metrics
+    metrics: dict[str, float] = field(default_factory=dict)
+
+    def observe(self, route: str, seconds: float, resp_bytes: int) -> None:
+        m = self.metrics
+        m[f"requests_total{{route={route}}}"] = (
+            m.get(f"requests_total{{route={route}}}", 0) + 1
+        )
+        m[f"request_seconds_sum{{route={route}}}"] = round(
+            m.get(f"request_seconds_sum{{route={route}}}", 0.0) + seconds, 6
+        )
+        m[f"response_bytes_sum{{route={route}}}"] = (
+            m.get(f"response_bytes_sum{{route={route}}}", 0) + resp_bytes
+        )
+
     def add_api_key(self, key: str, destination_id: str) -> None:
         self.api_keys[_hash_key(key)] = str(destination_id)
+
+    def create_destination(self, dest_id: str) -> None:
+        """N19 lite: register a destination namespace (credentials are a
+        no-op locally — the warehouse dir is created lazily)."""
+        import os as _os
+
+        _os.makedirs(
+            _os.path.join(self.warehouse.root, str(dest_id)), exist_ok=True
+        )
 
     def set_admin_key(self, key: str) -> None:
         self.admin_key_hash = _hash_key(key)
@@ -124,19 +150,29 @@ def make_handler(api: ScratchAPI):
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+            self._observe(len(data))
 
         def _send_stream(self, ctype: str, chunks) -> None:
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
+            sent = 0
             for chunk in chunks:
                 data = chunk.encode()
                 if not data:
                     continue
                 self.wfile.write(f"{len(data):X}\r\n".encode())
                 self.wfile.write(data + b"\r\n")
+                sent += len(data)
             self.wfile.write(b"0\r\n\r\n")
+            self._observe(sent)
+
+        def _observe(self, resp_bytes: int) -> None:
+            t0 = getattr(self, "_t0", None)
+            if t0 is not None:
+                route = re.sub(r"/[0-9a-fA-F-]{8,}", "/{id}", self._route())
+                api.observe(route, time.perf_counter() - t0, resp_bytes)
 
         def _params(self) -> dict:
             return parse_qs(urlparse(self.path).query)
@@ -156,7 +192,14 @@ def make_handler(api: ScratchAPI):
 
         # -- routes ----------------------------------------------------------
         def do_GET(self):
+            self._t0 = time.perf_counter()
             path = self._route()
+            if path == "/metrics":
+                lines = [
+                    f"scratchdb_{k} {v}" for k, v in sorted(api.metrics.items())
+                ]
+                self._send(200, "\n".join(lines) + "\n")
+                return
             if path == "/healthcheck":
                 if api.healthy:
                     self._send(200, json.dumps(True), "application/json")
@@ -183,6 +226,7 @@ def make_handler(api: ScratchAPI):
             self._send(404, "not found")
 
         def do_POST(self):
+            self._t0 = time.perf_counter()
             path = self._route()
             m = re.fullmatch(r"/api/data/insert/([^/]+)", path)
             if m:
@@ -191,7 +235,42 @@ def make_handler(api: ScratchAPI):
                 return self._query()
             if path == "/api/data/query/share":
                 return self._create_share()
+            if path == "/api/destinations":
+                return self._create_destination()
+            m = re.fullmatch(r"/api/destinations/([^/]+)/keys", path)
+            if m:
+                return self._add_key(m.group(1))
             self._send(404, "not found")
+
+        def _create_destination(self):
+            dest = self._auth()
+            if dest is None:
+                return
+            try:
+                body = json.loads(self._body())
+                new_id = str(body["id"])
+            except (json.JSONDecodeError, KeyError, TypeError):
+                self._send(400, "Invalid request body")
+                return
+            api.create_destination(new_id)
+            self._send(
+                200, json.dumps({"id": new_id}), "application/json"
+            )
+
+        def _add_key(self, dest_id: str):
+            """Mint a fresh API key for a destination
+            (api/destinations.go:14-21 — key is a server-generated
+            uuid, returned once)."""
+            caller = self._auth()
+            if caller is None:
+                return
+            key = str(uuidlib.uuid4())
+            api.add_api_key(key, dest_id)
+            self._send(
+                200,
+                json.dumps({"key": key, "destination_id": dest_id}),
+                "application/json",
+            )
 
         # -- handlers ----------------------------------------------------
         def _insert(self, table: str):

@@ -373,6 +373,148 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+      AND n1.n_nationkey <> n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name, extract(year FROM l_shipdate)
+    """,
+    doc="TPC-H Q7 style: bilateral trade volume, year extraction in "
+        "grouping, self-joined dimension.",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
+          AND n1.n_nationkey <> n2.n_nationkey
+        GROUP BY n1.n_name, n2.n_name, extract(year FROM l_shipdate)
+        """,
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    SELECT s.s_suppkey, s.s_name, p.p_partkey,
+           CAST(floor(l.l_extendedprice / l.l_quantity * 10000) AS BIGINT)
+             AS unit_cost_e4
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE p.p_partkey < 200
+      AND l.l_extendedprice / l.l_quantity = (
+        SELECT min(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    doc="TPC-H Q2 style: correlated scalar-min subquery.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s.s_suppkey, s.s_name, p.p_partkey,
+               CAST(floor(l.l_extendedprice / l.l_quantity * 10000) AS BIGINT)
+                 AS unit_cost_e4
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        WHERE p.p_partkey < 200
+          AND l.l_extendedprice / l.l_quantity = (
+            SELECT min(l2.l_extendedprice / l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        """,
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+      AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 style: NOT IN list + IN list + distinct agg.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (~F.col("p_brand").isin("Brand#1", "Brand#2"))
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    doc="TPC-H Q19 style: OR-of-ANDs predicate (planner must keep the "
+        "join equi-key while pushing the disjunction).",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part"))
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation (distinct, having, rollup/cube/grouping sets, stats)
 # ---------------------------------------------------------------------------

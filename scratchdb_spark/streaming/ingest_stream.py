@@ -87,6 +87,32 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Per-user session windows (gap-based) — event-time sessionization
+    for both streaming and batch frames."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours"):
     """Stateful streaming dedup on event_id within the watermark — the
     streaming analogue of exact dedup (bounded state). On a batch frame

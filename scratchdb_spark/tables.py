@@ -191,6 +191,12 @@ class Warehouse:
                 cols.append(F.col(name).alias(name))
 
         aligned = batch.select(*cols)
+        # sort-on-write by __row_id: parquet min/max stats then prune
+        # row-groups for id-range scans — the Spark analogue of the
+        # reference's MergeTree PRIMARY KEY(__row_id)
+        # (clickhouse/destination.go:16-17)
+        if "__row_id" in aligned.columns:
+            aligned = aligned.sortWithinPartitions("__row_id")
         aligned.write.mode("append").option("mergeSchema", "true").parquet(
             self._path(database, table)
         )

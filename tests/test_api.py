@@ -166,6 +166,34 @@ def test_share_expiry(server):
     assert code == 404  # already expired
 
 
+def test_destination_create_and_key_mint(server):
+    code, body = _post(
+        f"{server}/api/destinations?api_key=key1",
+        json.dumps({"id": "dest_new"}).encode(),
+    )
+    assert code == 200 and json.loads(body)["id"] == "dest_new"
+    code, body = _post(
+        f"{server}/api/destinations/dest_new/keys?api_key=key1", b""
+    )
+    assert code == 200
+    minted = json.loads(body)
+    assert minted["destination_id"] == "dest_new"
+    # minted key works for its destination
+    code, _ = _post(
+        f"{server}/api/data/insert/kt?api_key={minted['key']}", b'{"v":1}'
+    )
+    assert code == 200
+    code, body = _get(f"{server}/api/tables?api_key={minted['key']}")
+    assert "kt" in json.loads(body)
+
+
+def test_metrics_exposed(server):
+    _get(f"{server}/healthcheck")
+    code, body = _get(f"{server}/metrics")
+    assert code == 200
+    assert "scratchdb_requests_total" in body
+
+
 def test_admin_key_destination_override(server):
     code, body = _post(
         f"{server}/api/data/insert/adm?api_key=adminkey&destination_id=dest9",

@@ -54,6 +54,17 @@ def test_windowed_event_counts_batch_parity(spark, sf_dir):
     assert sum(r["n"] for r in rows) == ev.count()
 
 
+def test_session_window_counts(spark, sf_dir):
+    from scratchdb_spark.streaming.ingest_stream import session_window_counts
+
+    ev = table(spark, sf_dir, "events")
+    out = session_window_counts(ev, gap="30 minutes")
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    # sessions are per-user, non-overlapping, end > start
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
 def test_streaming_dedup_batch_shape(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     dup = ev.unionByName(ev.limit(10))
