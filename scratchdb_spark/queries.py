@@ -57,13 +57,14 @@ def registry() -> dict[str, QuerySpec]:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                     AS sum_qty,
-           sum(l_extendedprice)                                AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))             AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)                                     AS avg_qty,
-           avg(l_extendedprice)                                AS avg_price,
-           avg(l_discount)                                     AS avg_disc,
+           round(sum(l_quantity), 2)                           AS sum_qty,
+           round(sum(l_extendedprice), 2)                      AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)   AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                               AS sum_charge,
+           round(avg(l_quantity), 6)                           AS avg_qty,
+           round(avg(l_extendedprice), 6)                      AS avg_price,
+           round(avg(l_discount), 6)                           AS avg_disc,
            count(*)                                            AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -78,13 +79,19 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            # money sums round to the 2-decimal grid their true values
+            # lie on (never a half-boundary); cross-engine raw double
+            # sums differ in the last ulp, so unrounded outputs would
+            # fail an exact hash-compare
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+                "sum_charge"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1213,6 +1220,99 @@ def fn_explode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "pos",
         F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
+
+
+@register(
+    "pivot_segment_counts",
+    """
+    SELECT c_nationkey,
+           sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS AUTOMOBILE,
+           sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BUILDING,
+           sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS FURNITURE,
+           sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS HOUSEHOLD,
+           sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS MACHINERY
+    FROM customer GROUP BY c_nationkey
+    """,
+    doc="Pivot (groupBy().pivot()) — oracle is the conditional-sum "
+        "expansion it compiles to.",
+)
+def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    out = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)  # explicit values: no extra pass
+        .count()
+    )
+    # pivot yields NULL for empty cells; the CASE expansion yields 0
+    return out.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in segs],
+    )
+
+
+@register(
+    "window_percent_rank",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="percent_rank / cume_dist ranking windows.",
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
+@register(
+    "udf_resample_daily",
+    """
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events,
+           CAST(round(sum(value) * 100) AS BIGINT) AS value_sum_e2
+    FROM events
+    GROUP BY user_id, date_trunc('day', ts)
+    """,
+    doc="applyInPandas grouped-map resampling; oracle is the SQL "
+        "equivalent, verifying the Arrow round-trip exactly.",
+)
+def udf_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import resample_daily
+
+    return resample_daily(table(spark, sf_dir, "events"))
+
+
+@register(
+    "skew_salted_user_counts",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+    doc="Two-phase salted aggregation (skew technique); oracle is the "
+        "plain groupBy it must equal.",
+)
+def skew_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_agg_counts
+
+    return salted_agg_counts(
+        table(spark, sf_dir, "events"), "user_id", "value"
     )
 
 
