@@ -1,0 +1,56 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``randomSplit`` is non-reproducible across cluster layouts (it samples
+per-partition), which is unacceptable for training-data lineage: the
+same document must land in the same split on every run, every cluster
+size, and in every engine that audits the data. The standard fix is
+content-addressed splitting: bucket = md5(key) mod N. md5 is defined
+identically everywhere, so the assignment is portable (the DuckDB
+oracle reproduces it bit-for-bit) and stable under repartitioning.
+
+Spark side stays JVM-only: ``md5``/``substring``/``conv`` are built-in
+expressions inside whole-stage codegen — no Python UDF in the path, so
+the split scales linearly with no shuffle at all (a pure map).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Stable bucket in [0, n_buckets) from the first 8 md5 hex chars
+    of the key's string form (32 uniform bits — plenty for splitting)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds ``split_col`` assigning each row to a named split.
+
+    ``fractions`` maps split name -> fraction (must sum to <= 1.0);
+    assignment is by cumulative percent bucket, e.g.
+    ``{"train": 0.9, "val": 0.05, "test": 0.05}`` -> buckets
+    [0,90) / [90,95) / [95,100).
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = hash_bucket(F.col(key_col), 100)
+    expr = None
+    cum = 0
+    for name, frac in fractions.items():
+        cum += int(round(frac * 100))
+        cond = bucket < cum
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn(split_col, expr.otherwise(F.lit("holdout")))

@@ -151,3 +151,56 @@ def test_fingerprint_order_sensitivity(spark):
     # whitespace normalization: doc 3 == doc 1
     assert rows[1]["poly_fp"] == rows[3]["poly_fp"]
     assert rows[1]["md5_fp"] == rows[3]["md5_fp"]
+
+
+def test_range_join_window_edges_and_plan(spark):
+    from scratchdb_spark.operators.rangejoin import range_join_seconds
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        # clicks at 0s, 100s, 900s, 1000s
+        [(1, ts(0)), (1, ts(100)), (1, ts(900)), (2, ts(1000))],
+        "u long, c_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        # purchase at 900s: window (0, 900] back -> matches 100s and 900s
+        # (NOT 0s: diff == 900 is outside the half-open window)
+        [(1, ts(900)), (2, ts(999))],
+        "u2 long, p_ts timestamp",
+    )
+    out = range_join_seconds(
+        left, right, "c_ts", "p_ts", 900,
+        extra_cond=F.col("u") == F.col("u2"),
+    )
+    got = sorted(
+        (r["u"], int((r["p_ts"] - r["c_ts"]).total_seconds()))
+        for r in out.collect()
+    )
+    assert got == [(1, 0), (1, 800)]
+    # the point of the operator: an equi-join strategy, never a
+    # nested-loop cross product
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    from scratchdb_spark.operators.split import hash_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", fr).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7), "doc_id", fr).collect()
+    }
+    assert a == b  # same assignment regardless of layout
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] > 800 and c["val"] > 20 and c["test"] > 20

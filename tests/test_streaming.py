@@ -30,7 +30,10 @@ def test_streaming_ingest_available_now(spark, tmp_path):
         spark, wh, landing, "db1", "t",
         checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
     )
-    q.awaitTermination(120)
+    # under a loaded box (full suite) 120s can expire mid-batch; make
+    # the wait generous and assert it actually finished so a timeout
+    # fails loudly instead of as a confusing row-count mismatch
+    assert q.awaitTermination(600), "ingest stream did not finish in 600s"
     rows = {r["__row_id"]: r for r in wh.read("db1", "t").collect()}
     assert sorted(rows) == [0, 1, 2, 3, 4, 5]
     assert rows[3]["x"] == 30
@@ -42,7 +45,7 @@ def test_streaming_ingest_available_now(spark, tmp_path):
         spark, wh, landing, "db1", "t",
         checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "restarted stream did not finish"
     assert wh.read("db1", "t").count() == 6
 
 
