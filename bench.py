@@ -30,6 +30,20 @@ def main() -> None:
     spark = get_spark("scratchdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up (untimed): touch every table's parquet footer and start
+    # the Arrow/Python UDF workers, so the first timed query measures
+    # itself rather than session/codegen/worker init.
+    from scratchdb_spark.tables import TESTDATA_TABLES, table
+
+    for t in TESTDATA_TABLES:
+        try:
+            table(spark, sf_dir, t).count()
+        except Exception:
+            pass
+    spark.range(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
     times: dict[str, float] = {}
     for name, spec in sorted(catalog.registry().items()):
         t0 = time.perf_counter()
