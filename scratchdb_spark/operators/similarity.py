@@ -204,6 +204,96 @@ def cosine_pairs_above(
     ).filter(F.col("cos_sim") >= threshold)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    assigned to their nearest centroid (one inverted list per
+    centroid); each query probes its ``nprobe`` nearest centroids and
+    scores exactly against only those lists.
+
+    Centroids here are the corpus vectors with the ``n_centroids``
+    smallest ids — deterministic and engine-independent, so the whole
+    operator is SQL-expressible and oracle-checkable. A k-means
+    refinement would drop in unchanged: only the centroid matrix
+    changes, not the assignment/probe/score dataflow.
+
+    Scale shape: the centroid matrix is tiny and broadcast inside a
+    vectorized pandas_udf (one numpy GEMM per Arrow batch — never a
+    per-row expression tree); candidates come from an equi-join on
+    centroid id, so list sizes govern cost and no cross product ever
+    forms. Expected scored fraction ~ nprobe / n_centroids of the
+    corpus per query.
+
+    Ordering contract (matches the SQL oracle): assignment is
+    argmax(round(cos, 6)) with ties to the smallest centroid id;
+    probe order and the final rank use the same (rounded cos DESC,
+    id ASC) tie-break.
+    """
+    cent = sorted(
+        (r[0], r[1])
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("long"), F.col(vec_col))
+        .collect()
+    )
+    cent_ids = np.array([c[0] for c in cent], dtype=np.int64)
+    C = np.array([np.asarray(c[1], dtype=np.float64) for c in cent])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def _cos_matrix(v: pd.Series) -> np.ndarray:
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        return np.round(V @ C.T, 6)  # rows already unit-normalized
+
+    @pandas_udf("long")
+    def assign_centroid(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        S = _cos_matrix(v)
+        # argmax takes the FIRST max -> smallest centroid id on ties
+        return pd.Series(cent_ids[np.argmax(S, axis=1)])
+
+    @pandas_udf("array<long>")
+    def probe_centroids(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        S = _cos_matrix(v)
+        # stable sort on -cos keeps index (== centroid id) order on ties
+        order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cent_ids[order]))
+
+    n = _norm(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(vec_col, lambda x: x.cast("double") / n).alias("c_vec"),
+    ).withColumn("cid", assign_centroid("c_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(vec_col, lambda x: x.cast("double") / n).alias("q_vec"),
+    ).withColumn("cid", F.explode(probe_centroids("q_vec")))
+
+    cand = q.join(c, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes. Components are
     derived from a splitmix64-style integer hash of (plane, dim) mapped

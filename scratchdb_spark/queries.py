@@ -1492,6 +1492,67 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 16),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    assign AS (
+      SELECT neighbor_id, cid FROM (
+        SELECT corpus.neighbor_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.neighbor_id
+                 ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid
+               ) AS rn
+        FROM corpus CROSS JOIN cent) a
+      WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid
+               ) AS rn
+        FROM q CROSS JOIN cent) p
+      WHERE rn <= 4),
+    scored AS (
+      SELECT probe.query_id, assign.neighbor_id,
+             round(list_cosine_similarity(qv, v), 6) AS cos_sim
+      FROM probe
+      JOIN assign USING (cid)
+      JOIN q ON q.query_id = probe.query_id
+      JOIN corpus ON corpus.neighbor_id = assign.neighbor_id
+      WHERE probe.query_id <> assign.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF ANN (operators/similarity.py::ivf_topk): corpus assigned "
+        "to nearest of 16 deterministic centroids, queries probe their "
+        "4 nearest lists, exact cosine on list members only. Fully "
+        "SQL-expressible (deterministic centroids), so unlike LSH this "
+        "approximate index gets a hash-checked oracle.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=4)
+
+
+@register(
     "emb_near_dup_pairs",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

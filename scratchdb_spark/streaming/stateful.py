@@ -1,0 +1,114 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no event-time or stateful streaming at all — its
+"streaming" is ingestion micro-batching (pkg/datasink/filesystem,
+pkg/workers/workers.go; see SURVEY §2.2 streaming row). These
+operators are part of the training-data-pipeline extension surface:
+arbitrary per-key state machines over an unbounded stream, the thing
+watermarked windows can't express.
+
+Scale shape: state is partitioned by the grouping key and lives in the
+executor state store (RocksDB-backed on a real cluster via
+``spark.sql.streaming.stateStore.providerClass``); each micro-batch
+shuffles only that batch's rows to their key partitions, and the
+kernel sees Arrow batches, not rows. State size is O(distinct keys),
+not O(events) — constant per key here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user cumulative (event count, value sum) maintained across
+    micro-batches; emits one updated row per user per batch in which
+    that user appears (update output mode).
+
+    This is the streaming twin of ``SELECT user_id, count(*), sum(value)
+    ... GROUP BY user_id`` — but incremental: arbitrary late data just
+    folds in, and downstream sees a changelog instead of a recomputed
+    table.
+    """
+
+    def fn(
+        key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, value_sum double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def inactivity_sessions(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Custom session assembly with processing-time timeout: a user's
+    events accumulate in state; when no new events arrive for
+    ``gap_ms``, the closed session (count, value sum, first/last event
+    time) is emitted and state cleared.
+
+    ``session_window`` covers the common case declaratively; this
+    variant exists for session logic SQL can't express (emit-on-close
+    only, custom close conditions, per-session model features).
+    """
+
+    def fn(
+        key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, s, t0, t1 = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [s],
+                    "start_us": [t0],
+                    "end_us": [t1],
+                }
+            )
+            return
+        n, s, t0, t1 = state.get if state.exists else (0, 0.0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            lo, hi = int(us.min()), int(us.max())
+            t0 = lo if t0 is None else min(t0, lo)
+            t1 = hi if t1 is None else max(t1, hi)
+        state.update((n, s, t0, t1))
+        state.setTimeoutDuration(gap_ms)
+        return
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "user_id long, n_events long, value_sum double, "
+            "start_us long, end_us long"
+        ),
+        stateStructType="n long, s double, t0 long, t1 long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -153,6 +153,31 @@ def test_fingerprint_order_sensitivity(spark):
     assert rows[1]["md5_fp"] == rows[3]["md5_fp"]
 
 
+def test_ivf_topk_recall_and_list_discipline(spark, sf_dir):
+    from scratchdb_spark.operators.similarity import brute_force_topk, ivf_topk
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    # scores on shared pairs must equal the exact computation
+    by_pair = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in by_pair:
+            assert abs(r["cos_sim"] - by_pair[key]) < 1e-9
+    # probing more lists can only widen the candidate set (recall is
+    # monotone in nprobe); full probe == brute force
+    full = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=16).collect()
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
+    assert full_set == exact_set
+
+
 def test_range_join_window_edges_and_plan(spark):
     from scratchdb_spark.operators.rangejoin import range_join_seconds
 

@@ -75,3 +75,95 @@ def test_streaming_dedup_batch_shape(spark, sf_dir):
     # frame Spark executes plain dropDuplicates semantics
     out = streaming_dedup(dup)
     assert out.count() == ev.count()
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    from scratchdb_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); u1 appears
+    # in both, so cross-batch state must accumulate
+    with open(os.path.join(src, "a.ndjson"), "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 1.5}) + "\n")
+        f.write(json.dumps({"user_id": 1, "value": 2.5}) + "\n")
+        f.write(json.dumps({"user_id": 2, "value": 10.0}) + "\n")
+    with open(os.path.join(src, "b.ndjson"), "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 4.0}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM totals").collect()
+    # u1 updated once per batch it appeared in; the final (max) total
+    # reflects BOTH batches -> state survived the micro-batch boundary
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert len(u1) == 2
+    assert max(r["n_events"] for r in u1) == 3
+    assert abs(max(r["value_sum"] for r in u1) - 8.0) < 1e-9
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert max(r["n_events"] for r in u2) == 1
+
+
+def test_stateful_inactivity_session_emits_on_timeout(spark, tmp_path):
+    import time
+
+    from scratchdb_spark.streaming.stateful import inactivity_sessions
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.ndjson"), "w") as f:
+        f.write(json.dumps({"user_id": 7, "ts": "2024-01-01T00:00:00", "value": 1.0}) + "\n")
+        f.write(json.dumps({"user_id": 7, "ts": "2024-01-01T00:05:00", "value": 2.0}) + "\n")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        inactivity_sessions(stream, gap_ms=1)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    # NB: do NOT processAllAvailable() here — with a pending
+    # processing-time timeout the engine runs state-cleanup
+    # micro-batches continuously and processAllAvailable never
+    # unblocks. Poll the sink with a deadline instead.
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            if q.exception():
+                raise AssertionError(q.exception())
+            rows = spark.sql("SELECT * FROM sessions").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    rows = {r["user_id"]: r for r in rows}
+    assert 7 in rows, "timed-out session was not emitted"
+    s = rows[7]
+    assert s["n_events"] == 2
+    assert abs(s["value_sum"] - 3.0) < 1e-9
+    assert s["end_us"] - s["start_us"] == 5 * 60 * 1_000_000
