@@ -1422,6 +1422,20 @@ def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_near_pairs",
+    None,  # xxhash64 fingerprints are engine-specific -> rows-only
+    doc="SimHash near-dup pairs within hamming<=3 via 4-band pigeonhole "
+        "blocking (complete, not probabilistic): any pair differing in "
+        "<4 bits agrees exactly on one 16-bit band, so candidates come "
+        "from an equi-join, never a cross product.",
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_ngram_jaccard_pairs",
     f"""
     WITH g AS (
@@ -1691,6 +1705,38 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n,
+             greatest(1, octet_length(encode(text)) // 4) AS step
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(i AS INTEGER) AS frame_idx,
+             substring(hx, CAST(i * step * 2 + 1 AS BIGINT),
+                       CAST(step * 2 AS BIGINT)) AS frame_hex
+      FROM p CROSS JOIN generate_series(0, 3) AS g(i)
+      WHERE n > 0 AND i < least(4, n))
+    SELECT doc_id, frame_idx, frame_hex FROM f
+    """,
+    doc="Video-frame-sampling shape (operators/multimodal.py::"
+        "sample_frames): one payload row fans out to n evenly spaced "
+        "byte slices via mapInPandas; frames compared hex-encoded "
+        "(DuckDB has no blob substring) so the binary round-trip is "
+        "hash-checked cross-engine.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import attach_payload, sample_frames
+
+    docs = attach_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(docs, n_frames=4).select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
     )
 
 

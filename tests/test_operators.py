@@ -153,6 +153,28 @@ def test_fingerprint_order_sensitivity(spark):
     assert rows[1]["md5_fp"] == rows[3]["md5_fp"]
 
 
+def test_simhash_near_pairs_complete_vs_brute_force(spark, sf_dir):
+    from scratchdb_spark.operators.dedup import simhash, simhash_near_pairs
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    # brute force: all fingerprint pairs within hamming <= 3
+    fps = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(fps)
+    expected = {
+        (a, b, bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_pairs(docs).collect()
+    }
+    # pigeonhole blocking is COMPLETE for max_hamming < bands
+    assert got == expected
+
+
 def test_ivf_topk_recall_and_list_discipline(spark, sf_dir):
     from scratchdb_spark.operators.similarity import brute_force_topk, ivf_topk
     from scratchdb_spark.tables import table
