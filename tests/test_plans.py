@@ -1,0 +1,68 @@
+"""Plan-shape audit over the whole query catalog.
+
+Correctness tests prove the numbers; these prove the PLANS stay
+scalable: no query may silently regress into a cross product or a
+row-level nested-loop join, because at 100 TB that plan shape is the
+difference between "finishes" and "never finishes". Queries that are
+intentionally quadratic (exact baselines for approximate operators,
+deliberate cross/theta joins, block-level pair enumeration) are
+allowlisted with the reason inline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scratchdb_spark import queries as catalog
+
+from conftest import SF_DIR
+
+# name -> why a nested-loop/cartesian is acceptable there
+ALLOWED_NESTED_LOOP = {
+    # deliberate cross/theta joins (the operator IS the cross product)
+    "join_cross_region_segment": "cross join is the query's semantics",
+    "join_theta_nation_pairs": "non-equi theta join on tiny dims",
+    # exact quadratic baselines for approximate operators
+    "text_ngram_jaccard_pairs": "exact quadratic jaccard baseline",
+    "ann_cosine_topk": "exact brute-force baseline; query batch broadcast",
+    # block-LEVEL pair join: rows are pre-packed blocks, so the
+    # nested-loop touches B(B+1)/2 block rows, never row pairs
+    "emb_near_dup_pairs": "block-pair enumeration over packed blocks",
+    # scalar subquery / literal-joined singles (1-row broadcast side)
+    "subq_scalar_above_avg_price": "1-row scalar subquery join",
+    "q15_top_supplier": "1-row max-revenue join",
+    "q17_small_qty_revenue": "scalar threshold join",
+    "q22_idle_rich_customers": "1-row avg-balance join",
+    "ann_ivf_topk": "centroid table is a collected constant",
+}
+
+
+@pytest.mark.parametrize(
+    "spec",
+    list(catalog.registry().values()),
+    ids=list(catalog.registry().keys()),
+)
+def test_no_accidental_cross_products(spark, spec):
+    df = spec.spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        tok
+        for tok in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        if tok in plan
+    ]
+    if bad and spec.name not in ALLOWED_NESTED_LOOP:
+        raise AssertionError(
+            f"{spec.name}: plan contains {bad} and is not allowlisted; "
+            f"either fix the join or document why it's safe.\n{plan[:2000]}"
+        )
+
+
+def test_q1_scan_is_pruned_and_pushed(spark):
+    """Spot-check the headline query's scan: filter pushed to parquet,
+    only referenced columns read."""
+    spec = catalog.registry()["q1_pricing_summary"]
+    df = spec.spark_fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(l_shipdate" in plan
+    # ReadSchema must not include unreferenced wide columns
+    assert "l_comment" not in plan
