@@ -52,6 +52,31 @@ def write_bucketed(
     )
 
 
+def write_date_partitioned(
+    df: DataFrame,
+    table_name: str,
+    ts_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hive-partitioned by the DAY of ``ts_col``.
+
+    Date-range predicates on ``part_date`` then prune at the directory
+    level (``PartitionFilters`` in the scan, untouched partitions never
+    listed) — the Spark analogue of the reference backends' time-keyed
+    MergeTree parts. Use for append-mostly event/fact tables where
+    queries carry time bounds.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("part_date", F.to_date(ts_col))
+        .write.mode(mode)
+        .partitionBy("part_date")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def bucketed_join(
     spark: SparkSession,
     left_table: str,

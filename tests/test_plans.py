@@ -103,6 +103,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bktest")
 
 
+def test_date_partitioned_scan_prunes(spark, sf_dir):
+    from scratchdb_spark.operators.bucketing import write_date_partitioned
+    from scratchdb_spark.tables import table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest2")
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    write_date_partitioned(ev, "bktest2.events_p", "ts")
+    try:
+        one_day = spark.table("bktest2.events_p").filter(
+            F.col("part_date") == "2024-01-03"
+        )
+        plan = one_day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(part_date" in plan
+        # pruning must actually reduce the partition count
+        total = spark.table("bktest2.events_p").count()
+        day = one_day.count()
+        assert 0 < day < total
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktest2.events_p")
+        spark.sql("DROP DATABASE IF EXISTS bktest2")
+
+
 def test_q1_scan_is_pruned_and_pushed(spark):
     """Spot-check the headline query's scan: filter pushed to parquet,
     only referenced columns read."""
