@@ -1,0 +1,167 @@
+"""Property-based tests (hypothesis) for the pure-Python semantics —
+the pieces with the subtlest invariants (SURVEY §5 notes the reference
+has no property tests at all; these go beyond its 4 golden cases).
+
+All pure Python: no SparkSession, so this file runs in milliseconds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scratchdb_spark.ingest.flatten import (
+    flatten_horizontal,
+    flatten_vertical,
+)
+from scratchdb_spark.ingest.infer import infer_types, json_value_tag
+
+# --- strategies -----------------------------------------------------------
+
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**70), max_value=2**70),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20),
+)
+
+json_docs = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=3),
+        st.dictionaries(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=6
+            ),
+            children,
+            max_size=4,
+        ),
+    ),
+    max_leaves=12,
+)
+
+json_objects = st.dictionaries(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=6),
+    json_docs,
+    max_size=4,
+)
+
+
+def _count_scalars(value, in_empty=False) -> int:
+    """Scalar leaves reachable without passing through an empty
+    container (empty dict/list contribute nothing horizontally)."""
+    if isinstance(value, dict):
+        return sum(_count_scalars(v) for v in value.values())
+    if isinstance(value, list):
+        return sum(_count_scalars(v) for v in value)
+    return 1
+
+
+# --- horizontal flatten ---------------------------------------------------
+
+
+@given(json_objects)
+@settings(max_examples=150, deadline=None)
+def test_horizontal_single_row_and_leaf_count(doc):
+    rows = flatten_horizontal(doc)
+    assert len(rows) == 1
+    row = rows[0]
+    # every value in the flat row is a scalar
+    assert all(not isinstance(v, (dict, list)) for v in row.values())
+    # leaf preservation: distinct paths can collide ({'a':{'b':1},'a_b':2}),
+    # so the flat row has at most the leaf count, and at least one key
+    # whenever a scalar leaf exists
+    n_leaves = _count_scalars(doc)
+    assert len(row) <= n_leaves
+    assert (len(row) > 0) == (n_leaves > 0)
+
+
+@given(json_objects)
+@settings(max_examples=150, deadline=None)
+def test_horizontal_is_deterministic(doc):
+    assert flatten_horizontal(doc) == flatten_horizontal(doc)
+
+
+# --- vertical flatten -----------------------------------------------------
+
+
+@given(json_objects)
+@settings(max_examples=150, deadline=None)
+def test_vertical_row_count_is_product_of_sibling_arrays(doc):
+    rows = flatten_vertical(doc, document_id="fixed")
+    # at least one row always (scalars broadcast; empty arrays -> NULL row)
+    assert len(rows) >= 1
+    # all rows share the document id
+    assert {r["___document_id"] for r in rows} == {"fixed"}
+    # no row contains a container value
+    for r in rows:
+        assert all(not isinstance(v, (dict, list)) for v in r.values())
+
+
+@given(
+    st.lists(scalars, min_size=0, max_size=4),
+    st.lists(scalars, min_size=0, max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_vertical_sibling_cross_product(a, b):
+    rows = flatten_vertical({"a": a, "b": b}, document_id="d")
+    expect = max(1, len(a)) * max(1, len(b))
+    assert len(rows) == expect
+    if a and b:
+        # order columns enumerate the full cross product
+        pairs = {(r["__order_a"], r["__order_b"]) for r in rows}
+        assert pairs == {
+            (i, j) for i in range(len(a)) for j in range(len(b))
+        }
+
+
+# --- type vote ------------------------------------------------------------
+
+
+@given(st.lists(scalars, min_size=1, max_size=30))
+@settings(max_examples=300, deadline=None)
+def test_vote_follows_priority(values):
+    rows = [{"c": v} for v in values]
+    tags = {json_value_tag(v) for v in values} - {"null"}
+    got = infer_types(rows)["c"]
+    if not tags:
+        assert got == "string"  # all-null -> string
+    else:
+        for t in ("string", "undefined", "float", "int", "bool"):
+            if t in tags:
+                assert got == t
+                break
+
+
+@given(st.integers(min_value=-(2**80), max_value=2**80))
+def test_int64_overflow_tags_float(x):
+    expected = "int" if -(2**63) <= x <= 2**63 - 1 else "float"
+    assert json_value_tag(x) == expected
+
+
+@given(st.lists(scalars, min_size=1, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_vote_is_order_invariant(values):
+    fwd = infer_types([{"c": v} for v in values])["c"]
+    rev = infer_types([{"c": v} for v in reversed(values)])["c"]
+    assert fwd == rev
+
+
+# --- deterministic split (pure-python mirror) ------------------------------
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_split_buckets_match_md5_definition(ids):
+    """The md5-bucket definition used by operators/split.py, computed
+    in pure python, is total and stable: same key -> same bucket."""
+    import hashlib
+
+    def bucket(key: int) -> int:
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 100
+
+    for k in ids:
+        b = bucket(k)
+        assert 0 <= b < 100
+        assert b == bucket(k)
