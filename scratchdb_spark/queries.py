@@ -2081,6 +2081,91 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q11_important_parts",
+    """
+    WITH scoped AS (
+      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3')
+    SELECT l_partkey,
+           CAST(round(sum(v) * 10000) AS BIGINT) AS value_e4
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING sum(v) > (SELECT sum(v) * 0.001 FROM scoped)
+    """,
+    doc="TPC-H Q11 shape: group value vs a global-fraction scalar "
+        "subquery in HAVING (no partsupp in schema: lineitem revenue "
+        "through NATION_3 suppliers stands in for stock value).",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    scoped = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        )
+    )
+    grouped = scoped.groupBy("l_partkey").agg(F.sum("v").alias("sv"))
+    total = scoped.agg((F.sum("v") * 0.001).alias("threshold"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("sv") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.round(F.col("sv") * 10000).cast("long").alias("value_e4"),
+        )
+    )
+
+
+@register(
+    "q20_part_shippers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING sum(l_quantity) > 40)
+    """,
+    doc="TPC-H Q20 shape: IN over a grouped-HAVING subquery -> "
+        "aggregate-then-semi-join (no partsupp: shipped quantity "
+        "stands in for available stock).",
+)
+def q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    prt = F.broadcast(
+        table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    )
+    heavy = (
+        li.join(prt, li.l_partkey == prt.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
     "q12_priority_lines",
     """
     SELECT l_returnflag,
