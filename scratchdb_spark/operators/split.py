@@ -26,6 +26,39 @@ def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
     return (h.cast("long") % n_buckets).alias("bucket")
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    grid: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row is kept iff its
+    md5-bucket (over ``grid`` buckets) falls below
+    ``fraction[stratum] * grid``.
+
+    Unlike ``df.sampleBy`` (per-partition RNG), the decision is a pure
+    function of the row key — reproducible across runs, engines, and
+    cluster layouts, and auditable after the fact (lineage: you can
+    prove exactly why a row is in the training set). A pure map, no
+    shuffle.
+    """
+    bucket = hash_bucket(F.col(key_col), grid)
+    expr = None
+    for name, frac in fractions.items():
+        cond = (F.col(strata_col) == name) & (
+            bucket < int(round(frac * grid))
+        )
+        expr = cond if expr is None else expr | cond
+    if default_fraction > 0:
+        known = F.col(strata_col).isin(*fractions.keys())
+        expr = expr | (
+            ~known & (bucket < int(round(default_fraction * grid)))
+        )
+    return df.filter(expr)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

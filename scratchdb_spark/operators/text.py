@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import normalize_text
 
@@ -121,4 +122,63 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.md5(text).alias("md5_fp"),
         poly.alias("poly_fp"),
+    )
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf) — one row per distinct term per document."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, scikit-style smoothing).
+
+    Plan shape: one shuffle for (doc, term) tf, one for per-term df,
+    a broadcast of the tiny scalar N, a shuffle join tf<->df on term,
+    and the rank window on doc — every stage linear in tokens and
+    partitioned on a key. The score is rounded to 6 decimals before
+    ranking so the (score DESC, term ASC) order is engine-independent.
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("df").alias("doc_freq"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
     )

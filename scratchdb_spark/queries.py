@@ -1794,6 +1794,79 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_events",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 10000) AS bucket
+      FROM events)
+    SELECT event_type, count(*) AS n_kept,
+           CAST(round(sum(value) * 100) AS BIGINT) AS value_e2
+    FROM b
+    WHERE (event_type = 'click'    AND bucket < 2000)
+       OR (event_type = 'purchase' AND bucket < 5000)
+       OR (event_type NOT IN ('click', 'purchase') AND bucket < 500)
+    GROUP BY event_type
+    """,
+    doc="Deterministic stratified sampling (operators/split.py::"
+        "stratified_sample): keep-decision is md5(event_id) mod grid — "
+        "reproducible across engines/runs/layouts unlike sampleBy; "
+        "oracle recomputes the identical buckets in SQL.",
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.split import stratified_sample
+
+    ev = table(spark, sf_dir, "events")
+    kept = stratified_sample(
+        ev,
+        key_col="event_id",
+        strata_col="event_type",
+        fractions={"click": 0.20, "purchase": 0.50},
+        default_fraction=0.05,
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("value") * 100).cast("long").alias("value_e2"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0))
+                            + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER)
+             AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, doc_freq, tfidf, rnk
+    FROM ranked WHERE rnk <= 3
+    """.format(toks=_DUCK_TOKENS),
+    doc="TF-IDF top-3 characteristic terms per document "
+        "(operators/text.py::tfidf_top_terms, scikit-style smoothed "
+        "idf); scores rounded to 6dp before ranking so the order is "
+        "engine-independent.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
     "range_join_click_purchase",
     """
     SELECT p.user_id, count(*) AS n_pairs,

@@ -34,6 +34,7 @@ ALLOWED_NESTED_LOOP = {
     "subq_scalar_above_avg_price": "1-row scalar subquery join",
     "q15_top_supplier": "1-row max-revenue join",
     "q11_important_parts": "1-row global-fraction threshold join",
+    "text_tfidf_top_terms": "1-row corpus-size (N) join",
     "q17_small_qty_revenue": "scalar threshold join",
     "q22_idle_rich_customers": "1-row avg-balance join",
     "ann_ivf_topk": "centroid table is a collected constant",
