@@ -1567,6 +1567,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_quantize_sq8",
+    """
+    WITH dims AS (
+      SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    rng AS (
+      SELECT dim, min(x) AS vmin, max(x) AS vmax FROM dims GROUP BY dim),
+    coded AS (
+      SELECT dims.dim, rng.vmin, rng.vmax,
+             round((x - vmin) / (vmax - vmin) * 255) AS code,
+             abs(x - (vmin + round((x - vmin) / (vmax - vmin) * 255)
+                             * (vmax - vmin) / 255)) AS err
+      FROM dims JOIN rng USING (dim))
+    SELECT CAST(dim AS INTEGER) AS dim,
+           round(min(vmin), 6) AS vmin,
+           round(max(vmax), 6) AS vmax,
+           count(DISTINCT code) AS n_codes,
+           CAST(round(avg(err) * 1e6) AS BIGINT) AS mean_err_e6
+    FROM coded GROUP BY dim
+    """,
+    doc="Int8 scalar-quantization audit (operators/similarity.py::"
+        "scalar_quantize_stats): per-dim min/max training, code "
+        "assignment, reconstruction error — the storage-compression "
+        "path for 100 TB embedding corpora, hash-checked against the "
+        "same arithmetic in SQL.",
+)
+def emb_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import scalar_quantize_stats
+
+    return scalar_quantize_stats(table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "emb_near_dup_pairs",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
