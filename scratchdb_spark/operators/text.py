@@ -182,3 +182,46 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+#: dialect-portable patterns (valid in both Java regex and RE2, so the
+#: DuckDB oracle can apply the IDENTICAL expressions)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^\\s]+"
+DIGIT_RUN_RE = "[0-9][0-9 ()+.-]{6,}[0-9]"
+
+
+def clean_and_redact(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Training-corpus text prep: normalize whitespace and redact
+    PII-ish spans (emails, URLs, long digit runs) with typed
+    placeholders; emit per-doc redaction counts for pipeline audit.
+
+    Pure narrow column expressions (regexp_replace / regexp_count)
+    inside codegen — linear, no shuffle, safe at any scale. Patterns
+    are restricted to syntax shared by Java regex and RE2 so the same
+    strings drive the DuckDB oracle.
+    """
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                    URL_RE,
+                    "<URL>",
+                ),
+                DIGIT_RUN_RE,
+                "<NUMBER>",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("clean_text"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(DIGIT_RUN_RE)).alias("n_number_runs"),
+    )

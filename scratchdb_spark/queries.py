@@ -1866,6 +1866,39 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_clean_redact",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g'),
+             '\s+', ' ', 'g')) AS clean_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(text, '[0-9][0-9 ()+.-]{6,}[0-9]'))
+             AS n_number_runs
+    FROM documents
+    """,
+    doc="Corpus cleaning + PII-ish redaction (operators/text.py::"
+        "clean_and_redact): email/URL/digit-run placeholders + "
+        "whitespace normalization, with per-doc audit counts; patterns "
+        "restricted to Java-regex/RE2-shared syntax so the oracle runs "
+        "the identical expressions.",
+)
+def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import clean_and_redact
+
+    return clean_and_redact(table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_tfidf_top_terms",
     """
     WITH tok AS (
