@@ -1,7 +1,18 @@
-"""Custom operators beyond plain Spark SQL: as-of join, dedup family,
-similarity search, text analysis, multimodal column plumbing.
+"""Custom operators beyond plain Spark SQL.
+
+- ``asof``       as-of (nearest-earlier) join via union+window
+- ``rangejoin``  time-window interval join via bucket equi-join
+- ``bucketing``  bucketed (shuffle-free join) + date-partitioned layouts
+- ``dedup``      exact / minhash-LSH / simhash(+hamming bands) / ngram
+- ``similarity`` brute-force GEMM, hyperplane LSH, IVF, SQ8 quantization
+- ``split``      deterministic train/val/test split, stratified sampling
+- ``skew``       two-phase salted aggregation
+- ``text``       langid, quality, tokens, fingerprints, tf-idf, PII redact
+- ``resample``   bucketed grouped-map (applyInPandas) resampling
+- ``multimodal`` binary payload columns, feature/frames kernels (stub decode)
 
 All are compositions of built-in DataFrame ops (window, explode, hash
-functions, groupBy) — no Catalyst surgery, no row-at-a-time Python in
+functions, groupBy) or Arrow-vectorized numpy kernels where the math
+is a matrix product — no Catalyst surgery, no row-at-a-time Python in
 hot paths.
 """
