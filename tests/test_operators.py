@@ -153,6 +153,53 @@ def test_fingerprint_order_sensitivity(spark):
     assert rows[1]["md5_fp"] == rows[3]["md5_fp"]
 
 
+def test_minhash_signature_agreement_tracks_jaccard(spark):
+    from scratchdb_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "completely different words nothing shared at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = df.select(
+        F.col("doc_id").alias("id"),
+        hashed_shingles(F.col("text"), 3).alias("shingles"),
+    )
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(docs, 64).collect()}
+    assert sigs[1] == sigs[2]  # identical shingle sets -> identical sig
+    overlap_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert overlap_13 <= 8  # disjoint sets -> near-zero agreement
+
+
+def test_lsh_bucket_key_deterministic_and_bounded(spark):
+    from scratchdb_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket_key,
+    )
+
+    planes = _hyperplanes(4, 8)
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [1.0] * 8), (3, [-1.0] * 8)],
+        "id long, v array<double>",
+    )
+    rows = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", lsh_bucket_key(F.col("v"), planes).alias("k")
+        ).collect()
+    }
+    assert rows[1] == rows[2]  # identical vectors, identical bucket
+    assert all(0 <= k < 2**4 for k in rows.values())
+    # antipodal vectors flip every sign bit
+    assert rows[3] == (2**4 - 1) ^ rows[1]
+
+
 def test_simhash_near_pairs_complete_vs_brute_force(spark, sf_dir):
     from scratchdb_spark.operators.dedup import simhash, simhash_near_pairs
     from scratchdb_spark.tables import table
