@@ -153,6 +153,26 @@ def test_fingerprint_order_sensitivity(spark):
     assert rows[1]["md5_fp"] == rows[3]["md5_fp"]
 
 
+def test_cosine_pairs_blocked_matches_single_block(spark, sf_dir):
+    """Multi-block (off-diagonal GEMM tasks) must produce exactly the
+    single-block answer — exercises the triangle/full-block split that
+    the default block size never hits on the small fixtures."""
+    from scratchdb_spark.operators.similarity import cosine_pairs_above
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    one = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cosine_pairs_above(emb, 0.4, block_size=4096).collect()
+    }
+    many = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cosine_pairs_above(emb, 0.4, block_size=64).collect()
+    }
+    assert len(one) > 0
+    assert one == many
+
+
 def test_minhash_signature_agreement_tracks_jaccard(spark):
     from scratchdb_spark.operators.dedup import (
         hashed_shingles,
