@@ -4,6 +4,8 @@
 - ``rangejoin``  time-window interval join via bucket equi-join
 - ``bucketing``  bucketed (shuffle-free join) + date-partitioned layouts
 - ``dedup``      exact / minhash-LSH / simhash(+hamming bands) / ngram
+- ``graph``      connected components (large-star/small-star) for
+                 near-dup cluster resolution
 - ``similarity`` brute-force GEMM, hyperplane LSH, IVF, SQ8 quantization
 - ``split``      deterministic train/val/test split, stratified sampling
 - ``skew``       two-phase salted aggregation

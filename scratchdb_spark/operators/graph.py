@@ -1,0 +1,146 @@
+"""Connected components over an edge DataFrame — the cluster-resolution
+step of a near-dup dedup pipeline (near-dup pairs -> clusters ->
+canonical representative per cluster).
+
+The reference (scratchdata/ScratchDB) has no graph operator — its query
+surface is SQL pass-through (pkg/api/data.go:58-72) — this is a driver
+north-star extension (BASELINE.json: dedup at 100 TB scale).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", ACM SoCC 2014). Each
+half-round is one shuffle (groupBy min + equi-join); the pair converges
+in O(log^2 n) rounds on ANY graph shape. The naive alternative —
+propagate min labels to neighbors until fixpoint — needs O(diameter)
+rounds, which is pathological on chain-shaped duplicate clusters at
+scale. Every round the edge set only shrinks toward a star forest, so
+shuffle volume decreases monotonically; lineage is truncated with
+localCheckpoint per round so the physical plan stays O(1) deep instead
+of growing by two joins per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "components_for_pairs"]
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Orient every edge (u, v) as u > v and drop loops/duplicates."""
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u}).
+
+    Emits (v, m) for each symmetric adjacency (u, v) with v > u, where
+    m = min over u's neighborhood including u itself. Result stays
+    canonically oriented because v > u >= m.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v <= u (and u itself) to the min neighbor.
+
+    Input must be canonically oriented (u > v): for each u, with
+    m = min of its smaller neighbors, emit (v, m) for all smaller
+    neighbors v != m plus (u, m).
+    """
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    keep = mins.select(F.col("u"), F.col("m").alias("v"))
+    return relink.union(keep).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Return (node BIGINT, component BIGINT): every node that appears
+    in `edges` labeled with the minimum node id of its component.
+
+    Nodes with no edges are absent — the caller coalesces isolated
+    nodes to themselves (see `components_for_pairs`). `max_rounds` is a
+    safety backstop far above the O(log^2 n) bound (30 rounds covers
+    any realistic graph; 2^30 nodes would already exceed 100 TB of
+    edges).
+    """
+    e = _canonical(
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+    ).localCheckpoint()
+
+    for _ in range(max_rounds):
+        e_next = _small_star(_large_star(e)).localCheckpoint()
+        # Convergence: the canonical edge set is unchanged. One cheap
+        # distributed checksum instead of a full set-difference join:
+        # (count, sum of per-edge hashes) — both jobs over the already
+        # checkpointed (materialized) sets.
+        checksum = [
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold of per-edge hashes: order-independent and, unlike
+            # sum, can't overflow under ANSI arithmetic
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ]
+        before = e.select(*checksum).first()
+        after = e_next.select(*checksum).first()
+        e = e_next
+        if (before["n"], before["h"]) == (after["n"], after["h"]):
+            break
+
+    # At the fixpoint the edge set is a star forest: u -> component min.
+    roots = e.select(F.col("v").alias("node")).distinct()
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(roots.select("node", F.col("node").alias("component")))
+        .distinct()
+    )
+
+
+def components_for_pairs(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    node_col: str,
+    pair_a: str,
+    pair_b: str,
+) -> DataFrame:
+    """Cluster assignment for a full node universe: every node in
+    `nodes` gets the min-id of its connected component over `pairs`
+    (itself when isolated). Output: (node_col, cluster_id).
+    """
+    cc = connected_components(pairs, pair_a, pair_b)
+    return (
+        nodes.select(F.col(node_col).cast("long").alias(node_col))
+        .join(cc, F.col(node_col) == F.col("node"), "left")
+        .select(
+            F.col(node_col),
+            F.coalesce(F.col("component"), F.col(node_col)).alias(
+                "cluster_id"
+            ),
+        )
+    )

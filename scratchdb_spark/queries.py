@@ -2595,6 +2595,166 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup cluster resolution, sessionization, time-hierarchy rollup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_cc_clusters",
+    f"""
+    WITH RECURSIVE
+      d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_DUCK_TOKENS} AS w
+                  FROM documents WHERE doc_id < 400)),
+      pairs AS (
+        SELECT a.doc_id AS ua, b.doc_id AS ub
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+              >= 0.2),
+      edges AS (SELECT ua AS u, ub AS v FROM pairs
+                UNION SELECT ub, ua FROM pairs),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 400
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      lab AS (SELECT u AS doc_id, min(v) AS cluster_id
+              FROM reach GROUP BY u),
+      sz AS (SELECT cluster_id, count(*) AS cluster_size
+             FROM lab GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           l.doc_id = l.cluster_id AS keep
+    FROM lab l JOIN sz s USING (cluster_id)
+    """,
+    doc="Near-dup cluster resolution: jaccard>=0.2 pairs as edges -> "
+        "connected components (alternating large-star/small-star, "
+        "operators/graph.py) -> canonical min-id per cluster + keep "
+        "flag. Oracle computes the same components via a recursive-CTE "
+        "transitive closure. Bounded slice keeps the exact quadratic "
+        "edge oracle feasible; at scale the edge set would come from "
+        "minhash_lsh_pairs and the same CC operator.",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard, token_shingles
+    from .operators.graph import components_for_pairs
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    g = docs.select(
+        "doc_id", token_shingles(F.col("text")).alias("sh")
+    ).persist()
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.2)
+        .select("id_a", "id_b")
+    )
+    lab = components_for_pairs(
+        docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b"
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        lab.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    y AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM x),
+    z AS (
+      SELECT *, CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM y)
+    SELECT user_id, session_idx,
+           count(*)           AS n_events,
+           min(us)            AS session_start_us,
+           max(us) - min(us)  AS duration_us
+    FROM z GROUP BY user_id, session_idx
+    """,
+    doc="Gap-based batch sessionization (30-min inactivity): lag + "
+        "running sum of session-start flags, then per-session agg. "
+        "Integer-microsecond outputs for cross-engine hash stability.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_idx", F.sum("is_new").over(run))
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@register(
+    "rollup_time_buckets",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket_day,
+           date_trunc('hour', ts)              AS bucket_hour,
+           event_type,
+           count(*)                            AS n_events,
+           count(DISTINCT user_id)             AS n_users
+    FROM events
+    GROUP BY GROUPING SETS (
+      (CAST(date_trunc('day', ts) AS DATE), date_trunc('hour', ts),
+       event_type),
+      (CAST(date_trunc('day', ts) AS DATE), event_type),
+      (CAST(date_trunc('day', ts) AS DATE)),
+      ())
+    """,
+    doc="Hypertable-style multi-granularity rollup: hour->day->total "
+        "continuous-aggregate hierarchy in one GROUPING SETS pass "
+        "(partial aggregation is shared across levels by the engine).",
+)
+def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(date_trunc('DAY', ts) AS DATE) AS bucket_day,
+               date_trunc('HOUR', ts)              AS bucket_hour,
+               event_type,
+               count(*)                            AS n_events,
+               count(DISTINCT user_id)             AS n_users
+        FROM events
+        GROUP BY GROUPING SETS (
+          (CAST(date_trunc('DAY', ts) AS DATE), date_trunc('HOUR', ts),
+           event_type),
+          (CAST(date_trunc('DAY', ts) AS DATE), event_type),
+          (CAST(date_trunc('DAY', ts) AS DATE)),
+          ())
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------
 

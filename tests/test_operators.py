@@ -318,3 +318,61 @@ def test_hash_split_deterministic_and_partition_invariant(spark):
     c = Counter(a.values())
     assert set(c) <= {"train", "val", "test"}
     assert c["train"] > 800 and c["val"] > 20 and c["test"] > 20
+
+
+def _union_find_components(edges):
+    """Reference implementation: min-id component label per node that
+    appears in at least one non-loop edge."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_chain_needs_multiple_rounds(spark):
+    from scratchdb_spark.operators.graph import connected_components
+
+    # 26-node path graph: worst case for naive diameter-bound label
+    # propagation; large-star/small-star must still collapse it.
+    edges = [(i, i + 1) for i in range(25)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(26)}
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 30, 18), (11, 50, 70), (13, 40, 40)])
+def test_connected_components_matches_union_find(spark, seed, n, m):
+    import random
+
+    from scratchdb_spark.operators.graph import connected_components
+
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    expected = _union_find_components(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+def test_components_for_pairs_isolated_nodes_self_labeled(spark):
+    from scratchdb_spark.operators.graph import components_for_pairs
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    pairs = spark.createDataFrame([(4, 1), (1, 3)], "a long, b long")
+    out = components_for_pairs(nodes, pairs, "id", "a", "b")
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 1, 5: 5}
