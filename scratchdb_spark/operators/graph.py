@@ -95,23 +95,27 @@ def connected_components(
         )
     ).localCheckpoint()
 
+    # Convergence: the canonical edge set is unchanged. One cheap
+    # distributed checksum instead of a full set-difference join:
+    # (count, xor-fold of per-edge hashes — order-independent and,
+    # unlike sum, can't overflow under ANSI arithmetic). The previous
+    # round's checksum is reused, so each round costs ONE extra job.
+    checksum_cols = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ]
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.select(*checksum_cols).first()
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
     for _ in range(max_rounds):
-        e_next = _small_star(_large_star(e)).localCheckpoint()
-        # Convergence: the canonical edge set is unchanged. One cheap
-        # distributed checksum instead of a full set-difference join:
-        # (count, sum of per-edge hashes) — both jobs over the already
-        # checkpointed (materialized) sets.
-        checksum = [
-            F.count(F.lit(1)).alias("n"),
-            # xor-fold of per-edge hashes: order-independent and, unlike
-            # sum, can't overflow under ANSI arithmetic
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ]
-        before = e.select(*checksum).first()
-        after = e_next.select(*checksum).first()
-        e = e_next
-        if (before["n"], before["h"]) == (after["n"], after["h"]):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
             break
+        prev = cur
 
     # At the fixpoint the edge set is a star forest: u -> component min.
     roots = e.select(F.col("v").alias("node")).distinct()

@@ -2634,20 +2634,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "minhash_lsh_pairs and the same CC operator.",
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import jaccard, token_shingles
+    from .operators.dedup import jaccard_pairs_index
     from .operators.graph import components_for_pairs
 
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    g = docs.select(
-        "doc_id", token_shingles(F.col("text")).alias("sh")
-    ).persist()
-    a = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.2)
-        .select("id_a", "id_b")
-    )
+    pairs = jaccard_pairs_index(docs, threshold=0.2).select("id_a", "id_b")
     lab = components_for_pairs(
         docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b"
     )

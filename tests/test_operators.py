@@ -376,3 +376,23 @@ def test_components_for_pairs_isolated_nodes_self_labeled(spark):
     out = components_for_pairs(nodes, pairs, "id", "a", "b")
     got = {r["id"]: r["cluster_id"] for r in out.collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 1, 5: 5}
+
+
+def test_jaccard_pairs_index_matches_quadratic(spark, sf_dir):
+    from scratchdb_spark.operators.dedup import (
+        jaccard_pairs_index,
+        ngram_jaccard_pairs,
+    )
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    idx = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in jaccard_pairs_index(docs, threshold=0.2).collect()
+    }
+    quad = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert idx == quad
+    assert len(idx) > 0
