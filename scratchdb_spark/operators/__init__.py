@@ -6,6 +6,8 @@
 - ``dedup``      exact / minhash-LSH / simhash(+hamming bands) / ngram
 - ``graph``      connected components (large-star/small-star) for
                  near-dup cluster resolution
+- ``compaction`` OPTIMIZE-style small-file bin packing (coalesce or
+                 range-clustered rewrite, atomic dir swap)
 - ``similarity`` brute-force GEMM, hyperplane LSH, IVF, SQ8 quantization
 - ``split``      deterministic train/val/test split, stratified sampling
 - ``skew``       two-phase salted aggregation

@@ -1,0 +1,104 @@
+"""Small-file compaction (OPTIMIZE-style bin packing) for ingest output.
+
+The reference's micro-batch ingest rotates a buffer file per
+(database, table) on size/rows/age thresholds and appends each batch
+to the destination (pkg/datasink/filesystem/filesystem.go:191-205,
+pkg/workers/workers.go:64-116) — so a continuously-ingesting table
+accumulates one small file per micro-batch. At 100 TB that layout is
+scan-hostile: per-file open/footer overhead and tiny row groups
+dominate, and min/max pruning is useless because every file spans the
+whole key range. Warehouses solve this with a maintenance pass
+(Delta/Iceberg OPTIMIZE); this module is the engine-native equivalent
+for the parquet tables our ingest writes.
+
+All filesystem access goes through the Hadoop FileSystem API (not
+os.walk), so the same code compacts local dirs, HDFS, or s3a:// paths
+on a cluster.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file directly under `path`,
+    skipping _SUCCESS / hidden files."""
+    fs, hpath, _ = _fs(spark, path)
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
+    return max(1, math.ceil(total_bytes / max(1, target_file_bytes)))
+
+
+def compact_path(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    sort_col: str | None = None,
+) -> dict:
+    """Rewrite the parquet directory at `path` into ~target-size files.
+
+    Without `sort_col` the rewrite uses coalesce() — a narrow
+    dependency, so compaction moves no bytes through a shuffle.
+    With `sort_col` it uses repartitionByRange + sortWithinPartitions:
+    one shuffle buys a clustered layout whose per-file min/max stats
+    make future range predicates on that column prune files (the
+    Spark-native analogue of the reference's ClickHouse MergeTree
+    ORDER BY, destinations/clickhouse/destination.go:16-17).
+
+    The rewrite lands in a temp dir first and is swapped in with two
+    renames, so a concurrent reader sees either the old or the new
+    complete directory, never a half-written one.
+    """
+    files_before = list_data_files(spark, path)
+    total = sum(sz for _, sz in files_before)
+    n_target = plan_target_files(total, target_file_bytes)
+
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n_target, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        out = df.coalesce(n_target)
+
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    bak = path.rstrip("/") + ".__compact_bak__"
+    out.write.mode("overwrite").parquet(tmp)
+
+    fs, hpath, jvm = _fs(spark, path)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    if not fs.rename(hpath, bak_p):
+        raise IOError(f"compaction swap failed: {path} -> {bak}")
+    if not fs.rename(tmp_p, hpath):
+        fs.rename(bak_p, hpath)  # roll back
+        raise IOError(f"compaction swap failed: {tmp} -> {path}")
+    fs.delete(bak_p, True)
+
+    files_after = list_data_files(spark, path)
+    return {
+        "files_before": len(files_before),
+        "files_after": len(files_after),
+        "bytes_before": total,
+        "bytes_after": sum(sz for _, sz in files_after),
+        "target_files": n_target,
+    }

@@ -2745,6 +2745,87 @@ def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_heavy_hitters",
+    f"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    doc="Exact corpus-wide heavy hitters (top-20 tokens): explode -> "
+        "hash-agg with map-side partial combine -> TakeOrdered top-k "
+        "(no global sort materialization). Deterministic tiebreak on "
+        "the token.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+                "tok"
+            )
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]),
+                          x -> round(x, 6)) AS qty_quantiles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact grouped percentiles with linear interpolation (the "
+        "exact twin of percentile_approx; both engines implement the "
+        "standard (n-1)*p interpolation).",
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.transform(
+                F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75, 0.9])),
+                lambda x: F.round(x, 6),
+            ).alias("qty_quantiles")
+        )
+    )
+
+
+@register(
+    "agg_string_concat_nations",
+    """
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered string aggregation (listagg/string_agg shape): "
+        "sort_array(collect_list) + array_join for a deterministic "
+        "concatenation.",
+)
+def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------

@@ -396,3 +396,58 @@ def test_jaccard_pairs_index_matches_quadratic(spark, sf_dir):
     }
     assert idx == quad
     assert len(idx) > 0
+
+
+def test_compact_path_reduces_files_preserving_content(spark, tmp_path):
+    from scratchdb_spark.operators.compaction import (
+        compact_path,
+        list_data_files,
+    )
+
+    path = str(tmp_path / "many_small")
+    spark.range(0, 10_000).selectExpr(
+        "id", "id % 97 AS k", "cast(id AS string) AS s"
+    ).repartition(40).write.parquet(path)
+    assert len(list_data_files(spark, path)) == 40
+    before = spark.read.parquet(path)
+    before_sum = before.selectExpr(
+        "sum(id) AS a", "count(*) AS n", "bit_xor(xxhash64(id, k, s)) AS h"
+    ).first()
+
+    stats = compact_path(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1
+
+    after = spark.read.parquet(path)
+    after_sum = after.selectExpr(
+        "sum(id) AS a", "count(*) AS n", "bit_xor(xxhash64(id, k, s)) AS h"
+    ).first()
+    assert tuple(before_sum) == tuple(after_sum)
+
+
+def test_compact_path_sorted_layout_disjoint_ranges(spark, tmp_path):
+    from scratchdb_spark.operators.compaction import (
+        compact_path,
+        list_data_files,
+    )
+
+    path = str(tmp_path / "clustered")
+    spark.range(0, 20_000).selectExpr("id", "id % 5 AS k").repartition(
+        16
+    ).write.parquet(path)
+    # force a multi-file clustered rewrite
+    total = sum(sz for _, sz in list_data_files(spark, path))
+    compact_path(spark, path, target_file_bytes=total // 4, sort_col="id")
+
+    # per-file id ranges must be disjoint (that's what makes min/max
+    # stats prune for range predicates)
+    ranges = []
+    for f, _ in sorted(list_data_files(spark, path)):
+        row = spark.read.parquet(f).selectExpr(
+            "min(id) AS lo", "max(id) AS hi"
+        ).first()
+        ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
