@@ -2826,6 +2826,33 @@ def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_hll_sketch_union",
+    None,  # Datasketches HLL binaries/estimates are engine-specific
+    doc="Mergeable-sketch pattern: per-day HLL sketches of distinct "
+        "users, union-merged into one weekly estimate. At 100 TB the "
+        "daily sketches are tiny persisted state (KBs) and the weekly/"
+        "monthly rollup merges sketches instead of rescanning raw "
+        "events — the incremental form of approx_count_distinct. "
+        "Exact twin for the correctness gate: "
+        "count_distinct_exact_median.",
+)
+def approx_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("DAY", "ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_days_merged"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------

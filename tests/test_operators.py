@@ -451,3 +451,19 @@ def test_compact_path_sorted_layout_disjoint_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_components_for_pairs_empty_edges(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from scratchdb_spark.operators.graph import components_for_pairs
+
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    empty = spark.createDataFrame(
+        [], StructType([StructField("a", LongType()),
+                        StructField("b", LongType())])
+    )
+    out = components_for_pairs(nodes, empty, "id", "a", "b")
+    assert {r["id"]: r["cluster_id"] for r in out.collect()} == {
+        0: 0, 1: 1, 2: 2,
+    }
