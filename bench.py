@@ -51,6 +51,10 @@ def main() -> None:
         n = df.count()
         times[name] = round(time.perf_counter() - t0, 4)
         _ = n
+        # Operators that persist() intermediates (minhash, simhash, CC)
+        # would otherwise accumulate cached blocks across 90+ queries;
+        # evict between queries (untimed) so memory stays flat.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 4)
     print(json.dumps({

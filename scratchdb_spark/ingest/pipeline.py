@@ -7,12 +7,18 @@ CreateEmptyTable -> CreateColumns (type vote over the whole file) ->
 InsertFromNDJsonFile. Here the bracketed hop is a direct callback
 (writer.on_closed) and the final insert is a Spark aligned append.
 
-Scale note: the per-batch type-vote scan runs driver-side over one
-rotated file, exactly like the reference's single worker thread per
-file (workers/workers.go:64-116) — bounded by the rotation thresholds,
-not by table size. The Spark-side read uses an explicit schema (no
-inference job) so each micro-batch costs one distributed read + one
-parquet append.
+Scale note — two worker-half paths with identical semantics:
+- ``append_ndjson_lines``: the vote scans driver-side over one rotated
+  file, like the reference's worker thread per file
+  (workers/workers.go:64-116) — fine while batches are bounded by the
+  rotation thresholds.
+- ``append_lines_df``: the scale path. The vote's per-value tagging
+  (the same ``json_value_tag``) runs inside Arrow-batched Python
+  workers over a distributed lines DataFrame; only the tiny
+  (column, tag) -> count table reaches the driver, and the data read
+  is a JVM-side ``from_json`` with the voted schema. Nothing row-level
+  ever touches the driver, so one micro-batch can be arbitrarily
+  large. ``append_ndjson_file`` and the streaming ingest use this.
 """
 
 from __future__ import annotations
@@ -23,10 +29,13 @@ from typing import Any, Iterable
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 from ..tables import Warehouse, spark_type_for_tag
 from .flatten import flatten_item
 from .ids import next_row_id
-from .infer import infer_types
+from .infer import infer_types, json_value_tag, vote
 
 
 class PartialInsertError(Exception):
@@ -101,10 +110,9 @@ class IngestPipeline:
     # -- worker half: infer -> create/evolve -> aligned append ------------
 
     def append_ndjson_file(self, database: str, table: str, path: str) -> None:
-        with open(path, encoding="utf-8") as fh:
-            self.append_ndjson_lines(
-                database, table, [l for l in fh if l.strip()]
-            )
+        # distributed read of the rotated file — the file never passes
+        # through the driver
+        self.append_lines_df(database, table, self.spark.read.text(path))
 
     def append_ndjson_lines(
         self, database: str, table: str, lines: Iterable[str]
@@ -114,23 +122,87 @@ class IngestPipeline:
             return
         rows = [json.loads(l) for l in lines]
         voted = infer_types(rows)  # N3: whole-batch vote
-
-        # Read schema: table type wins for existing columns (first-batch-
-        # wins, §1.3); voted type for new ones.
-        self.warehouse.create_empty_table(database, table)
-        existing = {
-            f.name: f.dataType
-            for f in self.warehouse.schema(database, table).fields
-        }
-        fields = [
-            T.StructField(col, existing.get(col, spark_type_for_tag(tag)))
-            for col, tag in voted.items()
-        ]
-        schema = T.StructType(fields)
+        schema = self._voted_read_schema(database, table, voted)
 
         # Distributed JSON parse with explicit schema (PERMISSIVE: non-
         # coercible values -> NULL, our documented cast-else-null).
         batch = self.spark.read.schema(schema).json(
             self.spark.sparkContext.parallelize(lines)
         )
+        self.warehouse.append_aligned(database, table, batch)
+
+    def _voted_read_schema(
+        self, database: str, table: str, voted: dict[str, str]
+    ) -> T.StructType:
+        """Read schema for a batch: table type wins for existing columns
+        (first-batch-wins, §1.3); voted type for new ones."""
+        self.warehouse.create_empty_table(database, table)
+        existing = {
+            f.name: f.dataType
+            for f in self.warehouse.schema(database, table).fields
+        }
+        return T.StructType(
+            [
+                T.StructField(col, existing.get(col, spark_type_for_tag(tag)))
+                for col, tag in voted.items()
+            ]
+        )
+
+    def append_lines_df(
+        self, database: str, table: str, lines_df: DataFrame
+    ) -> None:
+        """Worker half over a DISTRIBUTED batch of NDJSON lines (one
+        string column). Same N3 vote semantics as the driver path: the
+        identical ``json_value_tag`` runs per value inside Arrow-batched
+        Python workers; the driver only ever sees (column, tag) counts.
+        Unparseable lines contribute no votes (they surface as all-NULL
+        rows from the PERMISSIVE data read, our cast-else-null policy).
+        """
+        col0 = lines_df.columns[0]
+        lines = lines_df.select(F.col(col0).alias("value")).filter(
+            F.length(F.trim("value")) > 0
+        )
+
+        def tag_partitions(batches):
+            import collections
+
+            import pandas as pd
+
+            counts: collections.Counter = collections.Counter()
+            for pdf in batches:
+                for line in pdf["value"]:
+                    try:
+                        row = json.loads(line)
+                    except (ValueError, TypeError):
+                        continue
+                    if not isinstance(row, dict):
+                        continue
+                    for k, v in row.items():
+                        counts[(k, json_value_tag(v))] += 1
+            yield pd.DataFrame(
+                [(k, t, n) for (k, t), n in counts.items()],
+                columns=["key", "tag", "n"],
+            ).astype({"key": "string", "tag": "string", "n": "int64"})
+
+        tag_counts = (
+            lines.mapInPandas(
+                tag_partitions, "key string, tag string, n long"
+            )
+            .groupBy("key", "tag")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        if not tag_counts:
+            return
+        per_key: dict[str, dict[str, int]] = {}
+        for r in tag_counts:
+            per_key.setdefault(r["key"], {})[r["tag"]] = r["n"]
+        # sorted for a deterministic new-column order (the driver path
+        # inherits first-seen order; distributed counts are unordered)
+        voted = {k: vote(c) for k, c in sorted(per_key.items())}
+
+        schema = self._voted_read_schema(database, table, voted)
+        batch = lines.select(
+            F.from_json("value", schema).alias("r")
+        ).select("r.*")
         self.warehouse.append_aligned(database, table, batch)

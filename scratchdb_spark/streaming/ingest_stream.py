@@ -49,10 +49,10 @@ def start_ingest_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        lines = [r.value for r in batch_df.collect() if r.value.strip()]
-        # driver-side vote + distributed append — same as batch path;
-        # one rotated file is bounded by the writer's rotation limits
-        pipe.append_ndjson_lines(database, table, lines)
+        # fully distributed worker half: vote tagging runs in Arrow
+        # workers, data read is JVM-side from_json — no collect(), so
+        # a micro-batch can be arbitrarily large
+        pipe.append_lines_df(database, table, batch_df)
 
     writer = raw.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

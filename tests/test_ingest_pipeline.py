@@ -143,3 +143,46 @@ def test_snowflake_unique_and_ordered():
     assert len(set(ids)) == 5000
     assert ids == sorted(ids)
     assert all(0 < i < 2**63 for i in ids)
+
+
+def test_distributed_vote_matches_driver_path(pipe, spark):
+    """append_lines_df (mapInPandas vote + from_json read) must produce
+    the same schema and rows as the driver-side append_ndjson_lines."""
+    lines = [
+        json.dumps({"a": 1, "b": "x", "__row_id": 1}),
+        json.dumps({"a": 2.5, "c": True, "__row_id": 2}),   # a -> float
+        json.dumps({"a": None, "b": 3, "__row_id": 3}),     # b -> string
+        json.dumps({"d": 2**63, "__row_id": 4}),            # overflow -> float
+    ]
+    pipe.append_ndjson_lines("db", "drv", lines)
+    pipe.append_lines_df(
+        "db", "dist", spark.createDataFrame([(l,) for l in lines], "value string")
+    )
+
+    drv = pipe.warehouse.read("db", "drv")
+    dist = pipe.warehouse.read("db", "dist")
+    assert dict(drv.dtypes) == dict(dist.dtypes)
+    key = lambda r: r["__row_id"]  # noqa: E731
+    drv_rows = sorted([r.asDict() for r in drv.collect()], key=key)
+    dist_rows = sorted([r.asDict() for r in dist.collect()], key=key)
+    assert drv_rows == dist_rows
+
+
+def test_distributed_vote_schema_evolution_first_wins(pipe, spark):
+    df1 = spark.createDataFrame(
+        [(json.dumps({"a": 1, "__row_id": 1}),)], "value string"
+    )
+    pipe.append_lines_df("db", "t", df1)
+    # second batch: conflicting type for a (string) + a new column
+    df2 = spark.createDataFrame(
+        [(json.dumps({"a": "not-an-int", "b": "x", "__row_id": 2}),)],
+        "value string",
+    )
+    pipe.append_lines_df("db", "t", df2)
+
+    out = pipe.warehouse.read("db", "t")
+    assert dict(out.dtypes)["a"] == "bigint"  # first batch wins
+    rows = {r["__row_id"]: r.asDict() for r in out.collect()}
+    assert rows[1]["a"] == 1 and rows[1]["b"] is None
+    assert rows[2]["a"] is None  # cast-else-null coercion
+    assert rows[2]["b"] == "x"
