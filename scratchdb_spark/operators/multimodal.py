@@ -121,6 +121,47 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
     return cols.mapInPandas(kernel, schema=_FRAMES_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, target_bytes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """'Resize' each payload to a fixed byte length by nearest-neighbor
+    resampling of the byte stream (index ``floor(i * n / target)``).
+
+    STUB KERNEL: a real deployment would decode and PIL-resize the
+    image here; nearest-neighbor index arithmetic over the raw bytes is
+    the same gather pattern a real resampler uses, is deterministic
+    (SQL-oracle-checkable byte-for-byte), and exercises the real Spark
+    plumbing: binary in, numpy gather per Arrow batch, binary out.
+    Empty payloads produce no row (a decode failure would be dropped
+    the same way).
+    """
+    import numpy as np
+
+    cols = df.select(F.col(id_col).alias("doc_id"), "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_base = np.arange(target_bytes, dtype=np.int64)
+        for pdf in batches:
+            out_id, out_bytes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                a = np.frombuffer(payload, dtype=np.uint8)
+                out_id.append(doc_id)
+                out_bytes.append(a[(idx_base * len(a)) // target_bytes].tobytes())
+            yield pd.DataFrame({"doc_id": out_id, "resized": out_bytes})
+
+    return cols.mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+
+
 def decode_image(df: DataFrame) -> DataFrame:
     """Real image decode — NOT AVAILABLE in this container (no PIL/
     opencv). Kept as the documented integration point."""
