@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import epoch_us
+
 
 def range_join_seconds(
     left: DataFrame,
@@ -47,21 +49,27 @@ def range_join_seconds(
     Column names must be disjoint (rename before a self-join).
     """
     w_us = int(window_seconds) * 1_000_000
-    lus = F.unix_micros(F.col(left_ts))
-    rus = F.unix_micros(F.col(right_ts))
+    # epoch micros materialized as columns once (NTZ-safe; tables.epoch_us)
+    lx = left.withColumn("__lus", epoch_us(left, left_ts))
+    rx = right.withColumn("__rus", epoch_us(right, right_ts))
 
-    lx = left.withColumn(
+    lx = lx.withColumn(
         "__bucket",
         F.explode(
-            F.array(F.floor(lus / w_us), F.floor(lus / w_us) + 1)
+            F.array(
+                F.floor(F.col("__lus") / w_us),
+                F.floor(F.col("__lus") / w_us) + 1,
+            )
         ),
     )
-    rx = right.withColumn("__bucket", F.floor(rus / w_us))
+    rx = rx.withColumn("__bucket", F.floor(F.col("__rus") / w_us))
 
     cond = lx["__bucket"] == rx["__bucket"]
     if extra_cond is not None:
         cond = cond & extra_cond
-    joined = lx.join(rx, cond).drop("__bucket")
+    joined = lx.join(rx, cond)
 
-    diff = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
-    return joined.filter((diff >= 0) & (diff < F.lit(w_us)))
+    diff = F.col("__rus") - F.col("__lus")
+    return joined.filter((diff >= 0) & (diff < F.lit(w_us))).drop(
+        "__bucket", "__lus", "__rus"
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .operators.asof import asof_join
-from .tables import register_testdata, table
+from .tables import epoch_us, register_testdata, table
 
 
 @dataclass(frozen=True)
@@ -647,7 +647,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey,
            count(*) AS n_cust,
-           sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n_building,
+           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
            round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END), 2) AS pos_bal
     FROM customer
     GROUP BY c_nationkey
@@ -1227,11 +1227,11 @@ def fn_explode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_segment_counts",
     """
     SELECT c_nationkey,
-           sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS AUTOMOBILE,
-           sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BUILDING,
-           sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS FURNITURE,
-           sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS HOUSEHOLD,
-           sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS MACHINERY
+           CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS AUTOMOBILE,
+           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS BUILDING,
+           CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS FURNITURE,
+           CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS HOUSEHOLD,
+           CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS MACHINERY
     FROM customer GROUP BY c_nationkey
     """,
     doc="Pivot (groupBy().pivot()) — oracle is the conditional-sum "
@@ -2309,10 +2309,10 @@ def q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_lines",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -2684,8 +2684,9 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Integer-microsecond outputs for cross-engine hash stability.",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    raw = table(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_id", epoch_us(raw, "ts").alias("us")
     )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2707,17 +2708,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_time_buckets",
     """
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket_day,
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
            date_trunc('hour', ts)              AS bucket_hour,
            event_type,
            count(*)                            AS n_events,
            count(DISTINCT user_id)             AS n_users
     FROM events
     GROUP BY GROUPING SETS (
-      (CAST(date_trunc('day', ts) AS DATE), date_trunc('hour', ts),
+      (strftime(date_trunc('day', ts), '%Y-%m-%d'), date_trunc('hour', ts),
        event_type),
-      (CAST(date_trunc('day', ts) AS DATE), event_type),
-      (CAST(date_trunc('day', ts) AS DATE)),
+      (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type),
+      (strftime(date_trunc('day', ts), '%Y-%m-%d')),
       ())
     """,
     doc="Hypertable-style multi-granularity rollup: hour->day->total "
@@ -2729,17 +2730,17 @@ def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        SELECT CAST(date_trunc('DAY', ts) AS DATE) AS bucket_day,
+        SELECT date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS bucket_day,
                date_trunc('HOUR', ts)              AS bucket_hour,
                event_type,
                count(*)                            AS n_events,
                count(DISTINCT user_id)             AS n_users
         FROM events
         GROUP BY GROUPING SETS (
-          (CAST(date_trunc('DAY', ts) AS DATE), date_trunc('HOUR', ts),
-           event_type),
-          (CAST(date_trunc('DAY', ts) AS DATE), event_type),
-          (CAST(date_trunc('DAY', ts) AS DATE)),
+          (date_format(date_trunc('DAY', ts), 'yyyy-MM-dd'),
+           date_trunc('HOUR', ts), event_type),
+          (date_format(date_trunc('DAY', ts), 'yyyy-MM-dd'), event_type),
+          (date_format(date_trunc('DAY', ts), 'yyyy-MM-dd')),
           ())
         """,
     )

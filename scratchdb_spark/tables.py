@@ -77,6 +77,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def epoch_us(df: DataFrame, col: str) -> F.Column:
+    """Integer epoch microseconds for a timestamp column, NTZ-safe.
+
+    Spark 4 infers tz-less parquet timestamps as TIMESTAMP_NTZ (conf
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true) and
+    ``unix_micros`` rejects NTZ input. For NTZ we take the wall-clock
+    difference from the NTZ epoch — timezone-independent, and equal to
+    DuckDB's ``epoch_us`` over the same naive value, so oracle hashes
+    match regardless of the host session timezone. For TIMESTAMP (LTZ)
+    the plain ``unix_micros`` is already the same instant-based number.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))
+
+
 # ---------------------------------------------------------------------------
 # Managed tables (ingest destination), reference parity:
 #   CREATE TABLE IF NOT EXISTS t (__row_id BIGINT)   duckdb/insert.go:72-76
