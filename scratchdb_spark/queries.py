@@ -104,6 +104,26 @@ def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return spark.sql(query)
 
 
+def _fixture_oracle(name: str, cols: list[str]) -> str:
+    """Golden-fixture oracle for queries whose semantics are
+    deterministic but not portably SQL-expressible (engine-specific
+    hashes/sketches, mapInPandas kernels).
+
+    tools/make_fixtures.py runs the Spark implementation at each
+    driver-checked sf, verifies run-to-run determinism, and snapshots
+    the output to fixtures/<name>.parquet with an `sf_tag` column
+    holding that sf's `events` row count — the one table whose
+    cardinality differs across all generated sfs — so one static SQL
+    string selects the right snapshot no matter which sf dir the
+    oracle's views are registered over.
+    """
+    return (
+        f"SELECT {', '.join(cols)} "
+        f"FROM read_parquet('/root/repo/fixtures/{name}.parquet') "
+        "WHERE sf_tag = (SELECT count(*) FROM events)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.2: inner/left/full/cross/semi/anti, theta, as-of)
 # ---------------------------------------------------------------------------
@@ -1341,9 +1361,16 @@ def count_distinct_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_quantiles",
-    None,  # approximate sketches differ across engines -> rows-only check
-    doc="approx_count_distinct (HLL++) + percentile_approx; no oracle "
-        "because sketch implementations differ between Spark and DuckDB.",
+    _fixture_oracle(
+        "approx_distinct_quantiles",
+        ["event_type", "approx_users", "approx_median"],
+    ),
+    doc="approx_count_distinct (HLL++) + percentile_approx. Sketches "
+        "differ across engines, so the oracle is a determinism-checked "
+        "golden snapshot of the Spark output (both aggregates are "
+        "merge-order-independent at this scale: HLL++ union is "
+        "commutative; percentile_approx buffers < accuracy samples so "
+        "it is exact here). Exact twin: count_distinct_exact_median.",
 )
 def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -1412,18 +1439,30 @@ def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_clusters",
-    None,  # xxhash64 is not reproducible in DuckDB -> rows-only check
-    doc="SimHash fingerprint clusters (identical 64-bit fingerprints).",
+    _fixture_oracle(
+        "dedup_simhash_clusters",
+        ["simhash", "cluster_id", "n_docs", "doc_ids"],
+    ),
+    doc="SimHash fingerprint clusters (identical 64-bit fingerprints). "
+        "xxhash64 is not reproducible in DuckDB, so the oracle is a "
+        "determinism-checked golden snapshot (fixed seed, hash-only "
+        "pipeline). doc_ids is emitted sorted and comma-joined so the "
+        "hash-compare sees a scalar, not an engine-specific array "
+        "encoding.",
 )
 def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash_clusters
 
-    return simhash_clusters(table(spark, sf_dir, "documents"))
+    return simhash_clusters(table(spark, sf_dir, "documents")).withColumn(
+        "doc_ids", F.array_join("doc_ids", ",")
+    )
 
 
 @register(
     "dedup_simhash_near_pairs",
-    None,  # xxhash64 fingerprints are engine-specific -> rows-only
+    _fixture_oracle(
+        "dedup_simhash_near_pairs", ["id_a", "id_b", "hamming"]
+    ),
     doc="SimHash near-dup pairs within hamming<=3 via 4-band pigeonhole "
         "blocking (complete, not probabilistic): any pair differing in "
         "<4 bits agrees exactly on one 16-bit band, so candidates come "
@@ -1493,9 +1532,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    None,  # LSH bucketing is engine-specific -> rows-only check
+    _fixture_oracle(
+        "ann_lsh_topk", ["query_id", "neighbor_id", "cos_sim", "rank"]
+    ),
     doc="Random-hyperplane LSH ANN: bucket-join candidates then exact "
-        "cosine — the linear-cost scale path for 100 TB corpora.",
+        "cosine — the linear-cost scale path for 100 TB corpora. "
+        "Hyperplanes are seeded deterministically, so the oracle is a "
+        "determinism-checked golden snapshot of the Spark output.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_topk
@@ -1776,9 +1819,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_fake_features",
-    None,  # mapInPandas stub kernel -> rows-only check
+    _fixture_oracle("multimodal_fake_features", ["doc_id", "dim", "f0"]),
     doc="Arrow-batched mapInPandas feature extraction over binary "
-        "payloads (deterministic stub kernel; real decode not installed).",
+        "payloads (deterministic stub kernel; real decode not "
+        "installed). Oracle is a golden snapshot — the kernel is a "
+        "pure function of the payload bytes.",
 )
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_payload, extract_features
@@ -2829,7 +2874,9 @@ def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_hll_sketch_union",
-    None,  # Datasketches HLL binaries/estimates are engine-specific
+    _fixture_oracle(
+        "approx_hll_sketch_union", ["approx_users", "n_days_merged"]
+    ),
     doc="Mergeable-sketch pattern: per-day HLL sketches of distinct "
         "users, union-merged into one weekly estimate. At 100 TB the "
         "daily sketches are tiny persisted state (KBs) and the weekly/"

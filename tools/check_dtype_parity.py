@@ -43,7 +43,10 @@ def dtype_class(dt) -> str:
 def object_col_class(series: pd.Series) -> str:
     """For object dtype, peek at the first non-null value."""
     for v in series:
-        if v is None:
+        # pandas nulls in object columns arrive as float NaN (or NaT),
+        # not None; classifying NaN as 'float' would flag a nullable
+        # string column as a false DTYPE mismatch
+        if np.ndim(v) == 0 and pd.isna(v):
             continue
         if isinstance(v, bool):
             return "bool"
@@ -75,8 +78,10 @@ def main() -> int:
         if name_filter and name_filter not in spec.name:
             continue
         if spec.oracle is None:
-            print(f"NO_ORACLE  {spec.name}")
-            problems += 1
+            # a legitimate rows-only state per QuerySpec — report it,
+            # but don't let it mask real regressions via a constant
+            # nonzero exit
+            print(f"NO_ORACLE  {spec.name} (informational)")
             continue
         try:
             sdf = spec.spark_fn(spark, sf_dir).toPandas()
