@@ -2991,3 +2991,8 @@ def oracle_sql() -> dict[str, str]:
         for spec in _ordered_specs()
         if spec.oracle is not None
     }
+
+
+# Register the ingest round-trip queries (module keeps N1-N7 round-trip
+# catalog entries in one place; importing it populates _REGISTRY).
+from . import ingest_queries as _ingest_queries  # noqa: E402,F401
