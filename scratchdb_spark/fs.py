@@ -1,0 +1,113 @@
+"""Hadoop FileSystem helpers for warehouse and ingest paths.
+
+All warehouse/landing-zone filesystem access goes through the Hadoop
+FileSystem API (via the Spark JVM gateway), never ``os.*``, so the same
+code runs against ``file://`` in tests and ``hdfs://`` / ``s3a://`` /
+``gs://`` on a real cluster — the reference's blob-store landing zone
+(datasink/filesystem/filesystem.go:95-171, storage/blobstore/{s3,gcs})
+is a URI scheme choice here, not a code path.
+
+Paths with no scheme resolve against the configured default FS
+(``file://`` on local[*]), preserving the plain-local-path behavior the
+tests rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _jfs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, hpath, _ = _jfs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, hpath, _ = _jfs(spark, path)
+    return bool(fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory())
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, hpath, _ = _jfs(spark, path)
+    fs.mkdirs(hpath)
+
+
+def list_names(
+    spark: SparkSession, path: str, dirs_only: bool = False
+) -> list[str]:
+    """Child names of ``path`` ([] if it doesn't exist)."""
+    fs, hpath, _ = _jfs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        if dirs_only and not st.isDirectory():
+            continue
+        out.append(st.getPath().getName())
+    return out
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, hpath, _ = _jfs(spark, path)
+    return bool(fs.delete(hpath, recursive))
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create-or-overwrite a small text file (sidecar metadata)."""
+    fs, hpath, _ = _jfs(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(text.encode("utf-8"))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, hpath, jvm = _jfs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def move_from_local(spark: SparkSession, local: str, remote: str) -> None:
+    """Upload a node-local file to ``remote`` and remove the local copy —
+    the rotate-then-upload step of the reference's filesystem datasink
+    (filesystem.go:95-171: local NDJSON -> blob store)."""
+    fs, rpath, jvm = _jfs(spark, remote)
+    parent = rpath.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    fs.moveFromLocalFile(jvm.org.apache.hadoop.fs.Path(local), rpath)
+
+
+class HadoopLanding:
+    """Landing zone for rotated ingest files on any Hadoop-supported
+    store. ``upload`` returns the remote path; the streaming ingest
+    source (streaming/ingest_stream.py) then reads
+    ``<root>/closed/<db>/<table>/`` as its file source."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def closed_dir(self, database: str, table: str) -> str:
+        return f"{self.root}/closed/{database}/{table}"
+
+    def upload(self, database: str, table: str, local_path: str) -> str:
+        import os as _os
+
+        remote = (
+            f"{self.closed_dir(database, table)}/"
+            f"{_os.path.basename(local_path)}"
+        )
+        move_from_local(self.spark, local_path, remote)
+        return remote

@@ -38,14 +38,26 @@ class BufferedWriter:
         max_rows: int = 100_000,
         max_age_seconds: float = 30.0,
         on_closed: Optional[Callable[[str, str, str], None]] = None,
+        landing=None,
     ):
         """``on_closed(database, table, closed_path)`` fires after each
-        rotation — the local stand-in for upload+enqueue+worker."""
+        rotation — the local stand-in for upload+enqueue+worker.
+
+        ``landing`` (an :class:`scratchdb_spark.fs.HadoopLanding` or
+        any object with ``upload(db, table, local_path) -> remote``)
+        re-creates the reference's blob-store hop
+        (filesystem.go:95-171): the rotated file is uploaded to the
+        landing zone (s3a/gs/hdfs/file URI) and removed locally, and
+        ``on_closed`` receives the REMOTE path. The open-file spool is
+        deliberately node-local either way — line-grained appends
+        belong on local disk, objects go to the store whole, exactly
+        as the reference buffers locally then uploads."""
         self.root = root
         self.max_size_bytes = max_size_bytes
         self.max_rows = max_rows
         self.max_age_seconds = max_age_seconds
         self.on_closed = on_closed
+        self.landing = landing
         self._open: dict[tuple[str, str], _OpenFile] = {}
         self._lock = threading.Lock()
         self._counter = 0
@@ -96,10 +108,13 @@ class BufferedWriter:
             f = self._open.pop(key, None)
         if f is None or f.rows == 0:
             return None
-        d = self._closed_dir(database, table)
-        os.makedirs(d, exist_ok=True)
-        closed = os.path.join(d, os.path.basename(f.path))
-        os.replace(f.path, closed)
+        if self.landing is not None:
+            closed = self.landing.upload(str(database), table, f.path)
+        else:
+            d = self._closed_dir(database, table)
+            os.makedirs(d, exist_ok=True)
+            closed = os.path.join(d, os.path.basename(f.path))
+            os.replace(f.path, closed)
         if self.on_closed:
             self.on_closed(str(database), table, closed)
         return closed

@@ -16,12 +16,15 @@ Two concerns:
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from . import fs as hfs
 
 TESTDATA_TABLES = (
     "region",
@@ -122,25 +125,38 @@ def spark_type_for_tag(tag: str) -> T.DataType:
 class Warehouse:
     """Parquet-backed managed tables, one subdir per (database, table).
 
-    Spark-first notes: tables are plain parquet directories written with
-    ``mergeSchema`` reads, so column adds are metadata-only; appends are
+    Spark-first notes: tables are plain parquet directories; appends are
     new parquet files (the reference's append-only model — no UPDATE or
-    DELETE exists in ScratchDB). The authoritative schema is kept in the
-    parquet footers and unioned at read with mergeSchema=true.
+    DELETE exists in ScratchDB). The authoritative schema lives in a
+    ``_schema.json`` sidecar per table (leading underscore = invisible
+    to Spark's file listing), updated only when the schema evolves, so
+    neither reads nor appends ever union parquet footers — at millions
+    of files a per-append ``mergeSchema`` scan would make ingest
+    metadata-bound. All path operations go through the Hadoop
+    FileSystem API (:mod:`scratchdb_spark.fs`), so ``root`` may be a
+    local dir in tests or ``s3a://...`` on a cluster.
     """
+
+    SCHEMA_SIDECAR = "_schema.json"
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.root = str(root).rstrip("/")
+        hfs.mkdirs(spark, self.root)
 
     def _path(self, database: str, table: str) -> str:
-        return os.path.join(self.root, str(database), table)
+        return f"{self.root}/{database}/{table}"
+
+    def _sidecar(self, database: str, table: str) -> str:
+        return f"{self._path(database, table)}/{self.SCHEMA_SIDECAR}"
 
     def exists(self, database: str, table: str) -> bool:
         p = self._path(database, table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
+        if not hfs.is_dir(self.spark, p):
+            return False
+        names = hfs.list_names(self.spark, p)
+        return self.SCHEMA_SIDECAR in names or any(
+            n.endswith(".parquet") for n in names
         )
 
     def create_empty_table(self, database: str, table: str) -> None:
@@ -150,23 +166,46 @@ class Warehouse:
         schema = T.StructType([T.StructField("__row_id", T.LongType())])
         empty = self.spark.createDataFrame([], schema)
         empty.write.mode("overwrite").parquet(self._path(database, table))
+        self._write_schema(database, table, schema)
+
+    def _write_schema(
+        self, database: str, table: str, schema: T.StructType
+    ) -> None:
+        hfs.write_text(
+            self.spark, self._sidecar(database, table), schema.json()
+        )
 
     def schema(self, database: str, table: str) -> T.StructType:
-        return self.read(database, table).schema
+        """Authoritative schema: one small sidecar read, never a footer
+        union. Tables created before the sidecar existed migrate on
+        first touch via a one-time mergeSchema read."""
+        side = self._sidecar(database, table)
+        if hfs.exists(self.spark, side):
+            return T.StructType.fromJson(
+                json.loads(hfs.read_text(self.spark, side))
+            )
+        schema = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self._path(database, table))
+            .schema
+        )
+        self._write_schema(database, table, schema)
+        return schema
 
     def read(self, database: str, table: str) -> DataFrame:
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            self._path(database, table)
-        )
+        # explicit sidecar schema: no footer reads at plan time, and
+        # files written before a column existed project it as NULL
+        # (same contract mergeSchema gave, without the per-file scan)
+        return self.spark.read.schema(
+            self.schema(database, table)
+        ).parquet(self._path(database, table))
 
     def tables(self, database: str) -> list[str]:
         """N11 tables catalog."""
-        dbdir = os.path.join(self.root, str(database))
-        if not os.path.isdir(dbdir):
-            return []
         return sorted(
-            d for d in os.listdir(dbdir)
-            if os.path.isdir(os.path.join(dbdir, d))
+            hfs.list_names(
+                self.spark, f"{self.root}/{database}", dirs_only=True
+            )
         )
 
     def columns(self, database: str, table: str) -> list[tuple[str, str]]:
@@ -217,6 +256,8 @@ class Warehouse:
         # (clickhouse/destination.go:16-17)
         if "__row_id" in aligned.columns:
             aligned = aligned.sortWithinPartitions("__row_id")
-        aligned.write.mode("append").option("mergeSchema", "true").parquet(
-            self._path(database, table)
-        )
+        aligned.write.mode("append").parquet(self._path(database, table))
+        if len(aligned.schema.fields) > len(existing.fields):
+            # schema grew: persist the evolved sidecar (metadata-only —
+            # old files simply project the new columns as NULL)
+            self._write_schema(database, table, aligned.schema)

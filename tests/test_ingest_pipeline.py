@@ -186,3 +186,77 @@ def test_distributed_vote_schema_evolution_first_wins(pipe, spark):
     assert rows[1]["a"] == 1 and rows[1]["b"] is None
     assert rows[2]["a"] is None  # cast-else-null coercion
     assert rows[2]["b"] == "x"
+
+
+# -- object-store posture: sidecar schema + Hadoop FS landing zone --------
+
+
+def test_sidecar_schema_written_and_authoritative(pipe, spark):
+    pipe.insert("db1", "t", '{"a": 1}')
+    pipe.flush()
+    wh = pipe.warehouse
+    side = wh._sidecar("db1", "t")
+    from scratchdb_spark import fs as hfs
+
+    assert hfs.exists(spark, side)
+    stored = json.loads(hfs.read_text(spark, side))
+    names = [f["name"] for f in stored["fields"]]
+    assert names == [f.name for f in wh.schema("db1", "t").fields]
+    assert set(names) == {"__row_id", "a"}
+
+    # evolution updates the sidecar (metadata-only)
+    pipe.insert("db1", "t", '{"b": "x"}')
+    pipe.flush()
+    stored = json.loads(hfs.read_text(spark, side))
+    assert {f["name"] for f in stored["fields"]} == {"__row_id", "a", "b"}
+
+    # the sidecar is the read schema's source of truth: old parquet
+    # files (written before b existed) project b as NULL
+    rows = {r["a"]: r["b"] for r in wh.read("db1", "t").collect()}
+    assert rows[1] is None
+
+
+def test_sidecar_migration_from_legacy_table(pipe, spark):
+    """Tables created before the sidecar existed migrate on first
+    touch via a one-time mergeSchema read."""
+    pipe.insert("db1", "t", '{"a": 1}')
+    pipe.flush()
+    wh = pipe.warehouse
+    from scratchdb_spark import fs as hfs
+
+    hfs.delete(spark, wh._sidecar("db1", "t"), recursive=False)
+    schema = wh.schema("db1", "t")  # falls back, then re-materializes
+    assert {f.name for f in schema.fields} == {"__row_id", "a"}
+    assert hfs.exists(spark, wh._sidecar("db1", "t"))
+
+
+def test_buffered_writer_uploads_to_landing_zone(spark, tmp_path):
+    """Rotation with a landing zone uploads the closed file through
+    the Hadoop FS API and removes the local spool file (reference
+    filesystem.go:95-171: local buffer -> blob store)."""
+    import os
+
+    from scratchdb_spark.fs import HadoopLanding
+
+    landing_root = str(tmp_path / "landing")
+    writer = BufferedWriter(
+        str(tmp_path / "buf"), max_rows=2, max_age_seconds=0,
+        landing=HadoopLanding(spark, landing_root),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = IngestPipeline(spark, wh, writer=writer)
+    for i in range(4):
+        pipe.insert("db1", "t", json.dumps({"i": i}))
+    closed = writer.flush_all()
+    closed_dir = os.path.join(landing_root, "closed", "db1", "t")
+    remote_files = sorted(os.listdir(closed_dir))
+    assert len(remote_files) >= 2
+    # local spool is empty (files moved, not copied)
+    open_dir = os.path.join(str(tmp_path / "buf"), "open", "db1", "t")
+    assert not os.path.isdir(open_dir) or os.listdir(open_dir) == []
+    _ = closed
+
+    # worker half reads straight from the landing zone
+    for name in remote_files:
+        pipe.append_ndjson_file("db1", "t", os.path.join(closed_dir, name))
+    assert sorted(r["i"] for r in rows_of(pipe, "db1", "t")) == list(range(4))
