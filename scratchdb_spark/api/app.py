@@ -57,9 +57,16 @@ class ScratchAPI:
     healthy: bool = True
 
     #: request metrics (reference N20: Prometheus middleware,
-    #: api/router.go:18-28 / prometheus.go) — counters + latency sums
-    #: exposed text-format at /metrics
+    #: api/router.go:18-28 / prometheus.go) — counters + sums +
+    #: exponential-bucket histograms, text-format at /metrics
     metrics: dict[str, float] = field(default_factory=dict)
+    #: (metric, route) -> cumulative bucket counts, parallel to *_BUCKETS
+    hists: dict = field(default_factory=dict)
+
+    #: exponential bucket edges (reference router.go:18-28 publishes
+    #: latency/size histograms with exponential buckets)
+    LATENCY_BUCKETS = (0.001, 0.005, 0.025, 0.1, 0.5, 2.5, 10.0)
+    SIZE_BUCKETS = (256.0, 4096.0, 65536.0, 1048576.0, 16777216.0)
 
     def observe(self, route: str, seconds: float, resp_bytes: int) -> None:
         m = self.metrics
@@ -72,18 +79,68 @@ class ScratchAPI:
         m[f"response_bytes_sum{{route={route}}}"] = (
             m.get(f"response_bytes_sum{{route={route}}}", 0) + resp_bytes
         )
+        for name, edges, v in (
+            ("request_seconds", self.LATENCY_BUCKETS, seconds),
+            ("response_bytes", self.SIZE_BUCKETS, float(resp_bytes)),
+        ):
+            counts = self.hists.setdefault(
+                (name, route), [0] * (len(edges) + 1)
+            )
+            for i, le in enumerate(edges):
+                if v <= le:
+                    counts[i] += 1
+            counts[-1] += 1  # +Inf
+
+    def render_metrics(self) -> str:
+        """Prometheus text format: counters/sums plus histogram buckets
+        in ascending le order with the +Inf terminal bucket."""
+        lines = [
+            f"scratchdb_{k} {v}" for k, v in sorted(self.metrics.items())
+        ]
+        edges_of = {
+            "request_seconds": self.LATENCY_BUCKETS,
+            "response_bytes": self.SIZE_BUCKETS,
+        }
+        for (name, route), counts in sorted(self.hists.items()):
+            for le, c in zip(edges_of[name], counts):
+                lines.append(
+                    f'scratchdb_{name}_bucket{{route={route},le="{le}"}} {c}'
+                )
+            lines.append(
+                f'scratchdb_{name}_bucket{{route={route},le="+Inf"}} '
+                f"{counts[-1]}"
+            )
+            lines.append(
+                f"scratchdb_{name}_count{{route={route}}} {counts[-1]}"
+            )
+        return "\n".join(lines) + "\n"
 
     def add_api_key(self, key: str, destination_id: str) -> None:
         self.api_keys[_hash_key(key)] = str(destination_id)
 
     def create_destination(self, dest_id: str) -> None:
-        """N19 lite: register a destination namespace (credentials are a
-        no-op locally — the warehouse dir is created lazily)."""
-        import os as _os
+        """N19: register a destination namespace AND validate it is
+        actually usable before accepting it — the reference pool's
+        TestCredentials step (pkg/destinations/destinations.go:61-126)
+        opens a connection on create and rejects the destination if it
+        fails. Here the credential is the warehouse location: probe a
+        write+delete through the Hadoop FS API and raise ValueError
+        (HTTP 400) when the store refuses."""
+        from .. import fs as hfs
 
-        _os.makedirs(
-            _os.path.join(self.warehouse.root, str(dest_id)), exist_ok=True
-        )
+        dest_root = f"{self.warehouse.root}/{dest_id}"
+        probe = f"{dest_root}/_probe_{uuidlib.uuid4().hex}"
+        try:
+            hfs.mkdirs(self.spark, dest_root)
+            hfs.write_text(self.spark, probe, "ok")
+            if hfs.read_text(self.spark, probe) != "ok":
+                raise IOError("probe read-back mismatch")
+            hfs.delete(self.spark, probe, recursive=False)
+        except Exception as e:
+            raise ValueError(
+                f"destination '{dest_id}' failed credential/storage "
+                f"validation: {e}"
+            ) from e
 
     def set_admin_key(self, key: str) -> None:
         self.admin_key_hash = _hash_key(key)
@@ -195,10 +252,7 @@ def make_handler(api: ScratchAPI):
             self._t0 = time.perf_counter()
             path = self._route()
             if path == "/metrics":
-                lines = [
-                    f"scratchdb_{k} {v}" for k, v in sorted(api.metrics.items())
-                ]
-                self._send(200, "\n".join(lines) + "\n")
+                self._send(200, api.render_metrics())
                 return
             if path == "/healthcheck":
                 if api.healthy:
@@ -252,7 +306,13 @@ def make_handler(api: ScratchAPI):
             except (json.JSONDecodeError, KeyError, TypeError):
                 self._send(400, "Invalid request body")
                 return
-            api.create_destination(new_id)
+            try:
+                api.create_destination(new_id)
+            except ValueError as e:
+                # destinations.go:61-126: credential test failed on
+                # create -> destination rejected
+                self._send(400, str(e))
+                return
             self._send(
                 200, json.dumps({"id": new_id}), "application/json"
             )

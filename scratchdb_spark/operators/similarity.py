@@ -64,12 +64,20 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cos_sim, rank). Self-matches are
-    excluded. Ties order by neighbor id (deterministic).
+    excluded. Ties order by neighbor id (deterministic). Refuses
+    |queries| x |corpus| beyond ``max_pairs`` — at scale use
+    ``lsh_topk`` / ``ivf_topk``.
     """
+    from .guards import refuse_quadratic_pair
+
+    refuse_quadratic_pair(
+        queries, corpus, max_pairs, "brute_force_topk", "lsh_topk/ivf_topk"
+    )
     # norms are per-vector, not per-pair: compute each side's norm once
     # (linear) so the quadratic stage pays only one dot per pair
     q = queries.select(
@@ -111,6 +119,7 @@ def cosine_pairs_above(
     vec_col: str = "embedding",
     max_id: int | None = None,
     block_size: int = 2048,
+    max_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
 
@@ -128,6 +137,12 @@ def cosine_pairs_above(
     base = df
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
+    from .guards import refuse_quadratic
+
+    refuse_quadratic(
+        base, max_rows, "cosine_pairs_above",
+        "lsh_topk buckets / minhash-style banding",
+    )
     # normalize once (linear, JVM codegen): pair stage then needs only
     # the dot product, and the kernel skips per-pair norms entirely
     n = _norm(F.col(vec_col))

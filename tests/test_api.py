@@ -208,3 +208,47 @@ def test_admin_key_destination_override(server):
     # dest1's catalog must NOT contain adm (tenant isolation)
     code, body = _get(f"{server}/api/tables?api_key=key1")
     assert "adm" not in json.loads(body)
+
+
+def test_metrics_histograms(server):
+    """N20 parity: /metrics publishes exponential-bucket latency and
+    size histograms (reference pkg/api/router.go:18-28), cumulative
+    with a +Inf terminal bucket and a _count."""
+    _get(f"{server}/healthcheck")
+    code, body = _get(f"{server}/metrics")
+    assert code == 200
+    assert 'scratchdb_request_seconds_bucket{route=/healthcheck,le="0.001"}' in body
+    assert 'scratchdb_request_seconds_bucket{route=/healthcheck,le="+Inf"}' in body
+    assert "scratchdb_request_seconds_count{route=/healthcheck}" in body
+    assert 'scratchdb_response_bytes_bucket{route=/healthcheck,le="+Inf"}' in body
+    # buckets are cumulative: +Inf count >= any finite bucket, == _count
+    import re as _re
+
+    infs = dict(
+        _re.findall(
+            r'scratchdb_request_seconds_bucket\{route=(/metrics),le="\+Inf"\} (\d+)',
+            body,
+        )
+    )
+    counts = dict(
+        _re.findall(
+            r"scratchdb_request_seconds_count\{route=(/metrics)\} (\d+)", body
+        )
+    )
+    assert infs == counts and infs
+
+
+def test_destination_validation_rejects_unwritable(spark, tmp_path):
+    """N19: create_destination probes the store through the Hadoop FS
+    API and rejects the destination when the write fails
+    (destinations.go:61-126 TestCredentials semantics)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    api = ScratchAPI(spark=spark, warehouse=wh)
+    api.create_destination("ok_dest")  # probe passes on writable root
+
+    wh_bad = Warehouse(spark, str(tmp_path / "wh2"))
+    # point the warehouse at an unusable scheme after construction
+    wh_bad.root = "nosuchscheme://bucket/prefix"
+    api_bad = ScratchAPI(spark=spark, warehouse=wh_bad)
+    with pytest.raises(ValueError, match="failed credential"):
+        api_bad.create_destination("bad_dest")

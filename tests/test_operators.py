@@ -467,3 +467,30 @@ def test_components_for_pairs_empty_edges(spark):
     assert {r["id"]: r["cluster_id"] for r in out.collect()} == {
         0: 0, 1: 1, 2: 2,
     }
+
+
+def test_quadratic_guards_refuse_large_inputs(spark):
+    """O(n^2) exact baselines refuse unbounded inputs with a pointer
+    to their scale-safe twin; explicit opt-in via max_rows/max_pairs."""
+    from scratchdb_spark.operators.dedup import ngram_jaccard_pairs
+    from scratchdb_spark.operators.guards import QuadraticInputError
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_pairs_above,
+    )
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('w', id, ' x y z') AS text"
+    )
+    with pytest.raises(QuadraticInputError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, max_rows=10)
+    # explicit opt-in runs
+    assert ngram_jaccard_pairs(docs, max_rows=None).count() >= 0
+
+    vecs = spark.range(50).selectExpr(
+        "id AS vec_id", "array(cast(id AS float), 1.0F) AS embedding"
+    )
+    with pytest.raises(QuadraticInputError, match="lsh_topk"):
+        brute_force_topk(vecs, vecs, max_pairs=100)
+    with pytest.raises(QuadraticInputError, match="lsh_topk"):
+        cosine_pairs_above(vecs, threshold=0.9, max_rows=10)
