@@ -56,6 +56,8 @@ HEADLINE = [
 def run_catalog(spark, sf_dir: str) -> dict[str, float]:
     times: dict[str, float] = {}
     for name, spec in sorted(catalog.registry().items()):
+        if not spec.bench:
+            continue
         t0 = time.perf_counter()
         df = spec.spark_fn(spark, sf_dir)
         df.count()

@@ -57,6 +57,7 @@ def _roundtrip(
         "rows; type vote maps string/int/float/bool; an all-null key "
         "defaults to STRING (util/types.go:80-83); every stored row got "
         "a snowflake __row_id (api/data.go:123-129).",
+    bench=False,
 )
 def ingest_roundtrip_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _roundtrip(
@@ -83,6 +84,7 @@ def ingest_roundtrip_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "api/flattener.go:141-154): nested object keys underscore-join, "
         "array indices become column-name suffixes; one row per "
         "document.",
+    bench=False,
 )
 def ingest_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _roundtrip(
@@ -115,6 +117,7 @@ def ingest_roundtrip_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yields one row with the column NULL (flattener.go:82-86); "
         "rows_in_doc counts rows sharing one ___document_id "
         "(flattener.go:118-127).",
+    bench=False,
 )
 def ingest_roundtrip_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _roundtrip(
@@ -144,6 +147,7 @@ def ingest_roundtrip_vertical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch 1 rows read y as NULL. batch_rank orders rows by "
         "snowflake __row_id, asserting ids are monotone across "
         "batches (N7).",
+    bench=False,
 )
 def ingest_roundtrip_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest.pipeline import IngestPipeline

@@ -32,14 +32,17 @@ class QuerySpec:
     spark_fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # None -> non-SQL-expressible, rows-only check
     doc: str = ""
+    #: include in bench.py's timing loop (False for ingest round-trips,
+    #: which time warehouse setup, not query execution)
+    bench: bool = True
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: Optional[str], doc: str = ""):
+def register(name: str, oracle: Optional[str], doc: str = "", bench: bool = True):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc, bench)
         return fn
 
     return wrap

@@ -40,6 +40,11 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.ui.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) columns (events.ts in the test data)
+    # surface as epoch-nanos longs; tables.table() converts them.
+    # Set once at build time — a read path mutating session conf would
+    # race on a shared engine.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
