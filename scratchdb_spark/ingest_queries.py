@@ -49,8 +49,10 @@ def _roundtrip(
     "ingest_roundtrip_flat",
     """
     SELECT * FROM (VALUES
-      ('hi',  CAST(42 AS BIGINT), 1.5,  true,  CAST(NULL AS VARCHAR), true),
-      ('bye', CAST(7  AS BIGINT), 2.25, false, CAST(NULL AS VARCHAR), true)
+      ('hi',  CAST(42 AS BIGINT), CAST(1.5  AS DOUBLE), true,
+       CAST(NULL AS VARCHAR), true),
+      ('bye', CAST(7  AS BIGINT), CAST(2.25 AS DOUBLE), false,
+       CAST(NULL AS VARCHAR), true)
     ) AS t(s, i, f, b, n, has_row_id)
     """,
     doc="N3+N4+N6+N7 round-trip (FIXTURES.md F1/F2): array body = two "
