@@ -1,0 +1,168 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, repetition filtering, composite quality gating, and
+domain mixture budgeting.
+
+Like :mod:`text`, everything is JVM column expressions (split /
+array lambdas / regexp) inside whole-stage codegen — no Python UDFs —
+and every operator has an ANSI-SQL-expressible definition so the
+DuckDB oracle verifies values exactly. These extend the reference's
+surface (its query pass-through has no curation ops); the designs
+follow the publicly documented pipeline stages of large-corpus
+curation (n-gram eval-set decontamination, Gopher-style repetition
+and quality rules, mixture token budgets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import normalize_text, token_shingles
+from .text import STOPWORDS, _hits, _tokens
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``n``-gram with the eval set.
+
+    Plan shape: the eval side collapses to a DISTINCT shingle set
+    (tiny — eval suites are KBs to MBs) and broadcasts into an
+    equi-join against the exploded training shingles; one shuffle for
+    the per-doc regroup. Linear in corpus size at any scale — the
+    eval set, not the corpus, bounds the join's small side.
+
+    Output: (doc_id, n_eval_ngram_hits) for contaminated docs only.
+    """
+    ev = (
+        eval_df.select(
+            F.explode(token_shingles(F.col(text_col), n)).alias("s")
+        )
+        .distinct()
+    )
+    tr = train_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingles(F.col(text_col), n)).alias("s"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_eval_ngram_hits"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and most-frequent-word share.
+
+    One explode + one two-level aggregation (term counts roll up to
+    doc stats); both shuffles key on high-cardinality (doc, term) /
+    doc, so the plan holds at corpus scale.
+    """
+    counts = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = F.sum("tf")
+    distinct = F.count(F.lit(1))
+    return counts.groupBy("doc_id").agg(
+        total.alias("n_words"),
+        distinct.alias("n_distinct_words"),
+        F.round(1 - distinct / total.cast("double"), 4).alias(
+            "dup_word_ratio"
+        ),
+        F.round(F.max("tf") / total.cast("double"), 4).alias(
+            "top_word_ratio"
+        ),
+    )
+
+
+#: fixed rule order — reject_reasons concatenates in this order
+_GATE_RULES = ("word_count", "mean_word_len", "alpha_ratio", "stopword_ratio")
+
+
+def quality_gate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite keep/reject gate from deterministic text statistics
+    (word-count bounds, mean word length, alphabetic ratio, stopword
+    presence — the Gopher-rule shapes). Pure row-local column
+    expressions: scales as a projection.
+
+    Output: (doc_id, n_tokens, keep, reject_reasons) where
+    reject_reasons is a comma-joined list in fixed rule order (empty
+    when keep).
+    """
+    norm = normalize_text(F.col(text_col))
+    tokens = _tokens(F.col(text_col))
+    n_tokens = F.size(tokens)
+    # chars excluding the single spaces between tokens
+    mean_len = (F.length(norm) - (n_tokens - 1)) / n_tokens.cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(norm, "[^a-z]", ""))
+        / F.length(norm).cast("double")
+    )
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_ratio = _hits(tokens, all_stops) / n_tokens.cast("double")
+
+    fails = {
+        "word_count": ~n_tokens.between(5, 5000),
+        "mean_word_len": ~mean_len.between(2.0, 12.0),
+        "alpha_ratio": alpha_ratio < 0.6,
+        "stopword_ratio": stop_ratio < 0.01,
+    }
+    reasons = F.concat_ws(
+        ",",
+        *[
+            F.when(fails[r], F.lit(r)).otherwise(F.lit(None))
+            for r in _GATE_RULES
+        ],
+    )
+    keep = reasons == ""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        keep.alias("keep"),
+        reasons.alias("reject_reasons"),
+    )
+
+
+def domain_token_budget(
+    df: DataFrame, text_col: str = "text", domain_col: str = "source"
+) -> DataFrame:
+    """Mixture budgeting: per-domain document and (whitespace) token
+    totals with global and cumulative shares, ordered by token mass —
+    the report that drives sampling weights for a training mixture.
+
+    One narrow agg (per domain — low cardinality) then a broadcast-
+    scale window over the domain totals; corpus scan stays linear.
+    """
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col(text_col)))).alias("ws_tokens"),
+    )
+    total = F.sum("ws_tokens").over(Window.partitionBy())
+    cum = F.sum("ws_tokens").over(
+        Window.partitionBy().orderBy(
+            F.col("ws_tokens").desc(), F.col("domain")
+        )
+    )
+    return per.select(
+        "domain",
+        "n_docs",
+        "ws_tokens",
+        F.round(F.col("ws_tokens") / total, 6).alias("token_share"),
+        F.round(cum / total, 6).alias("cum_token_share"),
+    )

@@ -2999,3 +2999,149 @@ def oracle_sql() -> dict[str, str]:
 # Register the ingest round-trip queries (module keeps N1-N7 round-trip
 # catalog entries in one place; importing it populates _REGISTRY).
 from . import ingest_queries as _ingest_queries  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation extensions (operators/curation.py): decontamination,
+# repetition filter, quality gate, mixture budgeting
+# ---------------------------------------------------------------------------
+
+#: DuckDB distinct word 4-grams (mirrors dedup.token_shingles at n=4)
+_DUCK_SHINGLES4 = """
+  list_distinct([array_to_string(list_slice(w, i, i + 3), ' ')
+                 FOR i IN generate_series(1, greatest(len(w) - 3, 1))])
+""".strip()
+
+
+@register(
+    "curate_decontaminate",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_DUCK_SHINGLES4} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
+    ),
+    ev AS (SELECT DISTINCT s
+           FROM (SELECT unnest(sh) AS s FROM g WHERE doc_id < 10)),
+    tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id >= 10)
+    SELECT tr.doc_id AS doc_id,
+           CAST(count(DISTINCT tr.s) AS BIGINT) AS n_eval_ngram_hits
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    """,
+    doc="Benchmark decontamination: training docs (doc_id >= 10) "
+        "sharing any word 4-gram with the eval set (doc_id < 10). "
+        "Eval shingle set broadcasts (eval suites are tiny); corpus "
+        "side stays linear — one equi-join + one regroup at any scale.",
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        n=4,
+    )
+
+
+@register(
+    "curate_repetition_stats",
+    f"""
+    WITH t AS (SELECT doc_id, unnest(w) AS term
+               FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)),
+    c AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           round(1 - count(*) / CAST(sum(tf) AS DOUBLE), 4)
+             AS dup_word_ratio,
+           round(max(tf) / CAST(sum(tf) AS DOUBLE), 4) AS top_word_ratio
+    FROM c GROUP BY doc_id
+    """,
+    doc="Gopher-style repetition signals: duplicate-word fraction and "
+        "most-frequent-word share per document. Explode + two-level "
+        "agg keyed on (doc, term) then doc — linear, skew-free.",
+)
+def curate_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import repetition_stats
+
+    return repetition_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curate_quality_gate",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             {_DUCK_TOKENS} AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             (length(norm) - (len(w) - 1)) / CAST(len(w) AS DOUBLE)
+               AS mean_len,
+             length(regexp_replace(norm, '[^a-z]', '', 'g'))
+               / CAST(length(norm) AS DOUBLE) AS alpha_ratio,
+             len(list_filter(w, x -> list_contains(
+               ['a','and','das','dans','de','der','des','die','el','en',
+                'es','est','et','ein','in','is','it','la','le','les','of',
+                'pour','que','the','to','un','und','une','von','y','zu',
+                'ist'], x)))
+               / CAST(len(w) AS DOUBLE) AS stop_ratio
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             concat_ws(',',
+               CASE WHEN NOT (n_tokens BETWEEN 5 AND 5000)
+                    THEN 'word_count' END,
+               CASE WHEN NOT (mean_len BETWEEN 2.0 AND 12.0)
+                    THEN 'mean_word_len' END,
+               CASE WHEN alpha_ratio < 0.6 THEN 'alpha_ratio' END,
+               CASE WHEN stop_ratio < 0.01 THEN 'stopword_ratio' END
+             ) AS reject_reasons
+      FROM m
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           (reject_reasons = '') AS keep, reject_reasons
+    FROM r
+    """,
+    doc="Composite quality gate (Gopher-rule shapes): word-count "
+        "bounds, mean word length, alphabetic ratio, stopword "
+        "presence; reject_reasons lists failed rules in fixed order. "
+        "Pure row-local projection — scales as a scan.",
+)
+def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import quality_gate
+
+    return quality_gate(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curate_domain_token_budget",
+    f"""
+    WITH per AS (
+      SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS ws_tokens
+      FROM (SELECT source, {_DUCK_TOKENS} AS w FROM documents)
+      GROUP BY source
+    )
+    SELECT domain, n_docs, ws_tokens,
+           round(ws_tokens / CAST(sum(ws_tokens) OVER () AS DOUBLE), 6)
+             AS token_share,
+           round(sum(ws_tokens) OVER (ORDER BY ws_tokens DESC, domain)
+                 / CAST(sum(ws_tokens) OVER () AS DOUBLE), 6)
+             AS cum_token_share
+    FROM per
+    """,
+    doc="Mixture budgeting: per-domain doc/token totals with global "
+        "and cumulative token shares ordered by mass — the sampling-"
+        "weights report for training-mixture design. Narrow agg + "
+        "window over domain totals only.",
+)
+def curate_domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import domain_token_budget
+
+    return domain_token_budget(table(spark, sf_dir, "documents"))

@@ -494,3 +494,52 @@ def test_quadratic_guards_refuse_large_inputs(spark):
         brute_force_topk(vecs, vecs, max_pairs=100)
     with pytest.raises(QuadraticInputError, match="lsh_topk"):
         cosine_pairs_above(vecs, threshold=0.9, max_rows=10)
+
+
+def test_curation_operators(spark):
+    """Hand-checkable behaviors for the corpus-curation family."""
+    from scratchdb_spark.operators.curation import (
+        decontaminate,
+        domain_token_budget,
+        quality_gate,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "web"),
+            (2, "the quick brown fox jumps over a sleeping cat", "web"),
+            (3, "completely different words entirely here now", "books"),
+            (4, "spam spam spam spam spam spam spam spam", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+    # doc 2 shares the 4-gram "the quick brown fox" (and more) with
+    # eval doc 1; doc 3/4 share none
+    cont = {
+        r["doc_id"]: r["n_eval_ngram_hits"]
+        for r in decontaminate(
+            docs.filter("doc_id > 1"), docs.filter("doc_id = 1"), n=4
+        ).collect()
+    }
+    assert set(cont) == {2} and cont[2] >= 2
+
+    rep = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rep[4]["n_words"] == 8 and rep[4]["n_distinct_words"] == 1
+    assert rep[4]["dup_word_ratio"] == 0.875  # 1 - 1/8
+    assert rep[4]["top_word_ratio"] == 1.0
+    assert rep[3]["dup_word_ratio"] == 0.0
+
+    gate = {r["doc_id"]: r for r in quality_gate(docs).collect()}
+    assert gate[1]["keep"] is True and gate[1]["reject_reasons"] == ""
+    # doc 4 has no stopwords -> fails the stopword rule
+    assert gate[4]["keep"] is False
+    assert "stopword_ratio" in gate[4]["reject_reasons"]
+
+    bud = {r["domain"]: r for r in domain_token_budget(docs).collect()}
+    assert bud["web"]["n_docs"] == 3 and bud["books"]["n_docs"] == 1
+    assert abs(sum(r["token_share"] for r in bud.values()) - 1.0) < 1e-4
+    # web has the most tokens -> its cumulative share comes first
+    assert bud["web"]["cum_token_share"] < 1.0 or bud["web"]["token_share"] > bud["books"]["token_share"]
+    assert bud["books"]["cum_token_share"] == 1.0
