@@ -126,8 +126,14 @@ class IngestPipeline:
 
         # Distributed JSON parse with explicit schema (PERMISSIVE: non-
         # coercible values -> NULL, our documented cast-else-null).
+        # Slice count is bounded by batch size (~100k rows/slice), not
+        # default parallelism: one rotated micro-batch must land as
+        # O(1) parquet files, or the table directory grows ~32 tiny
+        # files per append and every later directory listing pays for
+        # it (the small-files problem, self-inflicted at ingest time).
+        n_slices = max(1, min(len(lines) // 100_000 + 1, 32))
         batch = self.spark.read.schema(schema).json(
-            self.spark.sparkContext.parallelize(lines)
+            self.spark.sparkContext.parallelize(lines, n_slices)
         )
         self.warehouse.append_aligned(database, table, batch)
 
