@@ -11,11 +11,10 @@ restarts — the property the reference got from its DB queue with
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import fs as hfs
 from ..ingest.pipeline import IngestPipeline
 from ..tables import Warehouse
 
@@ -38,8 +37,11 @@ def start_ingest_stream(
     read as whole lines (schema applied inside foreachBatch so the
     type-vote semantics stay identical to the batch path).
     """
-    src_dir = os.path.join(landing_dir, str(database), table)
-    os.makedirs(src_dir, exist_ok=True)
+    # Hadoop FS path handling: the landing dir is a URI on a cluster
+    # (s3a://bucket/landing/closed) and a plain local dir in tests —
+    # same code path either way (see fs.HadoopLanding.closed_dir).
+    src_dir = f"{str(landing_dir).rstrip('/')}/{database}/{table}"
+    hfs.mkdirs(spark, src_dir)
     pipe = IngestPipeline(spark, warehouse)
 
     raw = (

@@ -167,3 +167,34 @@ def test_stateful_inactivity_session_emits_on_timeout(spark, tmp_path):
     assert s["n_events"] == 2
     assert abs(s["value_sum"] - 3.0) < 1e-9
     assert s["end_us"] - s["start_us"] == 5 * 60 * 1_000_000
+
+
+def test_full_pipeline_writer_landing_stream(spark, tmp_path):
+    """End-to-end N13->N14->N15 chain, reference shape: API buffers
+    locally (BufferedWriter) -> rotation uploads to the landing zone
+    through the Hadoop FS API (HadoopLanding) -> the checkpointed
+    file-source stream ingests into the warehouse."""
+    from scratchdb_spark.fs import HadoopLanding
+    from scratchdb_spark.ingest.pipeline import IngestPipeline
+    from scratchdb_spark.ingest.writer import BufferedWriter
+
+    landing_root = str(tmp_path / "landing")
+    writer = BufferedWriter(
+        str(tmp_path / "buf"), max_rows=4, max_age_seconds=0,
+        landing=HadoopLanding(spark, landing_root),
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = IngestPipeline(spark, wh, writer=writer)
+    for i in range(10):
+        pipe.insert("db1", "t", json.dumps({"i": i, "even": i % 2 == 0}))
+    writer.flush_all()
+
+    q = start_ingest_stream(
+        spark, wh, f"{landing_root}/closed", "db1", "t",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    assert q.awaitTermination(600), "pipeline stream did not finish"
+    rows = {r["i"]: r for r in wh.read("db1", "t").collect()}
+    assert sorted(rows) == list(range(10))
+    assert rows[2]["even"] is True and rows[3]["even"] is False
+    assert all(r["__row_id"] is not None for r in rows.values())
