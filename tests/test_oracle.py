@@ -84,3 +84,19 @@ def test_rows_only(spark, spec):
     sdf = spec.spark_fn(spark, SF_DIR)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+
+
+def test_driver_window_rotation_invariants():
+    """The external check covers the first 50 queries() entries, so the
+    emitted order must put less-verified names strictly before
+    more-verified ones (ties by registration), and every query must
+    declare an oracle under the same name."""
+    from scratchdb_spark.queries import _green_counts, oracle_sql, queries
+
+    names = list(queries())
+    assert list(oracle_sql()) == names
+    greens = _green_counts()
+    counts = [greens.get(n, 0) for n in names]
+    assert counts == sorted(counts), (
+        "queries() must be ordered by ascending green-row count"
+    )
