@@ -467,3 +467,101 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd) for IVF centroid
+    training: init = the ``k`` smallest-id vectors (engine-independent,
+    like ``ivf_topk``), assignment = argmax of 6dp-rounded cosine with
+    ties to the smallest centroid index, update = per-dimension mean.
+
+    Determinism across partitionings is load-bearing (the golden-
+    fixture oracle snapshots the output): float sums reorder under
+    different partition counts, so the update step sums DECIMAL-cast
+    components — decimal addition is exact and associative, giving
+    bit-identical means for ANY partitioning — then renormalizes
+    driver-side in numpy. Per-iteration driver traffic is the k x dim
+    centroid matrix (KBs); the corpus-side work is one vectorized
+    assignment pass + one narrow (cid, dim) aggregation per iteration
+    — each iteration is 2 jobs regardless of corpus size.
+
+    Output: (centroid_id, dim, c_val, n_assigned) — one row per
+    centroid component (scalar cells hash-compare cleanly; no array
+    encodings in the correctness path).
+    """
+    from pyspark.sql import Row
+
+    n = _norm(F.col(vec_col))
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
+    ).persist()
+
+    init = sorted(
+        (r["vid"], np.asarray(r["v"], dtype=np.float64))
+        for r in base.orderBy("vid").limit(k).collect()
+    )
+    C = np.array([v for _, v in init])
+    C = np.round(C / np.linalg.norm(C, axis=1, keepdims=True), 6)
+    counts = {i: 0 for i in range(k)}
+
+    for _ in range(iters):
+        Cb = C  # rebind for closure
+
+        @pandas_udf("int")
+        def assign(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+            S = np.round(V @ Cb.T, 6)
+            return pd.Series(np.argmax(S, axis=1).astype("int32"))
+
+        assigned = base.withColumn("cid", assign("v"))
+        sums = (
+            assigned.select(
+                "cid", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("cid", "dim")
+            .agg(
+                # decimal accumulation: exact + order-independent, so
+                # the result is identical under any partitioning
+                F.sum(F.round(F.col("val"), 12).cast("decimal(28,12)"))
+                .alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        dims = C.shape[1]
+        newC = C.copy()
+        counts = {i: 0 for i in range(k)}
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["cid"], [None] * dims)[r["dim"]] = float(r["s"])
+            counts[r["cid"]] = r["n"]
+        for cid, comps in acc.items():
+            m = np.array(comps, dtype=np.float64) / counts[cid]
+            norm = np.linalg.norm(m)
+            if norm > 0:
+                newC[cid] = np.round(m / norm, 6)
+        C = newC
+
+    spark = corpus.sparkSession
+    rows = [
+        Row(
+            centroid_id=cid,
+            dim=d,
+            c_val=float(C[cid, d]),
+            n_assigned=int(counts.get(cid, 0)),
+        )
+        for cid in range(k)
+        for d in range(C.shape[1])
+    ]
+    return spark.createDataFrame(
+        rows, "centroid_id int, dim int, c_val double, n_assigned long"
+    )

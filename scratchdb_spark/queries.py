@@ -3111,3 +3111,58 @@ def curate_domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import domain_token_budget
 
     return domain_token_budget(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_cross_corpus_near_dups",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
+    )
+    SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           round(len(list_intersect(n.sh, c.sh))
+                 / CAST(len(list_distinct(list_concat(n.sh, c.sh))) AS DOUBLE),
+                 4) AS jaccard_sim
+    FROM g n JOIN g c ON n.doc_id >= 250 AND c.doc_id < 250
+    WHERE len(list_intersect(n.sh, c.sh))
+          >= 0.8 * len(list_distinct(list_concat(n.sh, c.sh)))
+    """,
+    doc="Incremental dedup: near-dups of a NEW batch (doc_id >= 250) "
+        "against the EXISTING corpus (doc_id < 250) — the dedupe-the-"
+        "incoming-crawl pattern. Minhash band keys computed per side, "
+        "new x corpus band equi-join (candidates scale with the new "
+        "batch, not the corpus), exact-jaccard verify. Oracle is the "
+        "exact cross-side quadratic jaccard; LSH capture probability "
+        "at j=0.8 with 16x4 banding is ~0.9998 and verify removes "
+        "false positives.",
+)
+def dedup_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cross_corpus_near_dups
+
+    docs = table(spark, sf_dir, "documents")
+    return cross_corpus_near_dups(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        threshold=0.8,
+    )
+
+
+@register(
+    "ann_kmeans_centroids",
+    _fixture_oracle(
+        "ann_kmeans_centroids",
+        ["centroid_id", "dim", "c_val", "n_assigned"],
+    ),
+    doc="Deterministic spherical k-means (Lloyd, k=8, 3 iterations) "
+        "for IVF centroid training: smallest-id init, 6dp-rounded "
+        "cosine assignment, DECIMAL-summed updates (exact and "
+        "associative, so centroids are bit-identical under ANY "
+        "partitioning — verified). Oracle is a determinism-checked "
+        "golden snapshot; output is one scalar row per centroid "
+        "component.",
+)
+def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import kmeans_fit
+
+    return kmeans_fit(table(spark, sf_dir, "embeddings"), k=8, iters=3)

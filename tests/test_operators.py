@@ -543,3 +543,58 @@ def test_curation_operators(spark):
     # web has the most tokens -> its cumulative share comes first
     assert bud["web"]["cum_token_share"] < 1.0 or bud["web"]["token_share"] > bud["books"]["token_share"]
     assert bud["books"]["cum_token_share"] == 1.0
+
+
+def test_cross_corpus_near_dups(spark):
+    """New-batch near-dups hit only the corpus side, never new x new."""
+    from scratchdb_spark.operators.dedup import cross_corpus_near_dups
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+         (11, "alpha beta gamma delta epsilon eta"),    # near-dup of 1
+         (12, "totally different content here")],
+        "doc_id long, text string",
+    )
+    rows = {(r["new_id"], r["corpus_id"]): r["jaccard_sim"]
+            for r in cross_corpus_near_dups(new, corpus, threshold=0.5).collect()}
+    assert rows[(10, 1)] == 1.0
+    assert (11, 1) in rows and 0.5 <= rows[(11, 1)] < 1.0
+    assert all(k[0] >= 10 and k[1] < 10 for k in rows)
+    assert (12, 1) not in rows and (12, 2) not in rows
+
+
+def test_kmeans_fit_separates_and_is_deterministic(spark):
+    """Two well-separated bundles of vectors must land in different
+    clusters with every vector assigned; output is partitioning-
+    invariant (decimal-summed updates)."""
+    import numpy as np
+
+    from scratchdb_spark.operators.similarity import kmeans_fit
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0 + (i % 3) * 0.01, 0.0, 0.01 * i]))
+    for i in range(20, 40):
+        rows.append((i, [0.0, 1.0 + (i % 3) * 0.01, -0.01 * i]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = kmeans_fit(df, k=2, iters=4)
+    rowsd = [tuple(r) for r in out.collect()]
+    assert len(rowsd) == 2 * 3  # k x dims
+    counts = {r[0]: r[3] for r in rowsd}
+    assert sorted(counts.values()) == [20, 20]
+    # one centroid points along x, the other along y (label order
+    # depends on which init centroid Lloyd migrates)
+    c = {(r[0], r[1]): r[2] for r in rowsd}
+    axes = sorted([(c[(0, 0)], c[(0, 1)]), (c[(1, 0)], c[(1, 1)])])
+    assert axes[0][0] < 0.1 and axes[0][1] > 0.9  # y-dominant centroid
+    assert axes[1][0] > 0.9 and axes[1][1] < 0.1  # x-dominant centroid
+
+    out2 = [tuple(r) for r in kmeans_fit(df.repartition(7), k=2, iters=4).collect()]
+    assert sorted(rowsd) == sorted(out2)

@@ -36,6 +36,7 @@ FIXTURE_NAMES = [
     "ann_lsh_topk",
     "multimodal_fake_features",
     "approx_hll_sketch_union",
+    "ann_kmeans_centroids",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
