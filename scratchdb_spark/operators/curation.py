@@ -166,3 +166,59 @@ def domain_token_budget(
         F.round(F.col("ws_tokens") / total, 6).alias("token_share"),
         F.round(cum / total, 6).alias("cum_token_share"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Contiguous greedy sequence packing for training-batch prep:
+    documents are sharded deterministically (md5 bucket of id — same
+    content-addressed assignment as operators/split.py), ordered by id
+    within their shard, and filled into bins by cumulative token
+    count: ``bin = floor(tokens_before / max_tokens)``, so every bin
+    except a shard's last holds ~max_tokens whitespace tokens.
+
+    Packing is per-shard by design — a single global order would be a
+    one-task window at 100 TB, while sharded packing is embarrassingly
+    parallel (the window partitions by shard) and is how real
+    pipelines pack (each worker packs its own shard). Deterministic
+    for any partitioning: the order within a shard is the id order.
+
+    Output: (shard, bin_id, n_docs, n_tokens, doc_ids csv) — one row
+    per packed sequence.
+    """
+    from .split import hash_bucket
+    from pyspark.sql.window import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        hash_bucket(F.col(id_col), n_shards).alias("shard"),
+        F.size(_tokens(F.col(text_col))).alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+            / F.lit(max_tokens)
+        ),
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("doc_ids"),
+    )

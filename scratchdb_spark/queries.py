@@ -3166,3 +3166,40 @@ def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import kmeans_fit
 
     return kmeans_fit(table(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
+@register(
+    "curate_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  % 16 AS BIGINT) AS shard,
+             len({_DUCK_TOKENS.replace('text', 'text')}) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT shard, doc_id, n_tok,
+             CAST(floor(coalesce(sum(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) / 512) AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT shard, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM b GROUP BY shard, bin_id
+    """,
+    doc="Greedy contiguous sequence packing (512-token bins) within "
+        "md5 shards — training-batch prep. Per-shard windows keep the "
+        "cumulative-sum parallel at corpus scale (a global order would "
+        "be a one-task window at 100 TB).",
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import pack_sequences
+
+    return pack_sequences(
+        table(spark, sf_dir, "documents"), max_tokens=512
+    )

