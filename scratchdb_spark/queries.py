@@ -3203,3 +3203,82 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         table(spark, sf_dir, "documents"), max_tokens=512
     )
+
+
+@register(
+    "stream_windowed_event_counts",
+    """
+    SELECT CAST(epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)
+             AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Batch-parity check for the streaming event-time operator: "
+        "streaming/ingest_stream.windowed_event_counts runs the SAME "
+        "code on a batch frame (tumbling 6h windows + agg), so the "
+        "streaming transformation's semantics get an exact SQL oracle "
+        "row. Window start is emitted as integer epoch-us (timestamp "
+        "codecs differ across engines; integers hash identically).",
+)
+def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ingest_stream import windowed_event_counts
+
+    ev = table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, "6 hours", "1 hour")
+    return out.select(
+        epoch_us(out, "window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "stream_session_window_counts",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    )
+    SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts) + INTERVAL '30 minutes') AS BIGINT)
+             AS session_end_us,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    doc="Batch-parity check for Spark's native session_window: "
+        "streaming/ingest_stream.session_window_counts (same code path "
+        "streaming uses) vs an explicit lag/cumsum session "
+        "reconstruction in SQL. session_window's end = last event + "
+        "gap; timestamps emitted as integer epoch-us.",
+)
+def stream_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ingest_stream import session_window_counts
+
+    ev = table(spark, sf_dir, "events")
+    out = session_window_counts(ev, "30 minutes", "2 hours")
+    return out.select(
+        epoch_us(out, "session_start").alias("session_start_us"),
+        epoch_us(out, "session_end").alias("session_end_us"),
+        "user_id",
+        "n_events",
+        "session_value",
+    )
