@@ -3282,3 +3282,47 @@ def stream_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+@register(
+    "setop_except_all_mktsegments",
+    """
+    SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey < 13
+    EXCEPT ALL
+    SELECT c_mktsegment FROM customer WHERE c_nationkey >= 13
+    """,
+    doc="EXCEPT ALL (bag semantics): keeps a row once per surplus "
+        "multiplicity on the left — distinct operator from set EXCEPT "
+        "(setop_except_nationkeys), which would return nothing here "
+        "since every segment appears on both sides.",
+)
+def setop_except_all_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    lo = c.filter(F.col("c_nationkey") < 13).select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    hi = c.filter(F.col("c_nationkey") >= 13).select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    return lo.exceptAll(hi)
+
+
+@register(
+    "setop_intersect_all_mktsegments",
+    """
+    SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey < 13
+    INTERSECT ALL
+    SELECT c_mktsegment FROM customer WHERE c_nationkey >= 13
+    """,
+    doc="INTERSECT ALL (bag semantics): keeps min(left, right) copies "
+        "of each row — distinct from set INTERSECT's 0/1.",
+)
+def setop_intersect_all_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    lo = c.filter(F.col("c_nationkey") < 13).select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    hi = c.filter(F.col("c_nationkey") >= 13).select(
+        F.col("c_mktsegment").alias("seg")
+    )
+    return lo.intersectAll(hi)
