@@ -3326,3 +3326,35 @@ def setop_intersect_all_mktsegments(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("c_mktsegment").alias("seg")
     )
     return lo.intersectAll(hi)
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+    SELECT p_partkey, 'retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    WHERE p_partkey <= 200
+    """,
+    doc="UNPIVOT (wide -> long, the inverse of the pivot category): "
+        "DataFrame.unpivot melts metric columns into (metric, value) "
+        "rows; oracle is the portable UNION ALL formulation.",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
