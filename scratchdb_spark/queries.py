@@ -3358,3 +3358,76 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "lateral_top_customers_per_nation",
+    """
+    SELECT n.n_name, t.c_name, t.bal
+    FROM nation n,
+    LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal
+             FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+    doc="Correlated LATERAL subquery (top-2 customers per nation by "
+        "balance) through the SQL pass-through surface — the "
+        "table-valued correlation shape; Catalyst rewrites it to a "
+        "ranked join (same plan class as the window formulation).",
+)
+def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name, t.c_name, t.bal
+        FROM nation n,
+        LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """,
+    )
+
+
+@register(
+    "ann_filtered_cosine_topk",
+    """
+    WITH corpus AS (
+      SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE contains(lower(d.text), 'data')
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM q JOIN corpus ON query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Filtered vector search (hybrid retrieval): the candidate "
+        "corpus is pre-filtered by a keyword predicate on the joined "
+        "documents table, then scored exactly — predicate pushdown + "
+        "equi-join shrink the corpus BEFORE any vector math, the shape "
+        "that matters when the filter is selective at scale.",
+)
+def ann_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    corpus = emb.join(
+        docs.filter(F.lower(F.col("text")).contains("data")).select(
+            F.col("doc_id").alias("vec_id")
+        ),
+        "vec_id",
+    )
+    return brute_force_topk(corpus, emb.filter(F.col("vec_id") < 5), k=5)

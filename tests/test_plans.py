@@ -27,6 +27,11 @@ ALLOWED_NESTED_LOOP = {
     # exact quadratic baselines for approximate operators
     "text_ngram_jaccard_pairs": "exact quadratic jaccard baseline",
     "ann_cosine_topk": "exact brute-force baseline; query batch broadcast",
+    "ann_filtered_cosine_topk": (
+        "exact scoring over a predicate-shrunk corpus; query batch "
+        "broadcast — the filter bounds the pair count, and the scale "
+        "path is lsh/ivf over the same filtered corpus"
+    ),
     # block-LEVEL pair join: rows are pre-packed blocks, so the
     # nested-loop touches B(B+1)/2 block rows, never row pairs
     "emb_near_dup_pairs": "block-pair enumeration over packed blocks",
