@@ -1,0 +1,76 @@
+"""Incremental time rollups (continuous aggregates): each ingest batch
+appends tiny per-(bucket, dims) PARTIAL aggregate rows to a managed
+rollup table; reads merge the partials. The hypertable/continuous-
+aggregate pattern: at 100 TB the rollup query touches KBs-MBs of
+partials instead of rescanning raw events, and a late batch is just
+another partial row — no rewrite, no read-modify-write.
+
+Only mergeable aggregates belong here (count, sum, min, max — and
+sketches, see the approx_hll_sketch_union query for that variant);
+avg is derived at read time as a merged sum over a merged count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tables import Warehouse
+
+
+def append_rollup_partials(
+    warehouse: Warehouse,
+    database: str,
+    table: str,
+    batch: DataFrame,
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> None:
+    """Aggregate one batch into per-(day, dims) partial rows and append
+    them. Partials are append-only: re-deliveries of DISTINCT batches
+    merge correctly by construction; the batch boundary is the caller's
+    at-least-once unit (pair with the checkpointed ingest stream)."""
+    part = (
+        batch.groupBy(
+            F.date_trunc("DAY", ts_col).alias("bucket_day"), *dims
+        )
+        .agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(value_col).alias("p_sum"),
+            F.min(value_col).alias("p_min"),
+            F.max(value_col).alias("p_max"),
+        )
+    )
+    warehouse.append_aligned(database, table, part)
+
+
+def read_rollup(
+    warehouse: Warehouse,
+    database: str,
+    table: str,
+    dims: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Merge the stored partials into the final per-(day, dims)
+    aggregate: counts and sums add, min/max fold, avg derives."""
+    p = warehouse.read(database, table)
+    merged = p.groupBy("bucket_day", *dims).agg(
+        F.sum("p_n").alias("n"),
+        F.round(F.sum("p_sum"), 2).alias("total_value"),
+        F.round(F.min("p_min"), 4).alias("min_value"),
+        F.round(F.max("p_max"), 4).alias("max_value"),
+    )
+    # avg derives in INTEGER arithmetic: the 2dp total is exact cents
+    # (cross-engine-stable — it is itself hash-compared); scaling to
+    # 1e-4 units and flooring the integer quotient avoids float
+    # rounding entirely. A round(double/number, k) here is a trap: a
+    # quotient can land exactly on the half grid (e.g. 307.03/8 =
+    # 38.37875) and Spark (HALF_UP on the shortest decimal repr) and
+    # DuckDB (raw-double banker-ish) disagree — observed 1-2 rows per
+    # 150 in the driver-sim gate before this form.
+    return merged.withColumn(
+        "avg_value_e4",
+        F.expr(
+            "CAST(round(total_value * 100) AS BIGINT) * 100 div n"
+        ),
+    )

@@ -3431,3 +3431,49 @@ def ann_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
     )
     return brute_force_topk(corpus, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "rollup_incremental_daily",
+    """
+    SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           CAST(round(round(sum(value), 2) * 100) AS BIGINT) * 100
+             // count(*) AS avg_value_e4
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Continuous-aggregate pattern (operators/incremental.py): the "
+        "events table is ingested as TWO batches (event_id parity), "
+        "each appending per-(day, type) PARTIAL rows to a managed "
+        "rollup table; the read merges partials (counts/sums add, "
+        "min/max fold, avg derives). Oracle aggregates the raw events "
+        "directly — merged partials must equal the one-shot answer. "
+        "At 100 TB the rollup read touches partial rows only; a late "
+        "batch is one more partial append, never a rewrite.",
+    bench=False,  # times temp-warehouse setup, not query execution
+)
+def rollup_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.incremental import append_rollup_partials, read_rollup
+    from .tables import Warehouse
+
+    ev = table(spark, sf_dir, "events")
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rollup_inc_"))
+    append_rollup_partials(
+        wh, "db", "agg", ev.filter(F.col("event_id") % 2 == 0)
+    )
+    append_rollup_partials(
+        wh, "db", "agg", ev.filter(F.col("event_id") % 2 == 1)
+    )
+    out = read_rollup(wh, "db", "agg")
+    return out.select(
+        epoch_us(out, "bucket_day").alias("day_us"),
+        "event_type", "n", "total_value", "min_value", "max_value",
+        "avg_value_e4",
+    )

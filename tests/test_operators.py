@@ -624,3 +624,46 @@ def test_pack_sequences_budget_and_coverage(spark):
     for shard, bins in by_shard.items():
         bins.sort(key=lambda r: r["bin_id"])
         assert [b["bin_id"] for b in bins] == list(range(len(bins)))
+
+
+def test_incremental_rollup_merges_batches(spark, tmp_path):
+    """Partials appended across batches must merge to the one-shot
+    answer; a third (late) batch is one more append."""
+    import datetime
+
+    from scratchdb_spark.operators.incremental import (
+        append_rollup_partials,
+        read_rollup,
+    )
+    from scratchdb_spark.tables import Warehouse
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 2, 3), "t", float(i))
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    append_rollup_partials(wh, "db", "agg", ev.filter("event_id < 4"))
+    append_rollup_partials(wh, "db", "agg", ev.filter("event_id >= 4"))
+    merged = {
+        (r["bucket_day"].day, r["event_type"]): r
+        for r in read_rollup(wh, "db", "agg").collect()
+    }
+    day1 = merged[(1, "t")]  # even ids: 0,2,4,6,8
+    assert day1["n"] == 5 and day1["total_value"] == 20.0
+    assert day1["min_value"] == 0.0 and day1["max_value"] == 8.0
+    assert day1["avg_value_e4"] == 40000  # 4.0 in 1e-4 units
+
+    # late batch: another append, no rewrite
+    late = spark.createDataFrame(
+        [(99, datetime.datetime(2024, 1, 1, 9), "t", 100.0)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    append_rollup_partials(wh, "db", "agg", late)
+    day1b = {
+        (r["bucket_day"].day, r["event_type"]): r
+        for r in read_rollup(wh, "db", "agg").collect()
+    }[(1, "t")]
+    assert day1b["n"] == 6 and day1b["total_value"] == 120.0
