@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -46,6 +47,25 @@ def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
 
 def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
     return max(1, math.ceil(total_bytes / max(1, target_file_bytes)))
+
+
+def _atomic_swap(spark: SparkSession, path: str, out) -> None:
+    """Write `out` to a temp dir and swap it in with two renames, so a
+    concurrent reader sees either the old or the new complete
+    directory, never a half-written one."""
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    bak = path.rstrip("/") + ".__compact_bak__"
+    out.write.mode("overwrite").parquet(tmp)
+
+    fs, hpath, jvm = _fs(spark, path)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    if not fs.rename(hpath, bak_p):
+        raise IOError(f"compaction swap failed: {path} -> {bak}")
+    if not fs.rename(tmp_p, hpath):
+        fs.rename(bak_p, hpath)  # roll back
+        raise IOError(f"compaction swap failed: {tmp} -> {path}")
+    fs.delete(bak_p, True)
 
 
 def compact_path(
@@ -80,19 +100,7 @@ def compact_path(
     else:
         out = df.coalesce(n_target)
 
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    bak = path.rstrip("/") + ".__compact_bak__"
-    out.write.mode("overwrite").parquet(tmp)
-
-    fs, hpath, jvm = _fs(spark, path)
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    bak_p = jvm.org.apache.hadoop.fs.Path(bak)
-    if not fs.rename(hpath, bak_p):
-        raise IOError(f"compaction swap failed: {path} -> {bak}")
-    if not fs.rename(tmp_p, hpath):
-        fs.rename(bak_p, hpath)  # roll back
-        raise IOError(f"compaction swap failed: {tmp} -> {path}")
-    fs.delete(bak_p, True)
+    _atomic_swap(spark, path, out)
 
     files_after = list_data_files(spark, path)
     return {
@@ -102,3 +110,72 @@ def compact_path(
         "bytes_after": sum(sz for _, sz in files_after),
         "target_files": n_target,
     }
+
+
+def zorder_key(df, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key column over 2+ dimensions for multi-column
+    data clustering — the OPTIMIZE ZORDER analogue for plain parquet.
+
+    Each column is rank-normalized to a ``bits``-bit integer
+    (percent_rank over its own ordering, so skewed distributions still
+    spread across the grid), then the bit planes interleave into one
+    BIGINT. Range-clustering files on this key gives every file a
+    bounded min/max rectangle in ALL the z-ordered dimensions at once,
+    so row-group/file pruning works for predicates on any single one —
+    the property a single-column sort only provides for its leading
+    column.
+
+    Built from window + bit expressions (JVM codegen; no UDF). The
+    percent_rank windows are per-column global orderings: at 100 TB
+    replace with approx-quantile bucketization (mapInPandas-free:
+    approxQuantile driver call + F.bucketizer-style CASE) if the
+    single-partition window becomes the bottleneck; the interleave is
+    unchanged.
+    """
+    from pyspark.sql.window import Window as W
+
+    maxv = (1 << bits) - 1
+    ranked = df
+    qcols = []
+    for c in cols:
+        qc = f"__z_{c}"
+        ranked = ranked.withColumn(
+            qc,
+            F.round(
+                F.percent_rank().over(W.partitionBy().orderBy(c)) * maxv
+            ).cast("long"),
+        )
+        qcols.append(qc)
+    # interleave: output bit (i * n_cols + j) = bit i of column j
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, qc in enumerate(qcols):
+            src_bit = F.shiftrightunsigned(F.col(qc), i).bitwiseAND(one)
+            z = z.bitwiseOR(
+                F.shiftleft(src_bit, i * len(cols) + j).cast("long")
+            )
+    return ranked.withColumn("__zkey", z), "__zkey"
+
+
+def compact_path_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite `path` range-clustered on the z-order key of `cols`:
+    multi-dimensional clustering so min/max pruning works on each
+    z-ordered column independently. Returns the new file count."""
+    files = list_data_files(spark, path)
+    total = sum(sz for _, sz in files)
+    n_target = plan_target_files(total, target_file_bytes)
+    df = spark.read.parquet(path)
+    zdf, zcol = zorder_key(df, cols)
+    out = (
+        zdf.repartitionByRange(n_target, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol, *[f"__z_{c}" for c in cols])
+    )
+    _atomic_swap(spark, path, out)
+    return n_target

@@ -667,3 +667,68 @@ def test_incremental_rollup_merges_batches(spark, tmp_path):
         for r in read_rollup(wh, "db", "agg").collect()
     }[(1, "t")]
     assert day1b["n"] == 6 and day1b["total_value"] == 120.0
+
+
+def test_zorder_clustering_prunes_both_dims(spark, tmp_path):
+    """Files clustered on z(a, b) must have bounded min/max ranges in
+    BOTH dimensions (a single-column sort only bounds its leading
+    column), so predicates on either column prune files."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from scratchdb_spark.operators.compaction import compact_path_zorder
+
+    path = str(tmp_path / "t")
+    df = spark.range(4096).selectExpr(
+        "id", "CAST(id % 64 AS DOUBLE) AS a",
+        "CAST(pmod(hash(id), 64) AS DOUBLE) AS b",
+    )
+    df.repartition(8).write.parquet(path)
+    n = compact_path_zorder(spark, path, ["a", "b"], target_file_bytes=8 * 1024)
+    files = sorted(g.glob(path + "/*.parquet"))
+    assert len(files) >= 4
+
+    def spans(col):
+        out = []
+        for f in files:
+            md = pq.read_metadata(f)
+            names = md.schema.names
+            ci = names.index(col)
+            stats = [md.row_group(i).column(ci).statistics
+                     for i in range(md.num_row_groups)]
+            out.append(max(s.max for s in stats) - min(s.min for s in stats))
+        return out
+
+    full = 63.0
+    # z-clustering bounds BOTH dims on average (a middle file crossing
+    # a top-level quadrant boundary can still span one dim, so compare
+    # means, and compare against the single-column-sort baseline where
+    # the non-leading dim spans ~full in every file)
+    mean_a = sum(spans("a")) / len(files)
+    mean_b = sum(spans("b")) / len(files)
+    assert mean_a <= full * 0.8 and mean_b <= full * 0.8
+
+    from scratchdb_spark.operators.compaction import compact_path
+
+    single = str(tmp_path / "single")
+    spark.read.parquet(path).write.parquet(single)
+    compact_path(spark, single, target_file_bytes=8 * 1024, sort_col="a")
+    files_s = sorted(g.glob(single + "/*.parquet"))
+
+    def spans_of(fs, col):
+        out = []
+        for f in fs:
+            md = pq.read_metadata(f)
+            ci = md.schema.names.index(col)
+            stats = [md.row_group(i).column(ci).statistics
+                     for i in range(md.num_row_groups)]
+            out.append(max(s.max for s in stats) - min(s.min for s in stats))
+        return out
+
+    mean_b_single = sum(spans_of(files_s, "b")) / len(files_s)
+    assert mean_b < mean_b_single * 0.8, (
+        f"z-order b-span {mean_b} not better than single-sort "
+        f"{mean_b_single}"
+    )
+    # content preserved
+    assert spark.read.parquet(path).count() == 4096
