@@ -3477,3 +3477,56 @@ def rollup_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "total_value", "min_value", "max_value",
         "avg_value_e4",
     )
+
+
+@register(
+    "agg_percentile_disc",
+    """
+    SELECT event_type,
+           round(quantile_disc(value, 0.5), 4) AS p50_disc,
+           round(quantile_disc(value, 0.9), 4) AS p90_disc
+    FROM events GROUP BY event_type
+    """,
+    doc="Discrete percentiles (an actually-occurring value, no "
+        "interpolation) — distinct semantics from the continuous "
+        "percentile in agg_exact_percentiles / "
+        "count_distinct_exact_median.",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 4).alias("p50_disc"),
+        F.round(F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)"), 4).alias("p90_disc"),
+    )
+
+
+@register(
+    "agg_grouping_id_rollup",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="grouping()/grouping_id exposure: distinguishes real NULL keys "
+        "from rollup subtotal rows — the metadata column BI tools key "
+        "on when consuming ROLLUP output.",
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
