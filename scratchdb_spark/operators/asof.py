@@ -35,16 +35,36 @@ def asof_join(
     tiebreak: str | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach ``value_cols`` from the most recent
-    right row with right_time <= left_time (direction='backward') and
-    the same ``on`` keys. Right rows at exactly left_time win (<=),
+    """For each left row, attach ``value_cols`` from the nearest right
+    row with the same ``on`` keys: the most recent right row with
+    right_time <= left_time for direction='backward', or the earliest
+    right row with right_time >= left_time for direction='forward'.
+    Right rows at exactly left_time match in both directions (<= / >=),
     matching pandas/DuckDB ASOF semantics.
+
+    Forward is the same union+window plan scanned in reverse time
+    order: right rows still sort before left rows at equal time (so
+    '>=' includes equality), and the tiebreak flips so that among
+    right rows at the same time the SMALLEST tiebreak wins (mirror of
+    backward's largest-wins last-scanned semantics).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
 
     on = list(on)
     value_cols = list(value_cols)
+
+    # the tiebreak orders EACH side it exists on: among right rows at
+    # the same time it picks which one's value is carried (largest wins
+    # backward, smallest forward — matching a union'd SQL window
+    # ORDER BY t, is_left, tiebreak); sides lacking the column get a
+    # constant (their internal order doesn't affect carried values)
+    def _tb(df: DataFrame):
+        if tiebreak and tiebreak in df.columns:
+            return F.col(tiebreak).alias("__tb")
+        return F.lit(0).alias("__tb")
 
     lt = left.select(
         *on,
@@ -53,7 +73,7 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in value_cols],
         F.struct(*left.columns).alias("__row"),
-        *([F.col(tiebreak).alias("__tb")] if tiebreak else [F.lit(0).alias("__tb")]),
+        _tb(left),
     )
     rt = right.select(
         *on,
@@ -61,13 +81,19 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
         F.lit(None).cast(lt.schema["__row"].dataType).alias("__row"),
-        F.lit(0).alias("__tb"),
+        _tb(right),
     )
 
-    # right rows sort before left rows at equal time -> '<=' semantics
+    # right rows sort before left rows at equal time -> '<='/'>='
+    # semantics; forward scans time descending so last(ignoreNulls)
+    # carries the EARLIEST right row at-or-after each left row
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__is_left").asc(), F.col("__tb").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__is_left").asc(), F.col("__tb").desc()]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tb"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt).select(

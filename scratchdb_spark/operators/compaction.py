@@ -134,6 +134,19 @@ def zorder_key(df, cols: list[str], bits: int = 16):
     """
     from pyspark.sql.window import Window as W
 
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    # The interleaved key must fit in the 64-bit BIGINT: JVM shiftleft
+    # wraps the shift amount mod 64, so bits * len(cols) > 63 would
+    # silently alias high bit planes into low positions and corrupt
+    # the key. Auto-narrow per-column resolution instead.
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(
+            f"zorder_key over {len(cols)} columns cannot fit even one "
+            "bit plane per column in a 64-bit key; z-order fewer columns"
+        )
+
     maxv = (1 << bits) - 1
     ranked = df
     qcols = []

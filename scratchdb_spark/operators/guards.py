@@ -24,15 +24,23 @@ def refuse_quadratic(
     operator: str,
     alternative: str,
 ) -> None:
-    """Count ``df`` (parquet metadata count — cheap relative to the
-    quadratic work being guarded) and refuse if it exceeds the bound."""
+    """Probe ``df`` with ``LIMIT max_rows + 1`` and refuse if more
+    than ``max_rows`` rows come back.
+
+    The probe is NOT free — it executes ``df``'s upstream plan (the
+    callers pass filtered/projected frames, not raw scans) — but the
+    limit lets Spark stop as soon as max_rows + 1 rows surface instead
+    of counting the whole input, so the guard's cost is bounded by the
+    threshold it enforces, not by the input size. That linear,
+    early-exiting probe is what makes it safe to run unconditionally
+    in front of the O(n^2) work it guards."""
     if max_rows is None:
         return
-    n = df.count()
+    n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise QuadraticInputError(
             f"{operator} is an O(n^2) exact baseline and its input has "
-            f"{n} rows (> max_rows={max_rows}). Use {alternative} at "
+            f"more than max_rows={max_rows} rows. Use {alternative} at "
             f"scale, or pass a higher max_rows to opt in explicitly."
         )
 

@@ -404,6 +404,55 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "asof_next_click_after_purchase",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             (event_type = 'purchase') AS is_left
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, value, is_left,
+             last_value(CASE WHEN NOT is_left THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, is_left ASC, event_id DESC
+                     ROWS UNBOUNDED PRECEDING) AS asof_value
+      FROM tagged
+    )
+    SELECT event_id, user_id,
+           round(value, 4)      AS purchase_value,
+           round(asof_value, 4) AS asof_value
+    FROM w WHERE is_left
+    """,
+    doc="FORWARD as-of join: per purchase, the earliest click value "
+        "at-or-after it (operators/asof.py direction='forward' — same "
+        "union+window plan scanned in reverse time order; smallest "
+        "event_id wins equal-time click ties). Completes the as-of "
+        "surface's direction symmetry (reference delegates ASOF to its "
+        "SQL backends; pandas/DuckDB both expose the forward variant).",
+)
+def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("asof_value", 4).alias("asof_value"),
+    )
+
+
+@register(
     "q7_nation_volume",
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -2829,24 +2878,31 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_exact_percentiles",
     """
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.9]),
-                          x -> round(x, 6)) AS qty_quantiles
+           round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+           round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Exact grouped percentiles with linear interpolation (the "
         "exact twin of percentile_approx; both engines implement the "
-        "standard (n-1)*p interpolation).",
+        "standard (n-1)*p interpolation). Output is four scalar "
+        "columns, not one array column: the driver's canonicalizer "
+        "sorts cell values and cannot hash list cells.",
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.transform(
-                F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75, 0.9])),
-                lambda x: F.round(x, 6),
-            ).alias("qty_quantiles")
-        )
+    li = table(spark, sf_dir, "lineitem")
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75, 0.9])).alias("q")
+    )
+    return qs.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("q")[i], 6).alias(name)
+            for i, name in enumerate(
+                ["qty_p25", "qty_p50", "qty_p75", "qty_p90"]
+            )
+        ],
     )
 
 
@@ -3242,7 +3298,7 @@ def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL '30 minutes'
+                       >= INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -3268,7 +3324,11 @@ def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming/ingest_stream.session_window_counts (same code path "
         "streaming uses) vs an explicit lag/cumsum session "
         "reconstruction in SQL. session_window's end = last event + "
-        "gap; timestamps emitted as integer epoch-us.",
+        "gap; an event arriving EXACTLY gap after the previous one "
+        "starts a new session (windows [ts, ts+gap) merge only on "
+        "strict overlap), so the oracle marks new sessions on "
+        "gap >= 30min, pinning the boundary. Timestamps emitted as "
+        "integer epoch-us.",
 )
 def stream_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.ingest_stream import session_window_counts

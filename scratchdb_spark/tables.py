@@ -275,8 +275,13 @@ class Warehouse:
         # (clickhouse/destination.go:16-17)
         if "__row_id" in aligned.columns:
             aligned = aligned.sortWithinPartitions("__row_id")
-        aligned.write.mode("append").parquet(self._path(database, table))
         if len(aligned.schema.fields) > len(existing.fields):
-            # schema grew: persist the evolved sidecar (metadata-only —
-            # old files simply project the new columns as NULL)
+            # schema grew: persist the evolved sidecar BEFORE the data
+            # append. Sidecar-first is crash-safe in both orders of
+            # failure: old files already project the new columns as
+            # NULL, so a sidecar with no matching data yet reads fine —
+            # whereas data-first would leave the new columns permanently
+            # invisible (the explicit sidecar schema projects them away)
+            # if the process died between the two writes.
             self._write_schema(database, table, aligned.schema)
+        aligned.write.mode("append").parquet(self._path(database, table))

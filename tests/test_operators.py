@@ -31,6 +31,43 @@ def test_asof_join_backward_with_ties(spark):
     assert got == {"L1": 200.0, "L2": 300.0, "L3": None}
 
 
+def test_asof_join_forward_with_ties(spark):
+    from scratchdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3"), (2, 99, "L4")],
+        "k int, t int, name string",
+    )
+    right = spark.createDataFrame(
+        # k=1: t=10 ties with L1 -> >= wins; t=15 is L2's next... none
+        #      at/after 20 -> L2 unmatched
+        # k=2: t=7 is the first at/after L3; nothing at/after 99
+        [(1, 5, 100.0), (1, 10, 200.0), (1, 15, 300.0), (2, 7, 400.0)],
+        "k int, t int, v double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        value_cols=["v"], tiebreak="t", direction="forward",
+    )
+    got = {r["name"]: r["asof_v"] for r in out.collect()}
+    assert got == {"L1": 200.0, "L2": None, "L3": 400.0, "L4": None}
+
+
+def test_asof_join_forward_equal_time_tiebreak(spark):
+    from scratchdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L1")], "k int, t int, name string")
+    right = spark.createDataFrame(
+        # two right rows at the same matching time: smallest tiebreak wins
+        [(1, 10, 7, 100.0), (1, 10, 3, 200.0)], "k int, t int, tb int, v double"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        value_cols=["v"], tiebreak="tb", direction="forward",
+    )
+    assert out.collect()[0]["asof_v"] == 200.0
+
+
 def test_exact_dedup_counts(spark):
     from scratchdb_spark.operators.dedup import exact_dedup
 

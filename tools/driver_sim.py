@@ -65,6 +65,20 @@ def main() -> int:
         try:
             sdf = spec.spark_fn(spark, sf_dir)
             s_cols = sdf.columns
+            # The real driver canonicalizes with pandas sort_values,
+            # which throws on list cells — an array/map/struct output
+            # column is a guaranteed driver FAIL even when values are
+            # right (round-3 agg_exact_percentiles). Refuse it here.
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if bad:
+                raise TypeError(
+                    "driver-incompatible non-scalar output column(s): "
+                    + ", ".join(bad)
+                )
             s_rows = [tuple(r) for r in sdf.collect()]
             spark.catalog.clearCache()
             if spec.oracle is None:
