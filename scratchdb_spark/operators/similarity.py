@@ -483,18 +483,28 @@ def kmeans_fit(
 
     Determinism across partitionings is load-bearing (the golden-
     fixture oracle snapshots the output): float sums reorder under
-    different partition counts, so the update step sums DECIMAL-cast
-    components — decimal addition is exact and associative, giving
-    bit-identical means for ANY partitioning — then renormalizes
-    driver-side in numpy. Per-iteration driver traffic is the k x dim
-    centroid matrix (KBs); the corpus-side work is one vectorized
-    assignment pass + one narrow (cid, dim) aggregation per iteration
-    — each iteration is 2 jobs regardless of corpus size.
+    different partition counts, so each component is quantized to a
+    12-dp SCALED INTEGER inside the kernel and summed with exact
+    integer addition (int64 within an Arrow batch — |v| <= 1 so
+    10k-row batches stay 8 orders of magnitude under overflow; Python
+    bigints across batches), then the per-partition partials combine
+    under an exact decimal(38,0) aggregate — integer addition is
+    associative, giving bit-identical means for ANY partitioning.
+
+    Each iteration is ONE job: a fused mapInPandas kernel does the
+    vectorized cosine assignment AND the per-(cid, dim) accumulation
+    per partition, emitting at most partitions x k x dims tiny partial
+    rows — the corpus-sized n x dims (cid, dim, val) explosion the
+    previous posexplode formulation materialized before its map-side
+    combine never exists. Per-iteration driver traffic is the k x dim
+    centroid matrix (KBs).
 
     Output: (centroid_id, dim, c_val, n_assigned) — one row per
     centroid component (scalar cells hash-compare cleanly; no array
     encodings in the correctness path).
     """
+    from decimal import Decimal
+
     from pyspark.sql import Row
 
     n = _norm(F.col(vec_col))
@@ -510,41 +520,66 @@ def kmeans_fit(
     C = np.array([v for _, v in init])
     C = np.round(C / np.linalg.norm(C, axis=1, keepdims=True), 6)
     counts = {i: 0 for i in range(k)}
+    SCALE = 10**12
 
     for _ in range(iters):
         Cb = C  # rebind for closure
 
-        @pandas_udf("int")
-        def assign(v: pd.Series) -> pd.Series:
-            if len(v) == 0:
-                return pd.Series([], dtype="int32")
-            V = np.array([np.asarray(x, dtype=np.float64) for x in v])
-            S = np.round(V @ Cb.T, 6)
-            return pd.Series(np.argmax(S, axis=1).astype("int32"))
+        def assign_accumulate(batches):
+            # per-partition: assign each vector to its argmax-cosine
+            # centroid (6dp rounding, ties to smallest index), then
+            # accumulate exact scaled-integer component sums per cid
+            acc: dict[int, list[int]] = {}
+            cnt: dict[int, int] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+                )
+                S = np.round(V @ Cb.T, 6)
+                cids = np.argmax(S, axis=1)
+                scaled = np.rint(V * SCALE).astype(np.int64)
+                for cid in np.unique(cids):
+                    mask = cids == cid
+                    part = scaled[mask].sum(axis=0)
+                    key = int(cid)
+                    if key in acc:
+                        acc[key] = [
+                            a + int(b) for a, b in zip(acc[key], part)
+                        ]
+                        cnt[key] += int(mask.sum())
+                    else:
+                        acc[key] = [int(b) for b in part]
+                        cnt[key] = int(mask.sum())
+            if acc:
+                yield pd.DataFrame(
+                    [
+                        (cid, d, Decimal(s), cnt[cid])
+                        for cid, vec in acc.items()
+                        for d, s in enumerate(vec)
+                    ],
+                    columns=["cid", "dim", "s", "n"],
+                )
 
-        assigned = base.withColumn("cid", assign("v"))
         sums = (
-            assigned.select(
-                "cid", F.posexplode("v").alias("dim", "val")
+            base.mapInPandas(
+                assign_accumulate, "cid int, dim int, s decimal(38,0), n long"
             )
             .groupBy("cid", "dim")
-            .agg(
-                # decimal accumulation: exact + order-independent, so
-                # the result is identical under any partitioning
-                F.sum(F.round(F.col("val"), 12).cast("decimal(28,12)"))
-                .alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         dims = C.shape[1]
         newC = C.copy()
         counts = {i: 0 for i in range(k)}
-        acc = {}
+        acc2: dict[int, list] = {}
         for r in sums:
-            acc.setdefault(r["cid"], [None] * dims)[r["dim"]] = float(r["s"])
+            acc2.setdefault(r["cid"], [None] * dims)[r["dim"]] = (
+                float(r["s"]) / SCALE
+            )
             counts[r["cid"]] = r["n"]
-        for cid, comps in acc.items():
+        for cid, comps in acc2.items():
             m = np.array(comps, dtype=np.float64) / counts[cid]
             norm = np.linalg.norm(m)
             if norm > 0:

@@ -279,6 +279,47 @@ def test_simhash_near_pairs_complete_vs_brute_force(spark, sf_dir):
     assert got == expected
 
 
+def test_simhash_near_pairs_skewed_corpus(spark):
+    """Duplicate-heavy corpus: candidates come from DISTINCT
+    fingerprints, so identical docs don't blow up the band join, and
+    the identical-fp pairs still come out complete (hamming 0)."""
+    from scratchdb_spark.operators.dedup import simhash_near_pairs
+
+    dup = "the same exact document body repeated many many times over"
+    rows = [(i, dup) for i in range(40)]
+    rows.append((100, dup.replace("over", "again")))  # near-dup of the block
+    rows.append((200, "an entirely different text about parquet shuffles"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = simhash_near_pairs(docs).collect()
+    same = {(r["id_a"], r["id_b"]) for r in got if r["hamming"] == 0}
+    # all C(40,2) identical pairs present
+    assert same == {(a, b) for a in range(40) for b in range(a + 1, 40)}
+    # no pair ever touches the unrelated doc
+    assert all(r["id_a"] != 200 and r["id_b"] != 200 for r in got)
+
+
+def test_simhash_near_pairs_bucket_cap_trips(spark):
+    """max_bucket bounds DISTINCT-fp collisions per (band, bval): a
+    corpus of many distinct docs sharing band values must fail fast
+    with the remedy message, not go quadratic silently."""
+    import pytest as _pytest
+    from scratchdb_spark.operators.dedup import simhash_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near a river"
+    docs = spark.createDataFrame(
+        # near-identical but DISTINCT texts: fingerprints differ in a
+        # few bits, so (by the same pigeonhole the operator relies on)
+        # pairs within hamming < bands share at least one band value —
+        # guaranteed distinct-fp bucket collisions for cap=1
+        [(i, f"{base} token{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(Exception, match="max_bucket"):
+        simhash_near_pairs(docs, max_bucket=1).collect()
+    # opting out runs fine
+    assert simhash_near_pairs(docs, max_bucket=None).count() >= 0
+
+
 def test_ivf_topk_recall_and_list_discipline(spark, sf_dir):
     from scratchdb_spark.operators.similarity import brute_force_topk, ivf_topk
     from scratchdb_spark.tables import table

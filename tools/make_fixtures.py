@@ -52,14 +52,17 @@ def _canon(tbl: pa.Table) -> list[tuple]:
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or DEFAULT_SF_DIRS
+    args = sys.argv[1:]
+    only = [a.split("=", 1)[1] for a in args if a.startswith("--only=")]
+    sf_dirs = [a for a in args if not a.startswith("--only=")] or DEFAULT_SF_DIRS
+    names = [n for n in FIXTURE_NAMES if not only or n in only]
     os.makedirs(FIXTURE_DIR, exist_ok=True)
 
     spark = get_spark("make-fixtures")
     spark.sparkContext.setLogLevel("ERROR")
     reg = catalog.registry()
 
-    for name in FIXTURE_NAMES:
+    for name in names:
         parts: list[pa.Table] = []
         for sf_dir in sf_dirs:
             from scratchdb_spark.tables import table
