@@ -66,6 +66,133 @@ def decontaminate(
     )
 
 
+def _bloom_positions(h, mul, add, num_bits: int):
+    """(n,) uint64 hashes -> (n, k) bit positions: k salted splitmix
+    multiply-add permutations + xor-shift finalizer, masked to the
+    power-of-two table size."""
+    import numpy as np
+
+    x = h[:, None] * mul[None, :] + add[None, :]
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return x & np.uint64(num_bits - 1)
+
+
+def bloom_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 1 << 22,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the constant-memory,
+    join-free twin of :func:`decontaminate`.
+
+    Build: one narrow pass over the eval side computes a PER-PARTITION
+    bloom bitmap of its hashed ``n``-gram shingles inside a vectorized
+    mapInPandas kernel (np.bitwise_or.at scatter); the per-partition
+    bitmaps (``num_bits/8`` bytes each) collect to the driver and OR
+    together — bitwise OR is associative and commutative, so the final
+    filter is bit-identical under ANY partitioning. No shuffle at all
+    on the build.
+
+    Probe: the final bitmap broadcasts (512 KB at the default 2^22
+    bits — CONSTANT regardless of eval-set cardinality, unlike the
+    exact broadcast join whose small side grows with the eval suite)
+    into a second kernel that tests each training doc's shingles with
+    k vectorized lookups and counts hits per doc. No shuffle on the
+    corpus side either — output rows emerge directly from the scan.
+
+    At 100 TB this is the cheapest decontamination shape there is: two
+    narrow scans and a half-megabyte broadcast. The price is a
+    deterministic false-positive rate ((k*n_eval/m)^k, ~1e-9 per probe
+    at defaults); flagged docs are a tiny superset of the exact join's
+    — rerun just the flagged docs through :func:`decontaminate` when
+    exactness matters.
+
+    Output: (doc_id, n_bloom_hits) for flagged docs only; shingle
+    arrays are pre-distinct so hit counts share the exact twin's
+    count-distinct semantics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _splitmix_salts, hashed_shingles, widen
+
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    words = num_bits // 64
+    mul, add = _splitmix_salts(num_hashes, seed=0xB100F)
+
+    ev = eval_df.select(hashed_shingles(F.col(text_col), n).alias("sh"))
+
+    def build(batches):
+        bits = np.zeros(words, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = [np.asarray(x, dtype=np.int64) for x in pdf["sh"]]
+            arrs = [a for a in arrs if len(a)]
+            if not arrs:
+                continue
+            h = np.concatenate(arrs).astype(np.uint64)
+            pos = _bloom_positions(h, mul, add, num_bits).ravel()
+            np.bitwise_or.at(
+                bits, pos >> np.uint64(6),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        yield pd.DataFrame({"bm": [bits.tobytes()]})
+
+    parts = ev.mapInPandas(build, "bm binary").collect()
+    final = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        final |= np.frombuffer(r["bm"], dtype=np.uint64)
+
+    bc = train_df.sparkSession.sparkContext.broadcast(final.tobytes())
+
+    def probe(batches):
+        bits = np.frombuffer(bc.value, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = [np.asarray(x, dtype=np.int64) for x in pdf["sh"]]
+            lens = np.array([len(a) for a in arrs], dtype=np.int64)
+            if lens.sum() == 0:
+                continue
+            h = np.concatenate([a for a in arrs if len(a)]).astype(np.uint64)
+            pos = _bloom_positions(h, mul, add, num_bits)
+            hit = np.ones(len(h), dtype=bool)
+            for j in range(num_hashes):
+                pj = pos[:, j]
+                hit &= (
+                    (bits[(pj >> np.uint64(6)).astype(np.int64)]
+                     >> (pj & np.uint64(63))) & np.uint64(1)
+                ).astype(bool)
+            row_idx = np.repeat(
+                np.arange(len(arrs))[lens > 0], lens[lens > 0]
+            )
+            n_hits = np.bincount(
+                row_idx, weights=hit, minlength=len(arrs)
+            ).astype(np.int64)
+            keep = n_hits > 0
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].values[keep],
+                        "n_bloom_hits": n_hits[keep],
+                    }
+                )
+
+    tr = widen(train_df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("doc_id"),
+        hashed_shingles(F.col(text_col), n).alias("sh"),
+    )
+    return tr.mapInPandas(probe, "doc_id long, n_bloom_hits long")
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2906,6 +2906,34 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed probe list for the CMS point-query catalog entry — hot, mid,
+#: and absent tokens so the fixture pins all three regimes
+_CMS_PROBE_TOKENS = [
+    "scan", "column", "window", "join", "merge", "query",
+    "parquet", "shuffle", "a", "the", "zzz-absent-token",
+]
+
+
+@register(
+    "text_cms_token_freq",
+    _fixture_oracle("text_cms_token_freq", ["tok", "est_n"]),
+    doc="Count-min sketch point queries over the corpus token stream "
+        "(operators/sketch.py): per-partition (4 x 8192) count "
+        "matrices built in one narrow scan — no shuffle touches the "
+        "token stream — and merged by integer matrix addition "
+        "(associative, so partition-invariant; the CMS analogue of "
+        "approx_hll_sketch_union's mergeable-state pattern). At 100 TB "
+        "per-day sketches persist as 256 KB blobs and weekly rollups "
+        "merge sketches instead of rescanning. est_n >= true count "
+        "always; exact twin for hot tokens: text_heavy_hitters.",
+)
+def text_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import cms_token_frequency
+
+    docs = table(spark, sf_dir, "documents")
+    return cms_token_frequency(docs, _CMS_PROBE_TOKENS)
+
+
 @register(
     "agg_string_concat_nations",
     """
@@ -3060,6 +3088,31 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return decontaminate(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        n=4,
+    )
+
+
+@register(
+    "curate_bloom_decontaminate",
+    _fixture_oracle(
+        "curate_bloom_decontaminate", ["doc_id", "n_bloom_hits"]
+    ),
+    doc="Bloom-filter decontamination (constant-memory twin of "
+        "curate_decontaminate, same eval/train split): eval 4-gram "
+        "shingles fold into per-partition bloom bitmaps (OR-merged — "
+        "associative, so partition-invariant) and the 512 KB filter "
+        "broadcasts into a vectorized probe kernel — no join, no "
+        "shuffle on either side; the cheapest decontamination shape "
+        "at 100 TB. Deterministic output (fixture oracle); exact twin "
+        "curate_decontaminate gives the SQL-checkable lower bound.",
+)
+def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import bloom_decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    return bloom_decontaminate(
         docs.filter(F.col("doc_id") >= 10),
         docs.filter(F.col("doc_id") < 10),
         n=4,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -621,6 +622,76 @@ def test_curation_operators(spark):
     # web has the most tokens -> its cumulative share comes first
     assert bud["web"]["cum_token_share"] < 1.0 or bud["web"]["token_share"] > bud["books"]["token_share"]
     assert bud["books"]["cum_token_share"] == 1.0
+
+
+def test_bloom_decontaminate_matches_exact_join(spark, sf_dir):
+    """The bloom probe must flag a superset of the exact join's docs
+    with hit counts >= the exact distinct-gram hits (bloom never
+    misses a true shingle; false positives only inflate). At the
+    default 2^22-bit / 4-hash config the FP rate is ~1e-9 per probe,
+    so on this corpus the outputs should actually be EQUAL — and they
+    are deterministic either way (OR-merged bitmaps are partition-
+    invariant), which make_fixtures separately enforces."""
+    from scratchdb_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    train, ev = docs.filter("doc_id >= 10"), docs.filter("doc_id < 10")
+    exact = {
+        r["doc_id"]: r["n_eval_ngram_hits"]
+        for r in decontaminate(train, ev, n=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in bloom_decontaminate(train, ev, n=4).collect()
+    }
+    assert exact == bloom
+    # partition-invariance of the whole pipeline
+    bloom7 = {
+        r["doc_id"]: r["n_bloom_hits"]
+        for r in bloom_decontaminate(
+            train.repartition(7), ev.repartition(3), n=4
+        ).collect()
+    }
+    assert bloom7 == bloom
+
+
+def test_cms_token_frequency_bounds(spark, sf_dir):
+    """CMS point estimates: never under the true count (counters only
+    inflate on collisions), within the eps*N bound, absent tokens may
+    only collide upward from zero, and the merged sketch is
+    partition-invariant (integer matrix addition is associative)."""
+    from scratchdb_spark.operators.sketch import cms_token_frequency
+    from scratchdb_spark.operators.text import _tokens
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    exact_rows = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .collect()
+    )
+    exact = {r["tok"]: r["count"] for r in exact_rows}
+    stream_len = sum(exact.values())
+    probes = ["scan", "join", "a", "zzz-absent-token"]
+    est = {
+        r["tok"]: r["est_n"]
+        for r in cms_token_frequency(docs, probes).collect()
+    }
+    for t in probes:
+        true_n = exact.get(t, 0)
+        assert est[t] >= true_n, f"{t}: CMS under-counted"
+        # eps = e/width; allow the full no-confidence slack once
+        assert est[t] - true_n <= np.ceil(2.72 * stream_len / 8192) + 1
+    est7 = {
+        r["tok"]: r["est_n"]
+        for r in cms_token_frequency(docs.repartition(7), probes).collect()
+    }
+    assert est7 == est
 
 
 def test_cross_corpus_near_dups(spark):

@@ -37,6 +37,8 @@ FIXTURE_NAMES = [
     "multimodal_fake_features",
     "approx_hll_sketch_union",
     "ann_kmeans_centroids",
+    "curate_bloom_decontaminate",
+    "text_cms_token_freq",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
