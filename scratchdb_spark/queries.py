@@ -2960,6 +2960,178 @@ def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_minmax_by_nation",
+    """
+    SELECT s_nationkey,
+           arg_min(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000
+                           + s_suppkey) AS poorest_supplier,
+           arg_max(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000
+                           + s_suppkey) AS richest_supplier,
+           round(min(s_acctbal), 2) AS min_bal,
+           round(max(s_acctbal), 2) AS max_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    doc="min_by/max_by (arg_min/arg_max) aggregation: the supplier "
+        "name at the extreme account balance per nation. The ordering "
+        "key folds s_suppkey into integer cents so ties are broken "
+        "deterministically in both engines (min_by on a tied key is "
+        "otherwise engine- and partition-dependent).",
+)
+def agg_minmax_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = table(spark, sf_dir, "supplier")
+    ord_key = (
+        F.round(F.col("s_acctbal") * 100).cast("bigint") * 1000000
+        + F.col("s_suppkey")
+    )
+    return sup.groupBy("s_nationkey").agg(
+        F.min_by("s_name", ord_key).alias("poorest_supplier"),
+        F.max_by("s_name", ord_key).alias("richest_supplier"),
+        F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "agg_price_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS bucket_total
+    FROM lineitem GROUP BY bucket
+    """,
+    doc="Equi-width histogram / feature binning: fixed-width price "
+        "buckets via floor arithmetic — one hash aggregate with "
+        "map-side combine, no window, no sort; the binning shape a "
+        "feature-discretization pass uses at corpus scale.",
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("bucket_total"),
+        )
+    )
+
+
+@register(
+    "text_fuzzy_name_pairs",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS blk
+      FROM part WHERE p_partkey < 500
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="Blocked fuzzy matching: edit-distance pairs found WITHOUT a "
+        "cross product — candidates come from an equi-join on a "
+        "blocking key (the name's head noun), then exact levenshtein "
+        "verifies within blocks. The blocking-join-then-verify shape "
+        "is the scalable form of fuzzy dedup (same pattern as "
+        "minhash-LSH: candidates from an equi-join, exact verify "
+        "after); the p_partkey bound keeps the exact baseline's "
+        "within-block work fixed across sf.",
+)
+def text_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("blk"),
+        )
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        "blk",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b")
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t1
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t0
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+          GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'view_click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'view_click_purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+    doc="Ordered 3-stage funnel (view -> click -> purchase, each stage "
+        "strictly at-or-after the previous stage's first event): "
+        "per-stage first-event times via partial-agg min + equi-joins "
+        "on user_id — every shuffle keys on the high-cardinality user, "
+        "stage outputs union without any join. The sessionized-"
+        "conversion shape of product analytics at event-log scale.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "view_click"))
+        .unionByName(stage(p, "view_click_purchase"))
+    )
+
+
+@register(
     "approx_hll_sketch_union",
     _fixture_oracle(
         "approx_hll_sketch_union", ["approx_users", "n_days_merged"]
