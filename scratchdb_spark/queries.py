@@ -2960,6 +2960,118 @@ def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_robust_price_stats",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med_price,
+             round(quantile_cont(l_extendedprice, 0.75)
+                   - quantile_cont(l_extendedprice, 0.25), 6) AS iqr
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(m.med_price, 6) AS med_price,
+           m.iqr,
+           round(quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5), 6)
+             AS mad
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med_price, m.iqr
+    """,
+    doc="Robust statistics per group: median, IQR, and median absolute "
+        "deviation — the outlier-resistant scale/location stats a "
+        "quality-scoring pass uses where mean/stddev would be skewed "
+        "by heavy tails. Two aggregation passes: group medians "
+        "broadcast back for the deviation pass (the per-group medians "
+        "frame is k rows — broadcast, never a shuffle of the fact "
+        "side beyond its own grouping).",
+)
+def agg_robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price_raw"),
+        F.round(
+            F.percentile("l_extendedprice", F.lit(0.75))
+            - F.percentile("l_extendedprice", F.lit(0.25)),
+            6,
+        ).alias("iqr"),
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy(
+            "l_returnflag",
+            F.round("med_price_raw", 6).alias("med_price"),
+            "iqr",
+        )
+        .agg(
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("med_price_raw")),
+                    F.lit(0.5),
+                ),
+                6,
+            ).alias("mad")
+        )
+        .select("l_returnflag", "med_price", "iqr", "mad")
+    )
+
+
+@register(
+    "agg_linear_fit_qty_price",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))
+                      * CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))
+                      * CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+    doc="Per-group least-squares fit (price ~ quantity) from exact "
+        "sufficient statistics: the sums of x, y, x^2, xy accumulate "
+        "as DECIMAL — exact and associative, so partition-invariant — "
+        "and the closed-form slope/intercept is a handful of IEEE ops "
+        "on those exact sums, identical in any engine. The "
+        "one-pass-partial-agg form of regression at 100 TB (contrast "
+        "with regr_slope's float accumulation, whose result is "
+        "partition-order-dependent).",
+)
+def agg_linear_fit_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    dx = F.round(F.col("l_quantity"), 2).cast("decimal(18,2)")
+    dy = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+@register(
     "agg_minmax_by_nation",
     """
     SELECT s_nationkey,
