@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 _SCHEMA = T.StructType(
     [
@@ -69,4 +70,69 @@ def resample_daily(events: DataFrame, num_buckets: int = 64) -> DataFrame:
         )
         .groupBy("__bkt")
         .applyInPandas(kernel, schema=_SCHEMA)
+    )
+
+
+def gapfill_daily_forward(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Calendar gap-fill + forward fill (timeseries locf): densify each
+    key's daily series over its own [min_day, max_day] span with a
+    generated date spine, then carry the last observed value across
+    missing days.
+
+    The canonical hypertable `time_bucket_gapfill + locf` shape
+    (TimescaleDB's public API surface — reimplemented here as a spine
+    join; no reference code involved), and the feature-engineering
+    primitive for training on regularly-gridded series.
+
+    Plan shape (all keyed shuffles, no Python):
+      daily agg (1 shuffle) -> per-key span agg (1 shuffle, reuses the
+      daily partitioning) -> sequence()+explode spine (narrow — the
+      spine generates ~days_per_key rows per key, distributed, never
+      on the driver) -> left join actuals on (key, day) -> forward
+      fill via last(ignorenulls) over (key ORDER BY day ROWS UNBOUNDED
+      PRECEDING) — one window, partition-local.
+
+    At 100 TB: spine size = keys x own-span days, generated where the
+    key lives; the fill window never crosses keys, so parallelism is
+    per-key. The value is carried as an exact scaled integer (x100) —
+    forward-filled doubles would otherwise hash-differ across engines.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    daily = (
+        events.groupBy(F.col(key_col).alias("k"), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col) * 100)
+            .cast("long")
+            .alias("value_e2"),
+        )
+    )
+    span = daily.groupBy("k").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = span.select(
+        "k",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    j = spine.join(daily, ["k", "day"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("k").alias(key_col),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("value_e2", ignorenulls=True).over(w).alias(
+            "filled_value_e2"
+        ),
+        F.col("value_e2").isNull().alias("is_gap"),
     )

@@ -600,3 +600,42 @@ def kmeans_fit(
     return spark.createDataFrame(
         rows, "centroid_id int, dim int, c_val double, n_assigned long"
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding (class prototypes), long-form:
+    (label, dim, sum_e6, n_vecs, centroid) — the building block for
+    prototype classification, per-class drift monitoring, and
+    class-conditional near-dup triage over an embedding corpus.
+
+    Exactness contract: each float component is snapped to integer
+    micro-units (round(x * 1e6) — the float->double widening is
+    IEEE-defined, so both engines snap identically), summed as BIGINT
+    (order-independent, unlike float sums, so the result is invariant
+    under partitioning/AQE), and the centroid derives from the exact
+    (sum_e6, n) pair.
+
+    Plan shape: posexplode (narrow, rows = n x dims) -> one hash agg
+    keyed (label, dim) with map-side partial combine. dims is a
+    constant, so keys = labels x dims — tiny; the shuffle carries only
+    partial (sum, count) pairs. Linear at 100 TB.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "x"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("sum_e6"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .withColumn(
+            "centroid",
+            F.round(F.col("sum_e6") / F.col("n_vecs") / 1e6, 6),
+        )
+    )

@@ -87,3 +87,33 @@ def hash_split(
             else expr.when(cond, F.lit(name))
         )
     return df.withColumn(split_col, expr.otherwise(F.lit("holdout")))
+
+
+def balance_classes(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Class-balanced downsampling: keep at most ``cap`` rows per
+    label, chosen by content-addressed order (md5 of the id) — the
+    mixture-balancing primitive for training-data recipes (cap the
+    over-represented classes, keep small classes whole).
+
+    Deterministic and engine-portable for the same reason as
+    hash_split: md5 order is identical everywhere, unlike
+    ``ORDER BY rand()``. The ranking window partitions by label, so
+    parallelism is per-class; a single giant class is the skew bound
+    (mitigate by pre-filtering or a two-phase salted top-k when one
+    label dominates a 100 TB corpus).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(label_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

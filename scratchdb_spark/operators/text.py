@@ -225,3 +225,127 @@ def clean_and_redact(df: DataFrame, text_col: str = "text",
         F.regexp_count(t, F.lit(URL_RE)).alias("n_urls"),
         F.regexp_count(t, F.lit(DIGIT_RUN_RE)).alias("n_number_runs"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag of query terms
+    (public ranking function; Robertson & Zaragoza 2009).
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Plan shape: (doc, term, tf) agg (one shuffle) -> filter to the
+    query's terms BEFORE any join (the selective predicate collapses
+    the frame to |query| * df rows) -> per-term df agg over the full
+    tf frame -> broadcast the tiny (N, avgdl) scalars and the
+    |query|-row df table -> per-doc score sum -> global top-k
+    (TakeOrdered, no full sort). Every stage is linear in tokens; at
+    100 TB the only term-keyed shuffle carries (term, df) partials.
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    dl = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(_tokens(F.col(text_col))).alias("dl"),
+        )
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    terms = [t.lower() for t in query_terms]
+    qtf = tf.filter(F.col("term").isin(terms))
+    qdf = qtf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    scored = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        # per-term score -> integer micro-units BEFORE the sum: summing
+        # 6dp-rounded doubles puts every total exactly on a rounding
+        # boundary, where engine addition order flips the last digit;
+        # integer sums are order-independent
+        .withColumn("w_e6", F.round(F.col("w") * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_e6").alias("bm25_e6"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("bm25_e6"), F.asc("doc_id")).limit(k)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    add-one-smoothed unigram model — the cheap perplexity proxy
+    pipelines use to flag out-of-distribution / gibberish documents
+    before a real LM scores them (CCNet-style; Wenzek et al. 2020).
+
+    p(w) = (c(w) + 1) / (C + V); score(d) = mean_i ln p(w_i) over the
+    doc's token POSITIONS (repeats count each time).
+
+    Plan shape: positional token explode -> global (token, count) agg
+    (one shuffle, partial combine) -> broadcast tiny (C, V) scalars ->
+    token-keyed join back -> per-doc avg (one shuffle). Linear in
+    tokens; the token join key is Zipf-skewed, which AQE skew-split
+    handles (the per-token payload is one long, so even 'the' is
+    bytes-cheap).
+    """
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    return (
+        pos.join(counts, "tok")
+        .join(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c") + 1)
+                / (F.col("corpus_tokens") + F.col("vocab"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )

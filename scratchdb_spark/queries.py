@@ -3927,3 +3927,218 @@ def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "ts_gapfill_daily_spend",
+    """
+    WITH daily AS (
+      SELECT user_id AS k, date_trunc('day', ts) AS day,
+             count(*) AS n_events,
+             CAST(round(sum(value) * 100) AS BIGINT) AS value_e2
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ),
+    span AS (SELECT k, min(day) AS lo, max(day) AS hi FROM daily GROUP BY k),
+    spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM span),
+    j AS (SELECT s.k, s.day, d.n_events, d.value_e2
+          FROM spine s LEFT JOIN daily d ON s.k = d.k AND s.day = d.day)
+    SELECT k AS user_id, strftime(day, '%Y-%m-%d') AS day,
+           coalesce(n_events, CAST(0 AS BIGINT)) AS n_events,
+           last_value(value_e2 IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value_e2,
+           value_e2 IS NULL AS is_gap
+    FROM j
+    """,
+    doc="Calendar gap-fill + forward fill (time_bucket_gapfill/locf "
+        "shape): per-user daily spine via sequence()+explode, left "
+        "join actuals, last(ignorenulls) carry — the densify primitive "
+        "for gridded training series (operators/resample.py).",
+)
+def ts_gapfill_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.resample import gapfill_daily_forward
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return gapfill_daily_forward(ev)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    toks AS (SELECT doc_id, unnest(w) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(w) AS dl FROM w),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'window', 'join')),
+    qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf
+            GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                        * t.tf * (1.2 + 1)
+                        / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
+                        * 1000000) AS BIGINT) AS w_e6
+      FROM qtf t JOIN qdf q USING (term) JOIN dl d USING (doc_id)
+      CROSS JOIN stats s)
+    SELECT doc_id, CAST(sum(w_e6) AS BIGINT) AS bm25_e6,
+           count(*) AS n_matched_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_e6 DESC, doc_id LIMIT 20
+    """,
+    doc="Okapi BM25 top-20 retrieval for a fixed term bag "
+        "(operators/text.py::bm25_topk): tf/df/dl aggs + broadcast "
+        "scalars + TakeOrdered; avgdl derives from an exact integer "
+        "sum so both engines divide identical operands.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bm25_topk
+
+    return bm25_topk(
+        table(spark, sf_dir, "documents"), ["spark", "window", "join"]
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH pos AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+      WHERE tok <> ''),
+    counts AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
+    totals AS (SELECT CAST(sum(c) AS BIGINT) AS corpus_tokens,
+                      count(*) AS vocab FROM counts)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln((c + 1)
+                        / CAST(corpus_tokens + vocab AS DOUBLE))), 6)
+             AS avg_logprob
+    FROM pos JOIN counts USING (tok) CROSS JOIN totals
+    GROUP BY doc_id
+    """,
+    doc="Per-doc mean token log-prob under the corpus's add-one "
+        "unigram model (operators/text.py::unigram_logprob) — the "
+        "CCNet-style perplexity proxy for OOD/gibberish flagging; one "
+        "token-keyed shuffle each way, Zipf skew noted.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                        AS DOUBLE), 4) AS jaccard_sim
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
+    """,
+    doc="EXACT set-similarity join via prefix filtering "
+        "(operators/dedup.py::prefix_filter_pairs, PPJoin-family): "
+        "rare-first prefixes -> equi-join candidates -> length filter "
+        "-> exact verify. Unlike minhash (w.h.p.), this EQUALS the "
+        "quadratic oracle deterministically while staying "
+        "equi-join-shaped at scale.",
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "dedup_ngram_span_coverage",
+    f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 4, 1)))
+                     AS i
+            FROM w)
+    ),
+    gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
+    FROM grams JOIN gd USING (g)
+    GROUP BY doc_id
+    """,
+    doc="Per-doc duplicated-text fraction at 5-gram granularity "
+        "(operators/dedup.py::ngram_span_coverage) — the audit stage "
+        "of exact-substring dedup (Lee et al. 2022 at gram "
+        "granularity): positional grams, per-gram doc counts, join "
+        "back, per-doc fraction. Linear in gram positions.",
+)
+def dedup_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_span_coverage
+
+    return ngram_span_coverage(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "split_balance_classes",
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 60
+    """,
+    doc="Class-balanced downsampling (operators/split.py::"
+        "balance_classes): cap each lang at 60 docs by content-"
+        "addressed md5 order — deterministic and engine-portable, "
+        "unlike ORDER BY rand(); over-represented classes clip, small "
+        "ones pass whole.",
+)
+def split_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.split import balance_classes
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balance_classes(docs, "lang", "doc_id", cap=60)
+
+
+@register(
+    "emb_label_centroids",
+    """
+    SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
+           CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_e6,
+           count(*) AS n_vecs,
+           round(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+                 / count(*) / 1000000.0, 6) AS centroid
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+    doc="Per-label mean embedding / class prototypes "
+        "(operators/similarity.py::label_centroids): float components "
+        "snapped to integer micro-units and summed as BIGINT, so the "
+        "centroid is invariant under partitioning and engines — the "
+        "exact-sufficient-statistics discipline applied to vectors.",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import label_centroids
+
+    return label_centroids(table(spark, sf_dir, "embeddings"))

@@ -881,3 +881,166 @@ def test_zorder_clustering_prunes_both_dims(spark, tmp_path):
     )
     # content preserved
     assert spark.read.parquet(path).count() == 4096
+
+
+def test_prefix_filter_equals_exact_quadratic(spark, sf_dir):
+    """Prefix filtering is EXACT: its pair set must equal the
+    brute-force quadratic jaccard join, not just approximate it."""
+    from scratchdb_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in prefix_filter_pairs(docs, threshold=0.8).collect()
+    }
+    # exact baseline uses string shingles; prefix uses hashed — jaccard
+    # values agree because hashing preserves set cardinalities
+    want = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == want and len(got) > 0
+    spark.catalog.clearCache()
+
+
+def test_prefix_filter_prefix_length_bound(spark):
+    """A doc pair sharing NO prefix shingle but below threshold must be
+    absent; identical docs must always surface (prefix completeness)."""
+    from scratchdb_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        (3, "totally different words appear in this one here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs(df, threshold=0.8).collect()
+    }
+    assert got == {(1, 2)}
+    spark.catalog.clearCache()
+
+
+def test_ngram_span_coverage_bounds(spark):
+    """Duplicated fraction: 1.0 for an exact duplicate pair, 0.0 for a
+    unique doc; counts are positional (repeats count)."""
+    from scratchdb_spark.operators.dedup import ngram_span_coverage
+
+    rows = [
+        (1, "one two three four five six seven"),
+        (2, "one two three four five six seven"),
+        (3, "entirely unrelated text with unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ngram_span_coverage(df, n=5).collect()}
+    assert out[1].dup_fraction == 1.0 and out[2].dup_fraction == 1.0
+    assert out[3].dup_fraction == 0.0
+    # 7 tokens, n=5 -> 3 positional grams per doc
+    assert out[1].n_grams == 3 and out[1].dup_grams == 3
+
+
+def test_bm25_ranks_exact_match_first(spark):
+    from scratchdb_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark join window spark join window spark"),
+        (2, "spark appears once amid many other filler tokens today"),
+        (3, "no relevant terms at all in this document text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, ["spark", "join", "window"], k=3).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1  # highest tf across all terms
+    assert 3 not in ids  # zero matched terms -> absent
+    assert all(r.bm25_e6 > 0 for r in out)
+
+
+def test_unigram_logprob_flags_rare_tokens(spark):
+    """A doc of corpus-rare tokens scores lower (more negative) than a
+    doc of corpus-frequent tokens; add-one smoothing keeps all finite."""
+    from scratchdb_spark.operators.text import unigram_logprob
+
+    common = "the the the the the the the the"
+    rare = "zyx wvu tsr qpo nml kji hgf edc"
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, common), (4, rare)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    assert out[4] < out[1] < 0
+
+
+def test_gapfill_forward_fill_semantics(spark):
+    """Missing days appear with is_gap=True and carry the last observed
+    value; observed days pass through; spine spans min..max per key."""
+    import datetime as dt
+
+    from scratchdb_spark.operators.resample import gapfill_daily_forward
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 5.0),
+        (1, dt.datetime(2024, 1, 1, 11), 5.0),
+        # Jan 2-3 missing
+        (1, dt.datetime(2024, 1, 4, 9), 7.5),
+        (2, dt.datetime(2024, 3, 1, 0), 1.25),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r.user_id, r.day): r
+        for r in gapfill_daily_forward(df).collect()
+    }
+    assert len(out) == 5  # 4 days for key 1, 1 day for key 2
+    assert out[(1, "2024-01-01")].filled_value_e2 == 1000
+    assert not out[(1, "2024-01-01")].is_gap
+    g2 = out[(1, "2024-01-02")]
+    assert g2.is_gap and g2.filled_value_e2 == 1000 and g2.n_events == 0
+    assert out[(1, "2024-01-03")].is_gap
+    assert out[(1, "2024-01-04")].filled_value_e2 == 750
+    assert out[(2, "2024-03-01")].filled_value_e2 == 125
+
+
+def test_balance_classes_caps_and_determinism(spark, sf_dir):
+    from scratchdb_spark.operators.split import balance_classes
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out1 = balance_classes(docs, "lang", "doc_id", cap=60)
+    counts = {r.lang: r.n for r in
+              out1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(full[lang], 60)
+    # repartitioning must not change the kept set (content-addressed)
+    out2 = balance_classes(
+        docs.repartition(13), "lang", "doc_id", cap=60
+    )
+    assert sorted(r.doc_id for r in out1.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+
+
+def test_label_centroids_exact_and_partition_invariant(spark, sf_dir):
+    from scratchdb_spark.operators.similarity import label_centroids
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = label_centroids(emb).collect()
+    b = label_centroids(emb.repartition(17)).collect()
+    key = lambda r: (r.label, r.dim)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by = {key(r): r for r in a}
+    n_labels = emb.select("label").distinct().count()
+    dims = 64
+    assert len(by) == n_labels * dims
+    # centroid derives from the exact integer pair (tolerance: Python's
+    # round is half-to-even while Spark/DuckDB round half away from
+    # zero, and sum_e6/n/1e6 DOES land on exact halves — driver_sim
+    # asserts the exact cross-engine agreement)
+    for r in a[:20]:
+        assert abs(r.centroid - r.sum_e6 / r.n_vecs / 1e6) <= 5.001e-7

@@ -43,6 +43,8 @@ ALLOWED_NESTED_LOOP = {
     "q17_small_qty_revenue": "scalar threshold join",
     "q22_idle_rich_customers": "1-row avg-balance join",
     "ann_ivf_topk": "centroid table is a collected constant",
+    "text_bm25_topk": "1-row (N, avgdl) corpus-stats join",
+    "text_unigram_logprob": "1-row (corpus_tokens, vocab) totals join",
 }
 
 

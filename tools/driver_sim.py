@@ -60,7 +60,9 @@ def main() -> int:
 
     failures = 0
     for spec in catalog.registry().values():
-        if name_filter and name_filter not in spec.name:
+        if name_filter and not any(
+            part in spec.name for part in name_filter.split(",")
+        ):
             continue
         try:
             sdf = spec.spark_fn(spark, sf_dir)
