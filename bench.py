@@ -74,7 +74,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    # default 2: per-query medians absorb host-load spikes (PERF.md
+    # measured ±3x single-run variance), so round-over-round artifact
+    # comparisons don't need a load caveat
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
 

@@ -349,3 +349,128 @@ def unigram_logprob(
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over
+    positional bigrams (Church & Hanks 1990 — public measure).
+
+    pmi(x,y) = ln( c_xy * N_tok^2 / (N_big * c_x * c_y) ) with all
+    operands exact integers, so the double result is engine-identical
+    (the repo-wide determinism discipline: keep floats out until one
+    final pure function of exact ints).
+
+    Plan shape: token explode -> unigram agg (1 shuffle); bigram
+    explode -> bigram agg (1 shuffle); two broadcast-joined unigram
+    lookups (the unigram table is only broadcast-sized for bounded
+    vocabularies — swap to shuffle joins at 100 TB, same plan class);
+    TakeOrdered top-k. Linear in token positions.
+    """
+    toks = _tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    big = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
+    )
+    bigrams = (
+        df.select(F.explode(big).alias("bg"))
+        # a 1-token doc yields its lone token as a degenerate "bigram";
+        # drop rows without a space so both engines see true pairs only
+        .filter(F.col("bg").contains(" "))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n_big = (
+        df.select(
+            F.greatest(F.size(toks) - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("n_big"))
+    )
+    x = F.split(F.col("bg"), " ")
+    scored = (
+        bigrams.withColumn("x", x.getItem(0))
+        .withColumn("y", x.getItem(1))
+        .join(F.broadcast(uni.withColumnRenamed("tok", "x")
+                          .withColumnRenamed("c", "c_x")), "x")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "y")
+                          .withColumnRenamed("c", "c_y")), "y")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(n_big))
+        .select(
+            F.col("bg").alias("bigram"),
+            "c_xy", "c_x", "c_y",
+            # cast the FIRST factor of each product to double so both
+            # engines run the identical double multiply chain (pure
+            # long chains would overflow at corpus scale; the double
+            # rounding is IEEE-identical given exact int operands)
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n_tok")
+                    * F.col("n_tok")
+                    / (
+                        F.col("n_big").cast("double")
+                        * F.col("c_x")
+                        * F.col("c_y")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    low entropy flags repetitive/boilerplate docs (the signal behind
+    Gopher's repetition rules, as a single scalar).
+
+    H = ln(n) - (sum_i c_i ln c_i) / n. The inner sum is carried as
+    integer micro-units (c ln c snapped per TERM, then integer-summed)
+    so the per-doc aggregation order can't flip a rounding boundary;
+    the final expression is a pure function of (n, sum_e6) exact ints.
+
+    Plan: (doc, term) tf agg (1 shuffle) -> per-doc agg (1 shuffle,
+    same key prefix). Linear.
+    """
+    tf = term_frequencies(df, text_col, id_col)
+    per_term = tf.select(
+        "doc_id",
+        "tf",
+        F.round(F.col("tf") * F.log("tf") * 1e6)
+        .cast("long")
+        .alias("clnc_e6"),
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("clnc_e6").alias("sum_clnc_e6"),
+        )
+        .withColumn(
+            "entropy",
+            F.round(
+                F.log("n_tokens")
+                - F.col("sum_clnc_e6") / 1e6 / F.col("n_tokens"),
+                6,
+            ),
+        )
+    )

@@ -4142,3 +4142,130 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import label_centroids
 
     return label_centroids(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "text_bigram_pmi",
+    f"""
+    WITH w AS (SELECT {_DUCK_TOKENS} AS w FROM documents),
+    uni AS (SELECT tok, count(*) AS c
+            FROM (SELECT unnest(w) AS tok FROM w)
+            WHERE tok <> '' GROUP BY tok),
+    ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
+    big AS (SELECT bg, count(*) AS c_xy FROM (
+              SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS bg
+              FROM (SELECT w,
+                           unnest(generate_series(
+                             1, greatest(len(w) - 1, 1))) AS i
+                    FROM w))
+            WHERE contains(bg, ' ') GROUP BY bg
+            HAVING count(*) >= 5),
+    nbig AS (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n_big
+             FROM w)
+    SELECT bg AS bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+           round(ln(CAST(c_xy AS DOUBLE) * n_tok * n_tok
+                    / (CAST(n_big AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+    FROM big
+    JOIN uni ux ON string_split(bg, ' ')[1] = ux.tok
+    JOIN uni uy ON string_split(bg, ' ')[2] = uy.tok
+    CROSS JOIN ntok CROSS JOIN nbig
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+    doc="Top-20 collocations by PMI over positional bigrams "
+        "(operators/text.py::bigram_pmi, Church & Hanks): all ln "
+        "operands are exact integers widened to double in the same "
+        "association order in both engines.",
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import bigram_pmi
+
+    return bigram_pmi(table(spark, sf_dir, "documents"), min_count=5)
+
+
+@register(
+    "text_token_entropy",
+    f"""
+    WITH tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
+                      FROM documents)
+                WHERE term <> '' GROUP BY 1, 2),
+    per AS (SELECT doc_id, tf,
+                   CAST(round(tf * ln(tf) * 1000000) AS BIGINT)
+                     AS clnc_e6
+            FROM tf)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           CAST(sum(clnc_e6) AS BIGINT) AS sum_clnc_e6,
+           round(ln(sum(tf)) - sum(clnc_e6) / 1000000.0 / sum(tf), 6)
+             AS entropy
+    FROM per GROUP BY doc_id
+    """,
+    doc="Per-doc Shannon token entropy (operators/text.py::"
+        "token_entropy): c*ln(c) snapped to integer micro-units per "
+        "TERM then integer-summed, so aggregation order can't flip a "
+        "rounding boundary — low entropy flags repetitive docs.",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import token_entropy
+
+    return token_entropy(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "anomaly_daily_value",
+    """
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS day,
+             CAST(round(sum(value) * 100) AS BIGINT) AS total_e2
+      FROM events GROUP BY 1, 2),
+    stats AS (SELECT grp, count(*) AS n_days,
+                     CAST(sum(total_e2) AS BIGINT) AS s1,
+                     CAST(sum(total_e2 * total_e2) AS BIGINT) AS s2
+              FROM daily GROUP BY grp)
+    SELECT grp AS event_type, strftime(day, '%Y-%m-%d') AS day,
+           total_e2, n_days,
+           round((total_e2 - s1 / n_days)
+                 / sqrt((s2 - s1 * s1 / n_days) / n_days), 4) AS z
+    FROM daily JOIN stats USING (grp)
+    WHERE abs((total_e2 - s1 / n_days)
+              / sqrt((s2 - s1 * s1 / n_days) / n_days)) >= 2.0
+    """,
+    doc="Daily z-score anomaly detection per event_type "
+        "(operators/monitor.py::daily_zscore_anomalies): mean/var/z "
+        "derive as pure double functions of exact BIGINT sufficient "
+        "statistics (n, sum, sumsq) — partition- and engine-"
+        "invariant; two keyed aggs, no window.",
+)
+def anomaly_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.monitor import daily_zscore_anomalies
+
+    return daily_zscore_anomalies(table(spark, sf_dir, "events"))
+
+
+@register(
+    "diag_key_skew_profile",
+    """
+    WITH sizes AS (SELECT user_id AS k, count(*) AS sz
+                   FROM events GROUP BY 1)
+    SELECT count(*) AS n_keys, CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(min(sz) AS BIGINT) AS min_sz,
+           CAST(quantile_disc(sz, 0.5) AS BIGINT) AS p50_sz,
+           CAST(quantile_disc(sz, 0.9) AS BIGINT) AS p90_sz,
+           CAST(quantile_disc(sz, 0.99) AS BIGINT) AS p99_sz,
+           CAST(max(sz) AS BIGINT) AS max_sz,
+           CAST(floor(100 * max(sz) / quantile_disc(sz, 0.5))
+                AS BIGINT) AS skew_ratio_e2
+    FROM sizes
+    """,
+    doc="Key-skew pre-flight profile (operators/monitor.py::"
+        "key_skew_profile): group-size distribution quantiles "
+        "(discrete — actual sizes, no interpolation) + max/p50 skew "
+        "ratio; the check that decides salting/AQE-skew-join before a "
+        "100 TB shuffle on the key.",
+)
+def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.monitor import key_skew_profile
+
+    return key_skew_profile(
+        table(spark, sf_dir, "events"), key_col="user_id"
+    )

@@ -1044,3 +1044,57 @@ def test_label_centroids_exact_and_partition_invariant(spark, sf_dir):
     # asserts the exact cross-engine agreement)
     for r in a[:20]:
         assert abs(r.centroid - r.sum_e6 / r.n_vecs / 1e6) <= 5.001e-7
+
+
+def test_bigram_pmi_favors_true_collocations(spark):
+    """A bigram that always co-occurs scores higher than one whose
+    parts are frequent independently."""
+    from scratchdb_spark.operators.text import bigram_pmi
+
+    rows = [(i, "hong kong filler" + str(i % 3) + " the cat the dog")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.bigram: r.pmi for r in bigram_pmi(df, min_count=5).collect()}
+    assert "hong kong" in out
+    # 'the cat': 'the' appears 2x per doc -> lower pmi than hong/kong
+    assert out["hong kong"] > out.get("the cat", float("-inf"))
+
+
+def test_token_entropy_orders_repetitive_below_diverse(spark):
+    from scratchdb_spark.operators.text import token_entropy
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "eight distinct tokens appear in this document here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert out[1].entropy == 0.0          # single token -> H = 0
+    assert abs(out[2].entropy - 2.079442) < 1e-5  # ln(8), all distinct
+    assert out[2].n_distinct == 8
+
+
+def test_daily_zscore_flags_injected_spike(spark):
+    import datetime as dt
+
+    from scratchdb_spark.operators.monitor import daily_zscore_anomalies
+
+    rows = []
+    for d in range(1, 21):
+        rows.append(("a", dt.datetime(2024, 1, d, 12), 10.0))
+    rows.append(("a", dt.datetime(2024, 1, 21, 12), 500.0))  # spike
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = daily_zscore_anomalies(df, z_threshold=2.0).collect()
+    assert len(out) == 1
+    assert out[0].day == "2024-01-21" and out[0].z > 2.0
+
+
+def test_key_skew_profile_detects_hot_key(spark):
+    from scratchdb_spark.operators.monitor import key_skew_profile
+
+    rows = [(k, 1) for k in range(100)] + [(999, 1)] * 400
+    df = spark.createDataFrame(rows, ["user_id", "v"])
+    prof = key_skew_profile(df, "user_id").collect()[0]
+    assert prof.n_keys == 101 and prof.n_rows == 500
+    assert prof.p50_sz == 1 and prof.max_sz == 400
+    assert prof.skew_ratio_e2 == 40000

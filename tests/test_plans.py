@@ -44,6 +44,7 @@ ALLOWED_NESTED_LOOP = {
     "q22_idle_rich_customers": "1-row avg-balance join",
     "ann_ivf_topk": "centroid table is a collected constant",
     "text_bm25_topk": "1-row (N, avgdl) corpus-stats join",
+    "text_bigram_pmi": "1-row (n_tok, n_big) corpus-total joins",
     "text_unigram_logprob": "1-row (corpus_tokens, vocab) totals join",
 }
 
