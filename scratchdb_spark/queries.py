@@ -4269,3 +4269,183 @@ def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         table(spark, sf_dir, "events"), key_col="user_id"
     )
+
+
+@register(
+    "stream_dedup_parity",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(value) * 100) AS BIGINT) AS total_e2
+    FROM events GROUP BY event_type
+    """,
+    doc="Batch-parity check for the streaming dedup operator "
+        "(streaming/ingest_stream.streaming_dedup): the events table "
+        "UNIONed with itself simulates at-least-once replay — exactly "
+        "the duplication the streaming path exists to absorb — and "
+        "dedup on event_id must restore the original stream, so the "
+        "oracle aggregates the raw table. On a stream the same "
+        "function is dropDuplicatesWithinWatermark (bounded state); "
+        "on batch it degrades to dropDuplicates.",
+)
+def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ingest_stream import streaming_dedup
+
+    ev = table(spark, sf_dir, "events")
+    replayed = ev.unionAll(ev)
+    return (
+        streaming_dedup(replayed)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("total_e2"),
+        )
+    )
+
+
+@register(
+    "scd2_user_event_periods",
+    """
+    WITH src AS (
+      SELECT user_id, event_id, event_type, ts FROM events
+      WHERE user_id < 100),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM flagged)
+    SELECT user_id, event_type,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS valid_to_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, event_type, island
+    """,
+    doc="SCD2 history construction (gaps-and-islands): consecutive "
+        "same-event_type runs per user become validity periods "
+        "[valid_from, valid_to] — lag-change flag, running island "
+        "sum, per-island agg; ALL windows and the final agg share one "
+        "user_id shuffle (Exchange reuse), the same algebra the "
+        "sessionizer uses but keyed on value change, not time gap.",
+)
+def scd2_user_event_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    numbered = flagged.withColumn("island", F.sum("chg").over(run))
+    out = numbered.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("from_ts"),
+        F.max("ts").alias("to_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        epoch_us(out, "from_ts").alias("valid_from_us"),
+        epoch_us(out, "to_ts").alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@register(
+    "audit_table_digest",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR) || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+               o_orderpriority), 1, 8))
+             AS BIGINT) AS rh
+      FROM orders)
+    SELECT count(*) AS n_rows,
+           CAST(sum(rh) AS BIGINT) AS digest_sum,
+           CAST(bit_xor(rh) AS BIGINT) AS digest_xor
+    FROM h
+    """,
+    doc="Order-invariant table content digest for migration audits "
+        "(the check a reference user runs after switching engines: "
+        "same rows in, same digest out, regardless of row order or "
+        "partitioning): md5 per row over portable string forms "
+        "(floats pre-scaled to integers — raw float-to-string "
+        "differs across engines), 32-bit prefix summed AND xor-folded. "
+        "One narrow map + one agg; linear, shuffle-free partials.",
+)
+def audit_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    return o.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("rh").alias("digest_sum"),
+        F.expr("bit_xor(rh)").alias("digest_xor"),
+    )
+
+
+@register(
+    "dedup_first_event_per_user_day",
+    """
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_id, event_type
+    FROM (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1 AND user_id < 200
+    """,
+    doc="Windowed event dedup: keep the FIRST event per (user, day) — "
+        "the keep-one-of-many pattern (vs exact_dedup's "
+        "keep-min-hash): one ranking window on the grouping key, "
+        "filter rn=1; deterministic tie-break by (ts, event_id).",
+)
+def dedup_first_event_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("DAY", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_id",
+            "event_type",
+        )
+    )
