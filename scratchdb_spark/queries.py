@@ -4449,3 +4449,181 @@ def dedup_first_event_per_user_day(spark: SparkSession, sf_dir: str) -> DataFram
             "event_type",
         )
     )
+
+
+@register(
+    "pipeline_curate_corpus",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             {_DUCK_TOKENS} AS w
+      FROM documents),
+    gate AS (
+      SELECT doc_id, text, norm, len(w) AS n_tokens
+      FROM s
+      WHERE len(w) BETWEEN 5 AND 5000
+        AND (length(norm) - (len(w) - 1)) / CAST(len(w) AS DOUBLE)
+              BETWEEN 2.0 AND 12.0
+        AND length(regexp_replace(norm, '[^a-z]', '', 'g'))
+              / CAST(length(norm) AS DOUBLE) >= 0.6
+        AND len(list_filter(w, x -> list_contains(
+              ['a','and','das','dans','de','der','des','die','el','en',
+               'es','est','et','ein','in','is','it','la','le','les','of',
+               'pour','que','the','to','un','und','une','von','y','zu',
+               'ist'], x)))
+              / CAST(len(w) AS DOUBLE) >= 0.01),
+    keeper AS (
+      SELECT min(doc_id) AS doc_id FROM gate GROUP BY md5(norm)),
+    surv AS (
+      SELECT g.doc_id, g.n_tokens FROM gate g
+      JOIN keeper k ON g.doc_id = k.doc_id)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM (SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT % 100) AS bucket,
+                 n_tokens
+          FROM surv) b
+    GROUP BY split
+    """,
+    doc="End-to-end corpus curation pipeline COMPOSED from catalog "
+        "operators: Gopher quality gate (row-local projection) -> "
+        "exact dedup keep-min (one md5 groupBy shuffle) -> "
+        "content-addressed 80/10/10 split (pure map) -> per-split "
+        "accounting. Demonstrates that the operators compose into one "
+        "lazy plan — Catalyst fuses the gate into the scan and the "
+        "pipeline runs in two shuffles total at any scale.",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curation import quality_gate
+    from .operators.dedup import exact_dedup
+    from .operators.split import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    gate = quality_gate(docs).filter(F.col("keep")).select(
+        "doc_id", "n_tokens"
+    )
+    kept = docs.join(gate, "doc_id")
+    keepers = exact_dedup(kept).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    surviving = kept.join(keepers, "doc_id").select("doc_id", "n_tokens")
+    split = hash_split(
+        surviving, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "stream_late_events_audit",
+    """
+    WITH runmax AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS seen_max
+      FROM events),
+    tagged AS (
+      SELECT user_id,
+             CASE WHEN seen_max IS NOT NULL AND us < seen_max
+                  THEN CAST(floor(seen_max / 60000000.0)
+                            - floor(us / 60000000.0)
+                       AS BIGINT)
+                  ELSE NULL END AS late_minutes
+      FROM runmax)
+    SELECT count(*) AS n_events,
+           CAST(count(late_minutes) AS BIGINT) AS n_late,
+           CAST(coalesce(max(late_minutes), 0) AS BIGINT)
+             AS max_late_minutes
+    FROM tagged
+    """,
+    doc="Watermark-lateness audit for streaming design: events arriving "
+        "with ts BEHIND the per-user running max (arrival order = "
+        "event_id) are late data; reports volume and worst lateness — "
+        "the measurement that justifies a watermark bound before "
+        "deploying the streaming operators. One per-user window, no "
+        "collect.",
+)
+def stream_late_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seen_max = F.max(us).over(w)
+    tagged = ev.select(
+        "user_id",
+        F.when(
+            seen_max.isNotNull() & (us < seen_max),
+            (
+                F.floor(seen_max / 60000000.0)
+                - F.floor(us / 60000000.0)
+            ).cast("long"),
+        ).alias("late_minutes"),
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("late_minutes").alias("n_late"),
+        F.coalesce(F.max("late_minutes"), F.lit(0))
+        .cast("long")
+        .alias("max_late_minutes"),
+    )
+
+
+@register(
+    "split_temporal_cutoff",
+    """
+    WITH span AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events),
+    cut AS (SELECT lo + CAST(floor((hi - lo) * 0.8) AS BIGINT) AS c
+            FROM span)
+    SELECT CASE WHEN CAST(epoch_us(ts) AS BIGINT) < c THEN 'train'
+                ELSE 'eval' END AS split,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events CROSS JOIN cut GROUP BY 1
+    """,
+    doc="Temporal train/eval split (train on past, evaluate on "
+        "future): the leakage-preventing alternative to hash splits "
+        "for time-series tasks. Cutoff = 80th percentile of the time "
+        "SPAN in exact integer microseconds (adapts to any sf); a "
+        "literal cutoff predicate partition-prunes on date-"
+        "partitioned layouts (bucketing.write_date_partitioned).",
+)
+def split_temporal_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    evu = ev.select("user_id", us.alias("us"))
+    span = evu.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    ).select(
+        (
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) * 0.8).cast("long")
+        ).alias("c")
+    )
+    # scalar cutoff broadcast onto every row (1-row nested loop)
+    split = F.when(F.col("us") < F.col("c"), "train").otherwise("eval")
+    return (
+        evu.join(F.broadcast(span))
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("us").alias("min_ts_us"),
+            F.max("us").alias("max_ts_us"),
+        )
+    )

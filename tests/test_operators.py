@@ -1153,3 +1153,37 @@ def test_table_digest_order_invariant_and_content_sensitive(spark):
 
     assert digest(rows) == digest(list(reversed(rows)))
     assert digest(rows) != digest([(1, "a"), (2, "b"), (3, "DIFFERENT")])
+
+
+def test_late_events_audit_detects_out_of_order(spark, tmp_path):
+    """The sf fixtures are perfectly ordered (driver row is all-zero),
+    so pin the lateness detection on crafted out-of-order arrivals."""
+    import datetime as dt
+
+    from scratchdb_spark.queries import stream_late_events_audit
+
+    rows = [
+        # arrival order = event_id; user 1's third arrival is 90 min
+        # behind the running max -> late
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 12, 0), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 10, 30), 1, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 9, 0), 2, "view", 1.0, "{}"),
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    # table() reads single parquet FILES (the testdata layout)
+    pq.write_table(
+        pa.Table.from_pandas(pdf), str(tmp_path / "events.parquet")
+    )
+    out = stream_late_events_audit(spark, str(tmp_path)).collect()[0]
+    assert out.n_events == 4
+    assert out.n_late == 1
+    assert out.max_late_minutes == 90

@@ -45,6 +45,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_ivf_topk": "centroid table is a collected constant",
     "text_bm25_topk": "1-row (N, avgdl) corpus-stats join",
     "text_bigram_pmi": "1-row (n_tok, n_big) corpus-total joins",
+    "split_temporal_cutoff": "1-row time-span cutoff scalar join",
     "text_unigram_logprob": "1-row (corpus_tokens, vocab) totals join",
 }
 
