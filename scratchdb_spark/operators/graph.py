@@ -148,3 +148,58 @@ def components_for_pairs(
             ),
         )
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_e2: int = 85,
+) -> DataFrame:
+    """PageRank with EXACT integer arithmetic (ranks in micro-units):
+    contribution = r_e6 div deg (floor), summed as BIGINT, then
+    r' = 150000 + (damping * sum) div 100. Every operation is integer,
+    so the result is bit-identical under any partitioning, engine, or
+    AQE decision — and an unrolled-SQL oracle can reproduce it exactly
+    (float PageRank sums are order-dependent and cannot be
+    hash-compared across engines).
+
+    ``edges`` must be DIRECTED (src, dst) — pass both orientations for
+    an undirected graph, which also guarantees no dangling nodes.
+
+    Plan per iteration: join edges->ranks (shuffle on src, or broadcast
+    when ranks fit), groupBy dst (one shuffle, map-side combine). Rank
+    state is one long per node. This is the standard Pregel-style
+    iteration expressed as DataFrame joins; localCheckpoint per
+    iteration keeps the plan O(1) deep like connected_components.
+    (Public algorithm: Page et al. 1999; integer-scaling determinism
+    is this repo's discipline, not reference code.)
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = edges.select("src").distinct()
+    ranks = nodes.select(
+        "src", F.lit(1_000_000).cast("long").alias("r_e6")
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.expr("r_e6 div deg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["src"] == sums["dst"], "left")
+            .select(
+                nodes["src"],
+                (
+                    F.lit(150_000).cast("long")
+                    + F.expr(
+                        f"{damping_e2} * coalesce(s, 0L) div 100"
+                    )
+                ).alias("r_e6"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("src").alias("node"), "r_e6")

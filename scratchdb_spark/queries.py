@@ -4627,3 +4627,68 @@ def split_temporal_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("us").alias("max_ts_us"),
         )
     )
+
+
+@register(
+    "graph_pagerank_custsupp",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+    i1 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100
+                       AS BIGINT) AS r
+           FROM edges e JOIN r0 r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    i2 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100
+                       AS BIGINT) AS r
+           FROM edges e JOIN i1 r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    i3 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100
+                       AS BIGINT) AS r
+           FROM edges e JOIN i2 r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src
+           GROUP BY e.dst)
+    SELECT node, r AS r_e6 FROM i3
+    ORDER BY r_e6 DESC, node LIMIT 100
+    """,
+    doc="PageRank over the customer-supplier bipartite graph "
+        "(operators/graph.py::pagerank_int, 3 iterations): EXACT "
+        "integer micro-unit arithmetic (floor-div contributions, "
+        "BIGINT sums) makes an iterative algorithm hash-comparable "
+        "across engines — the oracle unrolls the same three "
+        "iterations in SQL. Both orientations included, so no "
+        "dangling nodes; per-iteration cost is one src join + one "
+        "dst agg.",
+)
+def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_int
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank_int(edges, iterations=3)
+    return ranks.orderBy(F.desc("r_e6"), F.asc("node")).limit(100)

@@ -1187,3 +1187,18 @@ def test_late_events_audit_detects_out_of_order(spark, tmp_path):
     assert out.n_events == 4
     assert out.n_late == 1
     assert out.max_late_minutes == 90
+
+
+def test_pagerank_int_properties(spark):
+    """Star graph: the hub outranks leaves; ranks are partition-
+    invariant; a symmetric pair has equal ranks."""
+    from scratchdb_spark.operators.graph import pagerank_int
+
+    hub_edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    e = spark.createDataFrame(hub_edges, ["src", "dst"])
+    r = {x.node: x.r_e6 for x in pagerank_int(e).collect()}
+    assert r[0] > r[1]
+    assert len({r[i] for i in range(1, 6)}) == 1  # leaves identical
+    r2 = {x.node: x.r_e6
+          for x in pagerank_int(e.repartition(9)).collect()}
+    assert r == r2
