@@ -4692,3 +4692,83 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_int(edges, iterations=3)
     return ranks.orderBy(F.desc("r_e6"), F.asc("node")).limit(100)
+
+
+@register(
+    "search_rrf_hybrid",
+    f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    toks AS (SELECT doc_id, unnest(w) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(w) AS dl FROM w),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'window', 'join')),
+    qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf
+            GROUP BY term),
+    bm AS (
+      SELECT doc_id, sum(CAST(round(
+               ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * t.tf * (1.2 + 1)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
+               * 1000000) AS BIGINT)) AS bm25_e6
+      FROM qtf t JOIN qdf q USING (term) JOIN dl d USING (doc_id)
+      CROSS JOIN stats s GROUP BY doc_id),
+    bmrank AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS rb
+      FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT 50),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(q.qv,
+                   CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0),
+    cosrank AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rc
+      FROM cos ORDER BY cos_sim DESC, doc_id LIMIT 50)
+    SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+           coalesce(1000000 // (60 + b.rb), 0)
+             + coalesce(1000000 // (60 + c.rc), 0) AS rrf_e6,
+           b.rb AS bm25_rank, c.rc AS cosine_rank
+    FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id
+    ORDER BY rrf_e6 DESC, doc_id LIMIT 20
+    """,
+    doc="Hybrid retrieval via reciprocal rank fusion (Cormack et al. "
+        "2009): BM25 keyword ranking fused with embedding-cosine "
+        "ranking, score = sum 1/(60+rank) in integer micro-units "
+        "(floor division — exact in both engines). The modern "
+        "RAG-retrieval shape: each ranker runs its own scale path "
+        "(term-keyed aggs / LSH-IVF at scale), fusion touches only "
+        "two top-k lists — tiny regardless of corpus size.",
+)
+def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+    from .operators.text import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, ["spark", "window", "join"], k=50)
+    wb = Window.orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
+    bmrank = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("rb")
+    )
+    cos = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    cosrank = cos.select(
+        "doc_id", F.col("rank").cast("long").alias("rc")
+    )
+    fused = bmrank.join(cosrank, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000 div (60 + rb)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + rc)"), F.lit(0))
+        ).alias("rrf_e6"),
+        F.col("rb").alias("bm25_rank"),
+        F.col("rc").alias("cosine_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_e6"), F.asc("doc_id")).limit(20)

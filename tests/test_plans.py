@@ -46,6 +46,11 @@ ALLOWED_NESTED_LOOP = {
     "text_bm25_topk": "1-row (N, avgdl) corpus-stats join",
     "text_bigram_pmi": "1-row (n_tok, n_big) corpus-total joins",
     "split_temporal_cutoff": "1-row time-span cutoff scalar join",
+    "search_rrf_hybrid": (
+        "BM25 1-row corpus-stats join + exact-cosine baseline with a "
+        "1-row broadcast query batch; fusion itself joins two top-k "
+        "lists"
+    ),
     "text_unigram_logprob": "1-row (corpus_tokens, vocab) totals join",
 }
 
