@@ -1202,3 +1202,49 @@ def test_pagerank_int_properties(spark):
     r2 = {x.node: x.r_e6
           for x in pagerank_int(e.repartition(9)).collect()}
     assert r == r2
+
+
+def test_prefix_filter_randomized_parity(spark):
+    """Seeded random corpus with planted mutations at several edit
+    distances: the prefix-filter join must equal the quadratic exact
+    join at a LOWER threshold too (more borderline pairs than the
+    sf fixtures supply), exercising the prefix-length bound across
+    many set sizes."""
+    import random
+
+    from scratchdb_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    doc_id = 0
+    for base_i in range(25):
+        base = [rng.choice(vocab) for _ in range(rng.randint(6, 30))]
+        rows.append((doc_id, " ".join(base)))
+        doc_id += 1
+        for _ in range(rng.randint(0, 2)):  # mutated variants
+            mut = list(base)
+            for _ in range(rng.randint(0, 4)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(mut)))
+            doc_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # 0.6 is the adversarial setting: longer prefixes, more borderline
+    # pairs (0.85 is covered against the sf fixtures in the catalog)
+    threshold = 0.6
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in prefix_filter_pairs(df, threshold=threshold).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert got == want, (
+        f"t={threshold}: prefix {len(got)} vs exact {len(want)}"
+    )
+    assert len(want) > 0  # the corpus must actually produce pairs
+    spark.catalog.clearCache()
