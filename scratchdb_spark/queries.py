@@ -4772,3 +4772,118 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rc").alias("cosine_rank"),
     )
     return fused.orderBy(F.desc("rrf_e6"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "fn_variant_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_sum,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT surface (Spark 4): props parse once "
+        "into a VARIANT and variant_get extracts a typed path — the "
+        "engine-native successor to string json_extract (reference "
+        "stores JSON columns as typed flattened columns; VARIANT is "
+        "the keep-it-semi-structured alternative). Shredded access "
+        "stays columnar; the oracle uses DuckDB's json_extract.",
+)
+def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.expr(
+        "variant_get(parse_json(props), '$.k', 'int')"
+    ).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+_CHUNK_ORACLE = """
+    SELECT doc_id,
+           CAST(s // 15 AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(w, s + 1, s + 20), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(w, s + 1, s + 20)) AS INTEGER)
+             AS n_tokens
+    FROM (SELECT doc_id, {toks} AS w FROM documents WHERE doc_id < 200),
+         LATERAL (SELECT unnest(generate_series(0, len(w) - 1, 15)) AS s)
+"""
+
+
+@register(
+    "text_chunk_windows",
+    _CHUNK_ORACLE.format(toks=_DUCK_TOKENS),
+    doc="RAG context chunking: overlapping 20-token windows with "
+        "stride 15, emitted via sequence()+explode of per-chunk "
+        "structs — all JVM expressions, the production path (linear, "
+        "no Python). chunk_idx is the window ordinal.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    tokens = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(tokens) - 1, F.lit(0)), F.lit(15)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / 15).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(tokens, s + 1, 20)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(tokens, s + 1, 20)).alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
+
+
+@register(
+    "udtf_chunk_windows",
+    _CHUNK_ORACLE.format(toks=_DUCK_TOKENS),
+    doc="The SAME chunking as text_chunk_windows through Spark 4's "
+        "Python UDTF surface (arrow-optimized table function, LATERAL "
+        "correlation) — completing the UDF/UDTF API coverage; both "
+        "queries share one oracle, pinning UDTF output to the JVM "
+        "path exactly. UDTFs run Python per input row: right for "
+        "logic JVM expressions can't state, not for this hot path — "
+        "which is why the production twin exists.",
+)
+def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, chunk_text string, n_tokens int",
+        useArrow=True,
+    )
+    class ChunkTokens:
+        def eval(self, text: str):
+            toks = " ".join((text or "").lower().split()).split(" ")
+            for i, s in enumerate(range(0, max(len(toks), 1), 15)):
+                w = toks[s : s + 20]
+                yield i, " ".join(w), len(w)
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents d, LATERAL chunk_tokens(d.text) c
+        WHERE d.doc_id < 200
+        """
+    )
