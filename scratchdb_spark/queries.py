@@ -4887,3 +4887,43 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 200
         """
     )
+
+
+@register(
+    "source_ndjson_scan",
+    """
+    SELECT * FROM (VALUES
+      (CAST(NULL AS BOOLEAN), CAST(1.0 AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), '7', 'ann'),
+      (CAST(NULL AS BOOLEAN), CAST(2.5 AS DOUBLE),
+       CAST(1 AS BIGINT), CAST(2 AS BIGINT), '8', 'bob'),
+      (TRUE, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), 'x9', CAST(NULL AS VARCHAR)))
+      t(active, score, tags_0, tags_1, user_id, user_name)
+    """,
+    doc="Custom Python DataSource round-trip "
+        "(sources.ScratchNdjsonDataSource): spark.read.format("
+        "'scratch_ndjson') applies N1 horizontal flatten + N3 "
+        "type-vote + cast-else-null as a NATIVE source — nested "
+        "user.id mixing int and string votes string, score mixing "
+        "int and float votes double, array elements land as "
+        "positional columns; one InputPartition per file. Oracle is "
+        "the literal expected relation.",
+    bench=False,  # times tempdir setup, not a scan
+)
+def source_ndjson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .sources import ScratchNdjsonDataSource
+
+    spark.dataSource.register(ScratchNdjsonDataSource)
+    d = tempfile.mkdtemp(prefix="scratch_ndjson_")
+    with open(os.path.join(d, "batch.ndjson"), "w") as f:
+        f.write('{"user": {"id": 7, "name": "ann"}, "score": 1}\n')
+        f.write(
+            '{"user": {"id": 8, "name": "bob"}, "score": 2.5,'
+            ' "tags": [1, 2]}\n'
+        )
+        f.write('{"user": {"id": "x9"}, "active": true}\n')
+    return spark.read.format("scratch_ndjson").option("path", d).load()

@@ -71,3 +71,149 @@ def write_result(
         writer.parquet(path)
     else:
         raise ValueError(f"unsupported export format: {fmt}")
+
+
+# --- custom Python DataSource: the reference's NDJSON semantics as a
+# --- first-class spark.read format -----------------------------------
+
+def _list_ndjson_files(path: str) -> list[str]:
+    import os
+
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(".")
+        )
+    return [path]
+
+
+def _coerce(value, dt):
+    """Cast-else-NULL, mirroring the ingest pipeline's PERMISSIVE read
+    (reference: non-coercible values store NULL)."""
+    import json as _json
+
+    if value is None:
+        return None
+    if isinstance(dt, T.StringType):
+        if isinstance(value, str):
+            return value
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, (dict, list)):
+            return _json.dumps(value, separators=(",", ":"))
+        return str(value)
+    if isinstance(dt, T.BooleanType):
+        return value if isinstance(value, bool) else None
+    if isinstance(dt, T.LongType):
+        if isinstance(value, bool) or not isinstance(value, int):
+            return None
+        return value if -(2**63) <= value < 2**63 else None
+    if isinstance(dt, T.DoubleType):
+        if isinstance(value, bool):
+            return None
+        return float(value) if isinstance(value, (int, float)) else None
+    return None
+
+
+try:  # Spark 4 Python DataSource API
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class ScratchNdjsonDataSource(DataSource):
+        """``spark.read.format("scratch_ndjson")`` — NDJSON with the
+        reference's ingest semantics (N1 horizontal flatten + N3
+        whole-batch type vote + cast-else-null) as a native Spark
+        source, instead of a pre-ingest step.
+
+        Options: ``path`` (file or directory). Schema inference
+        samples up to ``sampleLines`` lines (default 1000) per file on
+        the driver — local paths only; pass an explicit ``.schema()``
+        for object stores or to skip the sample pass.
+
+        Scale shape: one InputPartition per file (the reference's
+        rotated-file layout produces many bounded files, so file
+        granularity IS the parallelism); rows flatten and coerce
+        inside Python workers, never on the driver. For peak
+        throughput at 100 TB prefer the JVM path
+        (``ingest/pipeline.append_lines_df``: mapInPandas vote +
+        from_json read); this source trades some speed for making the
+        vote semantics composable with any DataFrame program.
+        (Reference parity: pkg/api flatten + types.go vote.)
+        """
+
+        @classmethod
+        def name(cls) -> str:
+            return "scratch_ndjson"
+
+        def schema(self):
+            import json as _json
+
+            from .ingest.flatten import flatten_horizontal
+            from .ingest.infer import infer_types
+            from .tables import spark_type_for_tag
+
+            limit = int(self.options.get("sampleLines", 1000))
+            rows = []
+            for f in _list_ndjson_files(self.options["path"]):
+                with open(f) as fh:
+                    for i, line in enumerate(fh):
+                        if i >= limit:
+                            break
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            doc = _json.loads(line)
+                        except ValueError:
+                            continue
+                        if isinstance(doc, dict):
+                            rows.extend(flatten_horizontal(doc))
+            voted = infer_types(rows)
+            return T.StructType(
+                [
+                    T.StructField(col, spark_type_for_tag(tag))
+                    for col, tag in sorted(voted.items())
+                ]
+            )
+
+        def reader(self, schema):
+            return _ScratchNdjsonReader(self.options, schema)
+
+    class _ScratchNdjsonReader(DataSourceReader):
+        def __init__(self, options, schema):
+            self.path = options["path"]
+            self.fields = [(f.name, f.dataType) for f in schema.fields]
+
+        def partitions(self):
+            return [
+                InputPartition(f) for f in _list_ndjson_files(self.path)
+            ]
+
+        def read(self, partition):
+            import json as _json
+
+            from .ingest.flatten import flatten_horizontal
+
+            with open(partition.value) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        doc = _json.loads(line)
+                    except ValueError:
+                        continue
+                    if not isinstance(doc, dict):
+                        continue
+                    for flat in flatten_horizontal(doc):
+                        yield tuple(
+                            _coerce(flat.get(name), dt)
+                            for name, dt in self.fields
+                        )
+
+except ImportError:  # pragma: no cover - pre-4.0 PySpark
+    ScratchNdjsonDataSource = None  # type: ignore[assignment]

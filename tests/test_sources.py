@@ -34,3 +34,39 @@ def test_write_result_formats(spark, tmp_path):
         assert len(files) == 1, fmt
     back = sources.read_parquet(spark, str(tmp_path / "parquet"))
     assert sorted(r["n"] for r in back.collect()) == list(range(10))
+
+
+def test_scratch_ndjson_datasource_vote_and_flatten(spark, tmp_path):
+    """Custom DataSource: whole-batch vote (int+string -> string,
+    int+float -> double), horizontal flatten, cast-else-null, and
+    per-file partitioning."""
+    from scratchdb_spark.sources import ScratchNdjsonDataSource
+
+    spark.dataSource.register(ScratchNdjsonDataSource)
+    (tmp_path / "a.ndjson").write_text(
+        '{"user": {"id": 7}, "score": 1}\n'
+        'not json at all\n'
+        '{"user": {"id": "x"}, "score": 2.5}\n'
+    )
+    (tmp_path / "b.ndjson").write_text('{"score": 3}\n')
+    df = (
+        spark.read.format("scratch_ndjson")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    assert dict(df.dtypes) == {"score": "double", "user_id": "string"}
+    rows = sorted(df.collect(), key=lambda r: (r.score is None, r.score))
+    assert [(r.score, r.user_id) for r in rows] == [
+        (1.0, "7"), (2.5, "x"), (3.0, None),
+    ]
+    # explicit schema skips the sample pass and coerces cast-else-null
+    from pyspark.sql import types as T
+    explicit = T.StructType([T.StructField("score", T.LongType())])
+    df2 = (
+        spark.read.format("scratch_ndjson")
+        .schema(explicit)
+        .option("path", str(tmp_path))
+        .load()
+    )
+    # 2.5 is not an int -> NULL under cast-else-null
+    assert sorted(r.score for r in df2.collect() if r.score is not None) == [1, 3]
