@@ -121,6 +121,7 @@ try:  # Spark 4 Python DataSource API
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     class ScratchNdjsonDataSource(DataSource):
@@ -182,6 +183,84 @@ try:  # Spark 4 Python DataSource API
 
         def reader(self, schema):
             return _ScratchNdjsonReader(self.options, schema)
+
+        def simpleStreamReader(self, schema):
+            return _ScratchNdjsonStreamReader(self.options, schema)
+
+    class _ScratchNdjsonStreamReader(SimpleDataSourceStreamReader):
+        """Streaming half of the scratch_ndjson source: tails a
+        rotated-file landing directory. Offset = the lexicographically
+        greatest processed filename — rotation names
+        (``{millis}_{counter}.ndjson``, ingest/writer.py) are
+        monotonic and files are immutable once closed, so a filename
+        totally orders the stream and replay between offsets is exact
+        (the at-least-once queue contract, reference
+        datasink/filesystem semantics, made exactly-once by Spark's
+        offset log).
+
+        The *simple* stream API parses on the driver — right for
+        bounded micro-batches (the writer rotates at size/row/age
+        bounds); the peak-throughput path remains the checkpointed
+        JVM file-source stream in streaming/ingest_stream.py.
+        """
+
+        def __init__(self, options, schema):
+            self.path = options["path"]
+            self.fields = [(f.name, f.dataType) for f in schema.fields]
+
+        def initialOffset(self):
+            return {"last": ""}
+
+        def _rows_for(self, names):
+            import json as _json
+            import os
+
+            from .ingest.flatten import flatten_horizontal
+
+            out = []
+            for name in names:
+                with open(os.path.join(self.path, name)) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            doc = _json.loads(line)
+                        except ValueError:
+                            continue
+                        if not isinstance(doc, dict):
+                            continue
+                        for flat in flatten_horizontal(doc):
+                            out.append(tuple(
+                                _coerce(flat.get(n), dt)
+                                for n, dt in self.fields
+                            ))
+            return out
+
+        def _names_after(self, last):
+            import os
+
+            return sorted(
+                os.path.basename(f)
+                for f in _list_ndjson_files(self.path)
+                if os.path.basename(f) > last
+            )
+
+        def read(self, start):
+            names = self._names_after(start["last"])
+            if not names:
+                return iter([]), start
+            return iter(self._rows_for(names)), {"last": names[-1]}
+
+        def readBetweenOffsets(self, start, end):
+            names = [
+                n for n in self._names_after(start["last"])
+                if n <= end["last"]
+            ]
+            return iter(self._rows_for(names))
+
+        def commit(self, end):
+            pass
 
     class _ScratchNdjsonReader(DataSourceReader):
         def __init__(self, options, schema):

@@ -70,3 +70,39 @@ def test_scratch_ndjson_datasource_vote_and_flatten(spark, tmp_path):
     )
     # 2.5 is not an int -> NULL under cast-else-null
     assert sorted(r.score for r in df2.collect() if r.score is not None) == [1, 3]
+
+
+def test_scratch_ndjson_stream_tails_rotated_files(spark, tmp_path):
+    """Streaming half: new rotated files picked up incrementally;
+    filename offsets give exactly-once across micro-batches."""
+    from pyspark.sql import types as T
+
+    from scratchdb_spark.sources import ScratchNdjsonDataSource
+
+    spark.dataSource.register(ScratchNdjsonDataSource)
+    land = tmp_path / "landing"
+    land.mkdir()
+    (land / "1000_0.ndjson").write_text('{"k": 1}\n{"k": 2}\n')
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    q = (
+        spark.readStream.format("scratch_ndjson")
+        .schema(schema)
+        .option("path", str(land))
+        .load()
+        .writeStream.format("memory")
+        .queryName("ndjson_tail")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT * FROM ndjson_tail").collect()}
+        assert got == {1, 2}
+        (land / "1001_1.ndjson").write_text('{"k": 3}\n')
+        q.processAllAvailable()
+        got = {r.k for r in spark.sql("SELECT * FROM ndjson_tail").collect()}
+        assert got == {1, 2, 3}
+    finally:
+        q.stop()
