@@ -380,28 +380,33 @@ def bigram_pmi(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n_tok = uni.agg(F.sum("c").alias("n_tok"))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
-    big = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
-    )
+    # bigram pairs via posexplode + lead() — an HOF slice/concat chain
+    # evaluates interpreted outside codegen and measured ~3x slower
+    # (PERF.md span-coverage lesson); the window's shuffle key (doc id)
+    # also feeds nothing else, so the plan stays two aggs + one window
+    from .dedup import widen
+
+    pos = widen(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", F.posexplode(toks).alias("p", "tok"))
+    wdoc = Window.partitionBy("id").orderBy("p")
+    pairs = pos.select(
+        F.col("tok").alias("x"),
+        F.lead("tok", 1).over(wdoc).alias("y"),
+    ).filter(F.col("y").isNotNull())
     bigrams = (
-        df.select(F.explode(big).alias("bg"))
-        # a 1-token doc yields its lone token as a degenerate "bigram";
-        # drop rows without a space so both engines see true pairs only
-        .filter(F.col("bg").contains(" "))
-        .groupBy("bg")
+        pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("c_xy"))
         .filter(F.col("c_xy") >= min_count)
+        .withColumn("bg", F.concat_ws(" ", "x", "y"))
     )
     n_big = (
         df.select(
             F.greatest(F.size(toks) - 1, F.lit(0)).alias("nb")
         ).agg(F.sum("nb").alias("n_big"))
     )
-    x = F.split(F.col("bg"), " ")
     scored = (
-        bigrams.withColumn("x", x.getItem(0))
-        .withColumn("y", x.getItem(1))
+        bigrams
         .join(F.broadcast(uni.withColumnRenamed("tok", "x")
                           .withColumnRenamed("c", "c_x")), "x")
         .join(F.broadcast(uni.withColumnRenamed("tok", "y")
