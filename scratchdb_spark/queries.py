@@ -4927,3 +4927,97 @@ def source_ndjson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         f.write('{"user": {"id": "x9"}, "active": true}\n')
     return spark.read.format("scratch_ndjson").option("path", d).load()
+
+
+@register(
+    "cohort_monthly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS m
+      FROM events)
+    SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+           CAST(date_diff('month', f.cohort, a.m) AS BIGINT)
+             AS month_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-event month, "
+        "counted in each subsequent month — the standard retention "
+        "triangle. Two aggs + one user-keyed join; the firsts frame "
+        "is one row per user, so at 100 TB the join is "
+        "broadcast-or-shuffle on user_id with no amplification.",
+)
+def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("MONTH", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("MONTH", "ts").alias("m")
+    ).distinct()
+    joined = activity.join(firsts, "user_id")
+    return (
+        joined.groupBy(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            (
+                (F.year("m") - F.year("cohort")) * 12
+                + (F.month("m") - F.month("cohort"))
+            )
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_7d
+    FROM days JOIN ud
+      ON ud.d <= days.d AND ud.d > days.d - INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+    doc="Rolling 7-day distinct active users — sliding-window distinct "
+        "counts do NOT decompose into window functions; each (user, "
+        "day) pair is exploded into the 7 spine days it covers, then "
+        "an equi-join restricts to days that exist and one agg "
+        "dedups: work = 7x daily-active rows, all keyed shuffles, no "
+        "nested loop. At 100 TB swap exact counting for per-day HLL "
+        "sketches merged over the trailing window "
+        "(approx_hll_sketch_union shows the sketch path).",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("DAY", "ts").alias("d")
+    ).distinct()
+    # each active day COVERS the next 7 spine days: explode the bounded
+    # interval, then everything downstream is equi-keyed (the range
+    # join rewritten as bounded duplication — operators/rangejoin.py's
+    # trick; a naive d BETWEEN spine-6 AND spine predicate would plan
+    # as a BroadcastNestedLoopJoin)
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("spine_d"),
+    )
+    days = ud.select(F.col("d").alias("spine_d")).distinct()
+    return (
+        covered.join(days, "spine_d")
+        .groupBy(F.date_format("spine_d", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )

@@ -1248,3 +1248,55 @@ def test_prefix_filter_randomized_parity(spark):
     )
     assert len(want) > 0  # the corpus must actually produce pairs
     spark.catalog.clearCache()
+
+
+def test_cohort_and_rolling_semantics_on_crafted_events(spark, tmp_path):
+    """Pin the retention and sliding-window logic on data where the
+    answers are computable by hand (the sf fixtures span too few
+    months to exercise cohort offsets)."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scratchdb_spark.queries import (
+        cohort_monthly_retention,
+        rolling_7d_active_users,
+    )
+
+    rows = [
+        # user 1: first in Jan, active Jan + Mar -> offsets 0 and 2
+        (1, dt.datetime(2024, 1, 5), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 3, 10), 1, "view", 1.0, "{}"),
+        # user 2: first in Mar only -> offset 0
+        (3, dt.datetime(2024, 3, 20), 2, "view", 1.0, "{}"),
+        # user 3: two events 3 days apart (rolling window overlap)
+        (4, dt.datetime(2024, 5, 1), 3, "view", 1.0, "{}"),
+        (5, dt.datetime(2024, 5, 4), 3, "view", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"],
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf), str(tmp_path / "events.parquet")
+    )
+    ret = {
+        (r.cohort_month, r.month_offset): r.n_active_users
+        for r in cohort_monthly_retention(spark, str(tmp_path)).collect()
+    }
+    assert ret == {
+        ("2024-01", 0): 1,
+        ("2024-01", 2): 1,
+        ("2024-03", 0): 1,
+        ("2024-05", 0): 1,
+    }
+    roll = {
+        r.day: r.active_7d
+        for r in rolling_7d_active_users(spark, str(tmp_path)).collect()
+    }
+    # May 4 counts user 3 once though both events fall in its window
+    assert roll["2024-05-01"] == 1 and roll["2024-05-04"] == 1
+    assert roll["2024-01-05"] == 1 and roll["2024-03-10"] == 1
