@@ -174,30 +174,37 @@ def pagerank_int(
     (Public algorithm: Page et al. 1999; integer-scaling determinism
     is this repo's discipline, not reference code.)
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select("src").distinct()
-    ranks = nodes.select(
-        "src", F.lit(1_000_000).cast("long").alias("r_e6")
+    # Loop-invariant prep, persisted once: Spark shares no subtrees
+    # across plan branches, so an unpersisted edge list would re-run
+    # its upstream (e.g. a fact-table join + distinct) every
+    # iteration. Degree is pre-joined INTO the edge frame so each
+    # iteration is exactly ONE ranks join + ONE dst agg — no
+    # per-iteration deg join, and (because both orientations are
+    # required, so every node has inbound edges) no dangling-node
+    # left join either. Caller/bench clears the cache.
+    edges_deg = (
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+            "src",
+        ).persist()
+    )
+    ranks = (
+        edges.select("src")
+        .distinct()
+        .select("src", F.lit(1_000_000).cast("long").alias("r_e6"))
     )
     for _ in range(iterations):
-        contrib = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst"),
-                F.expr("r_e6 div deg").alias("c"),
-            )
+        contrib = edges_deg.join(ranks, "src").select(
+            F.col("dst"), F.expr("r_e6 div deg").alias("c")
         )
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.join(sums, nodes["src"] == sums["dst"], "left")
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
             .select(
-                nodes["src"],
+                F.col("dst").alias("src"),
                 (
                     F.lit(150_000).cast("long")
-                    + F.expr(
-                        f"{damping_e2} * coalesce(s, 0L) div 100"
-                    )
+                    + F.expr(f"{damping_e2} * s div 100")
                 ).alias("r_e6"),
             )
             .localCheckpoint(eager=False)
