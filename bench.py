@@ -50,6 +50,10 @@ HEADLINE = [
     "sessionize_events",
     "range_join_click_purchase",
     "udf_resample_daily",
+    "dedup_prefix_filter_pairs",
+    "graph_pagerank_custsupp",
+    "search_rrf_hybrid",
+    "pipeline_curate_corpus",
 ]
 
 
