@@ -37,3 +37,45 @@ def salted_agg_counts(
         F.sum("__n").alias("n"),
         F.round(F.sum("__s"), 2).alias("total"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Inner equi-join with manual salt replication — the classic fix
+    when one join key dominates the BIG side and the SMALL side is too
+    large to broadcast: each big-side row gets a deterministic salt in
+    [0, salt_buckets), the small side replicates once per salt value,
+    and the join key becomes (key, salt) — a hot key's rows now spread
+    over ``salt_buckets`` reducers instead of one.
+
+    The salt derives from xxhash64 of the big side's whole row (via
+    monotonically increasing id would break determinism; hashing the
+    key alone would put every hot-key row in ONE salt and change
+    nothing — so callers pass a frame whose rows are distinguishable,
+    and the salt hashes all columns). Result set is EXACTLY the plain
+    join's (the oracle checks that): salting redistributes work, never
+    rows.
+
+    AQE's skew-join split (on by default in session.py) handles most
+    cases at runtime; the manual form matters when AQE can't see the
+    skew (e.g. skew introduced by an upstream expansion in the same
+    stage) or off-AQE engines. Cost: small side duplicated
+    ``salt_buckets`` x — size it so replicated-small still fits a
+    shuffle partition.
+    """
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+               F.lit(salt_buckets)),
+    )
+    salts = big.sparkSession.range(salt_buckets).select(
+        F.col("id").cast("long").alias("__salt")
+    )
+    replicated_small = small.crossJoin(F.broadcast(salts))
+    return salted_big.join(
+        replicated_small, [key_col, "__salt"]
+    ).drop("__salt")

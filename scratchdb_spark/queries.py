@@ -5021,3 +5021,34 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("spine_d", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("user_id").alias("active_7d"))
     )
+
+
+@register(
+    "join_salted_user_totals",
+    """
+    WITH totals AS (
+      SELECT user_id, CAST(round(sum(value) * 100) AS BIGINT)
+               AS user_total_e2
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, t.user_total_e2
+    FROM events e JOIN totals t USING (user_id)
+    WHERE e.user_id < 40
+    """,
+    doc="Salted skew join (operators/skew.py::salted_join): events "
+        "(big, user-skewed) join per-user totals (small, "
+        "non-broadcast path) on (user_id, salt) with the small side "
+        "replicated per salt — a hot user's rows spread over 8 "
+        "reducers instead of one. The oracle is the PLAIN join: "
+        "salting must redistribute work, never change rows.",
+)
+def join_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value") * 100).cast("long").alias("user_total_e2")
+    )
+    big = ev.select("event_id", "user_id")
+    return salted_join(big, totals, "user_id").select(
+        "event_id", "user_id", "user_total_e2"
+    )

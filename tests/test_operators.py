@@ -1300,3 +1300,24 @@ def test_cohort_and_rolling_semantics_on_crafted_events(spark, tmp_path):
     # May 4 counts user 3 once though both events fall in its window
     assert roll["2024-05-01"] == 1 and roll["2024-05-04"] == 1
     assert roll["2024-01-05"] == 1 and roll["2024-03-10"] == 1
+
+
+def test_salted_join_equals_plain_join_with_hot_key(spark):
+    from scratchdb_spark.operators.skew import salted_join
+
+    big_rows = [(i, 999) for i in range(500)] + [
+        (1000 + k, k) for k in range(20)
+    ]
+    big = spark.createDataFrame(big_rows, ["row_id", "k"])
+    small = spark.createDataFrame(
+        [(999, "hot"), *[(k, f"v{k}") for k in range(20)]], ["k", "v"]
+    )
+    got = sorted(
+        map(tuple, salted_join(big, small, "k").select(
+            "row_id", "k", "v").collect())
+    )
+    want = sorted(
+        map(tuple, big.join(small, "k").select(
+            "row_id", "k", "v").collect())
+    )
+    assert got == want and len(got) == 520

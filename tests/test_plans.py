@@ -46,6 +46,10 @@ ALLOWED_NESTED_LOOP = {
     "text_bm25_topk": "1-row (N, avgdl) corpus-stats join",
     "text_bigram_pmi": "1-row (n_tok, n_big) corpus-total joins",
     "split_temporal_cutoff": "1-row time-span cutoff scalar join",
+    "join_salted_user_totals": (
+        "deliberate bounded replication: small side x 8-row broadcast "
+        "salt table IS the salted-join technique"
+    ),
     "search_rrf_hybrid": (
         "BM25 1-row corpus-stats join + exact-cosine baseline with a "
         "1-row broadcast query batch; fusion itself joins two top-k "
