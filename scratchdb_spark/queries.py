@@ -5052,3 +5052,50 @@ def join_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(big, totals, "user_id").select(
         "event_id", "user_id", "user_total_e2"
     )
+
+
+@register(
+    "warehouse_time_travel",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(30 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(90 AS BIGINT)))
+      t(version, n_rows, amount_sum)
+    """,
+    doc="Snapshot time travel (snapshots.py): two versioned appends "
+        "into a temp warehouse, then version-PINNED reads — v1 sees "
+        "only its manifest's files (2 rows), latest sees both "
+        "batches. The manifest PUT makes multi-file appends "
+        "atomically visible and replaces directory listing at plan "
+        "time; the Iceberg/Delta core idea over the existing "
+        "Hadoop-FS layout.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import snapshots as snap
+    from .tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_tt_"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(3, 60)], "__row_id long, amount long"),
+    )
+    v1 = snap.read_snapshot(wh, "db", "t", version=1).agg(
+        F.lit(1).cast("long").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").alias("amount_sum"),
+    )
+    v2 = snap.read_snapshot(wh, "db", "t").agg(
+        F.lit(2).cast("long").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").alias("amount_sum"),
+    )
+    return v1.unionAll(v2)

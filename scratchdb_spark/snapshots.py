@@ -1,0 +1,153 @@
+"""Manifest-based snapshot versioning for warehouse tables — the
+lakehouse layer (Iceberg/Delta's core idea, reimplemented minimally
+over the existing Hadoop-FS warehouse; public design, no reference
+code — the reference has no snapshot concept at all, its readers see
+whatever files exist).
+
+What it buys at 100 TB:
+
+- **Atomic visibility**: an append becomes visible exactly when its
+  one-file manifest commits, however many parquet files the batch
+  wrote. Directory-listing readers instead see partial multi-file
+  appends.
+- **Pinned readers / time travel**: ``read_snapshot(..., version=N)``
+  plans over the EXACT file list recorded at version N — concurrent
+  appends don't shift results mid-query, and yesterday's version
+  stays queryable until expired.
+- **O(1) planning**: the manifest read replaces the directory listing
+  (the listing cost that motivated bounded-file appends, PERF.md).
+
+Format: ``_snapshots/v{N:012d}.json`` per version holding the data
+file names; versions are monotonically numbered, the latest version
+is max(N). JSON file lists are fine to ~10^6 files; beyond that real
+systems shard manifests (Iceberg manifest lists) — noted, not built.
+
+Interaction with compaction: ``operators/compaction.py`` rewrites
+data files in place, which invalidates OLDER manifests (their files
+are gone) — the same contract as Delta's VACUUM. Run
+``expire_snapshots`` before compacting, then ``commit_snapshot`` to
+record the compacted layout.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame
+
+from . import fs as hfs
+from .tables import Warehouse
+
+_SNAP_DIR = "_snapshots"
+_SNAP_RE = re.compile(r"^v(\d{12})\.json$")
+
+
+def _snap_dir(wh: Warehouse, database: str, table: str) -> str:
+    return f"{wh._path(database, table)}/{_SNAP_DIR}"
+
+
+def _data_files(wh: Warehouse, database: str, table: str) -> list[str]:
+    """Current committed parquet data files (names, not paths)."""
+    return sorted(
+        n
+        for n in hfs.list_names(wh.spark, wh._path(database, table))
+        if n.endswith(".parquet")
+    )
+
+
+def versions(wh: Warehouse, database: str, table: str) -> list[int]:
+    d = _snap_dir(wh, database, table)
+    if not hfs.is_dir(wh.spark, d):
+        return []
+    out = []
+    for n in hfs.list_names(wh.spark, d):
+        m = _SNAP_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def commit_snapshot(
+    wh: Warehouse, database: str, table: str
+) -> int:
+    """Record the table's CURRENT data-file set as the next version.
+    Returns the committed version number. The commit is one small
+    file PUT — atomic on every Hadoop FS that matters — so readers
+    either see the whole version or none of it."""
+    vs = versions(wh, database, table)
+    next_v = (vs[-1] + 1) if vs else 1
+    manifest = {
+        "version": next_v,
+        "files": _data_files(wh, database, table),
+        "schema": wh.schema(database, table).json(),
+    }
+    hfs.write_text(
+        wh.spark,
+        f"{_snap_dir(wh, database, table)}/v{next_v:012d}.json",
+        json.dumps(manifest, separators=(",", ":")),
+    )
+    return next_v
+
+
+def append_versioned(
+    wh: Warehouse, database: str, table: str, batch: DataFrame
+) -> int:
+    """append_aligned + snapshot commit: the batch's files become
+    visible to snapshot readers atomically, at the manifest PUT."""
+    wh.append_aligned(database, table, batch)
+    return commit_snapshot(wh, database, table)
+
+
+def read_snapshot(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Plan over the exact file list of ``version`` (latest when
+    None). The schema comes from the manifest — so a snapshot taken
+    before a column existed reads WITHOUT that column, exactly what
+    the table looked like then."""
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} has no snapshots — use "
+            "append_versioned/commit_snapshot (plain reads: "
+            "Warehouse.read)"
+        )
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(
+            f"version {v} not in {database}.{table} snapshots {vs}"
+        )
+    raw = hfs.read_text(
+        wh.spark, f"{_snap_dir(wh, database, table)}/v{v:012d}.json"
+    )
+    manifest = json.loads(raw)
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    base = wh._path(database, table)
+    paths = [f"{base}/{name}" for name in manifest["files"]]
+    if not paths:
+        return wh.spark.createDataFrame([], schema)
+    return wh.spark.read.schema(schema).parquet(*paths)
+
+
+def expire_snapshots(
+    wh: Warehouse, database: str, table: str, keep_last: int = 2
+) -> list[int]:
+    """Drop all but the newest ``keep_last`` manifests (metadata only
+    — data files are shared across versions and are NOT deleted;
+    orphan-file cleanup is compaction's job). Returns expired
+    versions."""
+    vs = versions(wh, database, table)
+    expired = vs[:-keep_last] if keep_last > 0 else vs
+    for v in expired:
+        hfs.delete(
+            wh.spark,
+            f"{_snap_dir(wh, database, table)}/v{v:012d}.json",
+            recursive=False,
+        )
+    return expired

@@ -301,3 +301,42 @@ def test_landing_zone_on_non_file_scheme_viewfs(spark, tmp_path):
     # and Spark's own scan path reads through viewfs too (what the
     # streaming worker does with the closed dir)
     assert spark.read.text(remote).count() == 2
+
+
+def test_snapshot_versioning_time_travel(spark, tmp_path):
+    """Manifest snapshots: version-pinned reads see the exact file set
+    (and SCHEMA) of their commit; later appends don't shift them."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "__row_id long, v string")
+    v1 = snap.append_versioned(wh, "db", "t", b1)
+    # second batch evolves the schema (new column w)
+    b2 = spark.createDataFrame(
+        [(3, "c", 7.5)], "__row_id long, v string, w double"
+    )
+    v2 = snap.append_versioned(wh, "db", "t", b2)
+    assert (v1, v2) == (1, 2)
+
+    s1 = snap.read_snapshot(wh, "db", "t", version=1)
+    assert s1.count() == 2
+    assert "w" not in s1.columns  # pre-evolution schema
+    s2 = snap.read_snapshot(wh, "db", "t")  # latest
+    assert s2.count() == 3 and "w" in s2.columns
+
+    # a reader PINNED to v2's plan is unaffected by a later append
+    pinned = snap.read_snapshot(wh, "db", "t", version=2)
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(4, "d", 1.0)],
+                              "__row_id long, v string, w double"),
+    )
+    assert pinned.count() == 3
+    assert snap.read_snapshot(wh, "db", "t").count() == 4
+
+    assert snap.versions(wh, "db", "t") == [1, 2, 3]
+    assert snap.expire_snapshots(wh, "db", "t", keep_last=1) == [1, 2]
+    assert snap.versions(wh, "db", "t") == [3]
+    # expiry drops metadata only — the latest read still sees all rows
+    assert snap.read_snapshot(wh, "db", "t").count() == 4
