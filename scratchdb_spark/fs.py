@@ -59,6 +59,14 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(hpath, recursive))
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """FileSystem.rename — atomic within one HDFS/file namespace (on
+    object stores it's a copy+delete; callers that need atomic
+    visibility gate on a manifest PUT instead, see snapshots.py)."""
+    fs, spath, jvm = _jfs(spark, src)
+    return bool(fs.rename(spath, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Create-or-overwrite a small text file (sidecar metadata)."""
     fs, hpath, _ = _jfs(spark, path)

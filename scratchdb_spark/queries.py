@@ -5099,3 +5099,57 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("amount").alias("amount_sum"),
     )
     return v1.unionAll(v2)
+
+
+@register(
+    "warehouse_gdpr_delete",
+    """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(21 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(14 AS BIGINT)))
+      t(version, n_rows, n_flagged, id_sum)
+    """,
+    doc="Row-level takedown via copy-on-write "
+        "(snapshots.delete_where): two versioned appends, delete the "
+        "flagged rows, then audit BOTH versions — the pre-delete "
+        "snapshot still shows 6 rows with 2 flagged (the audit "
+        "trail), the post-delete snapshot shows 4 with 0. Only files "
+        "containing matches rewrite; the manifest PUT makes the "
+        "delete atomically visible.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import snapshots as snap
+    from .tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_del_"))
+    snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [(1, False), (2, True), (3, False)],
+            "__row_id long, flagged boolean",
+        ),
+    )
+    pre_v = snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [(4, False), (5, True), (6, False)],
+            "__row_id long, flagged boolean",
+        ),
+    )
+    post_v, _ = snap.delete_where(wh, "db", "docs", F.col("flagged"))
+
+    def audit(version: int) -> DataFrame:
+        df = snap.read_snapshot(wh, "db", "docs", version=version)
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+            F.sum("__row_id").alias("id_sum"),
+        )
+
+    return audit(pre_v).unionAll(audit(post_v))

@@ -151,3 +151,94 @@ def expire_snapshots(
             recursive=False,
         )
     return expired
+
+
+def delete_where(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    predicate,
+) -> tuple[int, int]:
+    """Row-level DELETE via copy-on-write, the takedown primitive a
+    training-data pipeline needs (opt-outs, contamination, PII): files
+    containing matching rows are rewritten WITHOUT them; untouched
+    files are carried into the new manifest as-is. Returns
+    (new_version, rows_deleted).
+
+    Shape: one filtered scan tags affected files via
+    ``input_file_name()`` (file-level pruning — parquet min/max stats
+    prune most files when the predicate correlates with the
+    sort-on-write key); only affected files re-read and rewrite. Old
+    versions still SEE the deleted rows (time travel is the audit
+    trail); expire + compact to physically reclaim.
+
+    Requires the table to be snapshot-managed (at least one version).
+    """
+    from pyspark.sql import functions as F
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    base = wh._path(database, table)
+    current = read_snapshot(wh, database, table)
+    tagged = current.withColumn("__file", F.input_file_name())
+    affected = sorted(
+        r["__file"].rsplit("/", 1)[-1]
+        for r in tagged.filter(predicate)
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return versions(wh, database, table)[-1], 0
+
+    n_before = current.count()
+    schema = current.schema
+    keep = (
+        wh.spark.read.schema(schema)
+        .parquet(*[f"{base}/{n}" for n in affected])
+        .filter(~predicate)
+    )
+    # rewrite survivors into fresh files under a unique prefix (never
+    # collides with live names), then commit a manifest that swaps
+    # affected -> rewritten; data-file writes before the manifest PUT
+    # are invisible until the commit, so readers never see a partial
+    # delete
+    import uuid
+
+    tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
+    keep.write.mode("overwrite").parquet(tmp)
+    rewritten = []
+    for n in hfs.list_names(wh.spark, tmp):
+        if n.endswith(".parquet"):
+            new_name = f"cow-{uuid.uuid4().hex}-{n}"
+            hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}")
+            rewritten.append(new_name)
+    hfs.delete(wh.spark, tmp)
+
+    prev = json.loads(
+        hfs.read_text(
+            wh.spark, f"{_snap_dir(wh, database, table)}/v{vs[-1]:012d}.json"
+        )
+    )
+    new_files = sorted(
+        [f for f in prev["files"] if f not in set(affected)] + rewritten
+    )
+    next_v = vs[-1] + 1
+    hfs.write_text(
+        wh.spark,
+        f"{_snap_dir(wh, database, table)}/v{next_v:012d}.json",
+        json.dumps(
+            {
+                "version": next_v,
+                "files": new_files,
+                "schema": prev["schema"],
+            },
+            separators=(",", ":"),
+        ),
+    )
+    n_after = read_snapshot(wh, database, table, next_v).count()
+    return next_v, n_before - n_after

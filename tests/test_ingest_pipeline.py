@@ -340,3 +340,55 @@ def test_snapshot_versioning_time_travel(spark, tmp_path):
     assert snap.versions(wh, "db", "t") == [3]
     # expiry drops metadata only — the latest read still sees all rows
     assert snap.read_snapshot(wh, "db", "t").count() == 4
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """Row-level delete: only files containing matches rewrite; the
+    pre-delete version still shows the rows (audit trail); counts and
+    survivors are exact."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # two separate appends -> two disjoint file sets
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(5)], "__row_id long, who string"
+        ),
+    )
+    v2 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(5, 10)],
+            "__row_id long, who string",
+        ),
+    )
+    files_before = set(
+        snap.read_snapshot(wh, "db", "t")
+        .withColumn("f", F.input_file_name()).select("f")
+        .toPandas()["f"]
+    )
+
+    new_v, n_deleted = snap.delete_where(
+        wh, "db", "t", F.col("who").isin("u2", "u3")
+    )
+    assert n_deleted == 2 and new_v == v2 + 1
+    latest = snap.read_snapshot(wh, "db", "t")
+    assert latest.count() == 8
+    assert latest.filter(F.col("who").isin("u2", "u3")).count() == 0
+    # audit trail: the pre-delete version still has all 10
+    assert snap.read_snapshot(wh, "db", "t", version=v2).count() == 10
+    # COW locality: batch-2 files (no matches) carried over untouched
+    files_after = set(
+        latest.withColumn("f", F.input_file_name()).select("f")
+        .toPandas()["f"]
+    )
+    assert files_before & files_after, "unaffected files must carry over"
+    # no-match delete is a no-op version-wise
+    same_v, zero = snap.delete_where(
+        wh, "db", "t", F.col("who") == "nobody"
+    )
+    assert zero == 0 and same_v == new_v
