@@ -5153,3 +5153,48 @@ def warehouse_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit(pre_v).unionAll(audit(post_v))
+
+
+@register(
+    "warehouse_merge_upsert",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'old1', CAST(1000 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'NEW2', CAST(9900 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'old3', CAST(3000 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'new4', CAST(4000 AS BIGINT)))
+      t(id, name, bal_e2)
+    """,
+    doc="MERGE / latest-wins upsert via copy-on-write "
+        "(snapshots.merge_upsert): matched keys replace, unmatched "
+        "insert, files without matching keys carry over; atomic at "
+        "the manifest PUT — the dimension-maintenance primitive the "
+        "append-only reference lacks.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import snapshots as snap
+    from .tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_merge_"))
+    snap.append_versioned(
+        wh, "db", "dim",
+        spark.createDataFrame(
+            [(1, "old1", 1000), (2, "old2", 2000), (3, "old3", 3000)],
+            "__row_id long, name string, bal_e2 long",
+        ),
+    )
+    snap.merge_upsert(
+        wh, "db", "dim",
+        spark.createDataFrame(
+            [(2, "NEW2", 9900), (4, "new4", 4000)],
+            "__row_id long, name string, bal_e2 long",
+        ),
+        "__row_id",
+    )
+    out = snap.read_snapshot(wh, "db", "dim")
+    return out.select(
+        F.col("__row_id").alias("id"), "name", "bal_e2"
+    )

@@ -242,3 +242,102 @@ def delete_where(
     )
     n_after = read_snapshot(wh, database, table, next_v).count()
     return next_v, n_before - n_after
+
+
+def merge_upsert(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    updates: DataFrame,
+    key_col: str,
+) -> tuple[int, int, int]:
+    """MERGE (latest-wins upsert) via copy-on-write: rows whose
+    ``key_col`` matches an update are REPLACED, unmatched update rows
+    INSERT, files without any matching key carry over untouched.
+    Returns (new_version, n_updated, n_inserted) — the dimension-table
+    maintenance primitive the append-only reference lacks.
+
+    Shape: one semi-join scan tags affected files (parquet min/max on
+    the sort-on-write key prunes most); survivors = affected rows
+    anti-joined on update keys; rewrite = survivors + ALL update rows
+    (aligned to the table schema, try_cast semantics). Commit is the
+    usual atomic manifest PUT; the pre-merge version stays readable.
+    """
+    from pyspark.sql import functions as F
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    base = wh._path(database, table)
+    current = read_snapshot(wh, database, table)
+    schema = current.schema
+    keys = updates.select(F.col(key_col)).distinct()
+    n_updated = current.join(keys, key_col, "semi").count()
+    n_inserted = updates.join(
+        current.select(key_col).distinct(), key_col, "anti"
+    ).count()
+
+    tagged = current.withColumn("__file", F.input_file_name())
+    affected = sorted(
+        r["__file"].rsplit("/", 1)[-1]
+        for r in tagged.join(keys, key_col, "semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    aligned_updates = updates.select(
+        *[
+            F.col(f.name).try_cast(f.dataType).alias(f.name)
+            if f.name in updates.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    if affected:
+        survivors = (
+            wh.spark.read.schema(schema)
+            .parquet(*[f"{base}/{n}" for n in affected])
+            .join(keys, key_col, "anti")
+        )
+        rewrite = survivors.unionByName(aligned_updates)
+    else:
+        rewrite = aligned_updates
+
+    import uuid
+
+    tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
+    rewrite.write.mode("overwrite").parquet(tmp)
+    rewritten = []
+    for n in hfs.list_names(wh.spark, tmp):
+        if n.endswith(".parquet"):
+            new_name = f"cow-{uuid.uuid4().hex}-{n}"
+            hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}")
+            rewritten.append(new_name)
+    hfs.delete(wh.spark, tmp)
+
+    prev = json.loads(
+        hfs.read_text(
+            wh.spark,
+            f"{_snap_dir(wh, database, table)}/v{vs[-1]:012d}.json",
+        )
+    )
+    new_files = sorted(
+        [f for f in prev["files"] if f not in set(affected)] + rewritten
+    )
+    next_v = vs[-1] + 1
+    hfs.write_text(
+        wh.spark,
+        f"{_snap_dir(wh, database, table)}/v{next_v:012d}.json",
+        json.dumps(
+            {
+                "version": next_v,
+                "files": new_files,
+                "schema": prev["schema"],
+            },
+            separators=(",", ":"),
+        ),
+    )
+    return next_v, n_updated, n_inserted

@@ -392,3 +392,47 @@ def test_delete_where_copy_on_write(spark, tmp_path):
         wh, "db", "t", F.col("who") == "nobody"
     )
     assert zero == 0 and same_v == new_v
+
+
+def test_merge_upsert_latest_wins(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "dim",
+        spark.createDataFrame(
+            [(1, "old1", 10.0), (2, "old2", 20.0)],
+            "__row_id long, name string, bal double",
+        ),
+    )
+    pre_v = snap.append_versioned(
+        wh, "db", "dim",
+        spark.createDataFrame(
+            [(3, "old3", 30.0)], "__row_id long, name string, bal double"
+        ),
+    )
+    updates = spark.createDataFrame(
+        [(2, "NEW2", 99.0), (4, "new4", 40.0)],
+        "__row_id long, name string, bal double",
+    )
+    v, n_upd, n_ins = snap.merge_upsert(
+        wh, "db", "dim", updates, "__row_id"
+    )
+    assert (n_upd, n_ins) == (1, 1) and v == pre_v + 1
+    latest = {
+        r["__row_id"]: (r["name"], r["bal"])
+        for r in snap.read_snapshot(wh, "db", "dim").collect()
+    }
+    assert latest == {
+        1: ("old1", 10.0), 2: ("NEW2", 99.0),
+        3: ("old3", 30.0), 4: ("new4", 40.0),
+    }
+    # pre-merge version unchanged
+    pre = {
+        r["__row_id"]: r["name"]
+        for r in snap.read_snapshot(wh, "db", "dim", version=pre_v).collect()
+    }
+    assert pre == {1: "old1", 2: "old2", 3: "old3"}
