@@ -74,3 +74,47 @@ def read_rollup(
             "CAST(round(total_value * 100) AS BIGINT) * 100 div n"
         ),
     )
+
+
+def append_distinct_partials(
+    warehouse: Warehouse,
+    database: str,
+    table: str,
+    batch: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    dims: tuple[str, ...] = ("event_type",),
+) -> None:
+    """Incremental DISTINCT-count rollup: per-(day, dims) HLL sketch
+    partials (binary, mergeable). Plain count-distinct partials do NOT
+    merge (distinct users on Mon + distinct on Tue != distinct over
+    both days); HLL union DOES — the sketch variant of the
+    continuous-aggregate pattern, for the one aggregate family the
+    additive rollup can't serve."""
+    part = (
+        batch.groupBy(
+            F.date_trunc("DAY", ts_col).alias("bucket_day"), *dims
+        )
+        .agg(F.hll_sketch_agg(key_col).alias("p_sketch"))
+    )
+    warehouse.append_aligned(database, table, part)
+
+
+def read_distinct_rollup(
+    warehouse: Warehouse,
+    database: str,
+    table: str,
+    dims: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Merge sketch partials: per-(day, dims) approx distinct count,
+    plus the sketches remain mergeable upward (day -> week -> total)
+    without touching raw data again."""
+    p = warehouse.read(database, table)
+    return (
+        p.groupBy("bucket_day", *dims)
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("p_sketch")
+            ).alias("approx_distinct")
+        )
+    )

@@ -5198,3 +5198,44 @@ def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("__row_id").alias("id"), "name", "bal_e2"
     )
+
+
+@register(
+    "rollup_incremental_distinct",
+    _fixture_oracle(
+        "rollup_incremental_distinct",
+        ["day", "event_type", "approx_distinct"],
+    ),
+    doc="Incremental DISTINCT-count rollup "
+        "(operators/incremental.py::append_distinct_partials): events "
+        "ingested as TWO batches (event_id parity) append per-(day, "
+        "type) HLL sketch partials; the read union-merges sketches — "
+        "the one aggregate family additive partials can't serve "
+        "(distinct users don't add across batches). Deterministic "
+        "sketch algebra, so the oracle is a determinism-checked "
+        "golden snapshot (engine sketches differ from DuckDB's).",
+    bench=False,  # times temp-warehouse setup, not query execution
+)
+def rollup_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.incremental import (
+        append_distinct_partials,
+        read_distinct_rollup,
+    )
+    from .tables import Warehouse
+
+    ev = table(spark, sf_dir, "events")
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rollup_du_"))
+    append_distinct_partials(
+        wh, "db", "du", ev.filter(F.col("event_id") % 2 == 0)
+    )
+    append_distinct_partials(
+        wh, "db", "du", ev.filter(F.col("event_id") % 2 == 1)
+    )
+    out = read_distinct_rollup(wh, "db", "du")
+    return out.select(
+        F.date_format("bucket_day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.round("approx_distinct", 4).alias("approx_distinct"),
+    )

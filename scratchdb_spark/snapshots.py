@@ -341,3 +341,34 @@ def merge_upsert(
         ),
     )
     return next_v, n_updated, n_inserted
+
+
+def maintain_table(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    sort_col: str | None = "__row_id",
+    keep_snapshots: int = 1,
+) -> dict:
+    """Periodic maintenance for a snapshot-managed table: expire old
+    manifests, compact small files (clustered on ``sort_col`` when
+    given), and commit a fresh snapshot of the compacted layout.
+    Returns the compaction stats plus the new version.
+
+    Ordering matters (module docstring): compaction rewrites data
+    files, which invalidates any manifest still referencing the old
+    ones — so expiry runs FIRST, the rewrite second, and the new
+    manifest commit last. After this, exactly one snapshot exists and
+    it describes the compacted files; versioned history restarts from
+    there (run maintenance on a retention cadence, not per-append).
+    """
+    from .operators.compaction import compact_path
+
+    expired = expire_snapshots(
+        wh, database, table, keep_last=max(0, keep_snapshots - 1)
+    )
+    stats = compact_path(
+        wh.spark, wh._path(database, table), sort_col=sort_col
+    )
+    new_v = commit_snapshot(wh, database, table)
+    return {**stats, "expired_versions": expired, "version": new_v}

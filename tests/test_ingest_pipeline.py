@@ -436,3 +436,64 @@ def test_merge_upsert_latest_wins(spark, tmp_path):
         for r in snap.read_snapshot(wh, "db", "dim", version=pre_v).collect()
     }
     assert pre == {1: "old1", 2: "old2", 3: "old3"}
+
+
+def test_maintain_table_compacts_and_recommits(spark, tmp_path):
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for i in range(4):  # 4 appends -> >= 4 files
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(i * 10 + j, float(j)) for j in range(5)],
+                "__row_id long, v double",
+            ),
+        )
+    before = snap.read_snapshot(wh, "db", "t")
+    rows_before = sorted(map(tuple, before.collect()))
+    res = snap.maintain_table(wh, "db", "t")
+    assert snap.versions(wh, "db", "t") == [res["version"]]
+    after = snap.read_snapshot(wh, "db", "t")
+    assert sorted(map(tuple, after.collect())) == rows_before
+    assert res["files_after"] <= res["files_before"]
+
+
+def test_incremental_distinct_rollup_merges_across_batches(spark, tmp_path):
+    """Sketch partials must merge to the same estimate as a one-shot
+    sketch over all rows — including users seen in BOTH batches (the
+    case additive partials get wrong)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark.operators.incremental import (
+        append_distinct_partials,
+        read_distinct_rollup,
+    )
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    day = dt.datetime(2024, 1, 1, 12)
+    b1 = spark.createDataFrame(
+        [(day, "click", u) for u in range(100)],
+        "ts timestamp_ntz, event_type string, user_id long",
+    )
+    # second batch overlaps users 50-99 and adds 100-149
+    b2 = spark.createDataFrame(
+        [(day, "click", u) for u in range(50, 150)],
+        "ts timestamp_ntz, event_type string, user_id long",
+    )
+    append_distinct_partials(wh, "db", "du", b1)
+    append_distinct_partials(wh, "db", "du", b2)
+    merged = read_distinct_rollup(wh, "db", "du").collect()
+    assert len(merged) == 1
+    est = merged[0]["approx_distinct"]
+    oneshot = (
+        b1.unionAll(b2)
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")))
+        .collect()[0][0]
+    )
+    assert est == oneshot            # identical sketch algebra
+    assert abs(est - 150) <= 5       # and near the true 150

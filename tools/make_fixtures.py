@@ -38,6 +38,7 @@ FIXTURE_NAMES = [
     "approx_hll_sketch_union",
     "ann_kmeans_centroids",
     "curate_bloom_decontaminate",
+    "rollup_incremental_distinct",
     "text_cms_token_freq",
 ]
 
