@@ -28,6 +28,7 @@ def start_ingest_stream(
     checkpoint_dir: str,
     trigger_seconds: float | None = None,
     available_now: bool = False,
+    versioned: bool = False,
 ):
     """Stream NDJSON files from ``landing_dir/{database}/{table}`` into
     the managed table. Returns the StreamingQuery.
@@ -55,6 +56,16 @@ def start_ingest_stream(
         # workers, data read is JVM-side from_json — no collect(), so
         # a micro-batch can be arbitrarily large
         pipe.append_lines_df(database, table, batch_df)
+        if versioned:
+            # one snapshot per micro-batch: the manifest PUT makes the
+            # batch's (possibly many) files visible atomically, and
+            # snapshot readers get a consistent view between batches —
+            # foreachBatch + checkpoint give at-least-once process()
+            # calls, and a replayed batch simply commits another
+            # version over the same file set (snapshots.py)
+            from .. import snapshots as snap
+
+            snap.commit_snapshot(warehouse, database, table)
 
     writer = raw.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -198,3 +198,28 @@ def test_full_pipeline_writer_landing_stream(spark, tmp_path):
     assert sorted(rows) == list(range(10))
     assert rows[2]["even"] is True and rows[3]["even"] is False
     assert all(r["__row_id"] is not None for r in rows.values())
+
+
+def test_versioned_streaming_ingest_commits_snapshots(spark, tmp_path):
+    """versioned=True: each micro-batch commits a manifest — snapshot
+    readers see batch-atomic versions of the streamed table."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    land = tmp_path / "landing"
+    (land / "db" / "t").mkdir(parents=True)
+    (land / "db" / "t" / "a.ndjson").write_text(
+        '{"x": 1}\n{"x": 2}\n'
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    q = start_ingest_stream(
+        spark, wh, str(land), "db", "t",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True, versioned=True,
+    )
+    q.awaitTermination(120)
+    vs = snap.versions(wh, "db", "t")
+    assert len(vs) >= 1
+    latest = snap.read_snapshot(wh, "db", "t")
+    assert latest.count() == 2
+    assert sorted(r["x"] for r in latest.collect()) == [1, 2]
