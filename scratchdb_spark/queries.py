@@ -3682,6 +3682,86 @@ def stream_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_hopping_window_counts",
+    """
+    SELECT CAST(epoch_us(time_bucket(INTERVAL '2 hours', ts)
+                         - k.k * INTERVAL '2 hours') AS BIGINT)
+             AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events, range(0, 3) k(k)
+    GROUP BY 1, 2
+    """,
+    doc="Batch-parity check for hopping (sliding) event-time windows: "
+        "streaming/ingest_stream.hopping_window_counts (window 6h, "
+        "hop 2h — each event in exactly 3 overlapping windows, all "
+        "epoch-aligned to the hop). The oracle expands the window "
+        "membership explicitly: cross-join each event with k in 0..2 "
+        "and subtract k hops from its 2h time bucket. Window starts "
+        "emitted as integer epoch-us.",
+)
+def stream_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ingest_stream import hopping_window_counts
+
+    ev = table(spark, sf_dir, "events")
+    out = hopping_window_counts(ev, "6 hours", "2 hours")
+    return out.select(
+        epoch_us(out, "window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "stream_interval_join_clicks",
+    """
+    SELECT p_user AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(sum(p_value) * 100) AS BIGINT) AS purchase_value_e2
+    FROM (SELECT user_id AS c_user, ts AS c_ts
+            FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+            FROM events WHERE event_type = 'purchase') p
+      ON c_user = p_user
+     AND p_ts >= c_ts
+     AND p_ts < c_ts + INTERVAL '30 minutes'
+    GROUP BY 1
+    """,
+    doc="Batch-parity check for the stream-stream interval join "
+        "(streaming/ingest_stream.interval_join): click->purchase "
+        "pairs within 30 min through the SAME watermark+time-bound "
+        "join Spark uses for two live streams (the time bound is what "
+        "lets streaming expire join state). Distinct from "
+        "range_join_click_purchase, which is the bucketed BATCH scale "
+        "path for this query class; here the oracle pins the "
+        "streaming operator's batch-mode semantics.",
+)
+def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.ingest_stream import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    j = interval_join(
+        clicks, purchases, ("c_user", "p_user"), "c_ts", "p_ts",
+        "30 minutes",
+    )
+    return j.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("p_value") * 100)
+        .cast("long")
+        .alias("purchase_value_e2"),
+    )
+
+
+@register(
     "setop_except_all_mktsegments",
     """
     SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey < 13

@@ -100,6 +100,91 @@ def windowed_event_counts(
     )
 
 
+def hopping_window_counts(
+    events: DataFrame,
+    window_duration: str = "6 hours",
+    hop: str = "2 hours",
+    watermark: str = "2 hours",
+):
+    """Event-time hopping (sliding) window counts: each event lands in
+    ``window/hop`` overlapping windows, all epoch-aligned to the hop.
+    Same code path for streaming and batch frames — the parity catalog
+    query (stream_hopping_window_counts) pins the batch semantics with
+    a SQL oracle, and the streaming test drives the identical plan
+    through a micro-batch source.
+
+    Scale: the explode factor is window/hop (3x here) applied map-side
+    before the partial aggregation, so the shuffle carries partial
+    sums per (window, type), not the multiplied event stream.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window_duration, hop), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, str],
+    left_time: str,
+    right_time: str,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) inner interval join: pairs rows
+    with equal keys where ``left_time <= right_time < left_time +
+    max_gap``. Column names must be disjoint across the two sides.
+
+    This is the idiomatic Structured Streaming form — both sides get
+    event-time watermarks and the join condition carries an explicit
+    time bound, which is exactly what lets Spark expire join state:
+    a buffered left row can only match right rows within ``max_gap``,
+    so state older than watermark + max_gap is dropped, keeping the
+    join's memory bounded no matter how long the streams run. The
+    batch path runs the SAME condition (the range condition becomes a
+    post-join filter on the equi-join), so the parity catalog query
+    gives the streaming semantics an exact SQL oracle.
+
+    For large BATCH inputs prefer operators/rangejoin.py, which
+    quantizes time into buckets and equi-joins on (key, bucket) to
+    keep the matcher's per-task working set bounded; this function is
+    the streaming code path where Spark's state store plays that role.
+    """
+    lk, rk = on
+    l = (
+        left.withWatermark(left_time, watermark)
+        if left.isStreaming
+        else left
+    )
+    r = (
+        right.withWatermark(right_time, watermark)
+        if right.isStreaming
+        else right
+    )
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(right_time) >= F.col(left_time))
+        & (
+            F.col(right_time)
+            < F.col(left_time) + F.expr(f"INTERVAL {max_gap}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
 def session_window_counts(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -223,3 +223,80 @@ def test_versioned_streaming_ingest_commits_snapshots(spark, tmp_path):
     latest = snap.read_snapshot(wh, "db", "t")
     assert latest.count() == 2
     assert sorted(r["x"] for r in latest.collect()) == [1, 2]
+
+
+def test_hopping_window_counts_batch_parity(spark, sf_dir):
+    from scratchdb_spark.streaming.ingest_stream import (
+        hopping_window_counts,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    out = hopping_window_counts(ev, "6 hours", "2 hours")
+    rows = out.collect()
+    # every event lands in exactly window/hop = 3 windows
+    assert sum(r["n"] for r in rows) == ev.count() * 3
+    # all window starts are hop-aligned (epoch-us multiple of 2h)
+    starts = {r["window_start"] for r in rows}
+    for s in starts:
+        us = int(s.timestamp() * 1_000_000)
+        assert us % (2 * 3600 * 1_000_000) == 0
+
+
+def test_interval_join_streaming_matches_batch(spark, tmp_path, sf_dir):
+    """Drive interval_join through a real two-stream micro-batch run
+    (file sources, availableNow, memory sink) and assert the result
+    set equals the identical join on the batch frames."""
+    from scratchdb_spark.streaming.ingest_stream import interval_join
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    csrc = str(tmp_path / "clicks_src")
+    psrc = str(tmp_path / "purch_src")
+    ev.filter(F.col("event_type") == "click").coalesce(2).write.json(csrc)
+    ev.filter(F.col("event_type") == "purchase").coalesce(2).write.json(psrc)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def sides(reader):
+        c = reader(csrc).select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        p = reader(psrc).select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        return interval_join(
+            c, p, ("c_user", "p_user"), "c_ts", "p_ts", "30 minutes"
+        ).select("c_id", "p_id")
+
+    batch_pairs = {
+        (r["c_id"], r["p_id"])
+        for r in sides(lambda d: spark.read.schema(schema).json(d)).collect()
+    }
+
+    q = (
+        sides(
+            lambda d: spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+        )
+        .writeStream.format("memory")
+        .queryName("ij_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "interval-join stream did not finish"
+    stream_pairs = {
+        (r["c_id"], r["p_id"])
+        for r in spark.sql("SELECT * FROM ij_pairs").collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(batch_pairs) > 0
