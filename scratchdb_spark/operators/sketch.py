@@ -1,4 +1,5 @@
-"""Mergeable frequency sketches: count-min over token streams.
+"""Mergeable sketches: count-min over token streams, KMV/theta for
+distinct counts with set algebra.
 
 The build is the cheapest aggregation shape Spark can run: one narrow
 scan computes a PER-PARTITION count-min matrix inside a vectorized
@@ -114,3 +115,127 @@ def cms_token_frequency(
         (r["tok"], int(e)) for r, e in zip(qh, est)
     ]
     return spark.createDataFrame(rows, "tok string, est_n long")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) distinct sketch
+# ---------------------------------------------------------------------------
+#
+# Keep the k smallest distinct xxhash64 values per group. theta = the
+# k-th smallest hash mapped to [0, 1); the sketch "sees" exactly the
+# distinct values hashing below theta, so distinct ~= (k-1) / theta
+# (Bar-Yossef et al. 2002; Dasu et al.'s KMV form). Unlike HLL the
+# retained sample supports SET ALGEBRA: union = merge + re-truncate,
+# intersection = common survivors below min(theta_a, theta_b) scaled
+# by 1/theta — the theta-sketch operations (Dasgupta et al., "Theta
+# sketch framework").
+#
+# Scale shape (all built-ins, no kernels): one map-side-combined
+# distinct on (key, hash) — the only shuffle that touches the data —
+# then a per-key top-k window over the distinct hashes. State per key
+# afterwards is <= k longs, so sketches persist as small arrays and
+# MERGE without rescanning, the same incremental-rollup contract as
+# the HLL/CMS partials. Deterministic: xxhash64 is seed-fixed and the
+# k-minima of a set don't depend on partitioning or arrival order.
+
+
+def _theta(kmv_col, n_col, k: int):
+    """theta in (0, 1]: 1.0 while the sketch is exact (fewer than k
+    distinct values seen), else the k-th smallest hash normalized.
+    Signed-long order IS unsigned order after the +2^63 shift, so the
+    sort stays JVM-native and normalization is (h/2^64) + 0.5."""
+    kth = F.element_at(kmv_col, k).cast("double")
+    return F.when(
+        n_col < F.lit(k), F.lit(1.0)
+    ).otherwise(kth / F.lit(2.0**64) + F.lit(0.5))
+
+
+def _estimate(kmv_col, n_col, k: int):
+    """Distinct-count estimate: exact below k, else (k-1)/theta."""
+    return F.when(
+        n_col < F.lit(k), n_col.cast("double")
+    ).otherwise(F.lit(float(k - 1)) / _theta(kmv_col, n_col, k))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-key KMV sketch: (key, kmv array<long> of <= k sorted
+    hashes, n_mins, theta, est_distinct)."""
+    from pyspark.sql.window import Window
+
+    distinct = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.xxhash64(F.col(value_col)).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("h")
+    mins = (
+        distinct.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("key")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmv"),
+            F.count(F.lit(1)).alias("n_mins"),
+        )
+    )
+    return mins.select(
+        "key",
+        "kmv",
+        "n_mins",
+        _theta(F.col("kmv"), F.col("n_mins"), k).alias("theta"),
+        _estimate(F.col("kmv"), F.col("n_mins"), k).alias("est_distinct"),
+    )
+
+
+def kmv_merge_pair(sketches: DataFrame, key_a, key_b, k: int = 256):
+    """Union + intersection estimates for two sketch rows.
+
+    Returns one row: (est_a, est_b, est_union, est_intersect). Union
+    re-truncates the merged minima to k; intersection counts common
+    survivors below theta = min(theta_a, theta_b) and scales by
+    1/theta. All array work is on <= 2k elements — driver-free and
+    constant-size regardless of the underlying cardinalities."""
+    a = sketches.filter(F.col("key") == key_a).select(
+        F.col("kmv").alias("kmv_a"),
+        F.col("n_mins").alias("n_a"),
+        F.col("theta").alias("theta_a"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    b = sketches.filter(F.col("key") == key_b).select(
+        F.col("kmv").alias("kmv_b"),
+        F.col("n_mins").alias("n_b"),
+        F.col("theta").alias("theta_b"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    j = a.crossJoin(b)  # 1 x 1: two single-sketch rows
+
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("kmv_a", "kmv_b"))), 1, k
+    )
+    n_merged = F.least(
+        F.size(F.array_distinct(F.concat("kmv_a", "kmv_b"))), F.lit(k)
+    ).cast("long")
+    theta_min = F.least("theta_a", "theta_b")
+    # unsigned threshold back in signed-long space: hashes below
+    # theta_min are those with (h/2^64 + 0.5) < theta_min
+    common_below = F.size(
+        F.filter(
+            F.array_intersect("kmv_a", "kmv_b"),
+            lambda h: (h.cast("double") / F.lit(2.0**64) + F.lit(0.5))
+            < theta_min,
+        )
+    )
+    return j.select(
+        F.round("est_a", 1).alias("est_a"),
+        F.round("est_b", 1).alias("est_b"),
+        F.round(_estimate(merged, n_merged, k), 1).alias("est_union"),
+        F.round(common_below.cast("double") / theta_min, 1).alias(
+            "est_intersect"
+        ),
+    )

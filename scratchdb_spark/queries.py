@@ -3272,6 +3272,82 @@ def approx_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_kmv_segment_overlap",
+    _fixture_oracle(
+        "approx_kmv_segment_overlap",
+        ["est_a", "est_b", "est_union", "est_intersect"],
+    ),
+    doc="KMV/theta distinct sketch with SET ALGEBRA "
+        "(operators/sketch.py kmv_sketch/kmv_merge_pair): per-segment "
+        "k-minimum-hash sketches of distinct users, then union AND "
+        "intersection estimates for the click/purchase pair — the "
+        "operation HLL cannot do (no intersection). Sketch state is "
+        "<= k longs per segment, mergeable without rescanning; the "
+        "only data-sized shuffle is one map-side-combined distinct on "
+        "(segment, hash). Deterministic (seed-fixed xxhash64, "
+        "partition-invariant k-minima) -> golden-fixture oracle. "
+        "Exact twin: segment_overlap_exact.",
+)
+def approx_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import kmv_merge_pair, kmv_sketch
+
+    ev = table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=128)
+    return kmv_merge_pair(sk, "click", "purchase", k=128)
+
+
+@register(
+    "segment_overlap_exact",
+    """
+    SELECT CAST(count(DISTINCT CASE WHEN has_click THEN user_id END)
+                AS BIGINT) AS n_click,
+           CAST(count(DISTINCT CASE WHEN has_purchase THEN user_id END)
+                AS BIGINT) AS n_purchase,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_union,
+           CAST(count(DISTINCT CASE WHEN has_click AND has_purchase
+                                    THEN user_id END)
+                AS BIGINT) AS n_intersect
+    FROM (
+      SELECT user_id,
+             bool_or(event_type = 'click') AS has_click,
+             bool_or(event_type = 'purchase') AS has_purchase
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id
+    )
+    """,
+    doc="Exact segment-overlap twin for approx_kmv_segment_overlap: "
+        "distinct users per segment, union, and intersection via one "
+        "grouped bool_or pass (no self-join). Pins the KMV sketch's "
+        "accuracy in tests/test_sketch.py.",
+)
+def segment_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("has_click"),
+            F.max(F.col("event_type") == "purchase").alias("has_purchase"),
+        )
+    )
+    return flags.agg(
+        F.count_distinct(
+            F.when(F.col("has_click"), F.col("user_id"))
+        ).alias("n_click"),
+        F.count_distinct(
+            F.when(F.col("has_purchase"), F.col("user_id"))
+        ).alias("n_purchase"),
+        F.count_distinct("user_id").alias("n_union"),
+        F.count_distinct(
+            F.when(
+                F.col("has_click") & F.col("has_purchase"), F.col("user_id")
+            )
+        ).alias("n_intersect"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------

@@ -1321,3 +1321,53 @@ def test_salted_join_equals_plain_join_with_hot_key(spark):
             "row_id", "k", "v").collect())
     )
     assert got == want and len(got) == 520
+
+
+def test_kmv_sketch_accuracy_and_merge(spark, sf_dir):
+    """KMV/theta sketch: per-segment distinct estimates within the
+    standard error envelope of the exact counts, intersection/union
+    estimates match the exact twin, the exact path (< k distinct) is
+    exact, and sketches are partition-invariant."""
+    from scratchdb_spark.operators.sketch import kmv_merge_pair, kmv_sketch
+    from scratchdb_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+
+    k = 64
+    sk = kmv_sketch(ev, "event_type", "user_id", k=k)
+    rows = {r["key"]: r for r in sk.collect()}
+    for seg, true_n in exact.items():
+        est = rows[seg]["est_distinct"]
+        if true_n < k:
+            assert est == true_n  # sketch below k is exact
+        else:
+            # RSE of KMV is ~1/sqrt(k-2); allow 5 sigma
+            assert abs(est - true_n) <= 5 * true_n / (k - 2) ** 0.5
+        assert len(rows[seg]["kmv"]) == min(true_n, k)
+        assert rows[seg]["kmv"] == sorted(rows[seg]["kmv"])
+
+    pair = kmv_merge_pair(sk, "click", "purchase", k=k).collect()[0]
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("c"),
+            F.max(F.col("event_type") == "purchase").alias("p"),
+        )
+        .collect()
+    )
+    n_union = len(flags)
+    n_inter = sum(1 for r in flags if r["c"] and r["p"])
+    tol = max(5 * n_union / (k - 2) ** 0.5, 1.0)
+    assert abs(pair["est_union"] - n_union) <= tol
+    assert abs(pair["est_intersect"] - n_inter) <= tol
+
+    # partition invariance: k-minima of a set don't depend on layout
+    sk7 = kmv_sketch(ev.repartition(7), "event_type", "user_id", k=k)
+    assert sorted(map(str, sk7.collect())) == sorted(map(str, sk.collect()))

@@ -56,6 +56,10 @@ ALLOWED_NESTED_LOOP = {
         "lists"
     ),
     "text_unigram_logprob": "1-row (corpus_tokens, vocab) totals join",
+    "approx_kmv_segment_overlap": (
+        "1x1 join of two single-sketch rows (<= k longs each); the "
+        "set algebra runs on constant-size arrays"
+    ),
 }
 
 

@@ -40,6 +40,7 @@ FIXTURE_NAMES = [
     "curate_bloom_decontaminate",
     "rollup_incremental_distinct",
     "text_cms_token_freq",
+    "approx_kmv_segment_overlap",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
