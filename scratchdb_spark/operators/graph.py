@@ -154,6 +154,7 @@ def pagerank_int(
     edges: DataFrame,
     iterations: int = 3,
     damping_e2: int = 85,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank with EXACT integer arithmetic (ranks in micro-units):
     contribution = r_e6 div deg (floor), summed as BIGINT, then
@@ -193,8 +194,16 @@ def pagerank_int(
         .distinct()
         .select("src", F.lit(1_000_000).cast("long").alias("r_e6"))
     )
+    # broadcast_ranks: rank state is one long per node, so whenever
+    # the node set fits in executor memory (it does for any graph
+    # whose rank vector you'd materialize anyway), broadcasting it
+    # turns the per-iteration join map-side: the (big) edge list is
+    # never re-shuffled after the one-time persist, and the only
+    # exchange per iteration carries the partial dst sums. Leave
+    # False for graphs whose node count itself is at data scale.
     for _ in range(iterations):
-        contrib = edges_deg.join(ranks, "src").select(
+        rhs = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = edges_deg.join(rhs, "src").select(
             F.col("dst"), F.expr("r_e6 div deg").alias("c")
         )
         ranks = (

@@ -3348,6 +3348,130 @@ def segment_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_weighted_topk",
+    """
+    SELECT doc_id, n_chars AS weight
+    FROM (
+      SELECT doc_id, n_chars,
+             ln(CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
+                / 2147483648.0)
+               / CAST(greatest(n_chars, 1) AS DOUBLE) AS k
+      FROM documents
+    )
+    ORDER BY k DESC, doc_id ASC
+    LIMIT 100
+    """,
+    doc="Deterministic weighted sampling without replacement "
+        "(Efraimidis-Spirakis A-ES, public algorithm): each doc gets "
+        "key u^(1/w) — equivalently ln(u)/w — with u derived from a "
+        "Knuth multiplicative hash of doc_id (pure integer arithmetic "
+        "+ one exact power-of-two division, so u is bit-identical in "
+        "any engine; no RNG state). Top-k by key IS a weighted sample "
+        "w/o replacement with inclusion probability proportional to "
+        "weight. The training-data use: quality- or length-weighted "
+        "corpus subsampling that's reproducible run-to-run and "
+        "auditable (re-running selects the same docs). Scale: one "
+        "narrow scan + TakeOrdered top-k — no shuffle of the corpus; "
+        "output holds only integer columns, so the oracle compare is "
+        "float-free.",
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647) + 1
+    ).cast("double") / F.lit(2147483648.0)
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        docs.select("doc_id", F.col("n_chars").alias("weight"),
+                    key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "weight")
+    )
+
+
+@register(
+    "rollup_histogram_quantiles",
+    """
+    WITH daily AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS d,
+             CAST(floor(value * 2) AS BIGINT) AS b,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    merged AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM daily GROUP BY b),
+    cum AS (
+      SELECT b, cnt,
+             sum(cnt) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS n
+      FROM merged
+    )
+    SELECT
+      round(min(CASE WHEN cum >= 0.50 * n AND cum - cnt < 0.50 * n THEN
+        (b + (0.50 * n - (cum - cnt)) / cnt) / 2.0 END), 6) AS p50_est,
+      round(min(CASE WHEN cum >= 0.95 * n AND cum - cnt < 0.95 * n THEN
+        (b + (0.95 * n - (cum - cnt)) / cnt) / 2.0 END), 6) AS p95_est,
+      round(min(CASE WHEN cum >= 0.99 * n AND cum - cnt < 0.99 * n THEN
+        (b + (0.99 * n - (cum - cnt)) / cnt) / 2.0 END), 6) AS p99_est
+    FROM cum
+    """,
+    doc="Mergeable histogram quantiles — the incremental-rollup form "
+        "of percentiles: per-day fixed-width histograms (bin 0.5 on "
+        "events.value; the (day, bucket, count) partials are the "
+        "persistable state, same contract as the sum/HLL rollups in "
+        "operators/incremental.py), merged by integer addition, then "
+        "p50/p95/p99 by linear interpolation inside the covering "
+        "bucket. At 100 TB daily quantile state is <= n_buckets longs "
+        "per day and weekly/monthly percentiles MERGE instead of "
+        "rescanning raw events — the deterministic counterpart of "
+        "percentile_approx whose partials an engine can't persist. "
+        "The bucket cumulative runs in a single-partition window over "
+        "n_buckets rows (bounded by construction, not by data size).",
+)
+def rollup_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("DAY", "ts").alias("d"),
+            F.floor(F.col("value") * 2).alias("b"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = daily.groupBy("b").agg(F.sum("cnt").alias("cnt"))
+    w_cum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "b",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def q(p: float, name: str):
+        # the covering bucket is the UNIQUE row with cum_prev < t <=
+        # cum; interpolate inside it (min is just the null-dropping
+        # pick — every other row's CASE is NULL)
+        t = F.lit(p) * F.col("n")
+        prev = F.col("cum") - F.col("cnt")
+        est = (
+            F.col("b") + (t - prev) / F.col("cnt")
+        ) / F.lit(2.0)
+        return F.round(
+            F.min(F.when((F.col("cum") >= t) & (prev < t), est)), 6
+        ).alias(name)
+
+    return cum.agg(q(0.50, "p50_est"), q(0.95, "p95_est"),
+                   q(0.99, "p99_est"))
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------
@@ -4846,7 +4970,8 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank_int(edges, iterations=3)
+    # ~15k nodes here: rank vector broadcasts, edges shuffle ONCE
+    ranks = pagerank_int(edges, iterations=3, broadcast_ranks=True)
     return ranks.orderBy(F.desc("r_e6"), F.asc("node")).limit(100)
 
 

@@ -1371,3 +1371,44 @@ def test_kmv_sketch_accuracy_and_merge(spark, sf_dir):
     # partition invariance: k-minima of a set don't depend on layout
     sk7 = kmv_sketch(ev.repartition(7), "event_type", "user_id", k=k)
     assert sorted(map(str, sk7.collect())) == sorted(map(str, sk.collect()))
+
+
+def test_rollup_histogram_quantiles_accuracy(spark, sf_dir):
+    """Histogram-interpolated quantiles land within one bin width of
+    the exact percentiles, and the daily partials merge to the same
+    result as a single global histogram (associativity)."""
+    from scratchdb_spark import queries as catalog
+    from scratchdb_spark.tables import table
+
+    est = (
+        catalog.registry()["rollup_histogram_quantiles"]
+        .spark_fn(spark, sf_dir)
+        .collect()[0]
+    )
+    ev = table(spark, sf_dir, "events")
+    exact = ev.agg(
+        F.percentile("value", F.lit([0.5, 0.95, 0.99])).alias("q")
+    ).collect()[0]["q"]
+    for got, want in zip(
+        (est["p50_est"], est["p95_est"], est["p99_est"]), exact
+    ):
+        assert abs(got - want) <= 0.5  # one bin width
+
+
+def test_sample_weighted_topk_bias_and_determinism(spark, sf_dir):
+    """The weighted sample is reproducible and biased toward heavy
+    docs: mean weight of the selected 100 exceeds the corpus mean."""
+    from scratchdb_spark import queries as catalog
+    from scratchdb_spark.tables import table
+
+    fn = catalog.registry()["sample_weighted_topk"].spark_fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert a == b
+    sel_mean = sum(r["weight"] for r in a) / len(a)
+    corpus_mean = (
+        table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert sel_mean > corpus_mean
