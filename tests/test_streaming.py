@@ -300,3 +300,57 @@ def test_interval_join_streaming_matches_batch(spark, tmp_path, sf_dir):
     }
     assert stream_pairs == batch_pairs
     assert len(batch_pairs) > 0
+
+
+def test_landing_and_warehouse_on_viewfs_scheme(spark, tmp_path):
+    """Run the rotate->upload->stream->append chain with BOTH the
+    landing zone AND the warehouse on a non-file:// URI scheme.
+
+    viewfs:// is Hadoop's client-side mount table: a real alternate
+    FileSystem implementation that exercises scheme resolution, URI
+    authority handling, and cross-scheme moveFromLocalFile — the same
+    seams an s3a:// or hdfs:// deployment hits — while mounting onto
+    local disk, so no external service is needed. The docstring claim
+    'blob store is a URI scheme choice, not a code path' (fs.py) is
+    tested here, not asserted."""
+    from scratchdb_spark import fs as hfs
+    from scratchdb_spark.fs import HadoopLanding
+    from scratchdb_spark.ingest.pipeline import IngestPipeline
+    from scratchdb_spark.ingest.writer import BufferedWriter
+
+    conf = spark._jsc.hadoopConfiguration()
+    for link, sub in (("landing", "vfs_landing"), ("wh", "vfs_wh"),
+                      ("ckpt", "vfs_ckpt")):
+        os.makedirs(str(tmp_path / sub))
+        conf.set(
+            f"fs.viewfs.mounttable.tcluster.link./{link}",
+            f"file://{tmp_path / sub}",
+        )
+
+    landing_root = "viewfs://tcluster/landing"
+    writer = BufferedWriter(
+        str(tmp_path / "buf"), max_rows=4, max_age_seconds=0,
+        landing=HadoopLanding(spark, landing_root),
+    )
+    wh = Warehouse(spark, "viewfs://tcluster/wh")
+    pipe = IngestPipeline(spark, wh, writer=writer)
+    for i in range(10):
+        pipe.insert("db1", "t", json.dumps({"i": i}))
+    writer.flush_all()
+
+    # rotated files really landed under the viewfs scheme
+    closed = f"{landing_root}/closed/db1/t"
+    names = hfs.list_names(spark, closed)
+    assert names, "no rotated files reached the viewfs landing zone"
+    assert all(n.endswith(".ndjson") for n in names)
+
+    q = start_ingest_stream(
+        spark, wh, f"{landing_root}/closed", "db1", "t",
+        checkpoint_dir="viewfs://tcluster/ckpt/s1", available_now=True,
+    )
+    assert q.awaitTermination(600), "viewfs stream did not finish"
+    assert sorted(r["i"] for r in wh.read("db1", "t").collect()) == list(
+        range(10)
+    )
+    # schema sidecar was written through the scheme too
+    assert hfs.exists(spark, "viewfs://tcluster/wh/db1/t/_schema.json")
