@@ -1,0 +1,195 @@
+"""Independent semantic invariants for queries whose SQL oracles are
+near-transcriptions of the Spark implementation.
+
+The parity gate proves Spark == DuckDB on the SAME formula; these
+tests prove the formula itself, by recomputing ground truth a
+DIFFERENT way (numpy, direct per-key recomputation, structural
+invariants). Motivated by a real incident: the first cut of
+rollup_histogram_quantiles interpolated in every bucket past the
+target, the mirrored oracle shared the bug, and the parity gate
+stayed green — only an independent accuracy check caught it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from scratchdb_spark import queries as catalog
+from scratchdb_spark.tables import table
+
+
+def _run(spark, sf_dir, name):
+    return catalog.registry()[name].spark_fn(spark, sf_dir).collect()
+
+
+def test_gapfill_covers_full_calendar_and_matches_direct_sums(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "ts_gapfill_daily_spend")
+    ev = table(spark, sf_dir, "events")
+    direct = {
+        (r["user_id"], str(r["day"])[:10]): (r["n"], r["s_e2"])
+        for r in ev.groupBy(
+            "user_id", F.date_trunc("DAY", "ts").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("s_e2"),
+        )
+        .collect()
+    }
+    spans = {
+        r["user_id"]: (r["lo"].date(), r["hi"].date())
+        for r in ev.filter(F.col("user_id") < 50)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.date_trunc("DAY", "ts")).alias("lo"),
+            F.max(F.date_trunc("DAY", "ts")).alias("hi"),
+        )
+        .collect()
+    }
+
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(spans)
+    for uid, urows in by_user.items():
+        # each user's series densifies the user's OWN min..max span
+        lo, hi = spans[uid]
+        assert len(urows) == (hi - lo).days + 1, uid
+        urows.sort(key=lambda r: r["day"])
+        days = [dt.date.fromisoformat(r["day"]) for r in urows]
+        assert days[0] == lo and days[-1] == hi
+        assert all(
+            (b - a).days == 1 for a, b in zip(days, days[1:])
+        ), f"calendar hole for user {uid}"
+        prev = None
+        for r in urows:
+            key = (uid, r["day"])
+            if key in direct:  # real day: direct sums, not a gap
+                assert not r["is_gap"]
+                assert (r["n_events"], r["filled_value_e2"]) == direct[key]
+            else:  # gap day: zero events, previous value carried
+                assert r["is_gap"] and r["n_events"] == 0
+                assert prev is not None and r["filled_value_e2"] == prev
+            prev = r["filled_value_e2"]
+
+
+def test_rolling_7d_matches_direct_window_recount(spark, sf_dir):
+    rows = {r["day"]: r["active_7d"] for r in _run(
+        spark, sf_dir, "rolling_7d_active_users"
+    )}
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("d"), "user_id"
+    ).distinct().collect()
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r["d"], set()).add(r["user_id"])
+    for day_s, got in rows.items():
+        day = dt.date.fromisoformat(day_s)
+        want = set()
+        for k in range(7):
+            want |= by_day.get(day - dt.timedelta(days=k), set())
+        assert got == len(want), day_s
+
+
+def test_funnel_stages_monotonic_and_stage1_exact(spark, sf_dir):
+    rows = {r["stage"]: r["n_users"] for r in _run(
+        spark, sf_dir, "funnel_view_click_purchase"
+    )}
+    assert set(rows) == {"view", "view_click", "view_click_purchase"}
+    assert rows["view"] >= rows["view_click"] >= rows["view_click_purchase"]
+    ev = table(spark, sf_dir, "events")
+    n_view = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id").distinct().count()
+    )
+    assert rows["view"] == n_view
+
+
+def test_scd2_periods_disjoint_and_account_for_every_event(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "scd2_user_event_periods")
+    ev = table(spark, sf_dir, "events")
+    n_ev = ev.count()
+    assert sum(r["n_events"] for r in rows) == n_ev
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, urows in by_user.items():
+        urows.sort(key=lambda r: r["valid_from_us"])
+        for a, b in zip(urows, urows[1:]):
+            assert a["valid_to_us"] < b["valid_from_us"], uid
+            # consecutive periods must switch type (else same period)
+            assert a["event_type"] != b["event_type"], uid
+
+
+def test_linear_fit_matches_numpy_least_squares(spark, sf_dir):
+    rows = _run(spark, sf_dir, "agg_linear_fit_qty_price")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag: dict = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], ([], []))
+        by_flag[r["l_returnflag"]][0].append(float(r["l_quantity"]))
+        by_flag[r["l_returnflag"]][1].append(float(r["l_extendedprice"]))
+    for r in rows:
+        x, y = map(np.array, by_flag[r["l_returnflag"]])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(r["slope"] - slope) < 1e-3, r["l_returnflag"]
+        assert abs(r["intercept"] - intercept) < 1e-1, r["l_returnflag"]
+
+
+def test_anomaly_zscores_match_numpy(spark, sf_dir):
+    rows = _run(spark, sf_dir, "anomaly_daily_value")
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", "ts").alias("day")
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("t")).collect()
+    by_type: dict = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], {})[
+            str(r["day"])[:10]
+        ] = r["t"]
+    assert rows, "anomaly query returned nothing"
+    for r in rows:
+        series = np.array(list(by_type[r["event_type"]].values()),
+                          dtype=float)
+        # query semantics: population variance over the e2-rounded
+        # daily totals (exact integer sufficient statistics)
+        mu, sd = series.mean(), series.std(ddof=0)
+        z = (by_type[r["event_type"]][r["day"]] - mu) / sd
+        assert abs(r["z"] - round(z, 4)) <= 2e-4, r
+        assert abs(z) >= 2.0  # only flagged days are emitted
+
+
+def test_pack_sequences_bins_respect_budget_and_partition_docs(
+    spark, sf_dir
+):
+    rows = _run(spark, sf_dir, "curate_pack_sequences")
+    # recompute each doc's token count the way the curation op defines
+    # it, then check bin accounting directly
+    from scratchdb_spark.operators.text import _tokens
+
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    seen: set = set()
+    for r in rows:
+        ids = [int(x) for x in r["doc_ids"].split(",")]
+        assert len(ids) == r["n_docs"]
+        assert sum(docs[i] for i in ids) == r["n_tokens"]
+        for i in ids:
+            assert i not in seen, f"doc {i} packed twice"
+            seen.add(i)
