@@ -3472,6 +3472,28 @@ def rollup_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                    q(0.99, "p99_est"))
 
 
+@register(
+    "ann_pq_topk",
+    _fixture_oracle(
+        "ann_pq_topk", ["query_id", "neighbor_id", "approx_cos", "rank"]
+    ),
+    doc="Product-quantization ANN with asymmetric distance "
+        "(operators/similarity.py pq_*): codebooks train driver-side "
+        "on a deterministic bounded sample (standard PQ practice), "
+        "vectors compress 64x to m=4 code bytes in one Arrow-kernel "
+        "pass, and the query scan is table lookups over the code "
+        "column — raw embeddings never reach the scan. Deterministic "
+        "(sorted-id sample, first-k init, lowest-index ties, 6dp "
+        "rounding + id tiebreak) -> golden-fixture oracle. Exact "
+        "twin: ann_cosine_topk; recall pinned in tests.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------

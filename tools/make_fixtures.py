@@ -41,6 +41,7 @@ FIXTURE_NAMES = [
     "rollup_incremental_distinct",
     "text_cms_token_freq",
     "approx_kmv_segment_overlap",
+    "ann_pq_topk",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
