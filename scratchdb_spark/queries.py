@@ -3494,6 +3494,137 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "dq_constraint_report",
+    """
+    SELECT 'orders' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+             AS pk_dupes,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_custkey,
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS nonpositive_price,
+           CAST(sum(CASE WHEN o_orderdate
+                              < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END)
+                AS BIGINT) AS date_below_floor
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                AS BIGINT),
+           CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(CASE WHEN l_shipdate
+                              < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    """,
+    doc="Data-quality constraint report (deequ-style rule evaluation "
+        "as ONE aggregation pass per table, not one job per rule): "
+        "primary-key uniqueness, completeness (nulls), value-range "
+        "and date-floor checks all fold into a single groupless agg, "
+        "so a 100 TB table pays one scan for its whole rule set. "
+        "Counts report VIOLATIONS (0 = constraint holds), making the "
+        "report a machine-checkable gate for ingest pipelines.",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    floor = "1990-01-01"
+
+    def violations(df, tbl, pk_cols, null_col, price_col, date_col):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(c) for c in pk_cols])
+            ).alias("pk_dupes"),
+            F.sum(
+                F.when(F.col(null_col).isNull(), 1).otherwise(0)
+            ).alias(f"null_{null_col.split('_', 1)[1]}"),
+            F.sum(
+                F.when(F.col(price_col) <= 0, 1).otherwise(0)
+            ).alias("nonpositive_price"),
+            F.sum(
+                F.when(F.col(date_col) < F.lit(floor).cast("timestamp"), 1)
+                .otherwise(0)
+            ).alias("date_below_floor"),
+        )
+
+    return violations(
+        o, "orders", ["o_orderkey"], "o_custkey", "o_totalprice",
+        "o_orderdate",
+    ).unionAll(
+        violations(
+            li, "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey",
+            "l_extendedprice", "l_shipdate",
+        ).select(
+            "tbl", "n_rows", "pk_dupes",
+            F.col("null_partkey").alias("null_custkey"),
+            "nonpositive_price", "date_below_floor",
+        )
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey)
+    """,
+    doc="Referential-integrity audit: orphan counts per foreign-key "
+        "relation via LEFT ANTI joins. The dimension sides broadcast "
+        "(customer/supplier) or stay keyed (orders), so each relation "
+        "costs one pass over the fact side — the post-ingest check "
+        "that catches partial loads and dangling references before "
+        "queries silently drop rows through inner joins.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+
+    def orphans(fact, dim, fk, pk, label):
+        return (
+            fact.join(
+                dim, fact[fk] == dim[pk], "left_anti"
+            ).agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+
+    return (
+        orphans(o, c, "o_custkey", "c_custkey",
+                "orders.o_custkey->customer")
+        .unionAll(orphans(li, o, "l_orderkey", "o_orderkey",
+                          "lineitem.l_orderkey->orders"))
+        .unionAll(orphans(li, s, "l_suppkey", "s_suppkey",
+                          "lineitem.l_suppkey->supplier"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------
