@@ -1454,3 +1454,48 @@ def test_pq_topk_recall_and_code_compression(spark, sf_dir):
 
     inv = pq_topk(emb.repartition(7), q, k=5).collect()
     assert sorted(map(str, inv)) == sorted(map(str, approx))
+
+
+def test_bloom_prune_join_equals_plain_join_and_actually_prunes(
+    spark, sf_dir
+):
+    """Bloom pruning must never change join results (no false
+    negatives), and on a selective dimension it must actually shed
+    most of the fact side before the join."""
+    from scratchdb_spark.operators.runtime_filter import (
+        bloom_of_keys,
+        bloom_prune,
+        bloom_pruned_join,
+    )
+    from scratchdb_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    sup = table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 3
+    ).select("s_suppkey")
+
+    plain = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in li.join(
+            sup, li["l_suppkey"] == sup["s_suppkey"]
+        ).collect()
+    }
+    pruned = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in bloom_pruned_join(
+            li, sup, "l_suppkey", "s_suppkey"
+        ).collect()
+    }
+    assert pruned == plain
+
+    bm = bloom_of_keys(sup, "s_suppkey")
+    kept = bloom_prune(li, "l_suppkey", bm).count()
+    n = li.count()
+    match = li.join(sup, li["l_suppkey"] == sup["s_suppkey"]).count()
+    # everything that matches survives; false positives stay rare
+    assert kept >= match
+    assert kept <= match + max(10, n // 100)
+    # partition invariance of the merged bitmap
+    assert bloom_of_keys(sup.repartition(5), "s_suppkey") == bm
