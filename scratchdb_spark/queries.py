@@ -3666,6 +3666,44 @@ def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_static_enrich_segments",
+    """
+    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(e.value) * 100) AS BIGINT) AS value_e2
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Stream-static enrichment (ingest_stream.enrich_with_dim): "
+        "events joined to a broadcast static dimension — the "
+        "standard streaming-ETL enrichment; stream-static inner/left "
+        "joins are STATELESS (each micro-batch joins independently, "
+        "no watermark), and the static side re-reads per batch so "
+        "dim refreshes land without a restart. Same code path on the "
+        "batch frame gives this SQL oracle; the streaming-mode test "
+        "drives the identical plan through a file-source stream.",
+)
+def stream_static_enrich_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming.ingest_stream import enrich_with_dim
+
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_with_dim(ev, cust)
+    return enriched.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+            "segment"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") * 100).cast("long").alias("value_e2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------

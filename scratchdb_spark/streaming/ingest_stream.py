@@ -211,6 +211,24 @@ def session_window_counts(
     )
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    dim_key: str = "user_id",
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) event
+    frame to a static dimension. The static side is re-read per
+    micro-batch by Structured Streaming (so a dim refresh lands
+    without a restart) and broadcasts when small — the standard
+    streaming-ETL enrichment shape. Stream-static inner joins are
+    stateless: no watermark needed, each micro-batch joins
+    independently. Same code path runs on batch frames, giving the
+    parity query its SQL oracle."""
+    cond = events[on] == dim[dim_key]
+    return events.join(F.broadcast(dim), cond, "left").drop(dim[dim_key])
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours"):
     """Stateful streaming dedup on event_id within the watermark — the
     streaming analogue of exact dedup (bounded state). On a batch frame

@@ -354,3 +354,52 @@ def test_landing_and_warehouse_on_viewfs_scheme(spark, tmp_path):
     )
     # schema sidecar was written through the scheme too
     assert hfs.exists(spark, "viewfs://tcluster/wh/db1/t/_schema.json")
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path, sf_dir):
+    """enrich_with_dim on a real micro-batch stream produces the same
+    enriched rows as on the batch frame (stream-static joins are
+    stateless per micro-batch)."""
+    from scratchdb_spark.streaming.ingest_stream import enrich_with_dim
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    src = str(tmp_path / "enrich_src")
+    ev.coalesce(3).write.json(src)
+
+    batch = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in enrich_with_dim(
+            spark.read.schema(
+                "event_id long, user_id long, value double"
+            ).json(src),
+            dim,
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        enrich_with_dim(stream, dim)
+        .select("event_id", "c_mktsegment")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "enrich stream did not finish"
+    streamed = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert streamed == batch
+    assert len(batch) == ev.count()  # left join preserves every event
