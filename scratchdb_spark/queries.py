@@ -3704,6 +3704,51 @@ def stream_static_enrich_segments(
     )
 
 
+@register(
+    "agg_filter_clause_metrics",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000)
+                AS BIGINT) AS n_big,
+           CAST(round(sum(o_totalprice)
+                      FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+                      * 100) AS BIGINT) AS recent_value_e2,
+           CAST(count(DISTINCT o_custkey)
+                FILTER (WHERE o_totalprice > 200000)
+                AS BIGINT) AS n_big_customers
+    FROM orders
+    GROUP BY ALL
+    """,
+    doc="ANSI FILTER-clause aggregates + GROUP BY ALL, run as raw SQL "
+        "TEXT through the same pass-through surface the HTTP query "
+        "endpoint uses (reference N8) — many conditional aggregates "
+        "in ONE scan, each with its own predicate, including a "
+        "filtered DISTINCT. The DataFrame-API twin of this shape is "
+        "agg_conditional_sums (sum(CASE WHEN)); FILTER additionally "
+        "covers count(DISTINCT ...) FILTER, which CASE can't express "
+        "without a second aggregation.",
+)
+def agg_filter_clause_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark, sf_dir,
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               CAST(round(sum(o_totalprice)
+                          FILTER (WHERE o_orderdate
+                                        >= TIMESTAMP '1997-01-01')
+                          * 100) AS BIGINT) AS recent_value_e2,
+               count(DISTINCT o_custkey)
+                 FILTER (WHERE o_totalprice > 200000)
+                 AS n_big_customers
+        FROM orders
+        GROUP BY ALL
+        """,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------
