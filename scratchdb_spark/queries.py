@@ -3749,6 +3749,53 @@ def agg_filter_clause_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "warehouse_changes_feed",
+    """
+    SELECT * FROM (VALUES
+      ('delete', CAST(2 AS BIGINT), CAST(20 AS BIGINT)),
+      ('insert', CAST(3 AS BIGINT), CAST(60 AS BIGINT)),
+      ('insert', CAST(4 AS BIGINT), CAST(80 AS BIGINT)))
+      t(change_type, row_id, amount)
+    """,
+    doc="CDC between snapshots (snapshots.read_changes): the change "
+        "feed from v1 to latest after an append and a copy-on-write "
+        "delete — inserts for appended rows, a delete for the "
+        "taken-down row, and NO rows for the COW-carried survivors "
+        "(they cancel in the exceptAll). Only manifest-diff files are "
+        "read, so the cost is proportional to churn, not table size "
+        "— the primitive that lets a downstream pipeline consume a "
+        "100 TB table incrementally. Oracle: literal relation "
+        "(VALUES) of the expected feed.",
+)
+def warehouse_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from . import snapshots as snap
+    from .tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_cdc_"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )  # v1
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(3, 60), (4, 80)], "__row_id long, amount long"
+        ),
+    )  # v2
+    snap.delete_where(wh, "db", "t", F.col("__row_id") == 2)  # v3
+    ch = snap.read_changes(wh, "db", "t", from_version=1)
+    return ch.select(
+        F.col("_change_type").alias("change_type"),
+        F.col("__row_id").alias("row_id"),
+        "amount",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------

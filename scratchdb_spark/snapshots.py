@@ -77,9 +77,30 @@ def commit_snapshot(
     either see the whole version or none of it."""
     vs = versions(wh, database, table)
     next_v = (vs[-1] + 1) if vs else 1
+    # Copy-on-write DELETE/MERGE leave their replaced files on disk
+    # (older versions still reference them — that's the audit trail),
+    # recording them in the manifest's cumulative "retired" set. A
+    # directory listing therefore over-counts: subtract the retired
+    # set, or the first append after a takedown would RESURRECT the
+    # deleted rows in the new snapshot (caught by the read_changes
+    # CDC test).
+    retired: set = set()
+    if vs:
+        prev = json.loads(
+            hfs.read_text(
+                wh.spark,
+                f"{_snap_dir(wh, database, table)}/v{vs[-1]:012d}.json",
+            )
+        )
+        retired = set(prev.get("retired", []))
     manifest = {
         "version": next_v,
-        "files": _data_files(wh, database, table),
+        "files": [
+            f
+            for f in _data_files(wh, database, table)
+            if f not in retired
+        ],
+        "retired": sorted(retired),
         "schema": wh.schema(database, table).json(),
     }
     hfs.write_text(
@@ -235,6 +256,11 @@ def delete_where(
             {
                 "version": next_v,
                 "files": new_files,
+                # replaced files stay on disk for older versions;
+                # commit_snapshot must never re-adopt them
+                "retired": sorted(
+                    set(prev.get("retired", [])) | set(affected)
+                ),
                 "schema": prev["schema"],
             },
             separators=(",", ":"),
@@ -335,6 +361,11 @@ def merge_upsert(
             {
                 "version": next_v,
                 "files": new_files,
+                # replaced files stay on disk for older versions;
+                # commit_snapshot must never re-adopt them
+                "retired": sorted(
+                    set(prev.get("retired", [])) | set(affected)
+                ),
                 "schema": prev["schema"],
             },
             separators=(",", ":"),
@@ -372,3 +403,84 @@ def maintain_table(
     )
     new_v = commit_snapshot(wh, database, table)
     return {**stats, "expired_versions": expired, "version": new_v}
+
+
+def _manifest(wh: Warehouse, database: str, table: str, v: int) -> dict:
+    return json.loads(
+        hfs.read_text(
+            wh.spark, f"{_snap_dir(wh, database, table)}/v{v:012d}.json"
+        )
+    )
+
+
+def read_changes(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC between two snapshots: every row inserted or deleted going
+    from ``from_version`` to ``to_version`` (latest when None),
+    tagged ``_change_type`` in ('insert', 'delete'). An update made
+    by merge_upsert surfaces as its delete/insert pair — the
+    preimage/postimage form of a change feed.
+
+    Incremental by construction: only the files that DIFFER between
+    the two manifests are read (appends add files; copy-on-write
+    DELETE/MERGE swap rewritten files), and the row-level diff is an
+    exceptAll over just those files — rows in untouched files are
+    never scanned, so the cost is proportional to the churn between
+    the versions, not the table size. This is what lets a downstream
+    pipeline consume a 100 TB table by reading only what changed
+    since its last run, instead of re-scanning and re-diffing.
+
+    Rows identical in an added and a removed file (COW rewrites carry
+    the survivors into the new file) cancel in the exceptAll and
+    produce no change row, which is exactly right.
+    """
+    vs = versions(wh, database, table)
+    to_v = vs[-1] if to_version is None else to_version
+    for v in (from_version, to_v):
+        if v not in vs:
+            raise ValueError(
+                f"version {v} not in {database}.{table} snapshots {vs}"
+            )
+    old_m = _manifest(wh, database, table, from_version)
+    new_m = _manifest(wh, database, table, to_v)
+    old_files, new_files = set(old_m["files"]), set(new_m["files"])
+    base = wh._path(database, table)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(new_m["schema"]))
+
+    def read_files(names: set, file_schema: str):
+        if not names:
+            return wh.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(file_schema))
+            )
+        return wh.spark.read.schema(
+            T.StructType.fromJson(json.loads(file_schema))
+        ).parquet(*[f"{base}/{n}" for n in sorted(names)])
+
+    added = read_files(new_files - old_files, new_m["schema"])
+    removed = read_files(old_files - new_files, old_m["schema"])
+    # schema evolution between the versions: align the old rows to
+    # the new schema (missing columns read as NULL, like any reader
+    # of evolved tables)
+    for f in schema.fields:
+        if f.name not in removed.columns:
+            removed = removed.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    removed = removed.select(*[f.name for f in schema.fields])
+
+    inserts = added.exceptAll(removed).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = removed.exceptAll(added).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return inserts.unionAll(deletes)

@@ -497,3 +497,119 @@ def test_incremental_distinct_rollup_merges_across_batches(spark, tmp_path):
     )
     assert est == oneshot            # identical sketch algebra
     assert abs(est - 150) <= 5       # and near the true 150
+
+
+def test_read_changes_cdc_between_snapshots(spark, tmp_path):
+    """read_changes: appends surface as inserts, COW deletes as
+    deletes with survivors cancelling, merge updates as their
+    delete/insert pair, schema evolution aligns old rows, and an
+    identical from==to diff is empty."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_cdc"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "__row_id long, amount long"
+        ),
+    )
+    v2 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(4, 40)], "__row_id long, amount long"),
+    )
+    # append-only diff: pure inserts
+    ch12 = snap.read_changes(wh, "db", "t", v1, v2).collect()
+    assert {(r["_change_type"], r["__row_id"]) for r in ch12} == {
+        ("insert", 4)
+    }
+    # self-diff is empty
+    assert snap.read_changes(wh, "db", "t", v1, v1).count() == 0
+
+    v3, n_del = snap.delete_where(
+        wh, "db", "t", F.col("__row_id") == 2
+    )
+    assert n_del == 1
+    ch23 = snap.read_changes(wh, "db", "t", v2, v3).collect()
+    # survivors of the rewritten file cancel; only the delete remains
+    assert {(r["_change_type"], r["__row_id"], r["amount"])
+            for r in ch23} == {("delete", 2, 20)}
+
+    v4, _, _ = snap.merge_upsert(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(3, 99), (5, 50)], "__row_id long, amount long"
+        ),
+        "__row_id",
+    )
+    ch34 = snap.read_changes(wh, "db", "t", v3, v4).collect()
+    # update = preimage delete + postimage insert; new key = insert
+    assert {(r["_change_type"], r["__row_id"], r["amount"])
+            for r in ch34} == {
+        ("delete", 3, 30), ("insert", 3, 99), ("insert", 5, 50),
+    }
+
+    # cumulative feed v1 -> v4
+    ch14 = snap.read_changes(wh, "db", "t", v1, v4).collect()
+    assert {(r["_change_type"], r["__row_id"], r["amount"])
+            for r in ch14} == {
+        ("insert", 4, 40), ("insert", 5, 50), ("insert", 3, 99),
+        ("delete", 2, 20), ("delete", 3, 30),
+    }
+
+    # schema evolution: new column appears; old-side rows align NULL
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(6, 60, "x")], "__row_id long, amount long, tag string"
+        ),
+    )
+    ch45 = snap.read_changes(wh, "db", "t", v4).collect()
+    assert {(r["_change_type"], r["__row_id"], r["tag"])
+            for r in ch45} == {("insert", 6, "x")}
+
+
+def test_append_after_cow_delete_does_not_resurrect(spark, tmp_path):
+    """Regression: commit_snapshot used to rebuild the manifest from
+    the directory listing, so the first append after a copy-on-write
+    delete re-adopted the replaced files and the deleted rows came
+    back. Manifests now carry a cumulative retired set."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_res"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+    snap.delete_where(wh, "db", "t", F.col("__row_id") == 2)
+    v = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(3, 30)], "__row_id long, amount long"),
+    )
+    rows = {
+        r["__row_id"]
+        for r in snap.read_snapshot(wh, "db", "t", v).collect()
+    }
+    assert rows == {1, 3}, f"deleted row resurrected: {rows}"
+    # and the same holds after a merge rewrite + append
+    snap.merge_upsert(
+        wh, "db", "t",
+        spark.createDataFrame([(1, 99)], "__row_id long, amount long"),
+        "__row_id",
+    )
+    v2 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(4, 40)], "__row_id long, amount long"),
+    )
+    got = {
+        (r["__row_id"], r["amount"])
+        for r in snap.read_snapshot(wh, "db", "t", v2).collect()
+    }
+    assert got == {(1, 99), (3, 30), (4, 40)}, got
