@@ -93,13 +93,14 @@ def commit_snapshot(
             )
         )
         retired = set(prev.get("retired", []))
+    disk = _data_files(wh, database, table)
+    # prune retired names whose files are physically gone (maintenance
+    # deletes them) so the set stays bounded by live dead files, and
+    # never grows for the lifetime of the table
+    retired &= set(disk)
     manifest = {
         "version": next_v,
-        "files": [
-            f
-            for f in _data_files(wh, database, table)
-            if f not in retired
-        ],
+        "files": [f for f in disk if f not in retired],
         "retired": sorted(retired),
         "schema": wh.schema(database, table).json(),
     }
@@ -395,14 +396,31 @@ def maintain_table(
     """
     from .operators.compaction import compact_path
 
+    # Physically drop COW-retired files BEFORE the rewrite:
+    # compact_path reads the whole directory, so a dead file left on
+    # disk would compact its deleted rows back into the live data.
+    # This is safe exactly because expiry runs in the same breath —
+    # the only manifests that referenced those files are going away.
+    vs = versions(wh, database, table)
+    retired = (
+        set(_manifest(wh, database, table, vs[-1]).get("retired", []))
+        if vs
+        else set()
+    )
     expired = expire_snapshots(
         wh, database, table, keep_last=max(0, keep_snapshots - 1)
     )
-    stats = compact_path(
-        wh.spark, wh._path(database, table), sort_col=sort_col
-    )
+    base = wh._path(database, table)
+    for name in sorted(retired):
+        hfs.delete(wh.spark, f"{base}/{name}", recursive=False)
+    stats = compact_path(wh.spark, base, sort_col=sort_col)
     new_v = commit_snapshot(wh, database, table)
-    return {**stats, "expired_versions": expired, "version": new_v}
+    return {
+        **stats,
+        "expired_versions": expired,
+        "reclaimed_files": len(retired),
+        "version": new_v,
+    }
 
 
 def _manifest(wh: Warehouse, database: str, table: str, v: int) -> dict:

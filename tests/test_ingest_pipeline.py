@@ -613,3 +613,36 @@ def test_append_after_cow_delete_does_not_resurrect(spark, tmp_path):
         for r in snap.read_snapshot(wh, "db", "t", v2).collect()
     }
     assert got == {(1, 99), (3, 30), (4, 40)}, got
+
+
+def test_maintain_table_does_not_compact_deleted_rows_back(
+    spark, tmp_path
+):
+    """Regression (sibling of the append-resurrection bug):
+    compact_path reads the whole directory, so maintenance must
+    physically drop COW-retired files before rewriting — otherwise
+    deleted rows compact back into the live data."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_mt"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 6)],
+            "__row_id long, amount long",
+        ),
+    )
+    snap.delete_where(wh, "db", "t", F.col("__row_id").isin(2, 4))
+    res = snap.maintain_table(wh, "db", "t")
+    assert res["reclaimed_files"] >= 1
+    rows = {
+        r["__row_id"]
+        for r in snap.read_snapshot(wh, "db", "t").collect()
+    }
+    assert rows == {1, 3, 5}, f"deleted rows compacted back: {rows}"
+    # retired set drains once the dead files are physically gone
+    v = snap.versions(wh, "db", "t")[-1]
+    assert snap._manifest(wh, "db", "t", v).get("retired") == []
