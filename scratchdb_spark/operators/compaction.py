@@ -52,7 +52,14 @@ def plan_target_files(total_bytes: int, target_file_bytes: int) -> int:
 def _atomic_swap(spark: SparkSession, path: str, out) -> None:
     """Write `out` to a temp dir and swap it in with two renames, so a
     concurrent reader sees either the old or the new complete
-    directory, never a half-written one."""
+    directory, never a half-written one.
+
+    Table METADATA survives the swap: underscore-prefixed entries
+    (`_snapshots/` manifests + version watermark, `_schema.json`
+    sidecar) are carried from the old directory into the new one —
+    spark.read.parquet ignores them, but losing them would reset
+    snapshot version numbering (silently corrupting CDC cursors that
+    remember a from_version) and drop the authoritative schema."""
     tmp = path.rstrip("/") + ".__compact_tmp__"
     bak = path.rstrip("/") + ".__compact_bak__"
     out.write.mode("overwrite").parquet(tmp)
@@ -65,6 +72,17 @@ def _atomic_swap(spark: SparkSession, path: str, out) -> None:
     if not fs.rename(tmp_p, hpath):
         fs.rename(bak_p, hpath)  # roll back
         raise IOError(f"compaction swap failed: {tmp} -> {path}")
+    # carry metadata AFTER the swap commits (a failed swap rolls back
+    # with everything still in place under bak)
+    for st in fs.listStatus(bak_p):
+        name = st.getPath().getName()
+        if name.startswith("_") and name != "_SUCCESS":
+            fs.rename(
+                st.getPath(),
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path.rstrip('/')}/{name}"
+                ),
+            )
     fs.delete(bak_p, True)
 
 

@@ -79,6 +79,45 @@ def _bloom_positions(h, mul, add, num_bits: int):
     return x & np.uint64(num_bits - 1)
 
 
+def build_bloom_bitmap(df, extract_hashes, num_bits: int, mul, add):
+    """Per-partition bloom bitmaps OR-merged on the driver — the
+    shared build half of every bloom operator here (decontamination,
+    runtime_filter join pruning). ``extract_hashes(pdf)`` returns the
+    partition batch's int64 hash values (or None). Bitwise OR is
+    associative and commutative, so the merged filter is bit-identical
+    under any partitioning; no shuffle touches the build side.
+    Returns the (num_bits/64,) uint64 word array."""
+    import numpy as np
+    import pandas as pd
+
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    words = num_bits // 64
+
+    def build(batches):
+        bits = np.zeros(words, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            h = extract_hashes(pdf)
+            if h is None or len(h) == 0:
+                continue
+            pos = _bloom_positions(
+                h.astype(np.uint64), mul, add, num_bits
+            ).ravel()
+            np.bitwise_or.at(
+                bits, pos >> np.uint64(6),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        yield pd.DataFrame({"bm": [bits.tobytes()]})
+
+    parts = df.mapInPandas(build, "bm binary").collect()
+    final = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        final |= np.frombuffer(r["bm"], dtype=np.uint64)
+    return final
+
+
 def bloom_decontaminate(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -129,27 +168,12 @@ def bloom_decontaminate(
 
     ev = eval_df.select(hashed_shingles(F.col(text_col), n).alias("sh"))
 
-    def build(batches):
-        bits = np.zeros(words, dtype=np.uint64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            arrs = [np.asarray(x, dtype=np.int64) for x in pdf["sh"]]
-            arrs = [a for a in arrs if len(a)]
-            if not arrs:
-                continue
-            h = np.concatenate(arrs).astype(np.uint64)
-            pos = _bloom_positions(h, mul, add, num_bits).ravel()
-            np.bitwise_or.at(
-                bits, pos >> np.uint64(6),
-                np.uint64(1) << (pos & np.uint64(63)),
-            )
-        yield pd.DataFrame({"bm": [bits.tobytes()]})
+    def shingle_hashes(pdf):
+        arrs = [np.asarray(x, dtype=np.int64) for x in pdf["sh"]]
+        arrs = [a for a in arrs if len(a)]
+        return np.concatenate(arrs) if arrs else None
 
-    parts = ev.mapInPandas(build, "bm binary").collect()
-    final = np.zeros(words, dtype=np.uint64)
-    for r in parts:
-        final |= np.frombuffer(r["bm"], dtype=np.uint64)
+    final = build_bloom_bitmap(ev, shingle_hashes, num_bits, mul, add)
 
     bc = train_df.sparkSession.sparkContext.broadcast(final.tobytes())
 

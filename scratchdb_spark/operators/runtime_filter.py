@@ -21,12 +21,11 @@ half-megabyte broadcast. False positives only cost wasted shuffle rows
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .curation import _bloom_positions
+from .curation import _bloom_positions, build_bloom_bitmap
 from .dedup import _splitmix_salts
 
 _SEED = 0xF117E4
@@ -41,29 +40,11 @@ def bloom_of_keys(
     """OR-merged bloom bitmap of ``xxhash64(key_col)`` over ``dim``.
     Per-partition build, driver merge by bitwise OR (associative ->
     partition-invariant); no shuffle touches the dimension."""
-    if num_bits & (num_bits - 1):
-        raise ValueError("num_bits must be a power of two")
-    words = num_bits // 64
     mul, add = _splitmix_salts(num_hashes, seed=_SEED)
     keys = dim.select(F.xxhash64(F.col(key_col)).alias("h"))
-
-    def build(batches):
-        bits = np.zeros(words, dtype=np.uint64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            h = pdf["h"].values.astype(np.uint64)
-            pos = _bloom_positions(h, mul, add, num_bits).ravel()
-            np.bitwise_or.at(
-                bits, pos >> np.uint64(6),
-                np.uint64(1) << (pos & np.uint64(63)),
-            )
-        yield pd.DataFrame({"bm": [bits.tobytes()]})
-
-    parts = keys.mapInPandas(build, "bm binary").collect()
-    final = np.zeros(words, dtype=np.uint64)
-    for r in parts:
-        final |= np.frombuffer(r["bm"], dtype=np.uint64)
+    final = build_bloom_bitmap(
+        keys, lambda pdf: pdf["h"].values, num_bits, mul, add
+    )
     return final.tobytes()
 
 

@@ -646,6 +646,14 @@ def label_centroids(
 # ---------------------------------------------------------------------------
 
 
+def _safe_norms(V: np.ndarray) -> np.ndarray:
+    """Row L2 norms with zeros mapped to 1, so an all-zero vector
+    normalizes to itself instead of injecting NaN into the codebooks
+    (one NaN centroid would poison every subsequent argmin)."""
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    return np.where(n == 0.0, 1.0, n)
+
+
 def pq_train_codebooks(
     corpus: DataFrame,
     m: int = 4,
@@ -680,7 +688,12 @@ def pq_train_codebooks(
         .collect()
     )
     V = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    if len(V) < codes:
+        raise ValueError(
+            f"PQ training needs at least codes={codes} sample vectors, "
+            f"got {len(V)} — lower codes or raise sample"
+        )
+    V = V / _safe_norms(V)
     d = V.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -720,7 +733,7 @@ def pq_encode(
             V = np.array(
                 [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
             )
-            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            V = V / _safe_norms(V)
             out = np.zeros((len(V), m), dtype=np.int32)
             for s in range(m):
                 X = V[:, s * sub : (s + 1) * sub]
@@ -776,7 +789,7 @@ def pq_topk(
     sub = books.shape[2]
     qids = np.array([r["qid"] for r in qrows])
     Q = np.array([np.asarray(r["v"], dtype=np.float64) for r in qrows])
-    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Q = Q / _safe_norms(Q)
     # (n_q, m, codes) ADC tables
     tables = np.stack(
         [

@@ -24,9 +24,13 @@ systems shard manifests (Iceberg manifest lists) — noted, not built.
 
 Interaction with compaction: ``operators/compaction.py`` rewrites
 data files in place, which invalidates OLDER manifests (their files
-are gone) — the same contract as Delta's VACUUM. Run
-``expire_snapshots`` before compacting, then ``commit_snapshot`` to
-record the compacted layout.
+are gone) — the same contract as Delta's VACUUM. Use
+``maintain_table`` for this, NOT a hand-rolled expire -> compact ->
+commit sequence: maintenance also physically reclaims COW-retired
+files before the rewrite (compact_path reads the whole directory, so
+a dead file left behind would compact its deleted rows back into the
+live data) and keeps version numbering monotonic across the history
+truncation.
 """
 
 from __future__ import annotations
@@ -68,6 +72,46 @@ def versions(wh: Warehouse, database: str, table: str) -> list[int]:
     return sorted(out)
 
 
+def _watermark_path(wh: Warehouse, database: str, table: str) -> str:
+    return f"{_snap_dir(wh, database, table)}/_last.json"
+
+
+def _next_version(wh: Warehouse, database: str, table: str) -> int:
+    """Monotonic version numbering: max(manifests on disk, persisted
+    high-watermark) + 1. The watermark survives expire_snapshots and
+    maintenance, so version numbers are NEVER reused — a CDC consumer
+    holding a from_version that history truncation removed gets an
+    explicit 'version not in snapshots' error instead of a silently
+    wrong diff against an unrelated reused number."""
+    vs = versions(wh, database, table)
+    hi = vs[-1] if vs else 0
+    wm = _watermark_path(wh, database, table)
+    if hfs.exists(wh.spark, wm):
+        try:
+            hi = max(hi, int(json.loads(hfs.read_text(wh.spark, wm))["last"]))
+        except (ValueError, KeyError):
+            pass
+    return hi + 1
+
+
+def _put_manifest(
+    wh: Warehouse, database: str, table: str, manifest: dict
+) -> None:
+    """Manifest PUT + watermark update (the PUT is the atomic commit
+    point; the watermark write after it only ever raises the floor)."""
+    v = manifest["version"]
+    hfs.write_text(
+        wh.spark,
+        f"{_snap_dir(wh, database, table)}/v{v:012d}.json",
+        json.dumps(manifest, separators=(",", ":")),
+    )
+    hfs.write_text(
+        wh.spark,
+        _watermark_path(wh, database, table),
+        json.dumps({"last": v}),
+    )
+
+
 def commit_snapshot(
     wh: Warehouse, database: str, table: str
 ) -> int:
@@ -76,7 +120,7 @@ def commit_snapshot(
     file PUT — atomic on every Hadoop FS that matters — so readers
     either see the whole version or none of it."""
     vs = versions(wh, database, table)
-    next_v = (vs[-1] + 1) if vs else 1
+    next_v = _next_version(wh, database, table)
     # Copy-on-write DELETE/MERGE leave their replaced files on disk
     # (older versions still reference them — that's the audit trail),
     # recording them in the manifest's cumulative "retired" set. A
@@ -104,11 +148,7 @@ def commit_snapshot(
         "retired": sorted(retired),
         "schema": wh.schema(database, table).json(),
     }
-    hfs.write_text(
-        wh.spark,
-        f"{_snap_dir(wh, database, table)}/v{next_v:012d}.json",
-        json.dumps(manifest, separators=(",", ":")),
-    )
+    _put_manifest(wh, database, table, manifest)
     return next_v
 
 
@@ -163,7 +203,14 @@ def expire_snapshots(
     """Drop all but the newest ``keep_last`` manifests (metadata only
     — data files are shared across versions and are NOT deleted;
     orphan-file cleanup is compaction's job). Returns expired
-    versions."""
+    versions.
+
+    ``keep_last=0`` drops EVERY manifest, which also forgets the
+    cumulative ``retired`` set — the next commit_snapshot would
+    re-adopt any COW-dead files still on disk. Only expire everything
+    when those files are physically deleted in the same operation,
+    which is exactly what maintain_table does (it reads the retired
+    set BEFORE expiring, then deletes the files)."""
     vs = versions(wh, database, table)
     expired = vs[:-keep_last] if keep_last > 0 else vs
     for v in expired:
@@ -249,23 +296,19 @@ def delete_where(
     new_files = sorted(
         [f for f in prev["files"] if f not in set(affected)] + rewritten
     )
-    next_v = vs[-1] + 1
-    hfs.write_text(
-        wh.spark,
-        f"{_snap_dir(wh, database, table)}/v{next_v:012d}.json",
-        json.dumps(
-            {
-                "version": next_v,
-                "files": new_files,
-                # replaced files stay on disk for older versions;
-                # commit_snapshot must never re-adopt them
-                "retired": sorted(
-                    set(prev.get("retired", [])) | set(affected)
-                ),
-                "schema": prev["schema"],
-            },
-            separators=(",", ":"),
-        ),
+    next_v = _next_version(wh, database, table)
+    _put_manifest(
+        wh, database, table,
+        {
+            "version": next_v,
+            "files": new_files,
+            # replaced files stay on disk for older versions;
+            # commit_snapshot must never re-adopt them
+            "retired": sorted(
+                set(prev.get("retired", [])) | set(affected)
+            ),
+            "schema": prev["schema"],
+        },
     )
     n_after = read_snapshot(wh, database, table, next_v).count()
     return next_v, n_before - n_after
@@ -354,23 +397,19 @@ def merge_upsert(
     new_files = sorted(
         [f for f in prev["files"] if f not in set(affected)] + rewritten
     )
-    next_v = vs[-1] + 1
-    hfs.write_text(
-        wh.spark,
-        f"{_snap_dir(wh, database, table)}/v{next_v:012d}.json",
-        json.dumps(
-            {
-                "version": next_v,
-                "files": new_files,
-                # replaced files stay on disk for older versions;
-                # commit_snapshot must never re-adopt them
-                "retired": sorted(
-                    set(prev.get("retired", [])) | set(affected)
-                ),
-                "schema": prev["schema"],
-            },
-            separators=(",", ":"),
-        ),
+    next_v = _next_version(wh, database, table)
+    _put_manifest(
+        wh, database, table,
+        {
+            "version": next_v,
+            "files": new_files,
+            # replaced files stay on disk for older versions;
+            # commit_snapshot must never re-adopt them
+            "retired": sorted(
+                set(prev.get("retired", [])) | set(affected)
+            ),
+            "schema": prev["schema"],
+        },
     )
     return next_v, n_updated, n_inserted
 
@@ -380,36 +419,36 @@ def maintain_table(
     database: str,
     table: str,
     sort_col: str | None = "__row_id",
-    keep_snapshots: int = 1,
 ) -> dict:
-    """Periodic maintenance for a snapshot-managed table: expire old
-    manifests, compact small files (clustered on ``sort_col`` when
-    given), and commit a fresh snapshot of the compacted layout.
-    Returns the compaction stats plus the new version.
+    """Periodic maintenance for a snapshot-managed table: TRUNCATES
+    history to one fresh snapshot of the compacted layout. Returns
+    the compaction stats plus the new version.
 
-    Ordering matters (module docstring): compaction rewrites data
-    files, which invalidates any manifest still referencing the old
-    ones — so expiry runs FIRST, the rewrite second, and the new
-    manifest commit last. After this, exactly one snapshot exists and
-    it describes the compacted files; versioned history restarts from
-    there (run maintenance on a retention cadence, not per-append).
+    Maintenance cannot preserve older versions: compaction rewrites
+    every data file, so any retained manifest would reference files
+    that no longer exist. The sequence is therefore expire ALL
+    manifests -> physically reclaim COW-retired files -> compact ->
+    commit. Version numbering stays MONOTONIC across truncation (the
+    watermark survives in _snapshots/), so a CDC consumer whose
+    from_version was truncated gets an explicit error from
+    read_changes, never a silent diff against a reused number. Run on
+    a retention cadence, after the time-travel window you promise
+    readers has passed.
     """
     from .operators.compaction import compact_path
 
     # Physically drop COW-retired files BEFORE the rewrite:
     # compact_path reads the whole directory, so a dead file left on
     # disk would compact its deleted rows back into the live data.
-    # This is safe exactly because expiry runs in the same breath —
-    # the only manifests that referenced those files are going away.
+    # Safe exactly because ALL manifests referencing them expire in
+    # the same operation.
     vs = versions(wh, database, table)
     retired = (
         set(_manifest(wh, database, table, vs[-1]).get("retired", []))
         if vs
         else set()
     )
-    expired = expire_snapshots(
-        wh, database, table, keep_last=max(0, keep_snapshots - 1)
-    )
+    expired = expire_snapshots(wh, database, table, keep_last=0)
     base = wh._path(database, table)
     for name in sorted(retired):
         hfs.delete(wh.spark, f"{base}/{name}", recursive=False)

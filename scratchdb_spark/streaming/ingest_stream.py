@@ -83,20 +83,11 @@ def windowed_event_counts(
     watermark: str = "2 hours",
 ):
     """Event-time tumbling-window counts with late-data handling —
-    works on a streaming OR batch events DataFrame (same code path)."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .select(
-            F.col("window.start").alias("window_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
+    works on a streaming OR batch events DataFrame (same code path).
+    Tumbling IS the hop == window special case of hopping windows, so
+    this delegates (one agg/select body to maintain)."""
+    return hopping_window_counts(
+        events, window_duration, window_duration, watermark
     )
 
 
@@ -216,17 +207,24 @@ def enrich_with_dim(
     dim: DataFrame,
     on: str = "user_id",
     dim_key: str = "user_id",
+    broadcast: bool = True,
 ) -> DataFrame:
-    """Stream-static enrichment: join a (possibly streaming) event
-    frame to a static dimension. The static side is re-read per
-    micro-batch by Structured Streaming (so a dim refresh lands
-    without a restart) and broadcasts when small — the standard
-    streaming-ETL enrichment shape. Stream-static inner joins are
-    stateless: no watermark needed, each micro-batch joins
-    independently. Same code path runs on batch frames, giving the
-    parity query its SQL oracle."""
+    """Stream-static enrichment: LEFT join a (possibly streaming)
+    event frame to a static dimension — every event survives, with
+    NULL-extended dim columns when the key has no match. The static
+    side is re-read per micro-batch by Structured Streaming (so a dim
+    refresh lands without a restart) — the standard streaming-ETL
+    enrichment shape. Stream-static equi-joins (inner and this
+    stream-side LEFT) are STATELESS: no watermark, each micro-batch
+    joins independently. Same code path runs on batch frames, giving
+    the parity query its SQL oracle.
+
+    ``broadcast=True`` (default) pins a broadcast join — right for
+    dimension tables that fit in executor memory. Pass False for a
+    dimension at data scale and let the planner shuffle it."""
     cond = events[on] == dim[dim_key]
-    return events.join(F.broadcast(dim), cond, "left").drop(dim[dim_key])
+    rhs = F.broadcast(dim) if broadcast else dim
+    return events.join(rhs, cond, "left").drop(dim[dim_key])
 
 
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours"):

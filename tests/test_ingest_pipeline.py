@@ -646,3 +646,49 @@ def test_maintain_table_does_not_compact_deleted_rows_back(
     # retired set drains once the dead files are physically gone
     v = snap.versions(wh, "db", "t")[-1]
     assert snap._manifest(wh, "db", "t", v).get("retired") == []
+
+
+def test_version_numbering_monotonic_across_maintenance(
+    spark, tmp_path
+):
+    """Maintenance truncates history but must never REUSE version
+    numbers (a reused number would make a CDC consumer's saved
+    from_version silently diff unrelated snapshots); the schema
+    sidecar and snapshot metadata survive compaction's directory
+    swap."""
+    import pytest as _pytest
+
+    from scratchdb_spark import fs as hfs
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_mono"))
+    for i in range(3):
+        last = snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(i, i * 10)], "__row_id long, amount long"
+            ),
+        )
+    assert last == 3
+    res = snap.maintain_table(wh, "db", "t")
+    # history truncated to ONE fresh snapshot, numbered PAST the old
+    assert snap.versions(wh, "db", "t") == [res["version"]]
+    assert res["version"] == 4
+    # schema sidecar survived the swap (authoritative reads intact)
+    assert hfs.exists(
+        spark, f"{wh._path('db', 't')}/_schema.json"
+    )
+    # a stale CDC cursor fails loudly instead of diffing reused numbers
+    with _pytest.raises(ValueError, match="not in"):
+        snap.read_changes(wh, "db", "t", from_version=2)
+    # numbering keeps climbing afterwards
+    v5 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(9, 90)], "__row_id long, amount long"),
+    )
+    assert v5 == 5
+    ch = snap.read_changes(wh, "db", "t", from_version=4).collect()
+    assert {(r["_change_type"], r["__row_id"]) for r in ch} == {
+        ("insert", 9)
+    }
