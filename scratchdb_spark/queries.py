@@ -5294,8 +5294,13 @@ def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    # ~15k nodes here: rank vector broadcasts, edges shuffle ONCE
-    ranks = pagerank_int(edges, iterations=3, broadcast_ranks=True)
+    # broadcast_ranks=False here: on local[*] the per-iteration
+    # driver collect+broadcast round-trip costs more than the small
+    # shuffle it avoids (A/B: ~3.4 s vs ~4.4 s warm at sf0.1). On a
+    # real cluster with a data-sized edge list, broadcast_ranks=True
+    # is the right plan — edges shuffle once, only partial dst sums
+    # move per iteration (see pagerank_int docstring).
+    ranks = pagerank_int(edges, iterations=3)
     return ranks.orderBy(F.desc("r_e6"), F.asc("node")).limit(100)
 
 
