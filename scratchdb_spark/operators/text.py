@@ -68,6 +68,14 @@ def quality_score(df: DataFrame, text_col: str = "text",
     score = length_signal * (1 - punct_ratio) * alpha_ratio * (
         F.lit(0.5) + F.least(F.lit(0.5), stop_ratio * 2)
     )
+    # Epsilon-stabilized rounding: the composite is a multi-op float
+    # product, and its true value can land EXACTLY on a 4dp half-way
+    # point (observed at sf0.1: 0.2 * 0.8125 * 0.7 = 0.11375), where
+    # engines' last-ulp association differences round to different
+    # sides. +1e-9 (>> ulp, << any non-boundary gap) makes every
+    # exact boundary round up identically everywhere; the oracle
+    # applies the same epsilon. Single-division ratio columns don't
+    # need it — one IEEE op is bit-identical across engines.
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -75,7 +83,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(score, 4).alias("quality"),
+        F.round(score + F.lit(1e-9), 4).alias("quality"),
     )
 
 

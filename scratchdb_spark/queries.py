@@ -1762,10 +1762,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(alpha_ratio, 4) AS alpha_ratio,
            round(stop_ratio, 4) AS stop_ratio,
            round(least(1.0, n_tokens / 50.0) * (1 - punct_ratio) * alpha_ratio
-                 * (0.5 + least(0.5, stop_ratio * 2)), 4) AS quality
+                 * (0.5 + least(0.5, stop_ratio * 2)) + 1e-9, 4) AS quality
     FROM t
     """.format(toks=_DUCK_TOKENS),
-    doc="Quality features + composite score.",
+    doc="Quality features + composite score (epsilon-stabilized "
+        "rounding on the composite: its exact value can sit on a 4dp "
+        "half-way point where cross-engine ulp differences round "
+        "apart — see operators/text.py quality_score).",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import quality_score
