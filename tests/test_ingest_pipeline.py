@@ -692,3 +692,75 @@ def test_version_numbering_monotonic_across_maintenance(
     assert {(r["_change_type"], r["__row_id"]) for r in ch} == {
         ("insert", 9)
     }
+
+
+def test_read_changes_replays_any_dml_sequence(spark, tmp_path):
+    """CDC soundness invariant: for ANY versions i < j,
+    snapshot(i) + inserts(i->j) - deletes(i->j) == snapshot(j) as a
+    multiset. Exercised over a seeded random sequence of appends,
+    COW deletes, and merges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    rng = random.Random(0xC0C)
+    wh = Warehouse(spark, str(tmp_path / "wh_replay"))
+    next_id = [0]
+
+    def mk(n):
+        rows = [
+            (next_id[0] + k, rng.randrange(1000)) for k in range(n)
+        ]
+        next_id[0] += n
+        return spark.createDataFrame(rows, "__row_id long, amount long")
+
+    vs = [snap.append_versioned(wh, "db", "t", mk(6))]
+    for _ in range(6):
+        op = rng.choice(["append", "delete", "merge"])
+        if op == "append":
+            vs.append(snap.append_versioned(wh, "db", "t", mk(3)))
+        elif op == "delete":
+            cut = rng.randrange(next_id[0])
+            v, _n = snap.delete_where(
+                wh, "db", "t",
+                (F.col("__row_id") % 7) == (cut % 7),
+            )
+            vs.append(v)
+        else:
+            ups = spark.createDataFrame(
+                [
+                    (rng.randrange(next_id[0]), rng.randrange(1000))
+                    for _ in range(2)
+                ]
+                + [(next_id[0], rng.randrange(1000))],
+                "__row_id long, amount long",
+            )
+            next_id[0] += 1
+            v, _u, _i = snap.merge_upsert(wh, "db", "t", ups, "__row_id")
+            vs.append(v)
+
+    def multiset(df):
+        out: dict = {}
+        for r in df.collect():
+            k = (r["__row_id"], r["amount"])
+            out[k] = out.get(k, 0) + 1
+        return out
+
+    snaps = {v: multiset(snap.read_snapshot(wh, "db", "t", v)) for v in vs}
+    pairs = [(vs[0], vs[-1]), (vs[1], vs[3]), (vs[2], vs[-1]),
+             (vs[0], vs[1])]
+    for i, j in pairs:
+        if i >= j:
+            continue
+        replay = dict(snaps[i])
+        for r in snap.read_changes(wh, "db", "t", i, j).collect():
+            k = (r["__row_id"], r["amount"])
+            if r["_change_type"] == "insert":
+                replay[k] = replay.get(k, 0) + 1
+            else:
+                replay[k] = replay.get(k, 0) - 1
+        replay = {k: c for k, c in replay.items() if c}
+        assert replay == snaps[j], f"replay {i}->{j} diverged"
