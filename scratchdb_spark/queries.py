@@ -3799,6 +3799,46 @@ def warehouse_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RCTE_NATION_CHAINS = """
+WITH RECURSIVE succ AS (
+  SELECT n_regionkey, n_nationkey, n_name,
+         lead(n_nationkey) OVER (
+           PARTITION BY n_regionkey ORDER BY n_nationkey) AS next_key
+  FROM nation
+),
+chain AS (
+  SELECT n_regionkey, n_nationkey, n_name, next_key, 1 AS depth
+  FROM succ s
+  WHERE NOT EXISTS (SELECT 1 FROM succ p WHERE p.next_key = s.n_nationkey)
+  UNION ALL
+  SELECT s.n_regionkey, s.n_nationkey, s.n_name, s.next_key, c.depth + 1
+  FROM chain c JOIN succ s ON s.n_nationkey = c.next_key
+)
+SELECT n_regionkey AS regionkey, n_nationkey AS nationkey,
+       n_name AS nation, CAST(depth AS BIGINT) AS depth
+FROM chain
+"""
+
+
+@register(
+    "rcte_nation_chains",
+    _RCTE_NATION_CHAINS,
+    doc="Recursive CTE (Spark 4's WITH RECURSIVE): iterative chain "
+        "traversal over per-region successor links — the hierarchy/"
+        "graph-walk shape (org charts, BOM explosions, path "
+        "expansion) that window functions cannot express when depth "
+        "is unbounded. The anchor selects chain heads (never anyone's "
+        "successor); each recursion step joins one link deeper. Both "
+        "engines run the IDENTICAL standard-SQL text through the N8 "
+        "pass-through surface. For data-scale graphs with O(log n) "
+        "round guarantees, operators/graph.py (large/small-star CC, "
+        "integer PageRank) remain the scale path; recursion state "
+        "here is the frontier only.",
+)
+def rcte_nation_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _RCTE_NATION_CHAINS)
+
+
 # ---------------------------------------------------------------------------
 # Entry-point helpers
 # ---------------------------------------------------------------------------
