@@ -193,3 +193,122 @@ def test_pack_sequences_bins_respect_budget_and_partition_docs(
         for i in ids:
             assert i not in seen, f"doc {i} packed twice"
             seen.add(i)
+
+
+def test_sessionize_matches_direct_reconstruction(spark, sf_dir):
+    """Rebuild 30-minute-gap sessions per user in plain Python from
+    the raw events and compare counts, starts, and durations."""
+    rows = _run(spark, sf_dir, "sessionize_events")
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            int(r["ts"].timestamp() * 1_000_000)
+        )
+    want: dict = {}
+    GAP = 30 * 60 * 1_000_000
+    for uid, times in by_user.items():
+        times.sort()
+        sessions = [[times[0]]]
+        for t in times[1:]:
+            if t - sessions[-1][-1] >= GAP:
+                sessions.append([t])
+            else:
+                sessions[-1].append(t)
+        for i, s in enumerate(sessions, start=1):
+            want[(uid, i)] = (len(s), s[0], s[-1] - s[0])
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["session_start_us"], r["duration_us"]
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_audit_digest_order_invariant_and_content_sensitive(
+    spark, sf_dir
+):
+    """The digest must be identical under any row order/partitioning
+    (that's its whole point) and must CHANGE when content changes."""
+    from scratchdb_spark import queries as cat
+
+    base = cat.registry()["audit_table_digest"].spark_fn(
+        spark, sf_dir
+    ).collect()[0]
+    # the query digests the customer table; recompute over a shuffled
+    # layout through the same digest expressions
+    import re
+
+    oracle = cat.registry()["audit_table_digest"].oracle
+    m = re.search(r"FROM (\w+)", oracle)
+    src = table(spark, sf_dir, m.group(1))
+    shuffled = src.repartition(13).sortWithinPartitions(
+        F.rand(7)
+    )
+    cols = [f for f in src.columns]
+    def digest(df):
+        h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 8),
+                   16, 10).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).alias("digest_sum"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(concat_ws('\x1f', "
+                + ", ".join(cols)
+                + ")), 1, 8), 16, 10) as long))"
+            ).alias("digest_xor"),
+        ).collect()[0]
+    a, b = digest(src), digest(shuffled)
+    assert (a["digest_sum"], a["digest_xor"]) == (
+        b["digest_sum"], b["digest_xor"]
+    )
+    # content sensitivity: dropping one row changes the digest
+    one = src.limit(1)
+    c = digest(src.exceptAll(one))
+    assert (c["digest_sum"], c["digest_xor"]) != (
+        a["digest_sum"], a["digest_xor"]
+    )
+
+
+def test_rollup_hierarchy_sums_consistent(spark, sf_dir):
+    """GROUPING SETS output must be internally consistent: hour rows
+    sum to their day row, and day rows sum to the grand total."""
+    rows = _run(spark, sf_dir, "rollup_time_buckets")
+    # grouping sets: (day, hour, type), (day, type), (day), ()
+    hour_rows = [r for r in rows if r["bucket_hour"] is not None]
+    day_type_rows = [
+        r for r in rows
+        if r["bucket_hour"] is None and r["bucket_day"] is not None
+        and r["event_type"] is not None
+    ]
+    day_rows = [
+        r for r in rows
+        if r["bucket_hour"] is None and r["bucket_day"] is not None
+        and r["event_type"] is None
+    ]
+    totals = [
+        r for r in rows
+        if r["bucket_hour"] is None and r["bucket_day"] is None
+    ]
+    assert hour_rows and day_type_rows and day_rows and len(totals) == 1
+    from collections import defaultdict
+
+    by_day = defaultdict(int)
+    for r in hour_rows:
+        by_day[(r["bucket_day"], r["event_type"])] += r["n_events"]
+    for r in day_type_rows:
+        key = (r["bucket_day"], r["event_type"])
+        assert by_day[key] == r["n_events"], key
+    # each (day, type) level and the day level both sum to the total
+    assert sum(r["n_events"] for r in day_type_rows) == totals[0][
+        "n_events"
+    ]
+    assert sum(r["n_events"] for r in day_rows) == totals[0]["n_events"]
+    # grand total equals the raw event count
+    n_ev = table(spark, sf_dir, "events").count()
+    assert totals[0]["n_events"] == n_ev
