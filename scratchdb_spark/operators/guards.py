@@ -12,10 +12,16 @@ bound (or ``None``) is an explicit caller opt-in.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 class QuadraticInputError(ValueError):
     """Input exceeds the declared bound for an O(n^2) baseline."""
+
+
+class HotGroupError(ValueError):
+    """A group exceeds the declared per-group row bound for an exact
+    holistic aggregate (exact percentile / median / MAD)."""
 
 
 def refuse_quadratic(
@@ -42,6 +48,41 @@ def refuse_quadratic(
             f"{operator} is an O(n^2) exact baseline and its input has "
             f"more than max_rows={max_rows} rows. Use {alternative} at "
             f"scale, or pass a higher max_rows to opt in explicitly."
+        )
+
+
+def refuse_hot_groups(
+    df: DataFrame,
+    keys: list[str],
+    max_group_rows: int | None,
+    operator: str,
+    alternative: str,
+) -> None:
+    """Refuse when any group of ``keys`` has more than
+    ``max_group_rows`` rows.
+
+    Spark's EXACT ``percentile`` (and any holistic aggregate) buffers
+    every value of a group inside one executor's aggregation buffer, so
+    a hot group is an OOM/straggler at scale no matter how wide the
+    cluster is. This probe is a count-only aggregation — map-side
+    combined, it shuffles one long per distinct key, never the values —
+    so its cost is a linear scan, which the guarded exact aggregate was
+    about to pay anyway. Mirrors ``refuse_quadratic``: the exact
+    operator stays available as a correctness baseline, but can't run
+    into a memory wall by accident; the sketch twin named in
+    ``alternative`` is the scale path.
+    """
+    if max_group_rows is None:
+        return
+    row = df.groupBy(*keys).count().agg(F.max("count")).first()
+    top = row[0] if row else None
+    if top is not None and top > max_group_rows:
+        raise HotGroupError(
+            f"{operator} is an exact holistic aggregate whose buffer "
+            f"holds every value of a group, and the hottest group of "
+            f"{keys} has {top} rows (> max_group_rows={max_group_rows}). "
+            f"Use {alternative} at scale, or pass a higher "
+            f"max_group_rows to opt in explicitly."
         )
 
 

@@ -2877,6 +2877,15 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-group row bound for EXACT percentile/median/MAD aggregates.
+#: Spark's exact ``percentile`` buffers a value->count map per group in
+#: one executor's aggregation buffer; ~20M entries (~320 MB at 16 B/
+#: entry) is the conservative fits-in-one-task ceiling we enforce.
+#: Hotter groups must opt in explicitly or use the mergeable
+#: fixed-bucket histogram path (rollup_histogram_quantiles).
+_EXACT_PERCENTILE_MAX_GROUP = 20_000_000
+
+
 @register(
     "agg_exact_percentiles",
     """
@@ -2894,7 +2903,19 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sorts cell values and cannot hash list cells.",
 )
 def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.guards import refuse_hot_groups
+
     li = table(spark, sf_dir, "lineitem")
+    # Exact percentile buffers every group value in one executor's agg
+    # buffer — guarded like the quadratic baselines; the mergeable
+    # fixed-bucket path (rollup_histogram_quantiles) is the scale twin.
+    refuse_hot_groups(
+        li.select("l_returnflag"),
+        ["l_returnflag"],
+        _EXACT_PERCENTILE_MAX_GROUP,
+        "agg_exact_percentiles",
+        "percentile_approx or rollup_histogram_quantiles",
+    )
     qs = li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75, 0.9])).alias("q")
     )
@@ -2989,7 +3010,18 @@ def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "side beyond its own grouping).",
 )
 def agg_robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.guards import refuse_hot_groups
+
     li = table(spark, sf_dir, "lineitem")
+    # Same hot-group guard as agg_exact_percentiles: both passes use
+    # exact percentile, whose buffer holds the whole group.
+    refuse_hot_groups(
+        li.select("l_returnflag"),
+        ["l_returnflag"],
+        _EXACT_PERCENTILE_MAX_GROUP,
+        "agg_robust_price_stats",
+        "rollup_histogram_quantiles (mergeable fixed-bucket partials)",
+    )
     med = li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price_raw"),
         F.round(

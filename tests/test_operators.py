@@ -575,6 +575,26 @@ def test_quadratic_guards_refuse_large_inputs(spark):
         cosine_pairs_above(vecs, threshold=0.9, max_rows=10)
 
 
+def test_hot_group_guard_refuses_exact_percentile_blowup(spark):
+    """Exact holistic aggregates (percentile/median/MAD) refuse hot
+    groups — the buffer-every-value shape that OOMs one executor at
+    scale — while small groups pass and None opts out."""
+    from scratchdb_spark.operators.guards import (
+        HotGroupError,
+        refuse_hot_groups,
+    )
+
+    df = spark.range(1000).selectExpr("id % 3 AS k", "id AS v")
+    with pytest.raises(HotGroupError, match="histogram"):
+        refuse_hot_groups(
+            df, ["k"], 100, "exactq", "histogram sketch"
+        )
+    # under the bound -> passes silently
+    refuse_hot_groups(df, ["k"], 400, "exactq", "histogram sketch")
+    # None -> explicit opt-out, never probes
+    refuse_hot_groups(df, ["k"], None, "exactq", "histogram sketch")
+
+
 def test_curation_operators(spark):
     """Hand-checkable behaviors for the corpus-curation family."""
     from scratchdb_spark.operators.curation import (
