@@ -56,10 +56,16 @@ def _atomic_swap(spark: SparkSession, path: str, out) -> None:
 
     Table METADATA survives the swap: underscore-prefixed entries
     (`_snapshots/` manifests + version watermark, `_schema.json`
-    sidecar) are carried from the old directory into the new one —
-    spark.read.parquet ignores them, but losing them would reset
-    snapshot version numbering (silently corrupting CDC cursors that
-    remember a from_version) and drop the authoritative schema."""
+    sidecar) are COPIED from the live directory into the temp dir
+    BEFORE the swap — spark.read.parquet ignores them, but losing them
+    would reset snapshot version numbering (silently corrupting CDC
+    cursors that remember a from_version) and drop the authoritative
+    schema. Copy-before-swap makes the two renames the ONLY commit
+    point: a failure at any step before rename 2 leaves the live
+    directory (metadata included) untouched, and after rename 2 the
+    new directory is already complete, so the backup delete can never
+    destroy the sole metadata copy. Single maintenance writer assumed
+    (concurrent compactions of one table race the renames)."""
     tmp = path.rstrip("/") + ".__compact_tmp__"
     bak = path.rstrip("/") + ".__compact_bak__"
     out.write.mode("overwrite").parquet(tmp)
@@ -67,22 +73,33 @@ def _atomic_swap(spark: SparkSession, path: str, out) -> None:
     fs, hpath, jvm = _fs(spark, path)
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     bak_p = jvm.org.apache.hadoop.fs.Path(bak)
+    conf = spark._jsc.hadoopConfiguration()
+    # carry metadata into tmp BEFORE the swap (copy, not rename: the
+    # live directory stays intact until the swap commits)
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("_") and name != "_SUCCESS":
+            dst = jvm.org.apache.hadoop.fs.Path(
+                f"{tmp.rstrip('/')}/{name}"
+            )
+            if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, st.getPath(), fs, dst, False, conf
+            ):
+                raise IOError(
+                    f"compaction metadata carry failed: "
+                    f"{st.getPath()} -> {dst} (live table untouched)"
+                )
     if not fs.rename(hpath, bak_p):
         raise IOError(f"compaction swap failed: {path} -> {bak}")
     if not fs.rename(tmp_p, hpath):
-        fs.rename(bak_p, hpath)  # roll back
-        raise IOError(f"compaction swap failed: {tmp} -> {path}")
-    # carry metadata AFTER the swap commits (a failed swap rolls back
-    # with everything still in place under bak)
-    for st in fs.listStatus(bak_p):
-        name = st.getPath().getName()
-        if name.startswith("_") and name != "_SUCCESS":
-            fs.rename(
-                st.getPath(),
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{path.rstrip('/')}/{name}"
-                ),
+        if not fs.rename(bak_p, hpath):  # roll back
+            raise IOError(
+                f"compaction rollback ALSO failed; recover manually by "
+                f"renaming {bak} back to {path}"
             )
+        raise IOError(f"compaction swap failed: {tmp} -> {path}")
+    # the new live dir is complete (data + metadata); losing the
+    # backup delete leaves only a stale .__compact_bak__ dir behind
     fs.delete(bak_p, True)
 
 

@@ -3389,9 +3389,9 @@ def segment_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_chars AS weight
     FROM (
       SELECT doc_id, n_chars,
-             ln(CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
-                / 2147483648.0)
-               / CAST(greatest(n_chars, 1) AS DOUBLE) AS k
+             round(ln(CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
+                      / 2147483648.0)
+                   / CAST(greatest(n_chars, 1) AS DOUBLE), 12) AS k
       FROM documents
     )
     ORDER BY k DESC, doc_id ASC
@@ -3402,7 +3402,11 @@ def segment_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key u^(1/w) — equivalently ln(u)/w — with u derived from a "
         "Knuth multiplicative hash of doc_id (pure integer arithmetic "
         "+ one exact power-of-two division, so u is bit-identical in "
-        "any engine; no RNG state). Top-k by key IS a weighted sample "
+        "any engine; no RNG state; the A-ES key is rounded to 12 "
+        "decimals in BOTH engines so a last-ulp libm ln() divergence "
+        "can never flip rank-100 cutoff membership — the doc_id "
+        "tiebreak then decides equal keys identically). Top-k by key "
+        "IS a weighted sample "
         "w/o replacement with inclusion probability proportional to "
         "weight. The training-data use: quality- or length-weighted "
         "corpus subsampling that's reproducible run-to-run and "
@@ -3416,7 +3420,9 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647) + 1
     ).cast("double") / F.lit(2147483648.0)
-    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.round(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), 12
+    )
     return (
         docs.select("doc_id", F.col("n_chars").alias("weight"),
                     key.alias("k"))

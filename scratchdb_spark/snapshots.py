@@ -424,41 +424,120 @@ def maintain_table(
     history to one fresh snapshot of the compacted layout. Returns
     the compaction stats plus the new version.
 
-    Maintenance cannot preserve older versions: compaction rewrites
-    every data file, so any retained manifest would reference files
-    that no longer exist. The sequence is therefore expire ALL
-    manifests -> physically reclaim COW-retired files -> compact ->
-    commit. Version numbering stays MONOTONIC across truncation (the
-    watermark survives in _snapshots/), so a CDC consumer whose
-    from_version was truncated gets an explicit error from
-    read_changes, never a silent diff against a reused number. Run on
-    a retention cadence, after the time-travel window you promise
-    readers has passed.
+    The compaction is itself a copy-on-write commit: the compacted
+    layout is written to NEW file names alongside the live files, the
+    manifest PUT for the new version is the single atomic commit
+    point, and only AFTER that commit are old manifests expired and
+    old data files physically deleted. A valid manifest therefore
+    exists at every instant — concurrent snapshot readers of the
+    LATEST version never observe a windowless table, and a crash at
+    any step leaves either the old state (before the PUT) or the new
+    state plus reclaimable orphans (after it; the new manifest's
+    ``retired`` set stops commit_snapshot from re-adopting them, and
+    the next maintenance deletes them). A reader PINNED to an older
+    version loses that version at the expiry step — by design; it
+    gets the explicit 'version not in snapshots' error, never a
+    silently wrong answer. Version numbering stays MONOTONIC across
+    truncation (the watermark survives in _snapshots/), so a CDC
+    consumer whose from_version was truncated errs loudly too. Single
+    maintenance writer assumed; run on a retention cadence, after the
+    time-travel window you promise readers has passed.
     """
-    from .operators.compaction import compact_path
+    import uuid
 
-    # Physically drop COW-retired files BEFORE the rewrite:
-    # compact_path reads the whole directory, so a dead file left on
-    # disk would compact its deleted rows back into the live data.
-    # Safe exactly because ALL manifests referencing them expire in
-    # the same operation.
-    vs = versions(wh, database, table)
-    retired = (
-        set(_manifest(wh, database, table, vs[-1]).get("retired", []))
-        if vs
-        else set()
+    from pyspark.sql import types as T
+
+    from .operators.compaction import (
+        DEFAULT_TARGET_FILE_BYTES,
+        list_data_files,
+        plan_target_files,
     )
-    expired = expire_snapshots(wh, database, table, keep_last=0)
+
     base = wh._path(database, table)
-    for name in sorted(retired):
+    vs = versions(wh, database, table)
+    if not vs:
+        # not yet snapshot-managed: adopt the directory as version 1
+        # first so the COW rewrite below has a manifest to start from
+        commit_snapshot(wh, database, table)
+        vs = versions(wh, database, table)
+
+    prev = _manifest(wh, database, table, vs[-1])
+    prev_files = set(prev["files"])
+    retired = set(prev.get("retired", []))
+    sizes = {
+        p.rsplit("/", 1)[-1]: sz for p, sz in list_data_files(wh.spark, base)
+    }
+    total = sum(sizes.get(n, 0) for n in prev_files)
+    n_target = plan_target_files(total, DEFAULT_TARGET_FILE_BYTES)
+
+    current = read_snapshot(wh, database, table)
+    if sort_col is not None and any(
+        f.name == sort_col for f in current.schema.fields
+    ):
+        out = current.repartitionByRange(
+            n_target, sort_col
+        ).sortWithinPartitions(sort_col)
+    else:
+        out = current.coalesce(n_target)
+
+    # COW rewrite: land in a temp dir, rename into the table under
+    # fresh names (invisible to snapshot readers until the PUT)
+    tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
+    out.write.mode("overwrite").parquet(tmp)
+    rewritten = []
+    for n in hfs.list_names(wh.spark, tmp):
+        if n.endswith(".parquet"):
+            new_name = f"compact-{uuid.uuid4().hex}-{n}"
+            hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}")
+            rewritten.append(new_name)
+    hfs.delete(wh.spark, tmp)
+
+    next_v = _next_version(wh, database, table)
+    _put_manifest(
+        wh, database, table,
+        {
+            "version": next_v,
+            "files": sorted(rewritten),
+            # every pre-compaction file is now dead; listing them as
+            # retired blocks commit_snapshot re-adoption until the
+            # physical delete below (or a later maintenance) runs
+            "retired": sorted(prev_files | retired),
+            "schema": prev["schema"],
+        },
+    )
+    # post-commit cleanup: drop old manifests, then old data files
+    expired = expire_snapshots(wh, database, table, keep_last=1)
+    for name in sorted(prev_files | retired):
         hfs.delete(wh.spark, f"{base}/{name}", recursive=False)
-    stats = compact_path(wh.spark, base, sort_col=sort_col)
-    new_v = commit_snapshot(wh, database, table)
+    # the dead files are physically gone: drain the retired set (a
+    # crash before this re-PUT leaves stale retired names, which the
+    # next commit_snapshot prunes against the directory listing)
+    still_dead = sorted(
+        (prev_files | retired)
+        & set(_data_files(wh, database, table))
+    )
+    _put_manifest(
+        wh, database, table,
+        {
+            "version": next_v,
+            "files": sorted(rewritten),
+            "retired": still_dead,
+            "schema": prev["schema"],
+        },
+    )
     return {
-        **stats,
+        "files_before": len(prev_files),
+        "files_after": len(rewritten),
+        "bytes_before": total,
+        "bytes_after": sum(
+            sz
+            for p, sz in list_data_files(wh.spark, base)
+            if p.rsplit("/", 1)[-1] in set(rewritten)
+        ),
+        "target_files": n_target,
         "expired_versions": expired,
-        "reclaimed_files": len(retired),
-        "version": new_v,
+        "reclaimed_files": len((prev_files | retired) - set(rewritten)),
+        "version": next_v,
     }
 
 
@@ -525,14 +604,21 @@ def read_changes(
     added = read_files(new_files - old_files, new_m["schema"])
     removed = read_files(old_files - new_files, old_m["schema"])
     # schema evolution between the versions: align the old rows to
-    # the new schema (missing columns read as NULL, like any reader
-    # of evolved tables)
-    for f in schema.fields:
-        if f.name not in removed.columns:
-            removed = removed.withColumn(
-                f.name, F.lit(None).cast(f.dataType)
-            )
-    removed = removed.select(*[f.name for f in schema.fields])
+    # the new schema — missing columns read as NULL, TYPE-changed
+    # columns cast to the new type (exceptAll requires identical
+    # types; without the cast a widened column either throws an
+    # AnalysisException or, worse, diffs as a spurious full
+    # delete+insert), dropped columns fall away in the select
+    removed = removed.select(
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in removed.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
     inserts = added.exceptAll(removed).withColumn(
         "_change_type", F.lit("insert")

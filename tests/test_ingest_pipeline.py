@@ -694,6 +694,112 @@ def test_version_numbering_monotonic_across_maintenance(
     }
 
 
+def test_pinned_reader_across_maintenance_errs_loudly(spark, tmp_path):
+    """The documented invalidation contract: maintenance truncates
+    history, and a reader pinned to a truncated version must get an
+    EXPLICIT error — never a silently wrong (partial/empty) result.
+    Also proves a valid manifest exists after every step: the latest
+    version stays readable through the whole cycle."""
+    import pytest as _pytest
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_pin"))
+    for i in range(3):
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(i * 10 + j, j) for j in range(4)],
+                "__row_id long, amount long",
+            ),
+        )
+    # pin version 2 BEFORE maintenance: plan + collect both work
+    pinned = snap.read_snapshot(wh, "db", "t", version=2)
+    assert pinned.count() == 8
+    rows_latest = sorted(
+        map(tuple, snap.read_snapshot(wh, "db", "t").collect())
+    )
+
+    res = snap.maintain_table(wh, "db", "t")
+
+    # (1) pinned version is GONE loudly at the manifest level
+    with _pytest.raises(ValueError, match="not in"):
+        snap.read_snapshot(wh, "db", "t", version=2)
+    # (2) a pre-maintenance DataFrame handle references deleted files:
+    # executing it raises (loud), it does not return partial rows
+    with _pytest.raises(Exception):
+        pinned.collect()
+    # (3) the latest version never stopped being readable and is intact
+    assert snap.versions(wh, "db", "t") == [res["version"]]
+    after = sorted(
+        map(tuple, snap.read_snapshot(wh, "db", "t").collect())
+    )
+    assert after == rows_latest
+    # (4) maintenance is re-runnable (idempotent over its own output)
+    res2 = snap.maintain_table(wh, "db", "t")
+    assert res2["version"] > res["version"]
+    assert sorted(
+        map(tuple, snap.read_snapshot(wh, "db", "t").collect())
+    ) == rows_latest
+
+
+def test_read_changes_casts_type_changed_columns(spark, tmp_path):
+    """Schema evolution that WIDENS a column type between two
+    snapshots: read_changes must cast the old rows to the new type so
+    unchanged rows cancel in the diff, instead of throwing or
+    reporting a spurious full delete+insert."""
+    import json as _json
+    import uuid as _uuid
+
+    from scratchdb_spark import fs as hfs
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_tc"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+    # hand-roll a COW rewrite that widens amount long -> double and
+    # adds one row (the manifest layer is the contract under test)
+    base = wh._path("db", "t")
+    new_df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)],
+        "__row_id long, amount double",
+    )
+    tmp = f"{base}/_snapshots/rw-{_uuid.uuid4().hex}"
+    new_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    rewritten = []
+    for n in hfs.list_names(spark, tmp):
+        if n.endswith(".parquet"):
+            name = f"cow-{_uuid.uuid4().hex}-{n}"
+            hfs.rename(spark, f"{tmp}/{n}", f"{base}/{name}")
+            rewritten.append(name)
+    hfs.delete(spark, tmp)
+    prev = snap._manifest(wh, "db", "t", 1)
+    snap._put_manifest(
+        wh, "db", "t",
+        {
+            "version": 2,
+            "files": sorted(rewritten),
+            "retired": prev["files"],
+            "schema": _json.dumps(
+                _json.loads(new_df.schema.json())
+            ),
+        },
+    )
+    ch = snap.read_changes(wh, "db", "t", from_version=1, to_version=2)
+    got = {
+        (r["_change_type"], r["__row_id"], r["amount"])
+        for r in ch.collect()
+    }
+    # rows 1 and 2 cancel after the cast; only the genuine insert shows
+    assert got == {("insert", 3, 30.0)}, got
+
+
 def test_read_changes_replays_any_dml_sequence(spark, tmp_path):
     """CDC soundness invariant: for ANY versions i < j,
     snapshot(i) + inserts(i->j) - deletes(i->j) == snapshot(j) as a
