@@ -24,20 +24,11 @@ from pyspark.sql import SparkSession
 from .. import query as q
 from ..ingest.pipeline import IngestPipeline, PartialInsertError
 from ..tables import Warehouse
+from .control import ControlStore, ShareLink
 
 
 def _hash_key(key: str) -> str:
     return hashlib.sha256(key.encode()).hexdigest()
-
-
-@dataclass
-class ShareLink:
-    """models.ShareLink (storage/database/models/models.go:16-22)."""
-
-    uuid: str
-    destination_id: str
-    query: str
-    expires_at: float
 
 
 @dataclass
@@ -47,6 +38,14 @@ class ScratchAPI:
     API keys: hashed-key -> destination id (gorm.go:202-205 semantics);
     an optional admin key selects the destination via the
     ``destination_id`` query param (auth.go:29-40).
+
+    Keys, shares, and the admin key are DURABLE: every mutation
+    writes through to the warehouse's ``_control/`` store (reference
+    parity — gorm persists both, storage/database/gorm/gorm.go:93-129,
+    202-205 — so links survive a restart). The in-memory dicts are a
+    read cache warmed on construction; lookups fall back to the store,
+    so a second ScratchAPI over the same warehouse (a restarted
+    service, or a peer worker) resolves records minted by the first.
     """
 
     spark: SparkSession
@@ -55,6 +54,13 @@ class ScratchAPI:
     admin_key_hash: str | None = None
     shares: dict[str, ShareLink] = field(default_factory=dict)
     healthy: bool = True
+
+    def __post_init__(self) -> None:
+        self.control = ControlStore(self.spark, self.warehouse.root)
+        # warm the cache from the durable store (restart path)
+        self.api_keys.update(self.control.all_keys())
+        if self.admin_key_hash is None:
+            self.admin_key_hash = self.control.get_admin()
 
     #: request metrics (reference N20: Prometheus middleware,
     #: api/router.go:18-28 / prometheus.go) — counters + sums +
@@ -116,7 +122,9 @@ class ScratchAPI:
         return "\n".join(lines) + "\n"
 
     def add_api_key(self, key: str, destination_id: str) -> None:
-        self.api_keys[_hash_key(key)] = str(destination_id)
+        h = _hash_key(key)
+        self.control.put_key(h, str(destination_id))
+        self.api_keys[h] = str(destination_id)
 
     def create_destination(self, dest_id: str) -> None:
         """N19: register a destination namespace AND validate it is
@@ -144,13 +152,20 @@ class ScratchAPI:
 
     def set_admin_key(self, key: str) -> None:
         self.admin_key_hash = _hash_key(key)
+        self.control.put_admin(self.admin_key_hash)
 
     def resolve_destination(self, params: dict) -> str | None:
         key = (params.get("api_key") or [""])[0]
         h = _hash_key(key)
         if self.admin_key_hash and h == self.admin_key_hash:
             return (params.get("destination_id") or ["-1"])[0]
-        return self.api_keys.get(h)
+        dest = self.api_keys.get(h)
+        if dest is None:
+            # a peer/previous instance may have minted the key
+            dest = self.control.get_key(h)
+            if dest is not None:
+                self.api_keys[h] = dest
+        return dest
 
     # -- engine ops --------------------------------------------------------
 
@@ -178,17 +193,27 @@ class ScratchAPI:
 
     def create_share(self, dest: str, sql: str, duration_s: int) -> str:
         share_id = str(uuidlib.uuid4())
-        self.shares[share_id] = ShareLink(
+        link = ShareLink(
             uuid=share_id,
             destination_id=dest,
             query=sql,
             expires_at=time.time() + duration_s,
         )
+        self.control.put_share(link)
+        self.shares[share_id] = link
         return share_id
 
     def get_share(self, share_id: str) -> ShareLink | None:
         link = self.shares.get(share_id)
-        if link is None or link.expires_at <= time.time():  # gorm.go:112
+        if link is None:
+            # restart / peer-instance path: durable store lookup
+            link = self.control.get_share(share_id)
+            if link is not None:
+                self.shares[share_id] = link
+            return link
+        if link.expires_at <= time.time():  # gorm.go:112
+            self.shares.pop(share_id, None)
+            self.control.get_share(share_id)  # lazily deletes expired doc
             return None
         return link
 

@@ -252,3 +252,49 @@ def test_destination_validation_rejects_unwritable(spark, tmp_path):
     api_bad = ScratchAPI(spark=spark, warehouse=wh_bad)
     with pytest.raises(ValueError, match="failed credential"):
         api_bad.create_destination("bad_dest")
+
+
+def test_shares_and_keys_survive_restart(spark, tmp_path):
+    """Reference parity (gorm.go:93-129, 202-205): shares and API keys
+    persist in the warehouse _control store, so a REBUILT ScratchAPI
+    over the same warehouse resolves them — the first-service-restart
+    scenario the in-memory-only design lost."""
+    import time as _time
+
+    wh = Warehouse(spark, str(tmp_path / "wh_restart"))
+    api1 = ScratchAPI(spark=spark, warehouse=wh)
+    api1.add_api_key("durakey", "destA")
+    api1.set_admin_key("adminkey")
+    live_id = api1.create_share("destA", "select 1 as one", 3600)
+    dead_id = api1.create_share("destA", "select 2 as two", -1)
+
+    # simulate restart: fresh facade, same warehouse, nothing carried
+    api2 = ScratchAPI(spark=spark, warehouse=wh)
+    # key survives: resolves to its destination (warm-cache + lookup)
+    assert api2.resolve_destination({"api_key": ["durakey"]}) == "destA"
+    # admin key survives
+    assert api2.resolve_destination(
+        {"api_key": ["adminkey"], "destination_id": ["destB"]}
+    ) == "destB"
+    # live share resolves; expired share is gone (gorm.go:112 predicate)
+    link = api2.get_share(live_id)
+    assert link is not None and link.query == "select 1 as one"
+    assert api2.get_share(dead_id) is None
+    # and over HTTP on the restarted instance: live 200, expired 404
+    srv, port = serve_background(api2)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        code, body = _get(f"{base}/share/{live_id}/data.json")
+        assert code == 200 and json.loads(body) == [{"one": 1}]
+        code, _ = _get(f"{base}/share/{dead_id}/data.json")
+        assert code == 404
+    finally:
+        srv.shutdown()
+
+    # expiry is evaluated against the durable record too: a share that
+    # expires BETWEEN restarts 404s even though it was live when minted
+    api3 = ScratchAPI(spark=spark, warehouse=wh)
+    short_id = api3.create_share("destA", "select 3 as three", 1)
+    _time.sleep(1.2)
+    api4 = ScratchAPI(spark=spark, warehouse=wh)
+    assert api4.get_share(short_id) is None
