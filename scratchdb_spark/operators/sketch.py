@@ -70,9 +70,29 @@ def cms_build(
                 np.add.at(counts[d], pos[:, d].astype(np.int64), 1)
         yield pd.DataFrame({"cms": [counts.tobytes()]})
 
-    parts = toks.mapInPandas(build, "cms binary").collect()
+    def merge(batches):
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for pdf in batches:
+            for b in pdf["cms"]:
+                acc += np.frombuffer(b, dtype=np.int64)
+        yield pd.DataFrame({"cms": [acc.tobytes()]})
+
+    # two-level merge: P per-partition matrices reduce executor-side in
+    # ~sqrt(P) groups (integer addition is associative/commutative, so
+    # the result is partition-invariant); the driver sums <= sqrt(P)
+    # matrices instead of P — the same driver-funnel fix as
+    # build_bloom_bitmap
+    import math
+
+    partials = toks.mapInPandas(build, "cms binary")
+    n_parts = toks.rdd.getNumPartitions()
+    groups = max(1, math.isqrt(n_parts))
+    if groups > 1:
+        partials = partials.repartition(groups).mapInPandas(
+            merge, "cms binary"
+        )
     merged = np.zeros((depth, width), dtype=np.int64)
-    for r in parts:
+    for r in partials.collect():
         merged += np.frombuffer(r["cms"], dtype=np.int64).reshape(
             depth, width
         )
