@@ -1,0 +1,1208 @@
+"""Dedup-cluster resolution, sessionization, time rollups, percentiles/sketches, graph, advanced aggregates.
+
+Split from the single-module query catalog (registration order is
+preserved by scratchdb_spark/queries.py's import sequence — the
+driver's correctness-window rotation tie-breaks on registry order).
+Shared infrastructure (QuerySpec/register/_sql/_fixture_oracle and
+the DuckDB token/shingle oracle macros) lives in catalog/core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ..operators.asof import asof_join  # noqa: F401
+from ..tables import epoch_us, register_testdata, table  # noqa: F401
+from .core import (  # noqa: F401
+    _DUCK_SHINGLES,
+    _DUCK_TOKENS,
+    _fixture_oracle,
+    _sql,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# Dedup cluster resolution, sessionization, time-hierarchy rollup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_cc_clusters",
+    f"""
+    WITH RECURSIVE
+      d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_DUCK_TOKENS} AS w
+                  FROM documents WHERE doc_id < 400)),
+      pairs AS (
+        SELECT a.doc_id AS ua, b.doc_id AS ub
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+              >= 0.2),
+      edges AS (SELECT ua AS u, ub AS v FROM pairs
+                UNION SELECT ub, ua FROM pairs),
+      reach(u, v) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 400
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      lab AS (SELECT u AS doc_id, min(v) AS cluster_id
+              FROM reach GROUP BY u),
+      sz AS (SELECT cluster_id, count(*) AS cluster_size
+             FROM lab GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           l.doc_id = l.cluster_id AS keep
+    FROM lab l JOIN sz s USING (cluster_id)
+    """,
+    doc="Near-dup cluster resolution: jaccard>=0.2 pairs as edges -> "
+        "connected components (alternating large-star/small-star, "
+        "operators/graph.py) -> canonical min-id per cluster + keep "
+        "flag. Oracle computes the same components via a recursive-CTE "
+        "transitive closure. Bounded slice keeps the exact quadratic "
+        "edge oracle feasible; at scale the edge set would come from "
+        "minhash_lsh_pairs and the same CC operator.",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs_index
+    from ..operators.graph import components_for_pairs
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pairs = jaccard_pairs_index(docs, threshold=0.2).select("id_a", "id_b")
+    lab = components_for_pairs(
+        docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b"
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        lab.join(F.broadcast(sizes), "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    y AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM x),
+    z AS (
+      SELECT *, CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM y)
+    SELECT user_id, session_idx,
+           count(*)           AS n_events,
+           min(us)            AS session_start_us,
+           max(us) - min(us)  AS duration_us
+    FROM z GROUP BY user_id, session_idx
+    """,
+    doc="Gap-based batch sessionization (30-min inactivity): lag + "
+        "running sum of session-start flags, then per-session agg. "
+        "Integer-microsecond outputs for cross-engine hash stability.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = table(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_id", epoch_us(raw, "ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_idx", F.sum("is_new").over(run))
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@register(
+    "rollup_time_buckets",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+           date_trunc('hour', ts)              AS bucket_hour,
+           event_type,
+           count(*)                            AS n_events,
+           count(DISTINCT user_id)             AS n_users
+    FROM events
+    GROUP BY GROUPING SETS (
+      (strftime(date_trunc('day', ts), '%Y-%m-%d'), date_trunc('hour', ts),
+       event_type),
+      (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type),
+      (strftime(date_trunc('day', ts), '%Y-%m-%d')),
+      ())
+    """,
+    doc="Hypertable-style multi-granularity rollup: hour->day->total "
+        "continuous-aggregate hierarchy in one GROUPING SETS pass "
+        "(partial aggregation is shared across levels by the engine).",
+)
+def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS bucket_day,
+               date_trunc('HOUR', ts)              AS bucket_hour,
+               event_type,
+               count(*)                            AS n_events,
+               count(DISTINCT user_id)             AS n_users
+        FROM events
+        GROUP BY GROUPING SETS (
+          (date_format(date_trunc('DAY', ts), 'yyyy-MM-dd'),
+           date_trunc('HOUR', ts), event_type),
+          (date_format(date_trunc('DAY', ts), 'yyyy-MM-dd'), event_type),
+          (date_format(date_trunc('DAY', ts), 'yyyy-MM-dd')),
+          ())
+        """,
+    )
+
+
+@register(
+    "text_heavy_hitters",
+    f"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    doc="Exact corpus-wide heavy hitters (top-20 tokens): explode -> "
+        "hash-agg with map-side partial combine -> TakeOrdered top-k "
+        "(no global sort materialization). Deterministic tiebreak on "
+        "the token.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import normalize_text
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
+                "tok"
+            )
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+#: Per-group row bound for EXACT percentile/median/MAD aggregates.
+#: Spark's exact ``percentile`` buffers a value->count map per group in
+#: one executor's aggregation buffer; ~20M entries (~320 MB at 16 B/
+#: entry) is the conservative fits-in-one-task ceiling we enforce.
+#: Hotter groups must opt in explicitly or use the mergeable
+#: fixed-bucket histogram path (rollup_histogram_quantiles).
+_EXACT_PERCENTILE_MAX_GROUP = 20_000_000
+
+
+@register(
+    "agg_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+           round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact grouped percentiles with linear interpolation (the "
+        "exact twin of percentile_approx; both engines implement the "
+        "standard (n-1)*p interpolation). Output is four scalar "
+        "columns, not one array column: the driver's canonicalizer "
+        "sorts cell values and cannot hash list cells.",
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.guards import refuse_hot_groups
+
+    li = table(spark, sf_dir, "lineitem")
+    # Exact percentile buffers every group value in one executor's agg
+    # buffer — guarded like the quadratic baselines; the mergeable
+    # fixed-bucket path (rollup_histogram_quantiles) is the scale twin.
+    refuse_hot_groups(
+        li.select("l_returnflag"),
+        ["l_returnflag"],
+        _EXACT_PERCENTILE_MAX_GROUP,
+        "agg_exact_percentiles",
+        "percentile_approx or rollup_histogram_quantiles",
+    )
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75, 0.9])).alias("q")
+    )
+    return qs.select(
+        "l_returnflag",
+        *[
+            F.round(F.col("q")[i], 6).alias(name)
+            for i, name in enumerate(
+                ["qty_p25", "qty_p50", "qty_p75", "qty_p90"]
+            )
+        ],
+    )
+
+
+#: fixed probe list for the CMS point-query catalog entry — hot, mid,
+#: and absent tokens so the fixture pins all three regimes
+_CMS_PROBE_TOKENS = [
+    "scan", "column", "window", "join", "merge", "query",
+    "parquet", "shuffle", "a", "the", "zzz-absent-token",
+]
+
+
+@register(
+    "text_cms_token_freq",
+    _fixture_oracle("text_cms_token_freq", ["tok", "est_n"]),
+    doc="Count-min sketch point queries over the corpus token stream "
+        "(operators/sketch.py): per-partition (4 x 8192) count "
+        "matrices built in one narrow scan — no shuffle touches the "
+        "token stream — and merged by integer matrix addition "
+        "(associative, so partition-invariant; the CMS analogue of "
+        "approx_hll_sketch_union's mergeable-state pattern). At 100 TB "
+        "per-day sketches persist as 256 KB blobs and weekly rollups "
+        "merge sketches instead of rescanning. est_n >= true count "
+        "always; exact twin for hot tokens: text_heavy_hitters.",
+)
+def text_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import cms_token_frequency
+
+    docs = table(spark, sf_dir, "documents")
+    return cms_token_frequency(docs, _CMS_PROBE_TOKENS)
+
+
+@register(
+    "agg_string_concat_nations",
+    """
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Ordered string aggregation (listagg/string_agg shape): "
+        "sort_array(collect_list) + array_join for a deterministic "
+        "concatenation.",
+)
+def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
+    )
+
+
+@register(
+    "agg_robust_price_stats",
+    """
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med_price,
+             round(quantile_cont(l_extendedprice, 0.75)
+                   - quantile_cont(l_extendedprice, 0.25), 6) AS iqr
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(m.med_price, 6) AS med_price,
+           m.iqr,
+           round(quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5), 6)
+             AS mad
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med_price, m.iqr
+    """,
+    doc="Robust statistics per group: median, IQR, and median absolute "
+        "deviation — the outlier-resistant scale/location stats a "
+        "quality-scoring pass uses where mean/stddev would be skewed "
+        "by heavy tails. Two aggregation passes: group medians "
+        "broadcast back for the deviation pass (the per-group medians "
+        "frame is k rows — broadcast, never a shuffle of the fact "
+        "side beyond its own grouping).",
+)
+def agg_robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.guards import refuse_hot_groups
+
+    li = table(spark, sf_dir, "lineitem")
+    # Same hot-group guard as agg_exact_percentiles: both passes use
+    # exact percentile, whose buffer holds the whole group.
+    refuse_hot_groups(
+        li.select("l_returnflag"),
+        ["l_returnflag"],
+        _EXACT_PERCENTILE_MAX_GROUP,
+        "agg_robust_price_stats",
+        "rollup_histogram_quantiles (mergeable fixed-bucket partials)",
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price_raw"),
+        F.round(
+            F.percentile("l_extendedprice", F.lit(0.75))
+            - F.percentile("l_extendedprice", F.lit(0.25)),
+            6,
+        ).alias("iqr"),
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy(
+            "l_returnflag",
+            F.round("med_price_raw", 6).alias("med_price"),
+            "iqr",
+        )
+        .agg(
+            F.round(
+                F.percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("med_price_raw")),
+                    F.lit(0.5),
+                ),
+                6,
+            ).alias("mad")
+        )
+        .select("l_returnflag", "med_price", "iqr", "mad")
+    )
+
+
+@register(
+    "agg_linear_fit_qty_price",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))
+                      * CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))
+                      * CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """,
+    doc="Per-group least-squares fit (price ~ quantity) from exact "
+        "sufficient statistics: the sums of x, y, x^2, xy accumulate "
+        "as DECIMAL — exact and associative, so partition-invariant — "
+        "and the closed-form slope/intercept is a handful of IEEE ops "
+        "on those exact sums, identical in any engine. The "
+        "one-pass-partial-agg form of regression at 100 TB (contrast "
+        "with regr_slope's float accumulation, whose result is "
+        "partition-order-dependent).",
+)
+def agg_linear_fit_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    dx = F.round(F.col("l_quantity"), 2).cast("decimal(18,2)")
+    dy = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+@register(
+    "agg_minmax_by_nation",
+    """
+    SELECT s_nationkey,
+           arg_min(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000
+                           + s_suppkey) AS poorest_supplier,
+           arg_max(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000
+                           + s_suppkey) AS richest_supplier,
+           round(min(s_acctbal), 2) AS min_bal,
+           round(max(s_acctbal), 2) AS max_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    doc="min_by/max_by (arg_min/arg_max) aggregation: the supplier "
+        "name at the extreme account balance per nation. The ordering "
+        "key folds s_suppkey into integer cents so ties are broken "
+        "deterministically in both engines (min_by on a tied key is "
+        "otherwise engine- and partition-dependent).",
+)
+def agg_minmax_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = table(spark, sf_dir, "supplier")
+    ord_key = (
+        F.round(F.col("s_acctbal") * 100).cast("bigint") * 1000000
+        + F.col("s_suppkey")
+    )
+    return sup.groupBy("s_nationkey").agg(
+        F.min_by("s_name", ord_key).alias("poorest_supplier"),
+        F.max_by("s_name", ord_key).alias("richest_supplier"),
+        F.round(F.min("s_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "agg_price_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS bucket_total
+    FROM lineitem GROUP BY bucket
+    """,
+    doc="Equi-width histogram / feature binning: fixed-width price "
+        "buckets via floor arithmetic — one hash aggregate with "
+        "map-side combine, no window, no sort; the binning shape a "
+        "feature-discretization pass uses at corpus scale.",
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("bucket_total"),
+        )
+    )
+
+
+@register(
+    "text_fuzzy_name_pairs",
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS blk
+      FROM part WHERE p_partkey < 500
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="Blocked fuzzy matching: edit-distance pairs found WITHOUT a "
+        "cross product — candidates come from an equi-join on a "
+        "blocking key (the name's head noun), then exact levenshtein "
+        "verifies within blocks. The blocking-join-then-verify shape "
+        "is the scalable form of fuzzy dedup (same pattern as "
+        "minhash-LSH: candidates from an equi-join, exact verify "
+        "after); the p_partkey bound keeps the exact baseline's "
+        "within-block work fixed across sf.",
+)
+def text_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("blk"),
+        )
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+        "blk",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b")
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t1
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t0
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+          GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'view_click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'view_click_purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+    doc="Ordered 3-stage funnel (view -> click -> purchase, each stage "
+        "strictly at-or-after the previous stage's first event): "
+        "per-stage first-event times via partial-agg min + equi-joins "
+        "on user_id — every shuffle keys on the high-cardinality user, "
+        "stage outputs union without any join. The sessionized-"
+        "conversion shape of product analytics at event-log scale.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "view_click"))
+        .unionByName(stage(p, "view_click_purchase"))
+    )
+
+
+@register(
+    "approx_hll_sketch_union",
+    _fixture_oracle(
+        "approx_hll_sketch_union", ["approx_users", "n_days_merged"]
+    ),
+    doc="Mergeable-sketch pattern: per-day HLL sketches of distinct "
+        "users, union-merged into one weekly estimate. At 100 TB the "
+        "daily sketches are tiny persisted state (KBs) and the weekly/"
+        "monthly rollup merges sketches instead of rescanning raw "
+        "events — the incremental form of approx_count_distinct. "
+        "Exact twin for the correctness gate: "
+        "count_distinct_exact_median.",
+)
+def approx_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("DAY", "ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    return (
+        daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_users"
+            ),
+            F.count(F.lit(1)).alias("n_days_merged"),
+        )
+    )
+
+
+@register(
+    "approx_kmv_segment_overlap",
+    _fixture_oracle(
+        "approx_kmv_segment_overlap",
+        ["est_a", "est_b", "est_union", "est_intersect"],
+    ),
+    doc="KMV/theta distinct sketch with SET ALGEBRA "
+        "(operators/sketch.py kmv_sketch/kmv_merge_pair): per-segment "
+        "k-minimum-hash sketches of distinct users, then union AND "
+        "intersection estimates for the click/purchase pair — the "
+        "operation HLL cannot do (no intersection). Sketch state is "
+        "<= k longs per segment, mergeable without rescanning; the "
+        "only data-sized shuffle is one map-side-combined distinct on "
+        "(segment, hash). Deterministic (seed-fixed xxhash64, "
+        "partition-invariant k-minima) -> golden-fixture oracle. "
+        "Exact twin: segment_overlap_exact.",
+)
+def approx_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_merge_pair, kmv_sketch
+
+    ev = table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=128)
+    return kmv_merge_pair(sk, "click", "purchase", k=128)
+
+
+@register(
+    "segment_overlap_exact",
+    """
+    SELECT CAST(count(DISTINCT CASE WHEN has_click THEN user_id END)
+                AS BIGINT) AS n_click,
+           CAST(count(DISTINCT CASE WHEN has_purchase THEN user_id END)
+                AS BIGINT) AS n_purchase,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_union,
+           CAST(count(DISTINCT CASE WHEN has_click AND has_purchase
+                                    THEN user_id END)
+                AS BIGINT) AS n_intersect
+    FROM (
+      SELECT user_id,
+             bool_or(event_type = 'click') AS has_click,
+             bool_or(event_type = 'purchase') AS has_purchase
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id
+    )
+    """,
+    doc="Exact segment-overlap twin for approx_kmv_segment_overlap: "
+        "distinct users per segment, union, and intersection via one "
+        "grouped bool_or pass (no self-join). Pins the KMV sketch's "
+        "accuracy in tests/test_sketch.py.",
+)
+def segment_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("has_click"),
+            F.max(F.col("event_type") == "purchase").alias("has_purchase"),
+        )
+    )
+    return flags.agg(
+        F.count_distinct(
+            F.when(F.col("has_click"), F.col("user_id"))
+        ).alias("n_click"),
+        F.count_distinct(
+            F.when(F.col("has_purchase"), F.col("user_id"))
+        ).alias("n_purchase"),
+        F.count_distinct("user_id").alias("n_union"),
+        F.count_distinct(
+            F.when(
+                F.col("has_click") & F.col("has_purchase"), F.col("user_id")
+            )
+        ).alias("n_intersect"),
+    )
+
+
+@register(
+    "sample_weighted_topk",
+    """
+    SELECT doc_id, n_chars AS weight
+    FROM (
+      SELECT doc_id, n_chars,
+             round(ln(CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
+                      / 2147483648.0)
+                   / CAST(greatest(n_chars, 1) AS DOUBLE), 12) AS k
+      FROM documents
+    )
+    ORDER BY k DESC, doc_id ASC
+    LIMIT 100
+    """,
+    doc="Deterministic weighted sampling without replacement "
+        "(Efraimidis-Spirakis A-ES, public algorithm): each doc gets "
+        "key u^(1/w) — equivalently ln(u)/w — with u derived from a "
+        "Knuth multiplicative hash of doc_id (pure integer arithmetic "
+        "+ one exact power-of-two division, so u is bit-identical in "
+        "any engine; no RNG state; the A-ES key is rounded to 12 "
+        "decimals in BOTH engines so a last-ulp libm ln() divergence "
+        "can never flip rank-100 cutoff membership — the doc_id "
+        "tiebreak then decides equal keys identically). Top-k by key "
+        "IS a weighted sample "
+        "w/o replacement with inclusion probability proportional to "
+        "weight. The training-data use: quality- or length-weighted "
+        "corpus subsampling that's reproducible run-to-run and "
+        "auditable (re-running selects the same docs). Scale: one "
+        "narrow scan + TakeOrdered top-k — no shuffle of the corpus; "
+        "output holds only integer columns, so the oracle compare is "
+        "float-free.",
+)
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647) + 1
+    ).cast("double") / F.lit(2147483648.0)
+    key = F.round(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), 12
+    )
+    return (
+        docs.select("doc_id", F.col("n_chars").alias("weight"),
+                    key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "weight")
+    )
+
+
+@register(
+    "rollup_histogram_quantiles",
+    """
+    WITH daily AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS d,
+             CAST(floor(value * 2) AS BIGINT) AS b,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    merged AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM daily GROUP BY b),
+    cum AS (
+      SELECT b, cnt,
+             sum(cnt) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS n
+      FROM merged
+    )
+    SELECT
+      round(min(CASE WHEN cum >= 0.50 * n AND cum - cnt < 0.50 * n THEN
+        (b + (0.50 * n - (cum - cnt)) / cnt) / 2.0 END), 6) AS p50_est,
+      round(min(CASE WHEN cum >= 0.95 * n AND cum - cnt < 0.95 * n THEN
+        (b + (0.95 * n - (cum - cnt)) / cnt) / 2.0 END), 6) AS p95_est,
+      round(min(CASE WHEN cum >= 0.99 * n AND cum - cnt < 0.99 * n THEN
+        (b + (0.99 * n - (cum - cnt)) / cnt) / 2.0 END), 6) AS p99_est
+    FROM cum
+    """,
+    doc="Mergeable histogram quantiles — the incremental-rollup form "
+        "of percentiles: per-day fixed-width histograms (bin 0.5 on "
+        "events.value; the (day, bucket, count) partials are the "
+        "persistable state, same contract as the sum/HLL rollups in "
+        "operators/incremental.py), merged by integer addition, then "
+        "p50/p95/p99 by linear interpolation inside the covering "
+        "bucket. At 100 TB daily quantile state is <= n_buckets longs "
+        "per day and weekly/monthly percentiles MERGE instead of "
+        "rescanning raw events — the deterministic counterpart of "
+        "percentile_approx whose partials an engine can't persist. "
+        "The bucket cumulative runs in a single-partition window over "
+        "n_buckets rows (bounded by construction, not by data size).",
+)
+def rollup_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("DAY", "ts").alias("d"),
+            F.floor(F.col("value") * 2).alias("b"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = daily.groupBy("b").agg(F.sum("cnt").alias("cnt"))
+    w_cum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "b",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    def q(p: float, name: str):
+        # the covering bucket is the UNIQUE row with cum_prev < t <=
+        # cum; interpolate inside it (min is just the null-dropping
+        # pick — every other row's CASE is NULL)
+        t = F.lit(p) * F.col("n")
+        prev = F.col("cum") - F.col("cnt")
+        est = (
+            F.col("b") + (t - prev) / F.col("cnt")
+        ) / F.lit(2.0)
+        return F.round(
+            F.min(F.when((F.col("cum") >= t) & (prev < t), est)), 6
+        ).alias(name)
+
+    return cum.agg(q(0.50, "p50_est"), q(0.95, "p95_est"),
+                   q(0.99, "p99_est"))
+
+
+@register(
+    "ann_pq_topk",
+    _fixture_oracle(
+        "ann_pq_topk", ["query_id", "neighbor_id", "approx_cos", "rank"]
+    ),
+    doc="Product-quantization ANN with asymmetric distance "
+        "(operators/similarity.py pq_*): codebooks train driver-side "
+        "on a deterministic bounded sample (standard PQ practice), "
+        "vectors compress 64x to m=4 code bytes in one Arrow-kernel "
+        "pass, and the query scan is table lookups over the code "
+        "column — raw embeddings never reach the scan. Deterministic "
+        "(sorted-id sample, first-k init, lowest-index ties, 6dp "
+        "rounding + id tiebreak) -> golden-fixture oracle. Exact "
+        "twin: ann_cosine_topk; recall pinned in tests.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "dq_constraint_report",
+    """
+    SELECT 'orders' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+             AS pk_dupes,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_custkey,
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS nonpositive_price,
+           CAST(sum(CASE WHEN o_orderdate
+                              < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END)
+                AS BIGINT) AS date_below_floor
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                AS BIGINT),
+           CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(CASE WHEN l_shipdate
+                              < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    """,
+    doc="Data-quality constraint report (deequ-style rule evaluation "
+        "as ONE aggregation pass per table, not one job per rule): "
+        "primary-key uniqueness, completeness (nulls), value-range "
+        "and date-floor checks all fold into a single groupless agg, "
+        "so a 100 TB table pays one scan for its whole rule set. "
+        "Counts report VIOLATIONS (0 = constraint holds), making the "
+        "report a machine-checkable gate for ingest pipelines.",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    floor = "1990-01-01"
+
+    def violations(df, tbl, pk_cols, null_col, price_col, date_col):
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(c) for c in pk_cols])
+            ).alias("pk_dupes"),
+            F.sum(
+                F.when(F.col(null_col).isNull(), 1).otherwise(0)
+            ).alias(f"null_{null_col.split('_', 1)[1]}"),
+            F.sum(
+                F.when(F.col(price_col) <= 0, 1).otherwise(0)
+            ).alias("nonpositive_price"),
+            F.sum(
+                F.when(F.col(date_col) < F.lit(floor).cast("timestamp"), 1)
+                .otherwise(0)
+            ).alias("date_below_floor"),
+        )
+
+    return violations(
+        o, "orders", ["o_orderkey"], "o_custkey", "o_totalprice",
+        "o_orderdate",
+    ).unionAll(
+        violations(
+            li, "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey",
+            "l_extendedprice", "l_shipdate",
+        ).select(
+            "tbl", "n_rows", "pk_dupes",
+            F.col("null_partkey").alias("null_custkey"),
+            "nonpositive_price", "date_below_floor",
+        )
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey)
+    """,
+    doc="Referential-integrity audit: orphan counts per foreign-key "
+        "relation via LEFT ANTI joins. The dimension sides broadcast "
+        "(customer/supplier) or stay keyed (orders), so each relation "
+        "costs one pass over the fact side — the post-ingest check "
+        "that catches partial loads and dangling references before "
+        "queries silently drop rows through inner joins.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+
+    def orphans(fact, dim, fk, pk, label):
+        return (
+            fact.join(
+                dim, fact[fk] == dim[pk], "left_anti"
+            ).agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+
+    return (
+        orphans(o, c, "o_custkey", "c_custkey",
+                "orders.o_custkey->customer")
+        .unionAll(orphans(li, o, "l_orderkey", "o_orderkey",
+                          "lineitem.l_orderkey->orders"))
+        .unionAll(orphans(li, s, "l_suppkey", "s_suppkey",
+                          "lineitem.l_suppkey->supplier"))
+    )
+
+
+@register(
+    "join_bloom_pruned_revenue",
+    """
+    SELECT s.s_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                AS BIGINT) AS revenue_e2
+    FROM lineitem l
+    JOIN (SELECT * FROM supplier WHERE s_nationkey < 3) s
+      ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+    doc="Bloom-filter runtime join pruning "
+        "(operators/runtime_filter.py): the fact side sheds definite "
+        "non-matches of a selective dimension BEFORE the join's "
+        "shuffle — per-partition OR-merged bloom of the dim keys "
+        "(constant 512 KB broadcast), probe kernel on the scan. The "
+        "explicit form of Spark's runtime row-level bloom filters; "
+        "at 100 TB the win is shuffle bytes (a 1%-selective dim "
+        "ships ~1% of fact rows). No false negatives, so the oracle "
+        "is the PLAIN join — pruning must never change the result.",
+)
+def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.runtime_filter import bloom_pruned_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") < 3
+    ).select("s_suppkey", "s_nationkey")
+    j = bloom_pruned_join(li, sup, "l_suppkey", "s_suppkey")
+    return j.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 100
+        ).cast("long").alias("revenue_e2"),
+    )
+
+
+@register(
+    "stream_static_enrich_segments",
+    """
+    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(e.value) * 100) AS BIGINT) AS value_e2
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Stream-static enrichment (ingest_stream.enrich_with_dim): "
+        "events joined to a broadcast static dimension — the "
+        "standard streaming-ETL enrichment; stream-static inner/left "
+        "joins are STATELESS (each micro-batch joins independently, "
+        "no watermark), and the static side re-reads per batch so "
+        "dim refreshes land without a restart. Same code path on the "
+        "batch frame gives this SQL oracle; the streaming-mode test "
+        "drives the identical plan through a file-source stream.",
+)
+def stream_static_enrich_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.ingest_stream import enrich_with_dim
+
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_with_dim(ev, cust)
+    return enriched.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+            "segment"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value") * 100).cast("long").alias("value_e2"),
+    )
+
+
+@register(
+    "agg_filter_clause_metrics",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) FILTER (WHERE o_totalprice > 200000)
+                AS BIGINT) AS n_big,
+           CAST(round(sum(o_totalprice)
+                      FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+                      * 100) AS BIGINT) AS recent_value_e2,
+           CAST(count(DISTINCT o_custkey)
+                FILTER (WHERE o_totalprice > 200000)
+                AS BIGINT) AS n_big_customers
+    FROM orders
+    GROUP BY ALL
+    """,
+    doc="ANSI FILTER-clause aggregates + GROUP BY ALL, run as raw SQL "
+        "TEXT through the same pass-through surface the HTTP query "
+        "endpoint uses (reference N8) — many conditional aggregates "
+        "in ONE scan, each with its own predicate, including a "
+        "filtered DISTINCT. The DataFrame-API twin of this shape is "
+        "agg_conditional_sums (sum(CASE WHEN)); FILTER additionally "
+        "covers count(DISTINCT ...) FILTER, which CASE can't express "
+        "without a second aggregation.",
+)
+def agg_filter_clause_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark, sf_dir,
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               CAST(round(sum(o_totalprice)
+                          FILTER (WHERE o_orderdate
+                                        >= TIMESTAMP '1997-01-01')
+                          * 100) AS BIGINT) AS recent_value_e2,
+               count(DISTINCT o_custkey)
+                 FILTER (WHERE o_totalprice > 200000)
+                 AS n_big_customers
+        FROM orders
+        GROUP BY ALL
+        """,
+    )
+
+
+@register(
+    "warehouse_changes_feed",
+    """
+    SELECT * FROM (VALUES
+      ('delete', CAST(2 AS BIGINT), CAST(20 AS BIGINT)),
+      ('insert', CAST(3 AS BIGINT), CAST(60 AS BIGINT)),
+      ('insert', CAST(4 AS BIGINT), CAST(80 AS BIGINT)))
+      t(change_type, row_id, amount)
+    """,
+    doc="CDC between snapshots (snapshots.read_changes): the change "
+        "feed from v1 to latest after an append and a copy-on-write "
+        "delete — inserts for appended rows, a delete for the "
+        "taken-down row, and NO rows for the COW-carried survivors "
+        "(they cancel in the exceptAll). Only manifest-diff files are "
+        "read, so the cost is proportional to churn, not table size "
+        "— the primitive that lets a downstream pipeline consume a "
+        "100 TB table incrementally. Oracle: literal relation "
+        "(VALUES) of the expected feed.",
+)
+def warehouse_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_cdc_"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )  # v1
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(3, 60), (4, 80)], "__row_id long, amount long"
+        ),
+    )  # v2
+    snap.delete_where(wh, "db", "t", F.col("__row_id") == 2)  # v3
+    ch = snap.read_changes(wh, "db", "t", from_version=1)
+    return ch.select(
+        F.col("_change_type").alias("change_type"),
+        F.col("__row_id").alias("row_id"),
+        "amount",
+    )
+
+
+_RCTE_NATION_CHAINS = """
+WITH RECURSIVE succ AS (
+  SELECT n_regionkey, n_nationkey, n_name,
+         lead(n_nationkey) OVER (
+           PARTITION BY n_regionkey ORDER BY n_nationkey) AS next_key
+  FROM nation
+),
+chain AS (
+  SELECT n_regionkey, n_nationkey, n_name, next_key, 1 AS depth
+  FROM succ s
+  WHERE NOT EXISTS (SELECT 1 FROM succ p WHERE p.next_key = s.n_nationkey)
+  UNION ALL
+  SELECT s.n_regionkey, s.n_nationkey, s.n_name, s.next_key, c.depth + 1
+  FROM chain c JOIN succ s ON s.n_nationkey = c.next_key
+)
+SELECT n_regionkey AS regionkey, n_nationkey AS nationkey,
+       n_name AS nation, CAST(depth AS BIGINT) AS depth
+FROM chain
+"""
+
+
+@register(
+    "rcte_nation_chains",
+    _RCTE_NATION_CHAINS,
+    doc="Recursive CTE (Spark 4's WITH RECURSIVE): iterative chain "
+        "traversal over per-region successor links — the hierarchy/"
+        "graph-walk shape (org charts, BOM explosions, path "
+        "expansion) that window functions cannot express when depth "
+        "is unbounded. The anchor selects chain heads (never anyone's "
+        "successor); each recursion step joins one link deeper. Both "
+        "engines run the IDENTICAL standard-SQL text through the N8 "
+        "pass-through surface. For data-scale graphs with O(log n) "
+        "round guarantees, operators/graph.py (large/small-star CC, "
+        "integer PageRank) remain the scale path; recursion state "
+        "here is the frontier only.",
+)
+def rcte_nation_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _RCTE_NATION_CHAINS)
+
+

@@ -1,0 +1,1029 @@
+"""Lakehouse DML/time-travel/CDC queries, streaming parity, SCD2/audit, skew diagnostics, chunking, hybrid search, splits.
+
+Split from the single-module query catalog (registration order is
+preserved by scratchdb_spark/queries.py's import sequence — the
+driver's correctness-window rotation tie-breaks on registry order).
+Shared infrastructure (QuerySpec/register/_sql/_fixture_oracle and
+the DuckDB token/shingle oracle macros) lives in catalog/core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ..operators.asof import asof_join  # noqa: F401
+from ..tables import epoch_us, register_testdata, table  # noqa: F401
+from .core import (  # noqa: F401
+    _DUCK_SHINGLES,
+    _DUCK_TOKENS,
+    _fixture_oracle,
+    _sql,
+    register,
+)
+
+
+@register(
+    "diag_key_skew_profile",
+    """
+    WITH sizes AS (SELECT user_id AS k, count(*) AS sz
+                   FROM events GROUP BY 1)
+    SELECT count(*) AS n_keys, CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(min(sz) AS BIGINT) AS min_sz,
+           CAST(quantile_disc(sz, 0.5) AS BIGINT) AS p50_sz,
+           CAST(quantile_disc(sz, 0.9) AS BIGINT) AS p90_sz,
+           CAST(quantile_disc(sz, 0.99) AS BIGINT) AS p99_sz,
+           CAST(max(sz) AS BIGINT) AS max_sz,
+           CAST(floor(100 * max(sz) / quantile_disc(sz, 0.5))
+                AS BIGINT) AS skew_ratio_e2
+    FROM sizes
+    """,
+    doc="Key-skew pre-flight profile (operators/monitor.py::"
+        "key_skew_profile): group-size distribution quantiles "
+        "(discrete — actual sizes, no interpolation) + max/p50 skew "
+        "ratio; the check that decides salting/AQE-skew-join before a "
+        "100 TB shuffle on the key.",
+)
+def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.monitor import key_skew_profile
+
+    return key_skew_profile(
+        table(spark, sf_dir, "events"), key_col="user_id"
+    )
+
+
+@register(
+    "stream_dedup_parity",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(value) * 100) AS BIGINT) AS total_e2
+    FROM events GROUP BY event_type
+    """,
+    doc="Batch-parity check for the streaming dedup operator "
+        "(streaming/ingest_stream.streaming_dedup): the events table "
+        "UNIONed with itself simulates at-least-once replay — exactly "
+        "the duplication the streaming path exists to absorb — and "
+        "dedup on event_id must restore the original stream, so the "
+        "oracle aggregates the raw table. On a stream the same "
+        "function is dropDuplicatesWithinWatermark (bounded state); "
+        "on batch it degrades to dropDuplicates.",
+)
+def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest_stream import streaming_dedup
+
+    ev = table(spark, sf_dir, "events")
+    replayed = ev.unionAll(ev)
+    return (
+        streaming_dedup(replayed)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("total_e2"),
+        )
+    )
+
+
+@register(
+    "scd2_user_event_periods",
+    """
+    WITH src AS (
+      SELECT user_id, event_id, event_type, ts FROM events
+      WHERE user_id < 100),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS island
+      FROM flagged)
+    SELECT user_id, event_type,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS valid_to_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, event_type, island
+    """,
+    doc="SCD2 history construction (gaps-and-islands): consecutive "
+        "same-event_type runs per user become validity periods "
+        "[valid_from, valid_to] — lag-change flag, running island "
+        "sum, per-island agg; ALL windows and the final agg share one "
+        "user_id shuffle (Exchange reuse), the same algebra the "
+        "sessionizer uses but keyed on value change, not time gap.",
+)
+def scd2_user_event_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    numbered = flagged.withColumn("island", F.sum("chg").over(run))
+    out = numbered.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("from_ts"),
+        F.max("ts").alias("to_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        epoch_us(out, "from_ts").alias("valid_from_us"),
+        epoch_us(out, "to_ts").alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@register(
+    "audit_table_digest",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR) || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+               o_orderpriority), 1, 8))
+             AS BIGINT) AS rh
+      FROM orders)
+    SELECT count(*) AS n_rows,
+           CAST(sum(rh) AS BIGINT) AS digest_sum,
+           CAST(bit_xor(rh) AS BIGINT) AS digest_xor
+    FROM h
+    """,
+    doc="Order-invariant table content digest for migration audits "
+        "(the check a reference user runs after switching engines: "
+        "same rows in, same digest out, regardless of row order or "
+        "partitioning): md5 per row over portable string forms "
+        "(floats pre-scaled to integers — raw float-to-string "
+        "differs across engines), 32-bit prefix summed AND xor-folded. "
+        "One narrow map + one agg; linear, shuffle-free partials.",
+)
+def audit_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    return o.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("rh").alias("digest_sum"),
+        F.expr("bit_xor(rh)").alias("digest_xor"),
+    )
+
+
+@register(
+    "dedup_first_event_per_user_day",
+    """
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_id, event_type
+    FROM (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1 AND user_id < 200
+    """,
+    doc="Windowed event dedup: keep the FIRST event per (user, day) — "
+        "the keep-one-of-many pattern (vs exact_dedup's "
+        "keep-min-hash): one ranking window on the grouping key, "
+        "filter rn=1; deterministic tie-break by (ts, event_id).",
+)
+def dedup_first_event_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("DAY", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_id",
+            "event_type",
+        )
+    )
+
+
+@register(
+    "pipeline_curate_corpus",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             {_DUCK_TOKENS} AS w
+      FROM documents),
+    gate AS (
+      SELECT doc_id, text, norm, len(w) AS n_tokens
+      FROM s
+      WHERE len(w) BETWEEN 5 AND 5000
+        AND (length(norm) - (len(w) - 1)) / CAST(len(w) AS DOUBLE)
+              BETWEEN 2.0 AND 12.0
+        AND length(regexp_replace(norm, '[^a-z]', '', 'g'))
+              / CAST(length(norm) AS DOUBLE) >= 0.6
+        AND len(list_filter(w, x -> list_contains(
+              ['a','and','das','dans','de','der','des','die','el','en',
+               'es','est','et','ein','in','is','it','la','le','les','of',
+               'pour','que','the','to','un','und','une','von','y','zu',
+               'ist'], x)))
+              / CAST(len(w) AS DOUBLE) >= 0.01),
+    keeper AS (
+      SELECT min(doc_id) AS doc_id FROM gate GROUP BY md5(norm)),
+    surv AS (
+      SELECT g.doc_id, g.n_tokens FROM gate g
+      JOIN keeper k ON g.doc_id = k.doc_id)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM (SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT % 100) AS bucket,
+                 n_tokens
+          FROM surv) b
+    GROUP BY split
+    """,
+    doc="End-to-end corpus curation pipeline COMPOSED from catalog "
+        "operators: Gopher quality gate (row-local projection) -> "
+        "exact dedup keep-min (one md5 groupBy shuffle) -> "
+        "content-addressed 80/10/10 split (pure map) -> per-split "
+        "accounting. Demonstrates that the operators compose into one "
+        "lazy plan — Catalyst fuses the gate into the scan and the "
+        "pipeline runs in two shuffles total at any scale.",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import quality_gate
+    from ..operators.dedup import exact_dedup
+    from ..operators.split import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    gate = quality_gate(docs).filter(F.col("keep")).select(
+        "doc_id", "n_tokens"
+    )
+    kept = docs.join(gate, "doc_id")
+    keepers = exact_dedup(kept).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    surviving = kept.join(keepers, "doc_id").select("doc_id", "n_tokens")
+    split = hash_split(
+        surviving, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@register(
+    "stream_late_events_audit",
+    """
+    WITH runmax AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS seen_max
+      FROM events),
+    tagged AS (
+      SELECT user_id,
+             CASE WHEN seen_max IS NOT NULL AND us < seen_max
+                  THEN CAST(floor(seen_max / 60000000.0)
+                            - floor(us / 60000000.0)
+                       AS BIGINT)
+                  ELSE NULL END AS late_minutes
+      FROM runmax)
+    SELECT count(*) AS n_events,
+           CAST(count(late_minutes) AS BIGINT) AS n_late,
+           CAST(coalesce(max(late_minutes), 0) AS BIGINT)
+             AS max_late_minutes
+    FROM tagged
+    """,
+    doc="Watermark-lateness audit for streaming design: events arriving "
+        "with ts BEHIND the per-user running max (arrival order = "
+        "event_id) are late data; reports volume and worst lateness — "
+        "the measurement that justifies a watermark bound before "
+        "deploying the streaming operators. One per-user window, no "
+        "collect.",
+)
+def stream_late_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seen_max = F.max(us).over(w)
+    tagged = ev.select(
+        "user_id",
+        F.when(
+            seen_max.isNotNull() & (us < seen_max),
+            (
+                F.floor(seen_max / 60000000.0)
+                - F.floor(us / 60000000.0)
+            ).cast("long"),
+        ).alias("late_minutes"),
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("late_minutes").alias("n_late"),
+        F.coalesce(F.max("late_minutes"), F.lit(0))
+        .cast("long")
+        .alias("max_late_minutes"),
+    )
+
+
+@register(
+    "split_temporal_cutoff",
+    """
+    WITH span AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+      FROM events),
+    cut AS (SELECT lo + CAST(floor((hi - lo) * 0.8) AS BIGINT) AS c
+            FROM span)
+    SELECT CASE WHEN CAST(epoch_us(ts) AS BIGINT) < c THEN 'train'
+                ELSE 'eval' END AS split,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events CROSS JOIN cut GROUP BY 1
+    """,
+    doc="Temporal train/eval split (train on past, evaluate on "
+        "future): the leakage-preventing alternative to hash splits "
+        "for time-series tasks. Cutoff = 80th percentile of the time "
+        "SPAN in exact integer microseconds (adapts to any sf); a "
+        "literal cutoff predicate partition-prunes on date-"
+        "partitioned layouts (bucketing.write_date_partitioned).",
+)
+def split_temporal_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    evu = ev.select("user_id", us.alias("us"))
+    span = evu.agg(
+        F.min("us").alias("lo"), F.max("us").alias("hi")
+    ).select(
+        (
+            F.col("lo")
+            + F.floor((F.col("hi") - F.col("lo")) * 0.8).cast("long")
+        ).alias("c")
+    )
+    # scalar cutoff broadcast onto every row (1-row nested loop)
+    split = F.when(F.col("us") < F.col("c"), "train").otherwise("eval")
+    return (
+        evu.join(F.broadcast(span))
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("us").alias("min_ts_us"),
+            F.max("us").alias("max_ts_us"),
+        )
+    )
+
+
+@register(
+    "graph_pagerank_custsupp",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    n AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+    i1 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100
+                       AS BIGINT) AS r
+           FROM edges e JOIN r0 r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    i2 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100
+                       AS BIGINT) AS r
+           FROM edges e JOIN i1 r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    i3 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100
+                       AS BIGINT) AS r
+           FROM edges e JOIN i2 r ON e.src = r.node
+                        JOIN deg d ON e.src = d.src
+           GROUP BY e.dst)
+    SELECT node, r AS r_e6 FROM i3
+    ORDER BY r_e6 DESC, node LIMIT 100
+    """,
+    doc="PageRank over the customer-supplier bipartite graph "
+        "(operators/graph.py::pagerank_int, 3 iterations): EXACT "
+        "integer micro-unit arithmetic (floor-div contributions, "
+        "BIGINT sums) makes an iterative algorithm hash-comparable "
+        "across engines — the oracle unrolls the same three "
+        "iterations in SQL. Both orientations included, so no "
+        "dangling nodes; per-iteration cost is one src join + one "
+        "dst agg.",
+)
+def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_int
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    # broadcast_ranks=False here: on local[*] the per-iteration
+    # driver collect+broadcast round-trip costs more than the small
+    # shuffle it avoids (A/B: ~3.4 s vs ~4.4 s warm at sf0.1). On a
+    # real cluster with a data-sized edge list, broadcast_ranks=True
+    # is the right plan — edges shuffle once, only partial dst sums
+    # move per iteration (see pagerank_int docstring).
+    ranks = pagerank_int(edges, iterations=3)
+    return ranks.orderBy(F.desc("r_e6"), F.asc("node")).limit(100)
+
+
+@register(
+    "search_rrf_hybrid",
+    f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    toks AS (SELECT doc_id, unnest(w) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dl AS (SELECT doc_id, len(w) AS dl FROM w),
+    stats AS (SELECT count(*) AS n_docs,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+    qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'window', 'join')),
+    qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf
+            GROUP BY term),
+    bm AS (
+      SELECT doc_id, sum(CAST(round(
+               ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+               * t.tf * (1.2 + 1)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
+               * 1000000) AS BIGINT)) AS bm25_e6
+      FROM qtf t JOIN qdf q USING (term) JOIN dl d USING (doc_id)
+      CROSS JOIN stats s GROUP BY doc_id),
+    bmrank AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS rb
+      FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT 50),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(q.qv,
+                   CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0),
+    cosrank AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rc
+      FROM cos ORDER BY cos_sim DESC, doc_id LIMIT 50)
+    SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+           coalesce(1000000 // (60 + b.rb), 0)
+             + coalesce(1000000 // (60 + c.rc), 0) AS rrf_e6,
+           b.rb AS bm25_rank, c.rc AS cosine_rank
+    FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id
+    ORDER BY rrf_e6 DESC, doc_id LIMIT 20
+    """,
+    doc="Hybrid retrieval via reciprocal rank fusion (Cormack et al. "
+        "2009): BM25 keyword ranking fused with embedding-cosine "
+        "ranking, score = sum 1/(60+rank) in integer micro-units "
+        "(floor division — exact in both engines). The modern "
+        "RAG-retrieval shape: each ranker runs its own scale path "
+        "(term-keyed aggs / LSH-IVF at scale), fusion touches only "
+        "two top-k lists — tiny regardless of corpus size.",
+)
+def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+    from ..operators.text import bm25_topk
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, ["spark", "window", "join"], k=50)
+    wb = Window.orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
+    bmrank = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("rb")
+    )
+    cos = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    cosrank = cos.select(
+        "doc_id", F.col("rank").cast("long").alias("rc")
+    )
+    fused = bmrank.join(cosrank, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000 div (60 + rb)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + rc)"), F.lit(0))
+        ).alias("rrf_e6"),
+        F.col("rb").alias("bm25_rank"),
+        F.col("rc").alias("cosine_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_e6"), F.asc("doc_id")).limit(20)
+
+
+@register(
+    "fn_variant_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_sum,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER))
+                AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT surface (Spark 4): props parse once "
+        "into a VARIANT and variant_get extracts a typed path — the "
+        "engine-native successor to string json_extract (reference "
+        "stores JSON columns as typed flattened columns; VARIANT is "
+        "the keep-it-semi-structured alternative). Shredded access "
+        "stays columnar; the oracle uses DuckDB's json_extract.",
+)
+def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.expr(
+        "variant_get(parse_json(props), '$.k', 'int')"
+    ).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+_CHUNK_ORACLE = """
+    SELECT doc_id,
+           CAST(s // 15 AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(w, s + 1, s + 20), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(w, s + 1, s + 20)) AS INTEGER)
+             AS n_tokens
+    FROM (SELECT doc_id, {toks} AS w FROM documents WHERE doc_id < 200),
+         LATERAL (SELECT unnest(generate_series(0, len(w) - 1, 15)) AS s)
+"""
+
+
+@register(
+    "text_chunk_windows",
+    _CHUNK_ORACLE.format(toks=_DUCK_TOKENS),
+    doc="RAG context chunking: overlapping 20-token windows with "
+        "stride 15, emitted via sequence()+explode of per-chunk "
+        "structs — all JVM expressions, the production path (linear, "
+        "no Python). chunk_idx is the window ordinal.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    tokens = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(tokens) - 1, F.lit(0)), F.lit(15)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / 15).cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(tokens, s + 1, 20)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(tokens, s + 1, 20)).alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
+
+
+@register(
+    "udtf_chunk_windows",
+    _CHUNK_ORACLE.format(toks=_DUCK_TOKENS),
+    doc="The SAME chunking as text_chunk_windows through Spark 4's "
+        "Python UDTF surface (arrow-optimized table function, LATERAL "
+        "correlation) — completing the UDF/UDTF API coverage; both "
+        "queries share one oracle, pinning UDTF output to the JVM "
+        "path exactly. UDTFs run Python per input row: right for "
+        "logic JVM expressions can't state, not for this hot path — "
+        "which is why the production twin exists.",
+)
+def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, chunk_text string, n_tokens int",
+        useArrow=True,
+    )
+    class ChunkTokens:
+        def eval(self, text: str):
+            toks = " ".join((text or "").lower().split()).split(" ")
+            for i, s in enumerate(range(0, max(len(toks), 1), 15)):
+                w = toks[s : s + 20]
+                yield i, " ".join(w), len(w)
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents d, LATERAL chunk_tokens(d.text) c
+        WHERE d.doc_id < 200
+        """
+    )
+
+
+@register(
+    "source_ndjson_scan",
+    """
+    SELECT * FROM (VALUES
+      (CAST(NULL AS BOOLEAN), CAST(1.0 AS DOUBLE),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), '7', 'ann'),
+      (CAST(NULL AS BOOLEAN), CAST(2.5 AS DOUBLE),
+       CAST(1 AS BIGINT), CAST(2 AS BIGINT), '8', 'bob'),
+      (TRUE, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), 'x9', CAST(NULL AS VARCHAR)))
+      t(active, score, tags_0, tags_1, user_id, user_name)
+    """,
+    doc="Custom Python DataSource round-trip "
+        "(sources.ScratchNdjsonDataSource): spark.read.format("
+        "'scratch_ndjson') applies N1 horizontal flatten + N3 "
+        "type-vote + cast-else-null as a NATIVE source — nested "
+        "user.id mixing int and string votes string, score mixing "
+        "int and float votes double, array elements land as "
+        "positional columns; one InputPartition per file. Oracle is "
+        "the literal expected relation.",
+    bench=False,  # times tempdir setup, not a scan
+)
+def source_ndjson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources import ScratchNdjsonDataSource
+
+    spark.dataSource.register(ScratchNdjsonDataSource)
+    d = tempfile.mkdtemp(prefix="scratch_ndjson_")
+    with open(os.path.join(d, "batch.ndjson"), "w") as f:
+        f.write('{"user": {"id": 7, "name": "ann"}, "score": 1}\n')
+        f.write(
+            '{"user": {"id": 8, "name": "bob"}, "score": 2.5,'
+            ' "tags": [1, 2]}\n'
+        )
+        f.write('{"user": {"id": "x9"}, "active": true}\n')
+    return spark.read.format("scratch_ndjson").option("path", d).load()
+
+
+@register(
+    "cohort_monthly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS m
+      FROM events)
+    SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+           CAST(date_diff('month', f.cohort, a.m) AS BIGINT)
+             AS month_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-event month, "
+        "counted in each subsequent month — the standard retention "
+        "triangle. Two aggs + one user-keyed join; the firsts frame "
+        "is one row per user, so at 100 TB the join is "
+        "broadcast-or-shuffle on user_id with no amplification.",
+)
+def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("MONTH", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("MONTH", "ts").alias("m")
+    ).distinct()
+    joined = activity.join(firsts, "user_id")
+    return (
+        joined.groupBy(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            (
+                (F.year("m") - F.year("cohort")) * 12
+                + (F.month("m") - F.month("cohort"))
+            )
+            .cast("long")
+            .alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_7d
+    FROM days JOIN ud
+      ON ud.d <= days.d AND ud.d > days.d - INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+    doc="Rolling 7-day distinct active users — sliding-window distinct "
+        "counts do NOT decompose into window functions; each (user, "
+        "day) pair is exploded into the 7 spine days it covers, then "
+        "an equi-join restricts to days that exist and one agg "
+        "dedups: work = 7x daily-active rows, all keyed shuffles, no "
+        "nested loop. At 100 TB swap exact counting for per-day HLL "
+        "sketches merged over the trailing window "
+        "(approx_hll_sketch_union shows the sketch path).",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("DAY", "ts").alias("d")
+    ).distinct()
+    # each active day COVERS the next 7 spine days: explode the bounded
+    # interval, then everything downstream is equi-keyed (the range
+    # join rewritten as bounded duplication — operators/rangejoin.py's
+    # trick; a naive d BETWEEN spine-6 AND spine predicate would plan
+    # as a BroadcastNestedLoopJoin)
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("spine_d"),
+    )
+    days = ud.select(F.col("d").alias("spine_d")).distinct()
+    return (
+        covered.join(days, "spine_d")
+        .groupBy(F.date_format("spine_d", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+
+
+@register(
+    "join_salted_user_totals",
+    """
+    WITH totals AS (
+      SELECT user_id, CAST(round(sum(value) * 100) AS BIGINT)
+               AS user_total_e2
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, t.user_total_e2
+    FROM events e JOIN totals t USING (user_id)
+    WHERE e.user_id < 40
+    """,
+    doc="Salted skew join (operators/skew.py::salted_join): events "
+        "(big, user-skewed) join per-user totals (small, "
+        "non-broadcast path) on (user_id, salt) with the small side "
+        "replicated per salt — a hot user's rows spread over 8 "
+        "reducers instead of one. The oracle is the PLAIN join: "
+        "salting must redistribute work, never change rows.",
+)
+def join_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    totals = ev.groupBy("user_id").agg(
+        F.round(F.sum("value") * 100).cast("long").alias("user_total_e2")
+    )
+    big = ev.select("event_id", "user_id")
+    return salted_join(big, totals, "user_id").select(
+        "event_id", "user_id", "user_total_e2"
+    )
+
+
+@register(
+    "warehouse_time_travel",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(30 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(90 AS BIGINT)))
+      t(version, n_rows, amount_sum)
+    """,
+    doc="Snapshot time travel (snapshots.py): two versioned appends "
+        "into a temp warehouse, then version-PINNED reads — v1 sees "
+        "only its manifest's files (2 rows), latest sees both "
+        "batches. The manifest PUT makes multi-file appends "
+        "atomically visible and replaces directory listing at plan "
+        "time; the Iceberg/Delta core idea over the existing "
+        "Hadoop-FS layout.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_tt_"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(3, 60)], "__row_id long, amount long"),
+    )
+    v1 = snap.read_snapshot(wh, "db", "t", version=1).agg(
+        F.lit(1).cast("long").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").alias("amount_sum"),
+    )
+    v2 = snap.read_snapshot(wh, "db", "t").agg(
+        F.lit(2).cast("long").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").alias("amount_sum"),
+    )
+    return v1.unionAll(v2)
+
+
+@register(
+    "warehouse_gdpr_delete",
+    """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(21 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(14 AS BIGINT)))
+      t(version, n_rows, n_flagged, id_sum)
+    """,
+    doc="Row-level takedown via copy-on-write "
+        "(snapshots.delete_where): two versioned appends, delete the "
+        "flagged rows, then audit BOTH versions — the pre-delete "
+        "snapshot still shows 6 rows with 2 flagged (the audit "
+        "trail), the post-delete snapshot shows 4 with 0. Only files "
+        "containing matches rewrite; the manifest PUT makes the "
+        "delete atomically visible.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_del_"))
+    snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [(1, False), (2, True), (3, False)],
+            "__row_id long, flagged boolean",
+        ),
+    )
+    pre_v = snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [(4, False), (5, True), (6, False)],
+            "__row_id long, flagged boolean",
+        ),
+    )
+    post_v, _ = snap.delete_where(wh, "db", "docs", F.col("flagged"))
+
+    def audit(version: int) -> DataFrame:
+        df = snap.read_snapshot(wh, "db", "docs", version=version)
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+            F.sum("__row_id").alias("id_sum"),
+        )
+
+    return audit(pre_v).unionAll(audit(post_v))
+
+
+@register(
+    "warehouse_merge_upsert",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'old1', CAST(1000 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'NEW2', CAST(9900 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'old3', CAST(3000 AS BIGINT)),
+      (CAST(4 AS BIGINT), 'new4', CAST(4000 AS BIGINT)))
+      t(id, name, bal_e2)
+    """,
+    doc="MERGE / latest-wins upsert via copy-on-write "
+        "(snapshots.merge_upsert): matched keys replace, unmatched "
+        "insert, files without matching keys carry over; atomic at "
+        "the manifest PUT — the dimension-maintenance primitive the "
+        "append-only reference lacks.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_merge_"))
+    snap.append_versioned(
+        wh, "db", "dim",
+        spark.createDataFrame(
+            [(1, "old1", 1000), (2, "old2", 2000), (3, "old3", 3000)],
+            "__row_id long, name string, bal_e2 long",
+        ),
+    )
+    snap.merge_upsert(
+        wh, "db", "dim",
+        spark.createDataFrame(
+            [(2, "NEW2", 9900), (4, "new4", 4000)],
+            "__row_id long, name string, bal_e2 long",
+        ),
+        "__row_id",
+    )
+    out = snap.read_snapshot(wh, "db", "dim")
+    return out.select(
+        F.col("__row_id").alias("id"), "name", "bal_e2"
+    )
+
+
+@register(
+    "rollup_incremental_distinct",
+    _fixture_oracle(
+        "rollup_incremental_distinct",
+        ["day", "event_type", "approx_distinct"],
+    ),
+    doc="Incremental DISTINCT-count rollup "
+        "(operators/incremental.py::append_distinct_partials): events "
+        "ingested as TWO batches (event_id parity) append per-(day, "
+        "type) HLL sketch partials; the read union-merges sketches — "
+        "the one aggregate family additive partials can't serve "
+        "(distinct users don't add across batches). Deterministic "
+        "sketch algebra, so the oracle is a determinism-checked "
+        "golden snapshot (engine sketches differ from DuckDB's).",
+    bench=False,  # times temp-warehouse setup, not query execution
+)
+def rollup_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.incremental import (
+        append_distinct_partials,
+        read_distinct_rollup,
+    )
+    from ..tables import Warehouse
+
+    ev = table(spark, sf_dir, "events")
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rollup_du_"))
+    append_distinct_partials(
+        wh, "db", "du", ev.filter(F.col("event_id") % 2 == 0)
+    )
+    append_distinct_partials(
+        wh, "db", "du", ev.filter(F.col("event_id") % 2 == 1)
+    )
+    out = read_distinct_rollup(wh, "db", "du")
+    return out.select(
+        F.date_format("bucket_day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.round("approx_distinct", 4).alias("approx_distinct"),
+    )

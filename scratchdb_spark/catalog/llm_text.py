@@ -1,0 +1,665 @@
+"""LLM-pipeline extensions: dedup, embedding similarity/ANN, text analysis, multimodal plumbing, splits and sampling.
+
+Split from the single-module query catalog (registration order is
+preserved by scratchdb_spark/queries.py's import sequence — the
+driver's correctness-window rotation tie-breaks on registry order).
+Shared infrastructure (QuerySpec/register/_sql/_fixture_oracle and
+the DuckDB token/shingle oracle macros) lives in catalog/core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+from pyspark.sql.window import Window  # noqa: F401
+
+from ..operators.asof import asof_join  # noqa: F401
+from ..tables import epoch_us, register_testdata, table  # noqa: F401
+from .core import (  # noqa: F401
+    _DUCK_SHINGLES,
+    _DUCK_TOKENS,
+    _fixture_oracle,
+    _sql,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions: dedup / similarity / text analysis / multimodal
+# (beyond reference parity — SURVEY.md §7 milestone 5)
+# ---------------------------------------------------------------------------
+
+
+
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy, deterministic keeper (min id).",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_near_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+                 4) AS jaccard_sim
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
+    """,
+    doc="MinHash+LSH near-dup pairs (jaccard >= 0.8 on 3-gram shingles); "
+        "oracle is the exact quadratic jaccard — LSH capture probability "
+        "at j=0.8 with 16 bands x 4 rows is ~0.9998, and the verify stage "
+        "removes false positives, so outputs match w.h.p.",
+)
+def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash_clusters",
+    _fixture_oracle(
+        "dedup_simhash_clusters",
+        ["simhash", "cluster_id", "n_docs", "doc_ids"],
+    ),
+    doc="SimHash fingerprint clusters (identical 64-bit fingerprints). "
+        "xxhash64 is not reproducible in DuckDB, so the oracle is a "
+        "determinism-checked golden snapshot (fixed seed, hash-only "
+        "pipeline). doc_ids is emitted sorted and comma-joined so the "
+        "hash-compare sees a scalar, not an engine-specific array "
+        "encoding.",
+)
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_clusters
+
+    return simhash_clusters(table(spark, sf_dir, "documents")).withColumn(
+        "doc_ids", F.array_join("doc_ids", ",")
+    )
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    _fixture_oracle(
+        "dedup_simhash_near_pairs", ["id_a", "id_b", "hamming"]
+    ),
+    doc="SimHash near-dup pairs within hamming<=3 via 4-band pigeonhole "
+        "blocking (complete, not probabilistic): any pair differing in "
+        "<4 bits agrees exactly on one 16-bit band, so candidates come "
+        "from an equi-join, never a cross product.",
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_ngram_jaccard_pairs",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w
+            FROM documents WHERE doc_id < 100)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+                 4) AS jaccard_sim
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          >= 0.2 * len(list_distinct(list_concat(a.sh, b.sh)))
+    """,
+    doc="Exact pairwise n-gram jaccard on a bounded slice.",
+)
+def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+           FROM q JOIN c ON query_id <> neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos_sim,
+                  CAST(row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-k (exact ANN baseline): query side "
+        "broadcast, one streaming pass over the corpus.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries_df, k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    _fixture_oracle(
+        "ann_lsh_topk", ["query_id", "neighbor_id", "cos_sim", "rank"]
+    ),
+    doc="Random-hyperplane LSH ANN: bucket-join candidates then exact "
+        "cosine — the linear-cost scale path for 100 TB corpora. "
+        "Hyperplanes are seeded deterministically, so the oracle is a "
+        "determinism-checked golden snapshot of the Spark output.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries_df, k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 16),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    assign AS (
+      SELECT neighbor_id, cid FROM (
+        SELECT corpus.neighbor_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.neighbor_id
+                 ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid
+               ) AS rn
+        FROM corpus CROSS JOIN cent) a
+      WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid
+               ) AS rn
+        FROM q CROSS JOIN cent) p
+      WHERE rn <= 4),
+    scored AS (
+      SELECT probe.query_id, assign.neighbor_id,
+             round(list_cosine_similarity(qv, v), 6) AS cos_sim
+      FROM probe
+      JOIN assign USING (cid)
+      JOIN q ON q.query_id = probe.query_id
+      JOIN corpus ON corpus.neighbor_id = assign.neighbor_id
+      WHERE probe.query_id <> assign.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF ANN (operators/similarity.py::ivf_topk): corpus assigned "
+        "to nearest of 16 deterministic centroids, queries probe their "
+        "4 nearest lists, exact cosine on list members only. Fully "
+        "SQL-expressible (deterministic centroids), so unlike LSH this "
+        "approximate index gets a hash-checked oracle.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=4)
+
+
+@register(
+    "emb_quantize_sq8",
+    """
+    WITH dims AS (
+      SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    rng AS (
+      SELECT dim, min(x) AS vmin, max(x) AS vmax FROM dims GROUP BY dim),
+    coded AS (
+      SELECT dims.dim, rng.vmin, rng.vmax,
+             round((x - vmin) / (vmax - vmin) * 255) AS code,
+             abs(x - (vmin + round((x - vmin) / (vmax - vmin) * 255)
+                             * (vmax - vmin) / 255)) AS err
+      FROM dims JOIN rng USING (dim))
+    SELECT CAST(dim AS INTEGER) AS dim,
+           round(min(vmin), 6) AS vmin,
+           round(max(vmax), 6) AS vmax,
+           count(DISTINCT code) AS n_codes,
+           CAST(round(avg(err) * 1e6) AS BIGINT) AS mean_err_e6
+    FROM coded GROUP BY dim
+    """,
+    doc="Int8 scalar-quantization audit (operators/similarity.py::"
+        "scalar_quantize_stats): per-dim min/max training, code "
+        "assignment, reconstruction error — the storage-compression "
+        "path for 100 TB embedding corpora, hash-checked against the "
+        "same arithmetic in SQL.",
+)
+def emb_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import scalar_quantize_stats
+
+    return scalar_quantize_stats(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_near_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.4
+    """,
+    doc="Embedding near-duplicate pairs above a cosine threshold.",
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs_above
+
+    return cosine_pairs_above(table(spark, sf_dir, "embeddings"), 0.4)
+
+
+@register(
+    "text_langid",
+    """
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    h AS (
+      SELECT doc_id,
+        len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','ein','zu'))) AS de_hits,
+        len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it')))       AS en_hits,
+        len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es')))        AS es_hits,
+        len(list_filter(w, x -> x IN ('le','les','des','et','une','est','dans','pour'))) AS fr_hits
+      FROM t)
+    SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+           CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+                WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
+                WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
+                WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM h
+    """.format(toks=_DUCK_TOKENS),
+    doc="Stopword-ratio language ID (deterministic tie-break ladder).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import lang_id
+
+    return lang_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({toks}) AS n_tokens,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+             len(list_filter({toks},
+                 x -> x IN ('the','a','and','of','to','in','is','it')))
+               / CAST(len({toks}) AS DOUBLE) AS stop_ratio
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           round(punct_ratio, 4) AS punct_ratio,
+           round(alpha_ratio, 4) AS alpha_ratio,
+           round(stop_ratio, 4) AS stop_ratio,
+           round(least(1.0, n_tokens / 50.0) * (1 - punct_ratio) * alpha_ratio
+                 * (0.5 + least(0.5, stop_ratio * 2)) + 1e-9, 4) AS quality
+    FROM t
+    """.format(toks=_DUCK_TOKENS),
+    doc="Quality features + composite score (epsilon-stabilized "
+        "rounding on the composite: its exact value can sit on a 4dp "
+        "half-way point where cross-engine ulp differences round "
+        "apart — see operators/text.py quality_score).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score
+
+    return quality_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace, BPE-ish regex, chars/4 estimate.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_stats
+
+    return token_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             {toks} AS w
+      FROM documents)
+    SELECT doc_id,
+           md5(norm) AS md5_fp,
+           CAST(list_sum(list_transform(generate_series(1, len(w)),
+                i -> i * (length(w[i]) * 131 + ascii(w[i])))) AS BIGINT)
+             AS poly_fp
+    FROM t
+    """.format(toks=_DUCK_TOKENS),
+    doc="Document fingerprints: md5 of normalized text + positional "
+        "polynomial hash.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint
+
+    return fingerprint(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_payload_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal binary column plumbing: payload + typed metadata "
+        "(decode kernels stubbed — libs absent; see operators/multimodal).",
+)
+def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload
+
+    docs = attach_payload(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n,
+             greatest(1, octet_length(encode(text)) // 4) AS step
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(i AS INTEGER) AS frame_idx,
+             substring(hx, CAST(i * step * 2 + 1 AS BIGINT),
+                       CAST(step * 2 AS BIGINT)) AS frame_hex
+      FROM p CROSS JOIN generate_series(0, 3) AS g(i)
+      WHERE n > 0 AND i < least(4, n))
+    SELECT doc_id, frame_idx, frame_hex FROM f
+    """,
+    doc="Video-frame-sampling shape (operators/multimodal.py::"
+        "sample_frames): one payload row fans out to n evenly spaced "
+        "byte slices via mapInPandas; frames compared hex-encoded "
+        "(DuckDB has no blob substring) so the binary round-trip is "
+        "hash-checked cross-engine.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, sample_frames
+
+    docs = attach_payload(table(spark, sf_dir, "documents"))
+    return sample_frames(docs, n_frames=4).select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
+@register(
+    "multimodal_fake_features",
+    _fixture_oracle("multimodal_fake_features", ["doc_id", "dim", "f0"]),
+    doc="Arrow-batched mapInPandas feature extraction over binary "
+        "payloads (deterministic stub kernel; real decode not "
+        "installed). Oracle is a golden snapshot — the kernel is a "
+        "pure function of the payload bytes.",
+)
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, extract_features
+
+    docs = attach_payload(table(spark, sf_dir, "documents"))
+    feats = extract_features(docs)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("dim"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+@register(
+    "split_train_val_test",
+    """
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM (SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    % 100) AS bucket,
+                   n_chars
+            FROM documents) b
+    ) s
+    GROUP BY split
+    """,
+    doc="Content-addressed train/val/test split (operators/split.py): "
+        "md5-bucket assignment is reproducible across engines, runs and "
+        "cluster layouts, unlike randomSplit; oracle recomputes the "
+        "same md5 buckets in SQL.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "stratified_sample_events",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+              % 10000) AS bucket
+      FROM events)
+    SELECT event_type, count(*) AS n_kept,
+           CAST(round(sum(value) * 100) AS BIGINT) AS value_e2
+    FROM b
+    WHERE (event_type = 'click'    AND bucket < 2000)
+       OR (event_type = 'purchase' AND bucket < 5000)
+       OR (event_type NOT IN ('click', 'purchase') AND bucket < 500)
+    GROUP BY event_type
+    """,
+    doc="Deterministic stratified sampling (operators/split.py::"
+        "stratified_sample): keep-decision is md5(event_id) mod grid — "
+        "reproducible across engines/runs/layouts unlike sampleBy; "
+        "oracle recomputes the identical buckets in SQL.",
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import stratified_sample
+
+    ev = table(spark, sf_dir, "events")
+    kept = stratified_sample(
+        ev,
+        key_col="event_id",
+        strata_col="event_type",
+        fractions={"click": 0.20, "purchase": 0.50},
+        default_fraction=0.05,
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("value") * 100).cast("long").alias("value_e2"),
+    )
+
+
+@register(
+    "text_clean_redact",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+               '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g'),
+             '\s+', ' ', 'g')) AS clean_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(text, '[0-9][0-9 ()+.-]{6,}[0-9]'))
+             AS n_number_runs
+    FROM documents
+    """,
+    doc="Corpus cleaning + PII-ish redaction (operators/text.py::"
+        "clean_and_redact): email/URL/digit-run placeholders + "
+        "whitespace normalization, with per-doc audit counts; patterns "
+        "restricted to Java-regex/RE2-shared syntax so the oracle runs "
+        "the identical expressions.",
+)
+def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import clean_and_redact
+
+    return clean_and_redact(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0))
+                            + 1.0), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER)
+             AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, doc_freq, tfidf, rnk
+    FROM ranked WHERE rnk <= 3
+    """.format(toks=_DUCK_TOKENS),
+    doc="TF-IDF top-3 characteristic terms per document "
+        "(operators/text.py::tfidf_top_terms, scikit-style smoothed "
+        "idf); scores rounded to 6dp before ranking so the order is "
+        "engine-independent.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "range_join_click_purchase",
+    """
+    SELECT p.user_id, count(*) AS n_pairs,
+           CAST(round(sum(p.value) * 100) AS BIGINT) AS purchase_value_e2
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND epoch_us(p.ts) - epoch_us(c.ts) >= 0
+     AND epoch_us(p.ts) - epoch_us(c.ts) < 900 * 1000000
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY p.user_id
+    """,
+    doc="Bucketed time-range join (operators/rangejoin.py): click->"
+        "purchase pairs within 15 min, equi-joined on quantized time "
+        "buckets instead of a nested-loop cross product; oracle is the "
+        "naive non-equi join in integer microseconds.",
+)
+def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join_seconds
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    pairs = range_join_seconds(
+        clicks,
+        purchases,
+        left_ts="c_ts",
+        right_ts="p_ts",
+        window_seconds=900,
+        extra_cond=F.col("c_user") == F.col("user_id"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("p_value") * 100).cast("long").alias(
+            "purchase_value_e2"
+        ),
+    )
+
+

@@ -1,13 +1,20 @@
-"""Query catalog: every operator claimed in SURVEY.md §2 as a named
-(spark_fn, oracle_sql) pair.
+"""Query catalog — public facade.
+
+Through round 4 this was a single 5,900-line module; it now lives in
+scratchdb_spark/catalog/* split by family and is re-exported here IN
+THE ORIGINAL REGISTRATION ORDER (the driver correctness window covers
+the first 50 entries of queries(), whose rotation tie-breaks on
+registry order — so the import sequence below is load-bearing; see
+catalog/core._ordered_specs). Everything previously importable from
+scratchdb_spark.queries still is: every query function, QuerySpec,
+register/registry, queries()/oracle_sql().
 
 The reference's query surface is SQL pass-through to its backend
-(api/data.go:58-72 → clickhouse/query.go:11 / duckdb/query.go:56), so
+(api/data.go:58-72 -> clickhouse/query.go:11 / duckdb/query.go:56), so
 the capability contract is the backend's analytic SELECT dialect. Each
-entry here exercises one category of that contract with idiomatic
+catalog entry exercises one category of that contract with idiomatic
 DataFrame code (Catalyst plans it), and carries an ANSI-SQL oracle that
 DuckDB runs over the same parquet for the driver's hash-compare.
-
 Column-name discipline: every computed column is aliased identically in
 the Spark code and the oracle SQL — the driver sorts columns by name
 before hashing.
@@ -15,5918 +22,33 @@ before hashing.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, Optional
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from .operators.asof import asof_join
-from .tables import epoch_us, register_testdata, table
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    spark_fn: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]  # None -> non-SQL-expressible, rows-only check
-    doc: str = ""
-    #: include in bench.py's timing loop (False for ingest round-trips,
-    #: which time warehouse setup, not query execution)
-    bench: bool = True
-
-
-_REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: Optional[str], doc: str = "", bench: bool = True):
-    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc, bench)
-        return fn
-
-    return wrap
-
-
-def registry() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
-
-
-# ---------------------------------------------------------------------------
-# Aggregation core
-# ---------------------------------------------------------------------------
-
-@register(
-    "q1_pricing_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                           AS sum_qty,
-           round(sum(l_extendedprice), 2)                      AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)   AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                                               AS sum_charge,
-           round(avg(l_quantity), 6)                           AS avg_qty,
-           round(avg(l_extendedprice), 6)                      AS avg_price,
-           round(avg(l_discount), 6)                           AS avg_disc,
-           count(*)                                            AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-    doc="TPC-H Q1 style pricing summary: filter + hash agg (partial/final).",
-)
-def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            # money sums round to the 2-decimal grid their true values
-            # lie on (never a half-boundary); cross-engine raw double
-            # sums differ in the last ulp, so unrounded outputs would
-            # fail an exact hash-compare
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
-                "sum_charge"
-            ),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """Run one SQL query against the test-data views — the product's
-    pass-through surface (reference N8): users send raw SELECT text."""
-    register_testdata(spark, sf_dir)
-    return spark.sql(query)
-
-
-def _fixture_oracle(name: str, cols: list[str]) -> str:
-    """Golden-fixture oracle for queries whose semantics are
-    deterministic but not portably SQL-expressible (engine-specific
-    hashes/sketches, mapInPandas kernels).
-
-    tools/make_fixtures.py runs the Spark implementation at each
-    driver-checked sf, verifies run-to-run determinism, and snapshots
-    the output to fixtures/<name>.parquet with an `sf_tag` column
-    holding that sf's `events` row count — the one table whose
-    cardinality differs across all generated sfs — so one static SQL
-    string selects the right snapshot no matter which sf dir the
-    oracle's views are registered over.
-    """
-    return (
-        f"SELECT {', '.join(cols)} "
-        f"FROM read_parquet('/root/repo/fixtures/{name}.parquet') "
-        "WHERE sf_tag = (SELECT count(*) FROM events)"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Joins (SURVEY §2.2: inner/left/full/cross/semi/anti, theta, as-of)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q3_shipping_priority",
-    """
-    SELECT l_orderkey, o_orderdate, o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-06-01'
-      AND l_shipdate  > TIMESTAMP '1998-06-01'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
-    LIMIT 10
-    """,
-    doc="TPC-H Q3: 3-way join + agg + deterministic top-k.",
-)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    ords = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
-    )
-    li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
-    )
-    return (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(cust, ords.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "l_orderkey")
-        .limit(10)
-    )
-
-
-@register(
-    "q5_region_revenue",
-    """
-    SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate <  TIMESTAMP '1999-01-01'
-    GROUP BY r_name, n_name
-    """,
-    doc="TPC-H Q5: 6-way star join; dims broadcast.",
-)
-def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    ords = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
-    )
-    li = table(spark, sf_dir, "lineitem")
-    supp = F.broadcast(table(spark, sf_dir, "supplier"))
-    nat = F.broadcast(table(spark, sf_dir, "nation"))
-    reg = F.broadcast(table(spark, sf_dir, "region"))
-    return (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(cust, ords.o_custkey == cust.c_custkey)
-        .join(
-            supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
-        )
-        .join(nat, supp.s_nationkey == nat.n_nationkey)
-        .join(reg, nat.n_regionkey == reg.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-    )
-
-
-@register(
-    "join_left_outer_spend",
-    """
-    SELECT c_nationkey,
-           count(DISTINCT c_custkey)            AS n_customers,
-           count(o_orderkey)                    AS n_orders,
-           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_nationkey
-    """,
-    doc="Left outer join preserving customers without orders.",
-)
-def join_left_outer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    ords = table(spark, sf_dir, "orders")
-    return (
-        cust.join(ords, cust.c_custkey == ords.o_custkey, "left")
-        .groupBy("c_nationkey")
-        .agg(
-            F.countDistinct("c_custkey").alias("n_customers"),
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
-                "total_spend"
-            ),
-        )
-    )
-
-
-@register(
-    "join_semi_customers_with_orders",
-    """
-    SELECT c_mktsegment, count(*) AS n
-    FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders)
-    GROUP BY c_mktsegment
-    """,
-    doc="Left-semi join (IN subquery).",
-)
-def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    ords = table(spark, sf_dir, "orders")
-    return (
-        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "join_anti_customers_without_orders",
-    """
-    SELECT c_mktsegment, count(*) AS n
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY c_mktsegment
-    """,
-    doc="Left-anti join (NOT EXISTS).",
-)
-def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    ords = table(spark, sf_dir, "orders")
-    return (
-        cust.join(ords, cust.c_custkey == ords.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@register(
-    "join_full_outer_nation_profile",
-    """
-    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
-               FROM customer GROUP BY c_nationkey),
-         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
-               FROM supplier GROUP BY s_nationkey)
-    SELECT coalesce(c.nk, s.nk) AS nationkey, n_customers, n_suppliers
-    FROM c FULL OUTER JOIN s ON c.nk = s.nk
-    """,
-    doc="Full outer join of two aggregates.",
-)
-def join_full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = (
-        table(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("nk"))
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-    s = (
-        table(spark, sf_dir, "supplier")
-        .groupBy(F.col("s_nationkey").alias("nk"))
-        .agg(F.count(F.lit(1)).alias("n_suppliers"))
-    )
-    return c.join(s, "nk", "full_outer").select(
-        F.col("nk").alias("nationkey"), "n_customers", "n_suppliers"
-    )
-
-
-@register(
-    "join_theta_nation_pairs",
-    """
-    SELECT n1.n_regionkey AS regionkey, count(*) AS n_pairs
-    FROM nation n1
-    JOIN nation n2
-      ON n1.n_regionkey = n2.n_regionkey
-     AND n1.n_nationkey < n2.n_nationkey
-    GROUP BY n1.n_regionkey
-    """,
-    doc="Theta join (equi + inequality condition).",
-)
-def join_theta_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n1 = table(spark, sf_dir, "nation").alias("n1")
-    n2 = table(spark, sf_dir, "nation").alias("n2")
-    return (
-        n1.join(
-            n2,
-            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
-            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
-        )
-        .groupBy(F.col("n1.n_regionkey").alias("regionkey"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-
-
-@register(
-    "join_cross_region_segment",
-    """
-    SELECT r_name, seg
-    FROM region
-    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
-    """,
-    doc="Cross join (small x small).",
-)
-def join_cross_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    reg = table(spark, sf_dir, "region").select("r_name")
-    seg = (
-        table(spark, sf_dir, "customer")
-        .select(F.col("c_mktsegment").alias("seg"))
-        .distinct()
-    )
-    return reg.crossJoin(seg)
-
-
-@register(
-    "asof_last_click_before_purchase",
-    """
-    WITH tagged AS (
-      SELECT user_id, ts, event_id, value,
-             (event_type = 'purchase') AS is_left
-      FROM events WHERE event_type IN ('click', 'purchase')
-    ), w AS (
-      SELECT user_id, ts, event_id, value, is_left,
-             last_value(CASE WHEN NOT is_left THEN value END IGNORE NULLS)
-               OVER (PARTITION BY user_id
-                     ORDER BY ts, is_left, event_id
-                     ROWS UNBOUNDED PRECEDING) AS asof_value
-      FROM tagged
-    )
-    SELECT event_id, user_id,
-           round(value, 4)      AS purchase_value,
-           round(asof_value, 4) AS asof_value
-    FROM w WHERE is_left
-    """,
-    doc="As-of join: per purchase, most recent click value at-or-before "
-        "(operators/asof.py union+window plan — one shuffle, skew-safe).",
-)
-def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    clicks = ev.filter(F.col("event_type") == "click")
-    joined = asof_join(
-        purchases,
-        clicks,
-        on=["user_id"],
-        left_time="ts",
-        right_time="ts",
-        value_cols=["value"],
-        tiebreak="event_id",
-    )
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.round("value", 4).alias("purchase_value"),
-        F.round("asof_value", 4).alias("asof_value"),
-    )
-
-
-@register(
-    "asof_next_click_after_purchase",
-    """
-    WITH tagged AS (
-      SELECT user_id, ts, event_id, value,
-             (event_type = 'purchase') AS is_left
-      FROM events WHERE event_type IN ('click', 'purchase')
-    ), w AS (
-      SELECT user_id, ts, event_id, value, is_left,
-             last_value(CASE WHEN NOT is_left THEN value END IGNORE NULLS)
-               OVER (PARTITION BY user_id
-                     ORDER BY ts DESC, is_left ASC, event_id DESC
-                     ROWS UNBOUNDED PRECEDING) AS asof_value
-      FROM tagged
-    )
-    SELECT event_id, user_id,
-           round(value, 4)      AS purchase_value,
-           round(asof_value, 4) AS asof_value
-    FROM w WHERE is_left
-    """,
-    doc="FORWARD as-of join: per purchase, the earliest click value "
-        "at-or-after it (operators/asof.py direction='forward' — same "
-        "union+window plan scanned in reverse time order; smallest "
-        "event_id wins equal-time click ties). Completes the as-of "
-        "surface's direction symmetry (reference delegates ASOF to its "
-        "SQL backends; pandas/DuckDB both expose the forward variant).",
-)
-def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    clicks = ev.filter(F.col("event_type") == "click")
-    joined = asof_join(
-        purchases,
-        clicks,
-        on=["user_id"],
-        left_time="ts",
-        right_time="ts",
-        value_cols=["value"],
-        tiebreak="event_id",
-        direction="forward",
-    )
-    return joined.select(
-        "event_id",
-        "user_id",
-        F.round("value", 4).alias("purchase_value"),
-        F.round("asof_value", 4).alias("asof_value"),
-    )
-
-
-@register(
-    "q7_nation_volume",
-    """
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(extract(year FROM l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
-    FROM supplier
-    JOIN lineitem ON s_suppkey = l_suppkey
-    JOIN orders   ON o_orderkey = l_orderkey
-    JOIN customer ON c_custkey = o_custkey
-    JOIN nation n1 ON s_nationkey = n1.n_nationkey
-    JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
-      AND n1.n_nationkey <> n2.n_nationkey
-    GROUP BY n1.n_name, n2.n_name, extract(year FROM l_shipdate)
-    """,
-    doc="TPC-H Q7 style: bilateral trade volume, year extraction in "
-        "grouping, self-joined dimension.",
-)
-def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
-        FROM supplier
-        JOIN lineitem ON s_suppkey = l_suppkey
-        JOIN orders   ON o_orderkey = l_orderkey
-        JOIN customer ON c_custkey = o_custkey
-        JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE n1.n_nationkey < 3 AND n2.n_nationkey < 3
-          AND n1.n_nationkey <> n2.n_nationkey
-        GROUP BY n1.n_name, n2.n_name, extract(year FROM l_shipdate)
-        """,
-    )
-
-
-@register(
-    "q2_min_cost_supplier",
-    """
-    SELECT s.s_suppkey, s.s_name, p.p_partkey,
-           CAST(floor(l.l_extendedprice / l.l_quantity * 10000) AS BIGINT)
-             AS unit_cost_e4
-    FROM lineitem l
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN part p     ON l.l_partkey = p.p_partkey
-    WHERE p.p_partkey < 200
-      AND l.l_extendedprice / l.l_quantity = (
-        SELECT min(l2.l_extendedprice / l2.l_quantity)
-        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
-    """,
-    doc="TPC-H Q2 style: correlated scalar-min subquery.",
-)
-def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT s.s_suppkey, s.s_name, p.p_partkey,
-               CAST(floor(l.l_extendedprice / l.l_quantity * 10000) AS BIGINT)
-                 AS unit_cost_e4
-        FROM lineitem l
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        JOIN part p     ON l.l_partkey = p.p_partkey
-        WHERE p.p_partkey < 200
-          AND l.l_extendedprice / l.l_quantity = (
-            SELECT min(l2.l_extendedprice / l2.l_quantity)
-            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
-        """,
-    )
-
-
-@register(
-    "q16_supplier_part_counts",
-    """
-    SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
-      AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
-    GROUP BY p_brand, p_type
-    """,
-    doc="TPC-H Q16 style: NOT IN list + IN list + distinct agg.",
-)
-def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    p = table(spark, sf_dir, "part").filter(
-        (~F.col("p_brand").isin("Brand#1", "Brand#2"))
-        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49)
-    )
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_type")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-@register(
-    "q19_disjunctive_revenue",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
-           AND l_quantity >= 1 AND l_quantity <= 30)
-       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
-           AND l_quantity >= 10 AND l_quantity <= 40)
-       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-           AND l_quantity >= 20 AND l_quantity <= 50)
-    """,
-    doc="TPC-H Q19 style: OR-of-ANDs predicate (planner must keep the "
-        "join equi-key while pushing the disjunction).",
-)
-def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    p = F.broadcast(table(spark, sf_dir, "part"))
-    joined = li.join(p, li.l_partkey == p.p_partkey)
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(1, 30)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 25)
-            & F.col("l_quantity").between(10, 40)
-        )
-        | (
-            (F.col("p_brand") == "Brand#34")
-            & F.col("p_size").between(1, 35)
-            & F.col("l_quantity").between(20, 50)
-        )
-    )
-    return joined.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Aggregation (distinct, having, rollup/cube/grouping sets, stats)
-# ---------------------------------------------------------------------------
-
-@register(
-    "agg_distinct_having",
-    """
-    SELECT l_returnflag,
-           count(DISTINCT l_partkey) AS n_parts,
-           count(DISTINCT l_suppkey) AS n_supps,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY l_returnflag
-    HAVING count(*) > 100
-    """,
-    doc="Distinct aggregates + HAVING.",
-)
-def agg_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .filter(F.col("n") > 100)
-    )
-
-
-@register(
-    "agg_rollup_lineitem",
-    """
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-    doc="ROLLUP hierarchy totals.",
-)
-def agg_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-
-
-@register(
-    "agg_cube_orders",
-    """
-    SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
-    FROM orders
-    GROUP BY CUBE(o_orderstatus, o_orderpriority)
-    """,
-    doc="CUBE over two dimensions.",
-)
-def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-    )
-
-
-@register(
-    "agg_grouping_sets",
-    """
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    doc="Explicit GROUPING SETS via the SQL pass-through surface.",
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """,
-    )
-
-
-@register(
-    "agg_stats_moments",
-    """
-    SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 4)                 AS sd_qty,
-           round(var_samp(l_quantity), 4)                    AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-    doc="Statistical aggregates (stddev/var/corr/covar).",
-)
-def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-            "corr_qty_price"
-        ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "covar_qty_price"
-        ),
-    )
-
-
-@register(
-    "agg_conditional_sums",
-    """
-    SELECT c_nationkey,
-           count(*) AS n_cust,
-           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
-           round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END), 2) AS pos_bal
-    FROM customer
-    GROUP BY c_nationkey
-    """,
-    doc="Conditional aggregation (CASE inside SUM).",
-)
-def agg_conditional_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    return cust.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n_cust"),
-        F.sum(
-            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
-        ).alias("n_building"),
-        F.round(
-            F.sum(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(0)),
-            2,
-        ).alias("pos_bal"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Window functions
-# ---------------------------------------------------------------------------
-
-@register(
-    "window_topk_orders_per_priority",
-    """
-    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total, rn
-    FROM (
-      SELECT o_orderkey, o_orderpriority, o_totalprice,
-             row_number() OVER (PARTITION BY o_orderpriority
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders
-    ) t WHERE rn <= 3
-    """,
-    doc="Top-k per group via ranking window.",
-)
-def window_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        table(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            F.round("o_totalprice", 2).alias("total"),
-            "rn",
-        )
-    )
-
-
-@register(
-    "window_running_spend",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
-             PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING), 2) AS running_spend
-    FROM orders WHERE o_custkey < 100
-    """,
-    doc="Running total (ROWS frame).",
-)
-def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 100)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
-        )
-    )
-
-
-@register(
-    "window_lag_lead_events",
-    """
-    SELECT event_id, user_id,
-           round(value - lag(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta,
-           lead(event_type) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-    FROM events WHERE event_type = 'click'
-    """,
-    doc="lag/lead analytics.",
-)
-def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
-        F.lead("event_type").over(w).alias("next_type"),
-    )
-
-
-@register(
-    "window_range_frame_price",
-    """
-    SELECT o_orderkey,
-           count(*) OVER (
-             PARTITION BY o_orderstatus ORDER BY o_totalprice
-             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_similar
-    FROM orders WHERE o_custkey < 200
-    """,
-    doc="RANGE frame with a value offset.",
-)
-def window_range_frame_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # double-valued RANGE offsets aren't expressible via the
-    # rowsBetween/rangeBetween Python API -> window expression
-    return (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 200)
-        .selectExpr(
-            "o_orderkey",
-            """count(*) OVER (
-                 PARTITION BY o_orderstatus ORDER BY o_totalprice
-                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_similar""",
-        )
-    )
-
-
-@register(
-    "window_ntile_balance",
-    """
-    SELECT c_custkey,
-           ntile(4) OVER (PARTITION BY c_mktsegment
-                          ORDER BY c_acctbal, c_custkey) AS quartile
-    FROM customer
-    """,
-    doc="ntile quartiles per segment.",
-)
-def window_ntile_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return (
-        table(spark, sf_dir, "customer")
-        .select("c_custkey", F.ntile(4).over(w).alias("quartile"))
-    )
-
-
-@register(
-    "window_first_last_value",
-    """
-    SELECT DISTINCT user_id,
-           round(first_value(value) OVER w, 4) AS first_val,
-           round(last_value(value)  OVER w, 4) AS last_val
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-    doc="first_value/last_value with full-partition frame.",
-)
-def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return (
-        table(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            F.round(F.first("value").over(w), 4).alias("first_val"),
-            F.round(F.last("value").over(w), 4).alias("last_val"),
-        )
-        .distinct()
-    )
-
-
-# ---------------------------------------------------------------------------
-# Sort / limit / set ops
-# ---------------------------------------------------------------------------
-
-@register(
-    "topk_expensive_parts",
-    """
-    SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
-    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
-    """,
-    doc="Global top-k (TakeOrderedAndProject physical plan).",
-)
-def topk_expensive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "part")
-        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
-        .limit(20)
-    )
-
-
-@register(
-    "setop_union_all_nationkeys",
-    """
-    SELECT nk, count(*) AS n FROM (
-      SELECT c_nationkey AS nk FROM customer
-      UNION ALL
-      SELECT s_nationkey AS nk FROM supplier
-    ) u GROUP BY nk
-    """,
-    doc="UNION ALL.",
-)
-def setop_union_all_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.unionByName(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
-
-
-@register(
-    "setop_intersect_nationkeys",
-    """
-    SELECT c_nationkey AS nk FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-    doc="INTERSECT (distinct).",
-)
-def setop_intersect_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s)
-
-
-@register(
-    "setop_except_nationkeys",
-    """
-    SELECT c_nationkey AS nk FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    """,
-    doc="EXCEPT (distinct).",
-)
-def setop_except_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    # subtract == EXCEPT (set semantics); exceptAll would keep keys
-    # that appear on both sides with different multiplicities
-    return c.subtract(s)
-
-
-# ---------------------------------------------------------------------------
-# Subqueries / CTEs (via the SQL pass-through surface)
-# ---------------------------------------------------------------------------
-
-@register(
-    "subq_scalar_above_avg_price",
-    """
-    SELECT p_partkey, round(p_retailprice, 2) AS price
-    FROM part
-    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
-    """,
-    doc="Scalar subquery.",
-)
-def subq_scalar_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT p_partkey, round(p_retailprice, 2) AS price
-        FROM part
-        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
-        """,
-    )
-
-
-@register(
-    "subq_in_big_spenders",
-    """
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE c_custkey IN (
-      SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
-    """,
-    doc="IN subquery (decorrelates to semi join).",
-)
-def subq_in_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT c_custkey, c_name
-        FROM customer
-        WHERE c_custkey IN (
-          SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
-        """,
-    )
-
-
-@register(
-    "subq_exists_correlated",
-    """
-    SELECT s_suppkey, s_name
-    FROM supplier s
-    WHERE EXISTS (
-      SELECT 1 FROM lineitem l
-      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
-    """,
-    doc="Correlated EXISTS.",
-)
-def subq_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT s_suppkey, s_name
-        FROM supplier s
-        WHERE EXISTS (
-          SELECT 1 FROM lineitem l
-          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
-        """,
-    )
-
-
-@register(
-    "cte_top_supplier_revenue",
-    """
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-        AND l_shipdate <  TIMESTAMP '1998-07-01'
-      GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-    doc="TPC-H Q15 style: CTE + scalar subquery over it.",
-)
-def cte_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        WITH revenue AS (
-          SELECT l_suppkey AS supplier_no,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-            AND l_shipdate <  TIMESTAMP '1998-07-01'
-          GROUP BY l_suppkey)
-        SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-        """,
-    )
-
-
-# ---------------------------------------------------------------------------
-# Scalar function families
-# ---------------------------------------------------------------------------
-
-@register(
-    "fn_string_part_names",
-    """
-    SELECT p_partkey,
-           upper(p_name)                       AS name_upper,
-           substring(p_name, 1, 4)             AS name_prefix,
-           length(p_name)                      AS name_len,
-           concat(p_brand, ':', p_type)        AS brand_type,
-           replace(p_name, ' ', '_')           AS name_snake,
-           split_part(p_name, ' ', 1)          AS first_word,
-           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
-    FROM part
-    WHERE p_name LIKE '%bolt%'
-    """,
-    doc="String function family + LIKE pushdown.",
-)
-def fn_string_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.substring("p_name", 1, 4).alias("name_prefix"),
-        F.length("p_name").alias("name_len"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
-        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
-    )
-
-
-@register(
-    "fn_datetime_monthly_orders",
-    """
-    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate <  TIMESTAMP '1998-01-01'
-    GROUP BY 1
-    """,
-    doc="date_trunc monthly rollup.",
-)
-def fn_datetime_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-    )
-
-
-@register(
-    "fn_datetime_parts",
-    """
-    SELECT o_orderkey,
-           CAST(extract(year  FROM o_orderdate) AS INTEGER) AS yr,
-           CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
-           CAST(extract(day   FROM o_orderdate) AS INTEGER) AS dom,
-           o_orderdate + INTERVAL 30 DAY AS due_date
-    FROM orders WHERE o_orderkey < 500
-    """,
-    doc="extract() fields + interval arithmetic.",
-)
-def fn_datetime_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
-    )
-
-
-@register(
-    "fn_math_lineitem",
-    """
-    SELECT l_orderkey, l_linenumber,
-           round(abs(l_discount - 0.05), 4)            AS abs_d,
-           CAST(floor(l_quantity) AS BIGINT)           AS qty_floor,
-           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k,
-           round(sqrt(l_quantity), 4)                  AS qty_sqrt,
-           round(ln(l_extendedprice), 4)               AS price_ln,
-           round(power(1 + l_tax, 2), 4)               AS tax_sq,
-           l_orderkey % 7                              AS key_mod
-    FROM lineitem WHERE l_orderkey < 1000
-    """,
-    doc="Math function family.",
-)
-def fn_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_d"),
-        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
-        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k"),
-        F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
-        F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
-        F.round(F.pow(1 + F.col("l_tax"), 2), 4).alias("tax_sq"),
-        (F.col("l_orderkey") % 7).alias("key_mod"),
-    )
-
-
-@register(
-    "fn_conditional_buckets",
-    """
-    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
-                WHEN c_acctbal < 5000 THEN 'low'
-                ELSE 'high' END AS bucket,
-           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
-           count(*) AS n,
-           round(avg(c_acctbal), 2) AS avg_bal
-    FROM customer
-    GROUP BY 1, 2
-    """,
-    doc="CASE WHEN / coalesce / nullif.",
-)
-def fn_conditional_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    bucket = (
-        F.when(F.col("c_acctbal") < 0, "negative")
-        .when(F.col("c_acctbal") < 5000, "low")
-        .otherwise("high")
-        .alias("bucket")
-    )
-    seg2 = F.coalesce(
-        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
-    ).alias("seg2")
-    return cust.groupBy(bucket, seg2).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
-    )
-
-
-@register(
-    "fn_json_extract_events",
-    """
-    SELECT event_type,
-           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
-           count(*) AS n
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="JSON scalar extraction over the events.props JSON column.",
-)
-def fn_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("double")
-    return ev.groupBy("event_type").agg(
-        F.round(F.avg(k), 4).alias("avg_k"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "fn_array_vector_stats",
-    """
-    SELECT vec_id,
-           CAST(len(embedding) AS INTEGER) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem,
-           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 3) AS vec_sum,
-           round(sqrt(list_aggregate(
-             list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 3)
-             AS vec_norm
-    FROM embeddings WHERE vec_id < 100
-    """,
-    doc="Array lambda functions (aggregate/transform) over embeddings.",
-)
-def fn_array_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vec_sum = F.aggregate(
-        as_double, F.lit(0.0), lambda acc, x: acc + x
-    )
-    vec_sq = F.aggregate(
-        as_double, F.lit(0.0), lambda acc, x: acc + x * x
-    )
-    return emb.select(
-        "vec_id",
-        F.size("embedding").alias("dim"),
-        F.round(F.element_at(as_double, 1), 4).alias("first_elem"),
-        F.round(vec_sum, 3).alias("vec_sum"),
-        F.round(F.sqrt(vec_sq), 3).alias("vec_norm"),
-    )
-
-
-@register(
-    "fn_explode_vectors",
-    """
-    SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
-           round(CAST(embedding[i] AS DOUBLE), 4) AS val
-    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-    WHERE vec_id < 5
-    """,
-    doc="posexplode / unnest-with-index parity.",
-)
-def fn_explode_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
-    return emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        "pos",
-        F.round(F.col("v").cast("double"), 4).alias("val"),
-    )
-
-
-@register(
-    "pivot_segment_counts",
-    """
-    SELECT c_nationkey,
-           CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS AUTOMOBILE,
-           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS BUILDING,
-           CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS FURNITURE,
-           CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS HOUSEHOLD,
-           CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS MACHINERY
-    FROM customer GROUP BY c_nationkey
-    """,
-    doc="Pivot (groupBy().pivot()) — oracle is the conditional-sum "
-        "expansion it compiles to.",
-)
-def pivot_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
-    out = (
-        table(spark, sf_dir, "customer")
-        .groupBy("c_nationkey")
-        .pivot("c_mktsegment", segs)  # explicit values: no extra pass
-        .count()
-    )
-    # pivot yields NULL for empty cells; the CASE expansion yields 0
-    return out.select(
-        "c_nationkey",
-        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in segs],
-    )
-
-
-@register(
-    "window_percent_rank",
-    """
-    SELECT o_orderkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
-    FROM orders
-    WHERE o_custkey < 50
-    WINDOW w AS (PARTITION BY o_orderstatus
-                 ORDER BY o_totalprice, o_orderkey)
-    """,
-    doc="percent_rank / cume_dist ranking windows.",
-)
-def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    return (
-        table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") < 50)
-        .select(
-            "o_orderkey",
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
-    )
-
-
-@register(
-    "udf_resample_daily",
-    """
-    SELECT user_id,
-           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           count(*) AS n_events,
-           CAST(round(sum(value) * 100) AS BIGINT) AS value_sum_e2
-    FROM events
-    GROUP BY user_id, date_trunc('day', ts)
-    """,
-    doc="applyInPandas grouped-map resampling; oracle is the SQL "
-        "equivalent, verifying the Arrow round-trip exactly.",
-)
-def udf_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.resample import resample_daily
-
-    return resample_daily(table(spark, sf_dir, "events"))
-
-
-@register(
-    "skew_salted_user_counts",
-    """
-    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
-    FROM events GROUP BY user_id
-    """,
-    doc="Two-phase salted aggregation (skew technique); oracle is the "
-        "plain groupBy it must equal.",
-)
-def skew_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.skew import salted_agg_counts
-
-    return salted_agg_counts(
-        table(spark, sf_dir, "events"), "user_id", "value"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Exact vs approximate aggregates
-# ---------------------------------------------------------------------------
-
-@register(
-    "count_distinct_exact_median",
-    """
-    SELECT event_type,
-           count(DISTINCT user_id) AS n_users,
-           round(quantile_cont(value, 0.5), 4) AS median_value
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="Exact distinct count + exact interpolated median.",
-)
-def count_distinct_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.round(F.percentile("value", 0.5), 4).alias("median_value"),
-    )
-
-
-@register(
-    "approx_distinct_quantiles",
-    _fixture_oracle(
-        "approx_distinct_quantiles",
-        ["event_type", "approx_users", "approx_median"],
-    ),
-    doc="approx_count_distinct (HLL++) + percentile_approx. Sketches "
-        "differ across engines, so the oracle is a determinism-checked "
-        "golden snapshot of the Spark output (both aggregates are "
-        "merge-order-independent at this scale: HLL++ union is "
-        "commutative; percentile_approx buffers < accuracy samples so "
-        "it is exact here). Exact twin: count_distinct_exact_median.",
-)
-def approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.round(F.percentile_approx("value", 0.5), 4).alias("approx_median"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# LLM-pipeline extensions: dedup / similarity / text analysis / multimodal
-# (beyond reference parity — SURVEY.md §7 milestone 5)
-# ---------------------------------------------------------------------------
-
-#: DuckDB-side normalized token list (must mirror dedup.normalize_text)
-_DUCK_TOKENS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
-#: DuckDB-side distinct 3-gram shingles (mirrors dedup.token_shingles)
-_DUCK_SHINGLES = f"""
-  list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
-                 FOR i IN generate_series(1, greatest(len(w) - 2, 1))])
-""".strip()
-
-
-@register(
-    "dedup_exact_documents",
-    """
-    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-           count(*) AS n_dups
-    FROM documents GROUP BY md5(text)
-    """,
-    doc="Exact dedup: hash-groupBy, deterministic keeper (min id).",
-)
-def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import exact_dedup
-
-    return exact_dedup(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_minhash_near_pairs",
-    f"""
-    WITH g AS (
-      SELECT doc_id, {_DUCK_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))
-                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
-                 4) AS jaccard_sim
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))
-          >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
-    """,
-    doc="MinHash+LSH near-dup pairs (jaccard >= 0.8 on 3-gram shingles); "
-        "oracle is the exact quadratic jaccard — LSH capture probability "
-        "at j=0.8 with 16 bands x 4 rows is ~0.9998, and the verify stage "
-        "removes false positives, so outputs match w.h.p.",
-)
-def dedup_minhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_lsh_pairs
-
-    return minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), threshold=0.8
-    )
-
-
-@register(
-    "dedup_simhash_clusters",
-    _fixture_oracle(
-        "dedup_simhash_clusters",
-        ["simhash", "cluster_id", "n_docs", "doc_ids"],
-    ),
-    doc="SimHash fingerprint clusters (identical 64-bit fingerprints). "
-        "xxhash64 is not reproducible in DuckDB, so the oracle is a "
-        "determinism-checked golden snapshot (fixed seed, hash-only "
-        "pipeline). doc_ids is emitted sorted and comma-joined so the "
-        "hash-compare sees a scalar, not an engine-specific array "
-        "encoding.",
-)
-def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash_clusters
-
-    return simhash_clusters(table(spark, sf_dir, "documents")).withColumn(
-        "doc_ids", F.array_join("doc_ids", ",")
-    )
-
-
-@register(
-    "dedup_simhash_near_pairs",
-    _fixture_oracle(
-        "dedup_simhash_near_pairs", ["id_a", "id_b", "hamming"]
-    ),
-    doc="SimHash near-dup pairs within hamming<=3 via 4-band pigeonhole "
-        "blocking (complete, not probabilistic): any pair differing in "
-        "<4 bits agrees exactly on one 16-bit band, so candidates come "
-        "from an equi-join, never a cross product.",
-)
-def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash_near_pairs
-
-    return simhash_near_pairs(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_ngram_jaccard_pairs",
-    f"""
-    WITH g AS (
-      SELECT doc_id, {_DUCK_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w
-            FROM documents WHERE doc_id < 100)
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))
-                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
-                 4) AS jaccard_sim
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))
-          >= 0.2 * len(list_distinct(list_concat(a.sh, b.sh)))
-    """,
-    doc="Exact pairwise n-gram jaccard on a bounded slice.",
-)
-def text_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import ngram_jaccard_pairs
-
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return ngram_jaccard_pairs(docs, threshold=0.2)
-
-
-@register(
-    "ann_cosine_topk",
-    """
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings),
-         scored AS (
-           SELECT query_id, neighbor_id,
-                  round(list_cosine_similarity(qv, cv), 6) AS cos_sim
-           FROM q JOIN c ON query_id <> neighbor_id),
-         ranked AS (
-           SELECT query_id, neighbor_id, cos_sim,
-                  CAST(row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
-           FROM scored)
-    SELECT query_id, neighbor_id, cos_sim, rank
-    FROM ranked WHERE rank <= 5
-    """,
-    doc="Brute-force cosine top-k (exact ANN baseline): query side "
-        "broadcast, one streaming pass over the corpus.",
-)
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import brute_force_topk
-
-    emb = table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10)
-    return brute_force_topk(emb, queries_df, k=5)
-
-
-@register(
-    "ann_lsh_topk",
-    _fixture_oracle(
-        "ann_lsh_topk", ["query_id", "neighbor_id", "cos_sim", "rank"]
-    ),
-    doc="Random-hyperplane LSH ANN: bucket-join candidates then exact "
-        "cosine — the linear-cost scale path for 100 TB corpora. "
-        "Hyperplanes are seeded deterministically, so the oracle is a "
-        "determinism-checked golden snapshot of the Spark output.",
-)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import lsh_topk
-
-    emb = table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries_df, k=5)
-
-
-@register(
-    "ann_ivf_topk",
-    """
-    WITH cent AS (
-      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings WHERE vec_id < 16),
-    corpus AS (
-      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings),
-    assign AS (
-      SELECT neighbor_id, cid FROM (
-        SELECT corpus.neighbor_id, cent.cid,
-               row_number() OVER (
-                 PARTITION BY corpus.neighbor_id
-                 ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid
-               ) AS rn
-        FROM corpus CROSS JOIN cent) a
-      WHERE rn = 1),
-    q AS (
-      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 10),
-    probe AS (
-      SELECT query_id, cid FROM (
-        SELECT q.query_id, cent.cid,
-               row_number() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid
-               ) AS rn
-        FROM q CROSS JOIN cent) p
-      WHERE rn <= 4),
-    scored AS (
-      SELECT probe.query_id, assign.neighbor_id,
-             round(list_cosine_similarity(qv, v), 6) AS cos_sim
-      FROM probe
-      JOIN assign USING (cid)
-      JOIN q ON q.query_id = probe.query_id
-      JOIN corpus ON corpus.neighbor_id = assign.neighbor_id
-      WHERE probe.query_id <> assign.neighbor_id),
-    ranked AS (
-      SELECT query_id, neighbor_id, cos_sim,
-             CAST(row_number() OVER (
-               PARTITION BY query_id
-               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
-      FROM scored)
-    SELECT query_id, neighbor_id, cos_sim, rank
-    FROM ranked WHERE rank <= 5
-    """,
-    doc="IVF ANN (operators/similarity.py::ivf_topk): corpus assigned "
-        "to nearest of 16 deterministic centroids, queries probe their "
-        "4 nearest lists, exact cosine on list members only. Fully "
-        "SQL-expressible (deterministic centroids), so unlike LSH this "
-        "approximate index gets a hash-checked oracle.",
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import ivf_topk
-
-    emb = table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=4)
-
-
-@register(
-    "emb_quantize_sq8",
-    """
-    WITH dims AS (
-      SELECT unnest(generate_series(1, len(embedding))) - 1 AS dim,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings),
-    rng AS (
-      SELECT dim, min(x) AS vmin, max(x) AS vmax FROM dims GROUP BY dim),
-    coded AS (
-      SELECT dims.dim, rng.vmin, rng.vmax,
-             round((x - vmin) / (vmax - vmin) * 255) AS code,
-             abs(x - (vmin + round((x - vmin) / (vmax - vmin) * 255)
-                             * (vmax - vmin) / 255)) AS err
-      FROM dims JOIN rng USING (dim))
-    SELECT CAST(dim AS INTEGER) AS dim,
-           round(min(vmin), 6) AS vmin,
-           round(max(vmax), 6) AS vmax,
-           count(DISTINCT code) AS n_codes,
-           CAST(round(avg(err) * 1e6) AS BIGINT) AS mean_err_e6
-    FROM coded GROUP BY dim
-    """,
-    doc="Int8 scalar-quantization audit (operators/similarity.py::"
-        "scalar_quantize_stats): per-dim min/max training, code "
-        "assignment, reconstruction error — the storage-compression "
-        "path for 100 TB embedding corpora, hash-checked against the "
-        "same arithmetic in SQL.",
-)
-def emb_quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import scalar_quantize_stats
-
-    return scalar_quantize_stats(table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "emb_near_dup_pairs",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6)
-             AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6)
-          >= 0.4
-    """,
-    doc="Embedding near-duplicate pairs above a cosine threshold.",
-)
-def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import cosine_pairs_above
-
-    return cosine_pairs_above(table(spark, sf_dir, "embeddings"), 0.4)
-
-
-@register(
-    "text_langid",
-    """
-    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
-    h AS (
-      SELECT doc_id,
-        len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','ein','zu'))) AS de_hits,
-        len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it')))       AS en_hits,
-        len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es')))        AS es_hits,
-        len(list_filter(w, x -> x IN ('le','les','des','et','une','est','dans','pour'))) AS fr_hits
-      FROM t)
-    SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
-           CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
-                WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
-                WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
-                WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
-                ELSE 'fr' END AS predicted_lang
-    FROM h
-    """.format(toks=_DUCK_TOKENS),
-    doc="Stopword-ratio language ID (deterministic tie-break ladder).",
-)
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import lang_id
-
-    return lang_id(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_quality",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             length(text) AS n_chars,
-             len({toks}) AS n_tokens,
-             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-               / CAST(length(text) AS DOUBLE) AS punct_ratio,
-             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-               / CAST(length(text) AS DOUBLE) AS alpha_ratio,
-             len(list_filter({toks},
-                 x -> x IN ('the','a','and','of','to','in','is','it')))
-               / CAST(len({toks}) AS DOUBLE) AS stop_ratio
-      FROM documents)
-    SELECT doc_id, n_chars, n_tokens,
-           round(punct_ratio, 4) AS punct_ratio,
-           round(alpha_ratio, 4) AS alpha_ratio,
-           round(stop_ratio, 4) AS stop_ratio,
-           round(least(1.0, n_tokens / 50.0) * (1 - punct_ratio) * alpha_ratio
-                 * (0.5 + least(0.5, stop_ratio * 2)) + 1e-9, 4) AS quality
-    FROM t
-    """.format(toks=_DUCK_TOKENS),
-    doc="Quality features + composite score (epsilon-stabilized "
-        "rounding on the composite: its exact value can sit on a 4dp "
-        "half-way point where cross-engine ulp differences round "
-        "apart — see operators/text.py quality_score).",
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import quality_score
-
-    return quality_score(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_token_stats",
-    """
-    SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
-             AS bpe_tokens,
-           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
-    FROM documents
-    """,
-    doc="Token counting: whitespace, BPE-ish regex, chars/4 estimate.",
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import token_stats
-
-    return token_stats(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_fingerprint",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
-             {toks} AS w
-      FROM documents)
-    SELECT doc_id,
-           md5(norm) AS md5_fp,
-           CAST(list_sum(list_transform(generate_series(1, len(w)),
-                i -> i * (length(w[i]) * 131 + ascii(w[i])))) AS BIGINT)
-             AS poly_fp
-    FROM t
-    """.format(toks=_DUCK_TOKENS),
-    doc="Document fingerprints: md5 of normalized text + positional "
-        "polynomial hash.",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import fingerprint
-
-    return fingerprint(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "multimodal_payload_meta",
-    """
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-           md5(text) AS checksum
-    FROM documents
-    """,
-    doc="Multimodal binary column plumbing: payload + typed metadata "
-        "(decode kernels stubbed — libs absent; see operators/multimodal).",
-)
-def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import attach_payload
-
-    docs = attach_payload(table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        F.col("media_meta.n_bytes").alias("n_bytes"),
-        F.col("media_meta.checksum").alias("checksum"),
-    )
-
-
-@register(
-    "multimodal_frame_sample",
-    """
-    WITH p AS (
-      SELECT doc_id, hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS n,
-             greatest(1, octet_length(encode(text)) // 4) AS step
-      FROM documents),
-    f AS (
-      SELECT doc_id,
-             CAST(i AS INTEGER) AS frame_idx,
-             substring(hx, CAST(i * step * 2 + 1 AS BIGINT),
-                       CAST(step * 2 AS BIGINT)) AS frame_hex
-      FROM p CROSS JOIN generate_series(0, 3) AS g(i)
-      WHERE n > 0 AND i < least(4, n))
-    SELECT doc_id, frame_idx, frame_hex FROM f
-    """,
-    doc="Video-frame-sampling shape (operators/multimodal.py::"
-        "sample_frames): one payload row fans out to n evenly spaced "
-        "byte slices via mapInPandas; frames compared hex-encoded "
-        "(DuckDB has no blob substring) so the binary round-trip is "
-        "hash-checked cross-engine.",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import attach_payload, sample_frames
-
-    docs = attach_payload(table(spark, sf_dir, "documents"))
-    return sample_frames(docs, n_frames=4).select(
-        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
-    )
-
-
-@register(
-    "multimodal_fake_features",
-    _fixture_oracle("multimodal_fake_features", ["doc_id", "dim", "f0"]),
-    doc="Arrow-batched mapInPandas feature extraction over binary "
-        "payloads (deterministic stub kernel; real decode not "
-        "installed). Oracle is a golden snapshot — the kernel is a "
-        "pure function of the payload bytes.",
-)
-def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import attach_payload, extract_features
-
-    docs = attach_payload(table(spark, sf_dir, "documents"))
-    feats = extract_features(docs)
-    return feats.select(
-        "doc_id",
-        F.size("features").alias("dim"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-    )
-
-
-@register(
-    "split_train_val_test",
-    """
-    SELECT split, count(*) AS n_docs,
-           CAST(sum(n_chars) AS BIGINT) AS total_chars
-    FROM (
-      SELECT CASE WHEN bucket < 90 THEN 'train'
-                  WHEN bucket < 95 THEN 'val'
-                  ELSE 'test' END AS split,
-             n_chars
-      FROM (SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-                    % 100) AS bucket,
-                   n_chars
-            FROM documents) b
-    ) s
-    GROUP BY split
-    """,
-    doc="Content-addressed train/val/test split (operators/split.py): "
-        "md5-bucket assignment is reproducible across engines, runs and "
-        "cluster layouts, unlike randomSplit; oracle recomputes the "
-        "same md5 buckets in SQL.",
-)
-def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.split import hash_split
-
-    docs = table(spark, sf_dir, "documents")
-    out = hash_split(
-        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
-    )
-    return out.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-    )
-
-
-@register(
-    "stratified_sample_events",
-    """
-    WITH b AS (
-      SELECT event_type, value,
-             (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
-              % 10000) AS bucket
-      FROM events)
-    SELECT event_type, count(*) AS n_kept,
-           CAST(round(sum(value) * 100) AS BIGINT) AS value_e2
-    FROM b
-    WHERE (event_type = 'click'    AND bucket < 2000)
-       OR (event_type = 'purchase' AND bucket < 5000)
-       OR (event_type NOT IN ('click', 'purchase') AND bucket < 500)
-    GROUP BY event_type
-    """,
-    doc="Deterministic stratified sampling (operators/split.py::"
-        "stratified_sample): keep-decision is md5(event_id) mod grid — "
-        "reproducible across engines/runs/layouts unlike sampleBy; "
-        "oracle recomputes the identical buckets in SQL.",
-)
-def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.split import stratified_sample
-
-    ev = table(spark, sf_dir, "events")
-    kept = stratified_sample(
-        ev,
-        key_col="event_id",
-        strata_col="event_type",
-        fractions={"click": 0.20, "purchase": 0.50},
-        default_fraction=0.05,
-    )
-    return kept.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.round(F.sum("value") * 100).cast("long").alias("value_e2"),
-    )
-
-
-@register(
-    "text_clean_redact",
-    r"""
-    SELECT doc_id,
-           trim(regexp_replace(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-                 'https?://[^\s]+', '<URL>', 'g'),
-               '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g'),
-             '\s+', ' ', 'g')) AS clean_text,
-           len(regexp_extract_all(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-             AS n_emails,
-           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
-           len(regexp_extract_all(text, '[0-9][0-9 ()+.-]{6,}[0-9]'))
-             AS n_number_runs
-    FROM documents
-    """,
-    doc="Corpus cleaning + PII-ish redaction (operators/text.py::"
-        "clean_and_redact): email/URL/digit-run placeholders + "
-        "whitespace normalization, with per-doc audit counts; patterns "
-        "restricted to Java-regex/RE2-shared syntax so the oracle runs "
-        "the identical expressions.",
-)
-def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import clean_and_redact
-
-    return clean_and_redact(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "text_tfidf_top_terms",
-    """
-    WITH tok AS (
-      SELECT doc_id, unnest({toks}) AS term FROM documents),
-    tf AS (
-      SELECT doc_id, term, count(*) AS tf
-      FROM tok WHERE term <> '' GROUP BY doc_id, term),
-    dfreq AS (
-      SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY term),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-    scored AS (
-      SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
-             round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.doc_freq + 1.0))
-                            + 1.0), 6) AS tfidf
-      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-    ranked AS (
-      SELECT *, CAST(row_number() OVER (
-               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER)
-             AS rnk
-      FROM scored)
-    SELECT doc_id, term, tf, doc_freq, tfidf, rnk
-    FROM ranked WHERE rnk <= 3
-    """.format(toks=_DUCK_TOKENS),
-    doc="TF-IDF top-3 characteristic terms per document "
-        "(operators/text.py::tfidf_top_terms, scikit-style smoothed "
-        "idf); scores rounded to 6dp before ranking so the order is "
-        "engine-independent.",
-)
-def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import tfidf_top_terms
-
-    return tfidf_top_terms(table(spark, sf_dir, "documents"), k=3)
-
-
-@register(
-    "range_join_click_purchase",
-    """
-    SELECT p.user_id, count(*) AS n_pairs,
-           CAST(round(sum(p.value) * 100) AS BIGINT) AS purchase_value_e2
-    FROM events c JOIN events p
-      ON c.user_id = p.user_id
-     AND epoch_us(p.ts) - epoch_us(c.ts) >= 0
-     AND epoch_us(p.ts) - epoch_us(c.ts) < 900 * 1000000
-    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-    GROUP BY p.user_id
-    """,
-    doc="Bucketed time-range join (operators/rangejoin.py): click->"
-        "purchase pairs within 15 min, equi-joined on quantized time "
-        "buckets instead of a nested-loop cross product; oracle is the "
-        "naive non-equi join in integer microseconds.",
-)
-def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.rangejoin import range_join_seconds
-
-    ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("user_id"),
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("p_value"),
-    )
-    pairs = range_join_seconds(
-        clicks,
-        purchases,
-        left_ts="c_ts",
-        right_ts="p_ts",
-        window_seconds=900,
-        extra_cond=F.col("c_user") == F.col("user_id"),
-    )
-    return pairs.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.sum("p_value") * 100).cast("long").alias(
-            "purchase_value_e2"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
-# TPC-H breadth (reference promises the full analytic SELECT surface via
-# pass-through, SURVEY §2.2; queries adapted where the synthetic schema
-# lacks TPC-H columns — no partsupp/commitdate/receiptdate/shipmode/
-# container/phone — preserving each query's operator shape)
-# ---------------------------------------------------------------------------
-
-@register(
-    "q4_order_priority",
-    """
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate <  TIMESTAMP '1997-07-01'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-    GROUP BY o_orderpriority
-    """,
-    doc="TPC-H Q4 shape: correlated EXISTS with non-equi predicate -> "
-        "left-semi join (commitdate/receiptdate absent; late-shipment "
-        "predicate stands in).",
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ords = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
-    )
-    li = table(spark, sf_dir, "lineitem")
-    late = (li.l_orderkey == ords.o_orderkey) & (
-        li.l_shipdate > ords.o_orderdate + F.expr("INTERVAL 60 DAY")
-    )
-    return (
-        ords.join(li, late, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-@register(
-    "q6_forecast_revenue",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-           count(*) AS n_lines
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate <  TIMESTAMP '1998-01-01'
-      AND l_discount BETWEEN 0.04 AND 0.06
-      AND l_quantity < 24
-    """,
-    doc="TPC-H Q6: pure scan-filter-agg; all predicates push to the "
-        "parquet scan, no shuffle beyond the final single-row agg.",
-)
-def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-            & (F.col("l_discount") >= 0.04)
-            & (F.col("l_discount") <= 0.06)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "q8_market_share",
-    """
-    SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END), 2)
-             AS nation_volume,
-           round(sum(volume), 2) AS total_volume,
-           round(round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END), 2)
-                 / round(sum(volume), 2), 6) AS mkt_share
-    FROM (
-      SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
-             n2.n_name AS nation
-      FROM lineitem
-      JOIN part     ON p_partkey = l_partkey
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN orders   ON o_orderkey = l_orderkey
-      JOIN customer ON c_custkey = o_custkey
-      JOIN nation n1 ON c_nationkey = n1.n_nationkey
-      JOIN region   ON n1.n_regionkey = r_regionkey
-      JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
-    ) all_nations
-    GROUP BY o_year
-    """,
-    doc="TPC-H Q8: national market share — 8-way join, conditional agg; "
-        "share computed from the ROUNDED (exact-grid) sums so the "
-        "division is bit-identical cross-engine.",
-)
-def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    prt = F.broadcast(
-        table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    )
-    supp = F.broadcast(table(spark, sf_dir, "supplier"))
-    ords = table(spark, sf_dir, "orders")
-    cust = table(spark, sf_dir, "customer")
-    n1 = F.broadcast(table(spark, sf_dir, "nation"))
-    n2 = F.broadcast(
-        table(spark, sf_dir, "nation").select(
-            F.col("n_nationkey").alias("n2_nationkey"),
-            F.col("n_name").alias("nation"),
-        )
-    )
-    reg = F.broadcast(
-        table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    nation_vol = F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(
-        F.lit(0.0)
-    )
-    flat = (
-        li.join(prt, li.l_partkey == prt.p_partkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(cust, ords.o_custkey == cust.c_custkey)
-        .join(n1, cust.c_nationkey == n1.n_nationkey)
-        .join(reg, n1.n_regionkey == reg.r_regionkey)
-        .join(n2, supp.s_nationkey == F.col("n2_nationkey"))
-        .select(
-            F.year("o_orderdate").cast("int").alias("o_year"),
-            vol.alias("volume"),
-            "nation",
-        )
-    )
-    num = F.round(F.sum(nation_vol), 2)
-    den = F.round(F.sum("volume"), 2)
-    return flat.groupBy("o_year").agg(
-        num.alias("nation_volume"),
-        den.alias("total_volume"),
-        F.round(num / den, 6).alias("mkt_share"),
-    )
-
-
-@register(
-    "q9_product_profit",
-    """
-    SELECT n_name AS nation,
-           CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-           CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
-                AS BIGINT) AS profit_e4
-    FROM lineitem
-    JOIN part     ON p_partkey = l_partkey
-    JOIN supplier ON s_suppkey = l_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN orders   ON o_orderkey = l_orderkey
-    WHERE p_name LIKE '%widget%'
-    GROUP BY n_name, extract(year FROM o_orderdate)
-    """,
-    doc="TPC-H Q9 shape: profit by supplier nation and year with LIKE "
-        "part filter (no ps_supplycost in schema: revenue stands in).",
-)
-def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    prt = F.broadcast(
-        table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
-    )
-    supp = F.broadcast(table(spark, sf_dir, "supplier"))
-    nat = F.broadcast(table(spark, sf_dir, "nation"))
-    ords = table(spark, sf_dir, "orders")
-    return (
-        li.join(prt, li.l_partkey == prt.p_partkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(nat, supp.s_nationkey == nat.n_nationkey)
-        .join(ords, li.l_orderkey == ords.o_orderkey)
-        .groupBy(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("int").alias("o_year"),
-        )
-        .agg(
-            # the volume grid is 4 decimals (2-dec price x 2-dec
-            # discount), so a 2-dec round can land on a half boundary
-            # where engines disagree by an ulp; scale to the grid and
-            # emit an exact integer instead
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                * 10000
-            )
-            .cast("long")
-            .alias("profit_e4")
-        )
-    )
-
-
-@register(
-    "q10_returned_items",
-    """
-    SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS acctbal,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate <  TIMESTAMP '1997-07-01'
-      AND l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, n_name, c_acctbal
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-    doc="TPC-H Q10: top-20 customers by returned-item revenue; "
-        "TakeOrderedAndProject with deterministic tie-break.",
-)
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    ords = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
-    )
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    nat = F.broadcast(table(spark, sf_dir, "nation"))
-    return (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(cust, ords.o_custkey == cust.c_custkey)
-        .join(nat, cust.c_nationkey == nat.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select(
-            "c_custkey", "c_name", "n_name",
-            F.round("c_acctbal", 2).alias("acctbal"), "revenue",
-        )
-        .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
-    )
-
-
-@register(
-    "q11_important_parts",
-    """
-    WITH scoped AS (
-      SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
-      FROM lineitem
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_3')
-    SELECT l_partkey,
-           CAST(round(sum(v) * 10000) AS BIGINT) AS value_e4
-    FROM scoped
-    GROUP BY l_partkey
-    HAVING sum(v) > (SELECT sum(v) * 0.001 FROM scoped)
-    """,
-    doc="TPC-H Q11 shape: group value vs a global-fraction scalar "
-        "subquery in HAVING (no partsupp in schema: lineitem revenue "
-        "through NATION_3 suppliers stands in for stock value).",
-)
-def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    supp = F.broadcast(table(spark, sf_dir, "supplier"))
-    nat = F.broadcast(
-        table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    )
-    scoped = (
-        li.join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(nat, supp.s_nationkey == nat.n_nationkey)
-        .select(
-            "l_partkey",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
-        )
-    )
-    grouped = scoped.groupBy("l_partkey").agg(F.sum("v").alias("sv"))
-    total = scoped.agg((F.sum("v") * 0.001).alias("threshold"))
-    return (
-        grouped.join(F.broadcast(total))
-        .filter(F.col("sv") > F.col("threshold"))
-        .select(
-            "l_partkey",
-            F.round(F.col("sv") * 10000).cast("long").alias("value_e4"),
-        )
-    )
-
-
-@register(
-    "q20_part_shippers",
-    """
-    SELECT s_suppkey, s_name
-    FROM supplier
-    WHERE s_suppkey IN (
-      SELECT l_suppkey
-      FROM lineitem JOIN part ON p_partkey = l_partkey
-      WHERE p_name LIKE '%widget%'
-        AND l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate <  TIMESTAMP '1998-01-01'
-      GROUP BY l_suppkey, l_partkey
-      HAVING sum(l_quantity) > 40)
-    """,
-    doc="TPC-H Q20 shape: IN over a grouped-HAVING subquery -> "
-        "aggregate-then-semi-join (no partsupp: shipped quantity "
-        "stands in for available stock).",
-)
-def q20_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    prt = F.broadcast(
-        table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
-    )
-    heavy = (
-        li.join(prt, li.l_partkey == prt.p_partkey)
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 40)
-        .select("l_suppkey")
-        .distinct()
-    )
-    supp = table(spark, sf_dir, "supplier")
-    return supp.join(
-        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
-    ).select("s_suppkey", "s_name")
-
-
-@register(
-    "q12_priority_lines",
-    """
-    SELECT l_returnflag,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l_shipdate <  TIMESTAMP '1998-01-01'
-    GROUP BY l_returnflag
-    """,
-    doc="TPC-H Q12 shape: join + conditional counts (no l_shipmode in "
-        "schema: returnflag stands in as the grouping).",
-)
-def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ords = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@register(
-    "q13_customer_distribution",
-    """
-    SELECT c_count, count(*) AS custdist
-    FROM (
-      SELECT c_custkey, count(o_orderkey) AS c_count
-      FROM customer
-      LEFT JOIN orders ON c_custkey = o_custkey
-                      AND o_orderpriority <> '4-NOT SPECIFIED'
-      GROUP BY c_custkey
-    ) c_orders
-    GROUP BY c_count
-    """,
-    doc="TPC-H Q13: orders-per-customer histogram — left join with "
-        "join-time predicate, double aggregation.",
-)
-def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    ords = table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "4-NOT SPECIFIED"
-    )
-    return (
-        cust.join(ords, cust.c_custkey == ords.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-        .groupBy("c_count")
-        .agg(F.count(F.lit(1)).alias("custdist"))
-    )
-
-
-@register(
-    "q14_promo_revenue",
-    """
-    SELECT round(sum(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END), 2) AS promo_revenue,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-           round(100.0 * round(sum(CASE WHEN p_type = 'PROMO'
-                                        THEN l_extendedprice * (1 - l_discount)
-                                        ELSE 0 END), 2)
-                 / round(sum(l_extendedprice * (1 - l_discount)), 2), 6)
-             AS promo_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
-      AND l_shipdate <  TIMESTAMP '1997-10-01'
-    """,
-    doc="TPC-H Q14: promo revenue share; ratio taken over the rounded "
-        "exact-grid sums so it is bit-identical cross-engine.",
-)
-def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
-    )
-    prt = F.broadcast(table(spark, sf_dir, "part"))
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
-    num = F.round(F.sum(promo), 2)
-    den = F.round(F.sum(vol), 2)
-    return li.join(prt, li.l_partkey == prt.p_partkey).agg(
-        num.alias("promo_revenue"),
-        den.alias("total_revenue"),
-        F.round(F.lit(100.0) * num / den, 6).alias("promo_pct"),
-    )
-
-
-@register(
-    "q15_top_supplier",
-    """
-    WITH revenue AS (
-      SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate <  TIMESTAMP '1997-04-01'
-      GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = supplier_no
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-    doc="TPC-H Q15: top supplier via CTE + scalar-max subquery; the max "
-        "compares rounded exact-grid values, so equality is stable.",
-)
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
-    )
-    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
-    supp = F.broadcast(table(spark, sf_dir, "supplier"))
-    return (
-        revenue.join(
-            F.broadcast(best),
-            revenue.total_revenue == F.col("best_rev"),
-        )
-        .join(supp, F.col("supplier_no") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-@register(
-    "q17_small_qty_revenue",
-    """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
-           count(*) AS n_lines
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE p_brand = 'Brand#4'
-      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                        FROM lineitem l2
-                        WHERE l2.l_partkey = p_partkey)
-    """,
-    doc="TPC-H Q17 shape: correlated avg threshold per part (p_container "
-        "absent: brand-only filter). avg of integer quantities is exact "
-        "in doubles, so the 0.2*avg threshold is bit-identical.",
-)
-def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    prt = F.broadcast(
-        table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
-    )
-    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold")
-    )
-    return (
-        li.join(prt, li.l_partkey == prt.p_partkey)
-        .join(thresholds, li.l_partkey == F.col("t_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
-
-
-@register(
-    "q18_large_volume_customers",
-    """
-    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-           CAST(round(sum(l_quantity)) AS BIGINT) AS total_qty
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON o_orderkey = l_orderkey
-    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
-    HAVING sum(l_quantity) > 250
-    """,
-    doc="TPC-H Q18: large-volume orders — agg over join + HAVING on an "
-        "exact integer-valued double sum.",
-)
-def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    ords = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(cust, ords.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate")
-        .agg(F.sum("l_quantity").alias("qty_sum"))
-        .filter(F.col("qty_sum") > 250)
-        .select(
-            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
-            F.round("qty_sum").cast("long").alias("total_qty"),
-        )
-    )
-
-
-@register(
-    "q21_lone_returning_supplier",
-    """
-    SELECT s_name, count(*) AS numwait
-    FROM supplier
-    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-    JOIN orders ON o_orderkey = l1.l_orderkey
-    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_returnflag = 'R')
-    GROUP BY s_name
-    ORDER BY numwait DESC, s_name
-    LIMIT 10
-    """,
-    doc="TPC-H Q21 shape: EXISTS + NOT EXISTS pair over the same fact "
-        "table (no receipt/commit dates: returnflag stands in for "
-        "lateness) -> semi- plus anti-join on a shared shuffle key.",
-)
-def q21_lone_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT s_name, count(*) AS numwait
-        FROM supplier
-        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_returnflag = 'R')
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name
-        LIMIT 10
-        """,
-    )
-
-
-@register(
-    "q22_idle_rich_customers",
-    """
-    SELECT c_nationkey AS cntry, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
-    FROM customer c
-    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-      AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                       WHERE c_acctbal > 0
-                         AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
-    GROUP BY c_nationkey
-    """,
-    doc="TPC-H Q22 shape: scalar-avg subquery + anti-join (no c_phone: "
-        "nationkey stands in for the country code).",
-)
-def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nations = [1, 3, 5, 7, 9, 11, 13]
-    cust = table(spark, sf_dir, "customer").filter(
-        F.col("c_nationkey").isin(nations)
-    )
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
-    )
-    ords = table(spark, sf_dir, "orders")
-    return (
-        cust.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(ords, cust.c_custkey == ords.o_custkey, "left_anti")
-        .groupBy(F.col("c_nationkey").alias("cntry"))
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Dedup cluster resolution, sessionization, time-hierarchy rollup
-# ---------------------------------------------------------------------------
-
-@register(
-    "dedup_cc_clusters",
-    f"""
-    WITH RECURSIVE
-      d AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh
-            FROM (SELECT doc_id, {_DUCK_TOKENS} AS w
-                  FROM documents WHERE doc_id < 400)),
-      pairs AS (
-        SELECT a.doc_id AS ua, b.doc_id AS ub
-        FROM d a JOIN d b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))
-              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-              >= 0.2),
-      edges AS (SELECT ua AS u, ub AS v FROM pairs
-                UNION SELECT ub, ua FROM pairs),
-      reach(u, v) AS (
-        SELECT doc_id, doc_id FROM documents WHERE doc_id < 400
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-      lab AS (SELECT u AS doc_id, min(v) AS cluster_id
-              FROM reach GROUP BY u),
-      sz AS (SELECT cluster_id, count(*) AS cluster_size
-             FROM lab GROUP BY cluster_id)
-    SELECT l.doc_id, l.cluster_id, s.cluster_size,
-           l.doc_id = l.cluster_id AS keep
-    FROM lab l JOIN sz s USING (cluster_id)
-    """,
-    doc="Near-dup cluster resolution: jaccard>=0.2 pairs as edges -> "
-        "connected components (alternating large-star/small-star, "
-        "operators/graph.py) -> canonical min-id per cluster + keep "
-        "flag. Oracle computes the same components via a recursive-CTE "
-        "transitive closure. Bounded slice keeps the exact quadratic "
-        "edge oracle feasible; at scale the edge set would come from "
-        "minhash_lsh_pairs and the same CC operator.",
-)
-def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import jaccard_pairs_index
-    from .operators.graph import components_for_pairs
-
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    pairs = jaccard_pairs_index(docs, threshold=0.2).select("id_a", "id_b")
-    lab = components_for_pairs(
-        docs.select("doc_id"), pairs, "doc_id", "id_a", "id_b"
-    )
-    sizes = lab.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        lab.join(F.broadcast(sizes), "cluster_id")
-        .select(
-            "doc_id",
-            "cluster_id",
-            "cluster_size",
-            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
-        )
-    )
-
-
-@register(
-    "sessionize_events",
-    """
-    WITH x AS (
-      SELECT user_id, event_id, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-      FROM events),
-    y AS (
-      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-                     THEN 1 ELSE 0 END AS is_new
-      FROM x),
-    z AS (
-      SELECT *, CAST(sum(is_new) OVER (
-               PARTITION BY user_id ORDER BY us, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-      FROM y)
-    SELECT user_id, session_idx,
-           count(*)           AS n_events,
-           min(us)            AS session_start_us,
-           max(us) - min(us)  AS duration_us
-    FROM z GROUP BY user_id, session_idx
-    """,
-    doc="Gap-based batch sessionization (30-min inactivity): lag + "
-        "running sum of session-start flags, then per-session agg. "
-        "Integer-microsecond outputs for cross-engine hash stability.",
-)
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = table(spark, sf_dir, "events")
-    ev = raw.select(
-        "user_id", "event_id", epoch_us(raw, "ts").alias("us")
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged = ev.withColumn(
-        "is_new",
-        F.when(
-            F.lag("us").over(w).isNull()
-            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    ).withColumn("session_idx", F.sum("is_new").over(run))
-    return flagged.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("us").alias("session_start_us"),
-        (F.max("us") - F.min("us")).alias("duration_us"),
-    )
-
-
-@register(
-    "rollup_time_buckets",
-    """
-    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
-           date_trunc('hour', ts)              AS bucket_hour,
-           event_type,
-           count(*)                            AS n_events,
-           count(DISTINCT user_id)             AS n_users
-    FROM events
-    GROUP BY GROUPING SETS (
-      (strftime(date_trunc('day', ts), '%Y-%m-%d'), date_trunc('hour', ts),
-       event_type),
-      (strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type),
-      (strftime(date_trunc('day', ts), '%Y-%m-%d')),
-      ())
-    """,
-    doc="Hypertable-style multi-granularity rollup: hour->day->total "
-        "continuous-aggregate hierarchy in one GROUPING SETS pass "
-        "(partial aggregation is shared across levels by the engine).",
-)
-def rollup_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS bucket_day,
-               date_trunc('HOUR', ts)              AS bucket_hour,
-               event_type,
-               count(*)                            AS n_events,
-               count(DISTINCT user_id)             AS n_users
-        FROM events
-        GROUP BY GROUPING SETS (
-          (date_format(date_trunc('DAY', ts), 'yyyy-MM-dd'),
-           date_trunc('HOUR', ts), event_type),
-          (date_format(date_trunc('DAY', ts), 'yyyy-MM-dd'), event_type),
-          (date_format(date_trunc('DAY', ts), 'yyyy-MM-dd')),
-          ())
-        """,
-    )
-
-
-@register(
-    "text_heavy_hitters",
-    f"""
-    SELECT tok, count(*) AS n
-    FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
-    GROUP BY tok
-    ORDER BY n DESC, tok
-    LIMIT 20
-    """,
-    doc="Exact corpus-wide heavy hitters (top-20 tokens): explode -> "
-        "hash-agg with map-side partial combine -> TakeOrdered top-k "
-        "(no global sort materialization). Deterministic tiebreak on "
-        "the token.",
-)
-def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import normalize_text
-
-    docs = table(spark, sf_dir, "documents")
-    return (
-        docs.select(
-            F.explode(F.split(normalize_text(F.col("text")), " ")).alias(
-                "tok"
-            )
-        )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("tok"))
-        .limit(20)
-    )
-
-
-#: Per-group row bound for EXACT percentile/median/MAD aggregates.
-#: Spark's exact ``percentile`` buffers a value->count map per group in
-#: one executor's aggregation buffer; ~20M entries (~320 MB at 16 B/
-#: entry) is the conservative fits-in-one-task ceiling we enforce.
-#: Hotter groups must opt in explicitly or use the mergeable
-#: fixed-bucket histogram path (rollup_histogram_quantiles).
-_EXACT_PERCENTILE_MAX_GROUP = 20_000_000
-
-
-@register(
-    "agg_exact_percentiles",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
-           round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
-           round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
-           round(quantile_cont(l_quantity, 0.9), 6) AS qty_p90
-    FROM lineitem GROUP BY l_returnflag
-    """,
-    doc="Exact grouped percentiles with linear interpolation (the "
-        "exact twin of percentile_approx; both engines implement the "
-        "standard (n-1)*p interpolation). Output is four scalar "
-        "columns, not one array column: the driver's canonicalizer "
-        "sorts cell values and cannot hash list cells.",
-)
-def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.guards import refuse_hot_groups
-
-    li = table(spark, sf_dir, "lineitem")
-    # Exact percentile buffers every group value in one executor's agg
-    # buffer — guarded like the quadratic baselines; the mergeable
-    # fixed-bucket path (rollup_histogram_quantiles) is the scale twin.
-    refuse_hot_groups(
-        li.select("l_returnflag"),
-        ["l_returnflag"],
-        _EXACT_PERCENTILE_MAX_GROUP,
-        "agg_exact_percentiles",
-        "percentile_approx or rollup_histogram_quantiles",
-    )
-    qs = li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75, 0.9])).alias("q")
-    )
-    return qs.select(
-        "l_returnflag",
-        *[
-            F.round(F.col("q")[i], 6).alias(name)
-            for i, name in enumerate(
-                ["qty_p25", "qty_p50", "qty_p75", "qty_p90"]
-            )
-        ],
-    )
-
-
-#: fixed probe list for the CMS point-query catalog entry — hot, mid,
-#: and absent tokens so the fixture pins all three regimes
-_CMS_PROBE_TOKENS = [
-    "scan", "column", "window", "join", "merge", "query",
-    "parquet", "shuffle", "a", "the", "zzz-absent-token",
-]
-
-
-@register(
-    "text_cms_token_freq",
-    _fixture_oracle("text_cms_token_freq", ["tok", "est_n"]),
-    doc="Count-min sketch point queries over the corpus token stream "
-        "(operators/sketch.py): per-partition (4 x 8192) count "
-        "matrices built in one narrow scan — no shuffle touches the "
-        "token stream — and merged by integer matrix addition "
-        "(associative, so partition-invariant; the CMS analogue of "
-        "approx_hll_sketch_union's mergeable-state pattern). At 100 TB "
-        "per-day sketches persist as 256 KB blobs and weekly rollups "
-        "merge sketches instead of rescanning. est_n >= true count "
-        "always; exact twin for hot tokens: text_heavy_hitters.",
-)
-def text_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.sketch import cms_token_frequency
-
-    docs = table(spark, sf_dir, "documents")
-    return cms_token_frequency(docs, _CMS_PROBE_TOKENS)
-
-
-@register(
-    "agg_string_concat_nations",
-    """
-    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
-    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name
-    """,
-    doc="Ordered string aggregation (listagg/string_agg shape): "
-        "sort_array(collect_list) + array_join for a deterministic "
-        "concatenation.",
-)
-def agg_string_concat_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nat = table(spark, sf_dir, "nation")
-    reg = table(spark, sf_dir, "region")
-    return (
-        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .groupBy("r_name")
-        .agg(
-            F.array_join(
-                F.sort_array(F.collect_list("n_name")), ","
-            ).alias("nations")
-        )
-    )
-
-
-@register(
-    "agg_robust_price_stats",
-    """
-    WITH med AS (
-      SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.5) AS med_price,
-             round(quantile_cont(l_extendedprice, 0.75)
-                   - quantile_cont(l_extendedprice, 0.25), 6) AS iqr
-      FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT l.l_returnflag,
-           round(m.med_price, 6) AS med_price,
-           m.iqr,
-           round(quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5), 6)
-             AS mad
-    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
-    GROUP BY l.l_returnflag, m.med_price, m.iqr
-    """,
-    doc="Robust statistics per group: median, IQR, and median absolute "
-        "deviation — the outlier-resistant scale/location stats a "
-        "quality-scoring pass uses where mean/stddev would be skewed "
-        "by heavy tails. Two aggregation passes: group medians "
-        "broadcast back for the deviation pass (the per-group medians "
-        "frame is k rows — broadcast, never a shuffle of the fact "
-        "side beyond its own grouping).",
-)
-def agg_robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.guards import refuse_hot_groups
-
-    li = table(spark, sf_dir, "lineitem")
-    # Same hot-group guard as agg_exact_percentiles: both passes use
-    # exact percentile, whose buffer holds the whole group.
-    refuse_hot_groups(
-        li.select("l_returnflag"),
-        ["l_returnflag"],
-        _EXACT_PERCENTILE_MAX_GROUP,
-        "agg_robust_price_stats",
-        "rollup_histogram_quantiles (mergeable fixed-bucket partials)",
-    )
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price_raw"),
-        F.round(
-            F.percentile("l_extendedprice", F.lit(0.75))
-            - F.percentile("l_extendedprice", F.lit(0.25)),
-            6,
-        ).alias("iqr"),
-    )
-    return (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy(
-            "l_returnflag",
-            F.round("med_price_raw", 6).alias("med_price"),
-            "iqr",
-        )
-        .agg(
-            F.round(
-                F.percentile(
-                    F.abs(F.col("l_extendedprice") - F.col("med_price_raw")),
-                    F.lit(0.5),
-                ),
-                6,
-            ).alias("mad")
-        )
-        .select("l_returnflag", "med_price", "iqr", "mad")
-    )
-
-
-@register(
-    "agg_linear_fit_qty_price",
-    """
-    WITH s AS (
-      SELECT l_returnflag,
-             CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
-                  AS DOUBLE) AS sx,
-             CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
-                  AS DOUBLE) AS sy,
-             CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))
-                      * CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
-                  AS DOUBLE) AS sxx,
-             CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))
-                      * CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
-                  AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
-    )
-    SELECT l_returnflag,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
-                 6) AS intercept
-    FROM s
-    """,
-    doc="Per-group least-squares fit (price ~ quantity) from exact "
-        "sufficient statistics: the sums of x, y, x^2, xy accumulate "
-        "as DECIMAL — exact and associative, so partition-invariant — "
-        "and the closed-form slope/intercept is a handful of IEEE ops "
-        "on those exact sums, identical in any engine. The "
-        "one-pass-partial-agg form of regression at 100 TB (contrast "
-        "with regr_slope's float accumulation, whose result is "
-        "partition-order-dependent).",
-)
-def agg_linear_fit_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    dx = F.round(F.col("l_quantity"), 2).cast("decimal(18,2)")
-    dy = F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
-    s = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dx).cast("double").alias("sx"),
-        F.sum(dy).cast("double").alias("sy"),
-        F.sum(dx * dx).cast("double").alias("sxx"),
-        F.sum(dx * dy).cast("double").alias("sxy"),
-    )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    return s.select(
-        "l_returnflag",
-        F.round(slope, 6).alias("slope"),
-        F.round(
-            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
-        ).alias("intercept"),
-    )
-
-
-@register(
-    "agg_minmax_by_nation",
-    """
-    SELECT s_nationkey,
-           arg_min(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000
-                           + s_suppkey) AS poorest_supplier,
-           arg_max(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000
-                           + s_suppkey) AS richest_supplier,
-           round(min(s_acctbal), 2) AS min_bal,
-           round(max(s_acctbal), 2) AS max_bal
-    FROM supplier GROUP BY s_nationkey
-    """,
-    doc="min_by/max_by (arg_min/arg_max) aggregation: the supplier "
-        "name at the extreme account balance per nation. The ordering "
-        "key folds s_suppkey into integer cents so ties are broken "
-        "deterministically in both engines (min_by on a tied key is "
-        "otherwise engine- and partition-dependent).",
-)
-def agg_minmax_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sup = table(spark, sf_dir, "supplier")
-    ord_key = (
-        F.round(F.col("s_acctbal") * 100).cast("bigint") * 1000000
-        + F.col("s_suppkey")
-    )
-    return sup.groupBy("s_nationkey").agg(
-        F.min_by("s_name", ord_key).alias("poorest_supplier"),
-        F.max_by("s_name", ord_key).alias("richest_supplier"),
-        F.round(F.min("s_acctbal"), 2).alias("min_bal"),
-        F.round(F.max("s_acctbal"), 2).alias("max_bal"),
-    )
-
-
-@register(
-    "agg_price_histogram",
-    """
-    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
-           CAST(count(*) AS BIGINT) AS n,
-           round(sum(l_extendedprice), 2) AS bucket_total
-    FROM lineitem GROUP BY bucket
-    """,
-    doc="Equi-width histogram / feature binning: fixed-width price "
-        "buckets via floor arithmetic — one hash aggregate with "
-        "map-side combine, no window, no sort; the binning shape a "
-        "feature-discretization pass uses at corpus scale.",
-)
-def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(
-            F.floor(F.col("l_extendedprice") / 5000)
-            .cast("bigint")
-            .alias("bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("bucket_total"),
-        )
-    )
-
-
-@register(
-    "text_fuzzy_name_pairs",
-    """
-    WITH p AS (
-      SELECT p_partkey, p_name,
-             regexp_extract(p_name, '([a-z]+)$', 1) AS blk
-      FROM part WHERE p_partkey < 500
-    )
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
-    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
-    """,
-    doc="Blocked fuzzy matching: edit-distance pairs found WITHOUT a "
-        "cross product — candidates come from an equi-join on a "
-        "blocking key (the name's head noun), then exact levenshtein "
-        "verifies within blocks. The blocking-join-then-verify shape "
-        "is the scalable form of fuzzy dedup (same pattern as "
-        "minhash-LSH: candidates from an equi-join, exact verify "
-        "after); the p_partkey bound keeps the exact baseline's "
-        "within-block work fixed across sf.",
-)
-def text_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") < 500)
-        .select(
-            "p_partkey",
-            "p_name",
-            F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("blk"),
-        )
-    )
-    a = p.select(
-        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
-        "blk",
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
-        "blk",
-    )
-    return (
-        a.join(b, "blk")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn(
-            "edit_dist", F.levenshtein("name_a", "name_b")
-        )
-        .filter(F.col("edit_dist") <= 2)
-        .select("key_a", "key_b", "edit_dist")
-    )
-
-
-@register(
-    "funnel_view_click_purchase",
-    """
-    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
-               WHERE event_type = 'view' GROUP BY user_id),
-    c AS (SELECT e.user_id, min(e.ts) AS t1
-          FROM events e JOIN v ON e.user_id = v.user_id
-          WHERE e.event_type = 'click' AND e.ts >= v.t0
-          GROUP BY e.user_id),
-    p AS (SELECT e.user_id, min(e.ts) AS t2
-          FROM events e JOIN c ON e.user_id = c.user_id
-          WHERE e.event_type = 'purchase' AND e.ts >= c.t1
-          GROUP BY e.user_id)
-    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
-    UNION ALL
-    SELECT 'view_click', CAST(count(*) AS BIGINT) FROM c
-    UNION ALL
-    SELECT 'view_click_purchase', CAST(count(*) AS BIGINT) FROM p
-    """,
-    doc="Ordered 3-stage funnel (view -> click -> purchase, each stage "
-        "strictly at-or-after the previous stage's first event): "
-        "per-stage first-event times via partial-agg min + equi-joins "
-        "on user_id — every shuffle keys on the high-cardinality user, "
-        "stage outputs union without any join. The sessionized-"
-        "conversion shape of product analytics at event-log scale.",
-)
-def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
-
-    return (
-        stage(v, "view")
-        .unionByName(stage(c, "view_click"))
-        .unionByName(stage(p, "view_click_purchase"))
-    )
-
-
-@register(
-    "approx_hll_sketch_union",
-    _fixture_oracle(
-        "approx_hll_sketch_union", ["approx_users", "n_days_merged"]
-    ),
-    doc="Mergeable-sketch pattern: per-day HLL sketches of distinct "
-        "users, union-merged into one weekly estimate. At 100 TB the "
-        "daily sketches are tiny persisted state (KBs) and the weekly/"
-        "monthly rollup merges sketches instead of rescanning raw "
-        "events — the incremental form of approx_count_distinct. "
-        "Exact twin for the correctness gate: "
-        "count_distinct_exact_median.",
-)
-def approx_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(F.date_trunc("DAY", "ts").alias("d"))
-        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
-    )
-    return (
-        daily.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
-                "approx_users"
-            ),
-            F.count(F.lit(1)).alias("n_days_merged"),
-        )
-    )
-
-
-@register(
-    "approx_kmv_segment_overlap",
-    _fixture_oracle(
-        "approx_kmv_segment_overlap",
-        ["est_a", "est_b", "est_union", "est_intersect"],
-    ),
-    doc="KMV/theta distinct sketch with SET ALGEBRA "
-        "(operators/sketch.py kmv_sketch/kmv_merge_pair): per-segment "
-        "k-minimum-hash sketches of distinct users, then union AND "
-        "intersection estimates for the click/purchase pair — the "
-        "operation HLL cannot do (no intersection). Sketch state is "
-        "<= k longs per segment, mergeable without rescanning; the "
-        "only data-sized shuffle is one map-side-combined distinct on "
-        "(segment, hash). Deterministic (seed-fixed xxhash64, "
-        "partition-invariant k-minima) -> golden-fixture oracle. "
-        "Exact twin: segment_overlap_exact.",
-)
-def approx_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.sketch import kmv_merge_pair, kmv_sketch
-
-    ev = table(spark, sf_dir, "events")
-    sk = kmv_sketch(ev, "event_type", "user_id", k=128)
-    return kmv_merge_pair(sk, "click", "purchase", k=128)
-
-
-@register(
-    "segment_overlap_exact",
-    """
-    SELECT CAST(count(DISTINCT CASE WHEN has_click THEN user_id END)
-                AS BIGINT) AS n_click,
-           CAST(count(DISTINCT CASE WHEN has_purchase THEN user_id END)
-                AS BIGINT) AS n_purchase,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_union,
-           CAST(count(DISTINCT CASE WHEN has_click AND has_purchase
-                                    THEN user_id END)
-                AS BIGINT) AS n_intersect
-    FROM (
-      SELECT user_id,
-             bool_or(event_type = 'click') AS has_click,
-             bool_or(event_type = 'purchase') AS has_purchase
-      FROM events
-      WHERE event_type IN ('click', 'purchase')
-      GROUP BY user_id
-    )
-    """,
-    doc="Exact segment-overlap twin for approx_kmv_segment_overlap: "
-        "distinct users per segment, union, and intersection via one "
-        "grouped bool_or pass (no self-join). Pins the KMV sketch's "
-        "accuracy in tests/test_sketch.py.",
-)
-def segment_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    flags = (
-        ev.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy("user_id")
-        .agg(
-            F.max(F.col("event_type") == "click").alias("has_click"),
-            F.max(F.col("event_type") == "purchase").alias("has_purchase"),
-        )
-    )
-    return flags.agg(
-        F.count_distinct(
-            F.when(F.col("has_click"), F.col("user_id"))
-        ).alias("n_click"),
-        F.count_distinct(
-            F.when(F.col("has_purchase"), F.col("user_id"))
-        ).alias("n_purchase"),
-        F.count_distinct("user_id").alias("n_union"),
-        F.count_distinct(
-            F.when(
-                F.col("has_click") & F.col("has_purchase"), F.col("user_id")
-            )
-        ).alias("n_intersect"),
-    )
-
-
-@register(
-    "sample_weighted_topk",
-    """
-    SELECT doc_id, n_chars AS weight
-    FROM (
-      SELECT doc_id, n_chars,
-             round(ln(CAST((doc_id * 2654435761) % 2147483647 + 1 AS DOUBLE)
-                      / 2147483648.0)
-                   / CAST(greatest(n_chars, 1) AS DOUBLE), 12) AS k
-      FROM documents
-    )
-    ORDER BY k DESC, doc_id ASC
-    LIMIT 100
-    """,
-    doc="Deterministic weighted sampling without replacement "
-        "(Efraimidis-Spirakis A-ES, public algorithm): each doc gets "
-        "key u^(1/w) — equivalently ln(u)/w — with u derived from a "
-        "Knuth multiplicative hash of doc_id (pure integer arithmetic "
-        "+ one exact power-of-two division, so u is bit-identical in "
-        "any engine; no RNG state; the A-ES key is rounded to 12 "
-        "decimals in BOTH engines so a last-ulp libm ln() divergence "
-        "can never flip rank-100 cutoff membership — the doc_id "
-        "tiebreak then decides equal keys identically). Top-k by key "
-        "IS a weighted sample "
-        "w/o replacement with inclusion probability proportional to "
-        "weight. The training-data use: quality- or length-weighted "
-        "corpus subsampling that's reproducible run-to-run and "
-        "auditable (re-running selects the same docs). Scale: one "
-        "narrow scan + TakeOrdered top-k — no shuffle of the corpus; "
-        "output holds only integer columns, so the oracle compare is "
-        "float-free.",
-)
-def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    u = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647) + 1
-    ).cast("double") / F.lit(2147483648.0)
-    key = F.round(
-        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), 12
-    )
-    return (
-        docs.select("doc_id", F.col("n_chars").alias("weight"),
-                    key.alias("k"))
-        .orderBy(F.desc("k"), F.asc("doc_id"))
-        .limit(100)
-        .select("doc_id", "weight")
-    )
-
-
-@register(
-    "rollup_histogram_quantiles",
-    """
-    WITH daily AS (
-      SELECT time_bucket(INTERVAL '1 day', ts) AS d,
-             CAST(floor(value * 2) AS BIGINT) AS b,
-             count(*) AS cnt
-      FROM events GROUP BY 1, 2
-    ),
-    merged AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cnt
-               FROM daily GROUP BY b),
-    cum AS (
-      SELECT b, cnt,
-             sum(cnt) OVER (ORDER BY b
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             sum(cnt) OVER () AS n
-      FROM merged
-    )
-    SELECT
-      round(min(CASE WHEN cum >= 0.50 * n AND cum - cnt < 0.50 * n THEN
-        (b + (0.50 * n - (cum - cnt)) / cnt) / 2.0 END), 6) AS p50_est,
-      round(min(CASE WHEN cum >= 0.95 * n AND cum - cnt < 0.95 * n THEN
-        (b + (0.95 * n - (cum - cnt)) / cnt) / 2.0 END), 6) AS p95_est,
-      round(min(CASE WHEN cum >= 0.99 * n AND cum - cnt < 0.99 * n THEN
-        (b + (0.99 * n - (cum - cnt)) / cnt) / 2.0 END), 6) AS p99_est
-    FROM cum
-    """,
-    doc="Mergeable histogram quantiles — the incremental-rollup form "
-        "of percentiles: per-day fixed-width histograms (bin 0.5 on "
-        "events.value; the (day, bucket, count) partials are the "
-        "persistable state, same contract as the sum/HLL rollups in "
-        "operators/incremental.py), merged by integer addition, then "
-        "p50/p95/p99 by linear interpolation inside the covering "
-        "bucket. At 100 TB daily quantile state is <= n_buckets longs "
-        "per day and weekly/monthly percentiles MERGE instead of "
-        "rescanning raw events — the deterministic counterpart of "
-        "percentile_approx whose partials an engine can't persist. "
-        "The bucket cumulative runs in a single-partition window over "
-        "n_buckets rows (bounded by construction, not by data size).",
-)
-def rollup_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    ev = table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.date_trunc("DAY", "ts").alias("d"),
-            F.floor(F.col("value") * 2).alias("b"),
-        ).agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    merged = daily.groupBy("b").agg(F.sum("cnt").alias("cnt"))
-    w_cum = Window.orderBy("b").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.orderBy("b").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = merged.select(
-        "b",
-        "cnt",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
-
-    def q(p: float, name: str):
-        # the covering bucket is the UNIQUE row with cum_prev < t <=
-        # cum; interpolate inside it (min is just the null-dropping
-        # pick — every other row's CASE is NULL)
-        t = F.lit(p) * F.col("n")
-        prev = F.col("cum") - F.col("cnt")
-        est = (
-            F.col("b") + (t - prev) / F.col("cnt")
-        ) / F.lit(2.0)
-        return F.round(
-            F.min(F.when((F.col("cum") >= t) & (prev < t), est)), 6
-        ).alias(name)
-
-    return cum.agg(q(0.50, "p50_est"), q(0.95, "p95_est"),
-                   q(0.99, "p99_est"))
-
-
-@register(
-    "ann_pq_topk",
-    _fixture_oracle(
-        "ann_pq_topk", ["query_id", "neighbor_id", "approx_cos", "rank"]
-    ),
-    doc="Product-quantization ANN with asymmetric distance "
-        "(operators/similarity.py pq_*): codebooks train driver-side "
-        "on a deterministic bounded sample (standard PQ practice), "
-        "vectors compress 64x to m=4 code bytes in one Arrow-kernel "
-        "pass, and the query scan is table lookups over the code "
-        "column — raw embeddings never reach the scan. Deterministic "
-        "(sorted-id sample, first-k init, lowest-index ties, 6dp "
-        "rounding + id tiebreak) -> golden-fixture oracle. Exact "
-        "twin: ann_cosine_topk; recall pinned in tests.",
-)
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import pq_topk
-
-    emb = table(spark, sf_dir, "embeddings")
-    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
-
-
-@register(
-    "dq_constraint_report",
-    """
-    SELECT 'orders' AS tbl,
-           CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
-             AS pk_dupes,
-           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS null_custkey,
-           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS nonpositive_price,
-           CAST(sum(CASE WHEN o_orderdate
-                              < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END)
-                AS BIGINT) AS date_below_floor
-    FROM orders
-    UNION ALL
-    SELECT 'lineitem',
-           CAST(count(*) AS BIGINT),
-           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
-                AS BIGINT),
-           CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT),
-           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
-                AS BIGINT),
-           CAST(sum(CASE WHEN l_shipdate
-                              < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END)
-                AS BIGINT)
-    FROM lineitem
-    """,
-    doc="Data-quality constraint report (deequ-style rule evaluation "
-        "as ONE aggregation pass per table, not one job per rule): "
-        "primary-key uniqueness, completeness (nulls), value-range "
-        "and date-floor checks all fold into a single groupless agg, "
-        "so a 100 TB table pays one scan for its whole rule set. "
-        "Counts report VIOLATIONS (0 = constraint holds), making the "
-        "report a machine-checkable gate for ingest pipelines.",
-)
-def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    floor = "1990-01-01"
-
-    def violations(df, tbl, pk_cols, null_col, price_col, date_col):
-        return df.agg(
-            F.lit(tbl).alias("tbl"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (
-                F.count(F.lit(1))
-                - F.count_distinct(*[F.col(c) for c in pk_cols])
-            ).alias("pk_dupes"),
-            F.sum(
-                F.when(F.col(null_col).isNull(), 1).otherwise(0)
-            ).alias(f"null_{null_col.split('_', 1)[1]}"),
-            F.sum(
-                F.when(F.col(price_col) <= 0, 1).otherwise(0)
-            ).alias("nonpositive_price"),
-            F.sum(
-                F.when(F.col(date_col) < F.lit(floor).cast("timestamp"), 1)
-                .otherwise(0)
-            ).alias("date_below_floor"),
-        )
-
-    return violations(
-        o, "orders", ["o_orderkey"], "o_custkey", "o_totalprice",
-        "o_orderdate",
-    ).unionAll(
-        violations(
-            li, "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey",
-            "l_extendedprice", "l_shipdate",
-        ).select(
-            "tbl", "n_rows", "pk_dupes",
-            F.col("null_partkey").alias("null_custkey"),
-            "nonpositive_price", "date_below_floor",
-        )
-    )
-
-
-@register(
-    "dq_referential_integrity",
-    """
-    SELECT 'orders.o_custkey->customer' AS fk,
-           CAST(count(*) AS BIGINT) AS n_orphans
-    FROM orders o
-    WHERE NOT EXISTS (SELECT 1 FROM customer c
-                      WHERE c.c_custkey = o.o_custkey)
-    UNION ALL
-    SELECT 'lineitem.l_orderkey->orders',
-           CAST(count(*) AS BIGINT)
-    FROM lineitem l
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_orderkey = l.l_orderkey)
-    UNION ALL
-    SELECT 'lineitem.l_suppkey->supplier',
-           CAST(count(*) AS BIGINT)
-    FROM lineitem l
-    WHERE NOT EXISTS (SELECT 1 FROM supplier s
-                      WHERE s.s_suppkey = l.l_suppkey)
-    """,
-    doc="Referential-integrity audit: orphan counts per foreign-key "
-        "relation via LEFT ANTI joins. The dimension sides broadcast "
-        "(customer/supplier) or stay keyed (orders), so each relation "
-        "costs one pass over the fact side — the post-ingest check "
-        "that catches partial loads and dangling references before "
-        "queries silently drop rows through inner joins.",
-)
-def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    li = table(spark, sf_dir, "lineitem")
-    s = table(spark, sf_dir, "supplier")
-
-    def orphans(fact, dim, fk, pk, label):
-        return (
-            fact.join(
-                dim, fact[fk] == dim[pk], "left_anti"
-            ).agg(
-                F.lit(label).alias("fk"),
-                F.count(F.lit(1)).alias("n_orphans"),
-            )
-        )
-
-    return (
-        orphans(o, c, "o_custkey", "c_custkey",
-                "orders.o_custkey->customer")
-        .unionAll(orphans(li, o, "l_orderkey", "o_orderkey",
-                          "lineitem.l_orderkey->orders"))
-        .unionAll(orphans(li, s, "l_suppkey", "s_suppkey",
-                          "lineitem.l_suppkey->supplier"))
-    )
-
-
-@register(
-    "join_bloom_pruned_revenue",
-    """
-    SELECT s.s_nationkey AS nationkey,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)
-                AS BIGINT) AS revenue_e2
-    FROM lineitem l
-    JOIN (SELECT * FROM supplier WHERE s_nationkey < 3) s
-      ON l.l_suppkey = s.s_suppkey
-    GROUP BY 1
-    """,
-    doc="Bloom-filter runtime join pruning "
-        "(operators/runtime_filter.py): the fact side sheds definite "
-        "non-matches of a selective dimension BEFORE the join's "
-        "shuffle — per-partition OR-merged bloom of the dim keys "
-        "(constant 512 KB broadcast), probe kernel on the scan. The "
-        "explicit form of Spark's runtime row-level bloom filters; "
-        "at 100 TB the win is shuffle bytes (a 1%-selective dim "
-        "ships ~1% of fact rows). No false negatives, so the oracle "
-        "is the PLAIN join — pruning must never change the result.",
-)
-def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.runtime_filter import bloom_pruned_join
-
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    sup = table(spark, sf_dir, "supplier").filter(
-        F.col("s_nationkey") < 3
-    ).select("s_suppkey", "s_nationkey")
-    j = bloom_pruned_join(li, sup, "l_suppkey", "s_suppkey")
-    return j.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            * 100
-        ).cast("long").alias("revenue_e2"),
-    )
-
-
-@register(
-    "stream_static_enrich_segments",
-    """
-    SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(round(sum(e.value) * 100) AS BIGINT) AS value_e2
-    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-    GROUP BY 1
-    """,
-    doc="Stream-static enrichment (ingest_stream.enrich_with_dim): "
-        "events joined to a broadcast static dimension — the "
-        "standard streaming-ETL enrichment; stream-static inner/left "
-        "joins are STATELESS (each micro-batch joins independently, "
-        "no watermark), and the static side re-reads per batch so "
-        "dim refreshes land without a restart. Same code path on the "
-        "batch frame gives this SQL oracle; the streaming-mode test "
-        "drives the identical plan through a file-source stream.",
-)
-def stream_static_enrich_segments(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from .streaming.ingest_stream import enrich_with_dim
-
-    ev = table(spark, sf_dir, "events")
-    cust = table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    enriched = enrich_with_dim(ev, cust)
-    return enriched.groupBy(
-        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
-            "segment"
-        )
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value") * 100).cast("long").alias("value_e2"),
-    )
-
-
-@register(
-    "agg_filter_clause_metrics",
-    """
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(count(*) FILTER (WHERE o_totalprice > 200000)
-                AS BIGINT) AS n_big,
-           CAST(round(sum(o_totalprice)
-                      FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01')
-                      * 100) AS BIGINT) AS recent_value_e2,
-           CAST(count(DISTINCT o_custkey)
-                FILTER (WHERE o_totalprice > 200000)
-                AS BIGINT) AS n_big_customers
-    FROM orders
-    GROUP BY ALL
-    """,
-    doc="ANSI FILTER-clause aggregates + GROUP BY ALL, run as raw SQL "
-        "TEXT through the same pass-through surface the HTTP query "
-        "endpoint uses (reference N8) — many conditional aggregates "
-        "in ONE scan, each with its own predicate, including a "
-        "filtered DISTINCT. The DataFrame-API twin of this shape is "
-        "agg_conditional_sums (sum(CASE WHEN)); FILTER additionally "
-        "covers count(DISTINCT ...) FILTER, which CASE can't express "
-        "without a second aggregation.",
-)
-def agg_filter_clause_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark, sf_dir,
-        """
-        SELECT o_orderpriority,
-               count(*) AS n_orders,
-               count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
-               CAST(round(sum(o_totalprice)
-                          FILTER (WHERE o_orderdate
-                                        >= TIMESTAMP '1997-01-01')
-                          * 100) AS BIGINT) AS recent_value_e2,
-               count(DISTINCT o_custkey)
-                 FILTER (WHERE o_totalprice > 200000)
-                 AS n_big_customers
-        FROM orders
-        GROUP BY ALL
-        """,
-    )
-
-
-@register(
-    "warehouse_changes_feed",
-    """
-    SELECT * FROM (VALUES
-      ('delete', CAST(2 AS BIGINT), CAST(20 AS BIGINT)),
-      ('insert', CAST(3 AS BIGINT), CAST(60 AS BIGINT)),
-      ('insert', CAST(4 AS BIGINT), CAST(80 AS BIGINT)))
-      t(change_type, row_id, amount)
-    """,
-    doc="CDC between snapshots (snapshots.read_changes): the change "
-        "feed from v1 to latest after an append and a copy-on-write "
-        "delete — inserts for appended rows, a delete for the "
-        "taken-down row, and NO rows for the COW-carried survivors "
-        "(they cancel in the exceptAll). Only manifest-diff files are "
-        "read, so the cost is proportional to churn, not table size "
-        "— the primitive that lets a downstream pipeline consume a "
-        "100 TB table incrementally. Oracle: literal relation "
-        "(VALUES) of the expected feed.",
-)
-def warehouse_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from . import snapshots as snap
-    from .tables import Warehouse
-
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_cdc_"))
-    snap.append_versioned(
-        wh, "db", "t",
-        spark.createDataFrame(
-            [(1, 10), (2, 20)], "__row_id long, amount long"
-        ),
-    )  # v1
-    snap.append_versioned(
-        wh, "db", "t",
-        spark.createDataFrame(
-            [(3, 60), (4, 80)], "__row_id long, amount long"
-        ),
-    )  # v2
-    snap.delete_where(wh, "db", "t", F.col("__row_id") == 2)  # v3
-    ch = snap.read_changes(wh, "db", "t", from_version=1)
-    return ch.select(
-        F.col("_change_type").alias("change_type"),
-        F.col("__row_id").alias("row_id"),
-        "amount",
-    )
-
-
-_RCTE_NATION_CHAINS = """
-WITH RECURSIVE succ AS (
-  SELECT n_regionkey, n_nationkey, n_name,
-         lead(n_nationkey) OVER (
-           PARTITION BY n_regionkey ORDER BY n_nationkey) AS next_key
-  FROM nation
-),
-chain AS (
-  SELECT n_regionkey, n_nationkey, n_name, next_key, 1 AS depth
-  FROM succ s
-  WHERE NOT EXISTS (SELECT 1 FROM succ p WHERE p.next_key = s.n_nationkey)
-  UNION ALL
-  SELECT s.n_regionkey, s.n_nationkey, s.n_name, s.next_key, c.depth + 1
-  FROM chain c JOIN succ s ON s.n_nationkey = c.next_key
-)
-SELECT n_regionkey AS regionkey, n_nationkey AS nationkey,
-       n_name AS nation, CAST(depth AS BIGINT) AS depth
-FROM chain
-"""
-
-
-@register(
-    "rcte_nation_chains",
-    _RCTE_NATION_CHAINS,
-    doc="Recursive CTE (Spark 4's WITH RECURSIVE): iterative chain "
-        "traversal over per-region successor links — the hierarchy/"
-        "graph-walk shape (org charts, BOM explosions, path "
-        "expansion) that window functions cannot express when depth "
-        "is unbounded. The anchor selects chain heads (never anyone's "
-        "successor); each recursion step joins one link deeper. Both "
-        "engines run the IDENTICAL standard-SQL text through the N8 "
-        "pass-through surface. For data-scale graphs with O(log n) "
-        "round guarantees, operators/graph.py (large/small-star CC, "
-        "integer PageRank) remain the scale path; recursion state "
-        "here is the frontier only.",
-)
-def rcte_nation_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(spark, sf_dir, _RCTE_NATION_CHAINS)
-
-
-# ---------------------------------------------------------------------------
-# Entry-point helpers
-# ---------------------------------------------------------------------------
-
-# The per-round external correctness check covers the FIRST 50 entries
-# of queries() in dict order (rounds 1 and 2 each produced rows for
-# exactly the first 50 registered names). To get every catalog query a
-# green row across rounds without hand-rotating a list, queries() emits
-# names ordered by how many green rows they already have in the
-# committed CORRECTNESS_r*.json snapshots (ascending; err / hash-fail
-# rows count as unchecked), ties broken by registration order. Each
-# round the least-verified 50 therefore lead the window automatically.
-
-
-def _green_counts() -> dict[str, int]:
-    import glob
-    import json as _json
-    import os as _os
-
-    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    counts: dict[str, int] = {}
-    for path in sorted(glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                data = _json.load(f)
-        except (OSError, ValueError):
-            continue
-        for name, row in data.items():
-            if (
-                isinstance(row, dict)
-                and row.get("err") is None
-                and row.get("hash_match")
-            ):
-                counts[name] = counts.get(name, 0) + 1
-    return counts
-
-
-def _ordered_specs() -> list[QuerySpec]:
-    greens = _green_counts()
-    reg_index = {n: i for i, n in enumerate(_REGISTRY)}
-    names = sorted(
-        _REGISTRY, key=lambda n: (greens.get(n, 0), reg_index[n])
-    )
-    return [_REGISTRY[n] for n in names]
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {spec.name: spec.spark_fn for spec in _ordered_specs()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        spec.name: spec.oracle
-        for spec in _ordered_specs()
-        if spec.oracle is not None
-    }
-
-
-# Register the ingest round-trip queries (module keeps N1-N7 round-trip
-# catalog entries in one place; importing it populates _REGISTRY).
+from .catalog.core import (  # noqa: F401
+    _REGISTRY,
+    _DUCK_SHINGLES,
+    _DUCK_TOKENS,
+    QuerySpec,
+    _fixture_oracle,
+    _green_counts,
+    _ordered_specs,
+    _sql,
+    oracle_sql,
+    queries,
+    register,
+    registry,
+)
+from .tables import epoch_us, register_testdata, table  # noqa: F401
+
+from .catalog.tpch_joins import *  # noqa: F401,F403,E402
+from .catalog.relational import *  # noqa: F401,F403,E402
+from .catalog.functions import *  # noqa: F401,F403,E402
+from .catalog.llm_text import *  # noqa: F401,F403,E402
+from .catalog.tpch_breadth import *  # noqa: F401,F403,E402
+from .catalog.analytics import *  # noqa: F401,F403,E402
+
+# Register the ingest round-trip queries at the same registry position
+# they held in the single-module catalog (they import `register` from
+# this module, which is already bound above).
 from . import ingest_queries as _ingest_queries  # noqa: E402,F401
 
-
-# ---------------------------------------------------------------------------
-# Corpus-curation extensions (operators/curation.py): decontamination,
-# repetition filter, quality gate, mixture budgeting
-# ---------------------------------------------------------------------------
-
-#: DuckDB distinct word 4-grams (mirrors dedup.token_shingles at n=4)
-_DUCK_SHINGLES4 = """
-  list_distinct([array_to_string(list_slice(w, i, i + 3), ' ')
-                 FOR i IN generate_series(1, greatest(len(w) - 3, 1))])
-""".strip()
-
-
-@register(
-    "curate_decontaminate",
-    f"""
-    WITH g AS (
-      SELECT doc_id, {_DUCK_SHINGLES4} AS sh
-      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
-    ),
-    ev AS (SELECT DISTINCT s
-           FROM (SELECT unnest(sh) AS s FROM g WHERE doc_id < 10)),
-    tr AS (SELECT doc_id, unnest(sh) AS s FROM g WHERE doc_id >= 10)
-    SELECT tr.doc_id AS doc_id,
-           CAST(count(DISTINCT tr.s) AS BIGINT) AS n_eval_ngram_hits
-    FROM tr JOIN ev ON tr.s = ev.s
-    GROUP BY tr.doc_id
-    """,
-    doc="Benchmark decontamination: training docs (doc_id >= 10) "
-        "sharing any word 4-gram with the eval set (doc_id < 10). "
-        "Eval shingle set broadcasts (eval suites are tiny); corpus "
-        "side stays linear — one equi-join + one regroup at any scale.",
-)
-def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.curation import decontaminate
-
-    docs = table(spark, sf_dir, "documents")
-    return decontaminate(
-        docs.filter(F.col("doc_id") >= 10),
-        docs.filter(F.col("doc_id") < 10),
-        n=4,
-    )
-
-
-@register(
-    "curate_bloom_decontaminate",
-    _fixture_oracle(
-        "curate_bloom_decontaminate", ["doc_id", "n_bloom_hits"]
-    ),
-    doc="Bloom-filter decontamination (constant-memory twin of "
-        "curate_decontaminate, same eval/train split): eval 4-gram "
-        "shingles fold into per-partition bloom bitmaps (OR-merged — "
-        "associative, so partition-invariant) and the 512 KB filter "
-        "broadcasts into a vectorized probe kernel — no join, no "
-        "shuffle on either side; the cheapest decontamination shape "
-        "at 100 TB. Deterministic output (fixture oracle); exact twin "
-        "curate_decontaminate gives the SQL-checkable lower bound.",
-)
-def curate_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.curation import bloom_decontaminate
-
-    docs = table(spark, sf_dir, "documents")
-    return bloom_decontaminate(
-        docs.filter(F.col("doc_id") >= 10),
-        docs.filter(F.col("doc_id") < 10),
-        n=4,
-    )
-
-
-@register(
-    "curate_repetition_stats",
-    f"""
-    WITH t AS (SELECT doc_id, unnest(w) AS term
-               FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)),
-    c AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term)
-    SELECT doc_id,
-           CAST(sum(tf) AS BIGINT) AS n_words,
-           CAST(count(*) AS BIGINT) AS n_distinct_words,
-           round(1 - count(*) / CAST(sum(tf) AS DOUBLE), 4)
-             AS dup_word_ratio,
-           round(max(tf) / CAST(sum(tf) AS DOUBLE), 4) AS top_word_ratio
-    FROM c GROUP BY doc_id
-    """,
-    doc="Gopher-style repetition signals: duplicate-word fraction and "
-        "most-frequent-word share per document. Explode + two-level "
-        "agg keyed on (doc, term) then doc — linear, skew-free.",
-)
-def curate_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.curation import repetition_stats
-
-    return repetition_stats(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "curate_quality_gate",
-    f"""
-    WITH s AS (
-      SELECT doc_id,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
-             {_DUCK_TOKENS} AS w
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             len(w) AS n_tokens,
-             (length(norm) - (len(w) - 1)) / CAST(len(w) AS DOUBLE)
-               AS mean_len,
-             length(regexp_replace(norm, '[^a-z]', '', 'g'))
-               / CAST(length(norm) AS DOUBLE) AS alpha_ratio,
-             len(list_filter(w, x -> list_contains(
-               ['a','and','das','dans','de','der','des','die','el','en',
-                'es','est','et','ein','in','is','it','la','le','les','of',
-                'pour','que','the','to','un','und','une','von','y','zu',
-                'ist'], x)))
-               / CAST(len(w) AS DOUBLE) AS stop_ratio
-      FROM s
-    ),
-    r AS (
-      SELECT doc_id, n_tokens,
-             concat_ws(',',
-               CASE WHEN NOT (n_tokens BETWEEN 5 AND 5000)
-                    THEN 'word_count' END,
-               CASE WHEN NOT (mean_len BETWEEN 2.0 AND 12.0)
-                    THEN 'mean_word_len' END,
-               CASE WHEN alpha_ratio < 0.6 THEN 'alpha_ratio' END,
-               CASE WHEN stop_ratio < 0.01 THEN 'stopword_ratio' END
-             ) AS reject_reasons
-      FROM m
-    )
-    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
-           (reject_reasons = '') AS keep, reject_reasons
-    FROM r
-    """,
-    doc="Composite quality gate (Gopher-rule shapes): word-count "
-        "bounds, mean word length, alphabetic ratio, stopword "
-        "presence; reject_reasons lists failed rules in fixed order. "
-        "Pure row-local projection — scales as a scan.",
-)
-def curate_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.curation import quality_gate
-
-    return quality_gate(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "curate_domain_token_budget",
-    f"""
-    WITH per AS (
-      SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len(w)) AS BIGINT) AS ws_tokens
-      FROM (SELECT source, {_DUCK_TOKENS} AS w FROM documents)
-      GROUP BY source
-    )
-    SELECT domain, n_docs, ws_tokens,
-           round(ws_tokens / CAST(sum(ws_tokens) OVER () AS DOUBLE), 6)
-             AS token_share,
-           round(sum(ws_tokens) OVER (ORDER BY ws_tokens DESC, domain)
-                 / CAST(sum(ws_tokens) OVER () AS DOUBLE), 6)
-             AS cum_token_share
-    FROM per
-    """,
-    doc="Mixture budgeting: per-domain doc/token totals with global "
-        "and cumulative token shares ordered by mass — the sampling-"
-        "weights report for training-mixture design. Narrow agg + "
-        "window over domain totals only.",
-)
-def curate_domain_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.curation import domain_token_budget
-
-    return domain_token_budget(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_cross_corpus_near_dups",
-    f"""
-    WITH g AS (
-      SELECT doc_id, {_DUCK_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
-    )
-    SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
-           round(len(list_intersect(n.sh, c.sh))
-                 / CAST(len(list_distinct(list_concat(n.sh, c.sh))) AS DOUBLE),
-                 4) AS jaccard_sim
-    FROM g n JOIN g c ON n.doc_id >= 250 AND c.doc_id < 250
-    WHERE len(list_intersect(n.sh, c.sh))
-          >= 0.8 * len(list_distinct(list_concat(n.sh, c.sh)))
-    """,
-    doc="Incremental dedup: near-dups of a NEW batch (doc_id >= 250) "
-        "against the EXISTING corpus (doc_id < 250) — the dedupe-the-"
-        "incoming-crawl pattern. Minhash band keys computed per side, "
-        "new x corpus band equi-join (candidates scale with the new "
-        "batch, not the corpus), exact-jaccard verify. Oracle is the "
-        "exact cross-side quadratic jaccard; LSH capture probability "
-        "at j=0.8 with 16x4 banding is ~0.9998 and verify removes "
-        "false positives.",
-)
-def dedup_cross_corpus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import cross_corpus_near_dups
-
-    docs = table(spark, sf_dir, "documents")
-    return cross_corpus_near_dups(
-        docs.filter(F.col("doc_id") >= 250),
-        docs.filter(F.col("doc_id") < 250),
-        threshold=0.8,
-    )
-
-
-@register(
-    "ann_kmeans_centroids",
-    _fixture_oracle(
-        "ann_kmeans_centroids",
-        ["centroid_id", "dim", "c_val", "n_assigned"],
-    ),
-    doc="Deterministic spherical k-means (Lloyd, k=8, 3 iterations) "
-        "for IVF centroid training: smallest-id init, 6dp-rounded "
-        "cosine assignment, DECIMAL-summed updates (exact and "
-        "associative, so centroids are bit-identical under ANY "
-        "partitioning — verified). Oracle is a determinism-checked "
-        "golden snapshot; output is one scalar row per centroid "
-        "component.",
-)
-def ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import kmeans_fit
-
-    return kmeans_fit(table(spark, sf_dir, "embeddings"), k=8, iters=3)
-
-
-@register(
-    "curate_pack_sequences",
-    f"""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-                  % 16 AS BIGINT) AS shard,
-             len({_DUCK_TOKENS.replace('text', 'text')}) AS n_tok
-      FROM documents
-    ),
-    b AS (
-      SELECT shard, doc_id, n_tok,
-             CAST(floor(coalesce(sum(n_tok) OVER (
-               PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ), 0) / 512) AS BIGINT) AS bin_id
-      FROM t
-    )
-    SELECT shard, bin_id,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
-    FROM b GROUP BY shard, bin_id
-    """,
-    doc="Greedy contiguous sequence packing (512-token bins) within "
-        "md5 shards — training-batch prep. Per-shard windows keep the "
-        "cumulative-sum parallel at corpus scale (a global order would "
-        "be a one-task window at 100 TB).",
-)
-def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.curation import pack_sequences
-
-    return pack_sequences(
-        table(spark, sf_dir, "documents"), max_tokens=512
-    )
-
-
-@register(
-    "stream_windowed_event_counts",
-    """
-    SELECT CAST(epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)
-             AS window_start_us,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="Batch-parity check for the streaming event-time operator: "
-        "streaming/ingest_stream.windowed_event_counts runs the SAME "
-        "code on a batch frame (tumbling 6h windows + agg), so the "
-        "streaming transformation's semantics get an exact SQL oracle "
-        "row. Window start is emitted as integer epoch-us (timestamp "
-        "codecs differ across engines; integers hash identically).",
-)
-def stream_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.ingest_stream import windowed_event_counts
-
-    ev = table(spark, sf_dir, "events")
-    out = windowed_event_counts(ev, "6 hours", "1 hour")
-    return out.select(
-        epoch_us(out, "window_start").alias("window_start_us"),
-        "event_type",
-        "n",
-        "total_value",
-    )
-
-
-@register(
-    "stream_session_window_counts",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       >= INTERVAL '30 minutes'
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ),
-    numbered AS (
-      SELECT user_id, ts, value,
-             sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS session_no
-      FROM flagged
-    )
-    SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
-           CAST(epoch_us(max(ts) + INTERVAL '30 minutes') AS BIGINT)
-             AS session_end_us,
-           user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS session_value
-    FROM numbered
-    GROUP BY user_id, session_no
-    """,
-    doc="Batch-parity check for Spark's native session_window: "
-        "streaming/ingest_stream.session_window_counts (same code path "
-        "streaming uses) vs an explicit lag/cumsum session "
-        "reconstruction in SQL. session_window's end = last event + "
-        "gap; an event arriving EXACTLY gap after the previous one "
-        "starts a new session (windows [ts, ts+gap) merge only on "
-        "strict overlap), so the oracle marks new sessions on "
-        "gap >= 30min, pinning the boundary. Timestamps emitted as "
-        "integer epoch-us.",
-)
-def stream_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.ingest_stream import session_window_counts
-
-    ev = table(spark, sf_dir, "events")
-    out = session_window_counts(ev, "30 minutes", "2 hours")
-    return out.select(
-        epoch_us(out, "session_start").alias("session_start_us"),
-        epoch_us(out, "session_end").alias("session_end_us"),
-        "user_id",
-        "n_events",
-        "session_value",
-    )
-
-
-@register(
-    "stream_hopping_window_counts",
-    """
-    SELECT CAST(epoch_us(time_bucket(INTERVAL '2 hours', ts)
-                         - k.k * INTERVAL '2 hours') AS BIGINT)
-             AS window_start_us,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value
-    FROM events, range(0, 3) k(k)
-    GROUP BY 1, 2
-    """,
-    doc="Batch-parity check for hopping (sliding) event-time windows: "
-        "streaming/ingest_stream.hopping_window_counts (window 6h, "
-        "hop 2h — each event in exactly 3 overlapping windows, all "
-        "epoch-aligned to the hop). The oracle expands the window "
-        "membership explicitly: cross-join each event with k in 0..2 "
-        "and subtract k hops from its 2h time bucket. Window starts "
-        "emitted as integer epoch-us.",
-)
-def stream_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.ingest_stream import hopping_window_counts
-
-    ev = table(spark, sf_dir, "events")
-    out = hopping_window_counts(ev, "6 hours", "2 hours")
-    return out.select(
-        epoch_us(out, "window_start").alias("window_start_us"),
-        "event_type",
-        "n",
-        "total_value",
-    )
-
-
-@register(
-    "stream_interval_join_clicks",
-    """
-    SELECT p_user AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(round(sum(p_value) * 100) AS BIGINT) AS purchase_value_e2
-    FROM (SELECT user_id AS c_user, ts AS c_ts
-            FROM events WHERE event_type = 'click') c
-    JOIN (SELECT user_id AS p_user, ts AS p_ts, value AS p_value
-            FROM events WHERE event_type = 'purchase') p
-      ON c_user = p_user
-     AND p_ts >= c_ts
-     AND p_ts < c_ts + INTERVAL '30 minutes'
-    GROUP BY 1
-    """,
-    doc="Batch-parity check for the stream-stream interval join "
-        "(streaming/ingest_stream.interval_join): click->purchase "
-        "pairs within 30 min through the SAME watermark+time-bound "
-        "join Spark uses for two live streams (the time bound is what "
-        "lets streaming expire join state). Distinct from "
-        "range_join_click_purchase, which is the bucketed BATCH scale "
-        "path for this query class; here the oracle pins the "
-        "streaming operator's batch-mode semantics.",
-)
-def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.ingest_stream import interval_join
-
-    ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-        F.col("value").alias("p_value"),
-    )
-    j = interval_join(
-        clicks, purchases, ("c_user", "p_user"), "c_ts", "p_ts",
-        "30 minutes",
-    )
-    return j.groupBy(F.col("p_user").alias("user_id")).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.sum("p_value") * 100)
-        .cast("long")
-        .alias("purchase_value_e2"),
-    )
-
-
-@register(
-    "setop_except_all_mktsegments",
-    """
-    SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey < 13
-    EXCEPT ALL
-    SELECT c_mktsegment FROM customer WHERE c_nationkey >= 13
-    """,
-    doc="EXCEPT ALL (bag semantics): keeps a row once per surplus "
-        "multiplicity on the left — distinct operator from set EXCEPT "
-        "(setop_except_nationkeys), which would return nothing here "
-        "since every segment appears on both sides.",
-)
-def setop_except_all_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
-    lo = c.filter(F.col("c_nationkey") < 13).select(
-        F.col("c_mktsegment").alias("seg")
-    )
-    hi = c.filter(F.col("c_nationkey") >= 13).select(
-        F.col("c_mktsegment").alias("seg")
-    )
-    return lo.exceptAll(hi)
-
-
-@register(
-    "setop_intersect_all_mktsegments",
-    """
-    SELECT c_mktsegment AS seg FROM customer WHERE c_nationkey < 13
-    INTERSECT ALL
-    SELECT c_mktsegment FROM customer WHERE c_nationkey >= 13
-    """,
-    doc="INTERSECT ALL (bag semantics): keeps min(left, right) copies "
-        "of each row — distinct from set INTERSECT's 0/1.",
-)
-def setop_intersect_all_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
-    lo = c.filter(F.col("c_nationkey") < 13).select(
-        F.col("c_mktsegment").alias("seg")
-    )
-    hi = c.filter(F.col("c_nationkey") >= 13).select(
-        F.col("c_mktsegment").alias("seg")
-    )
-    return lo.intersectAll(hi)
-
-
-@register(
-    "unpivot_part_metrics",
-    """
-    SELECT p_partkey, 'retailprice' AS metric,
-           CAST(p_retailprice AS DOUBLE) AS value
-    FROM part WHERE p_partkey <= 200
-    UNION ALL
-    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
-    WHERE p_partkey <= 200
-    """,
-    doc="UNPIVOT (wide -> long, the inverse of the pivot category): "
-        "DataFrame.unpivot melts metric columns into (metric, value) "
-        "rows; oracle is the portable UNION ALL formulation.",
-)
-def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") <= 200)
-        .select(
-            "p_partkey",
-            F.col("p_retailprice").alias("retailprice"),
-            F.col("p_size").cast("double").alias("size"),
-        )
-    )
-    return p.unpivot(
-        ids=["p_partkey"],
-        values=["retailprice", "size"],
-        variableColumnName="metric",
-        valueColumnName="value",
-    )
-
-
-@register(
-    "lateral_top_customers_per_nation",
-    """
-    SELECT n.n_name, t.c_name, t.bal
-    FROM nation n,
-    LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal
-             FROM customer c
-             WHERE c.c_nationkey = n.n_nationkey
-             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-    """,
-    doc="Correlated LATERAL subquery (top-2 customers per nation by "
-        "balance) through the SQL pass-through surface — the "
-        "table-valued correlation shape; Catalyst rewrites it to a "
-        "ranked join (same plan class as the window formulation).",
-)
-def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql(
-        spark,
-        sf_dir,
-        """
-        SELECT n.n_name, t.c_name, t.bal
-        FROM nation n,
-        LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal
-                 FROM customer c
-                 WHERE c.c_nationkey = n.n_nationkey
-                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-        """,
-    )
-
-
-@register(
-    "ann_filtered_cosine_topk",
-    """
-    WITH corpus AS (
-      SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv
-      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-      WHERE contains(lower(d.text), 'data')
-    ),
-    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-          FROM embeddings WHERE vec_id < 5),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
-      FROM q JOIN corpus ON query_id <> neighbor_id),
-    ranked AS (
-      SELECT query_id, neighbor_id, cos_sim,
-             CAST(row_number() OVER (
-               PARTITION BY query_id
-               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
-      FROM scored)
-    SELECT query_id, neighbor_id, cos_sim, rank
-    FROM ranked WHERE rank <= 5
-    """,
-    doc="Filtered vector search (hybrid retrieval): the candidate "
-        "corpus is pre-filtered by a keyword predicate on the joined "
-        "documents table, then scored exactly — predicate pushdown + "
-        "equi-join shrink the corpus BEFORE any vector math, the shape "
-        "that matters when the filter is selective at scale.",
-)
-def ann_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import brute_force_topk
-
-    emb = table(spark, sf_dir, "embeddings")
-    docs = table(spark, sf_dir, "documents")
-    corpus = emb.join(
-        docs.filter(F.lower(F.col("text")).contains("data")).select(
-            F.col("doc_id").alias("vec_id")
-        ),
-        "vec_id",
-    )
-    return brute_force_topk(corpus, emb.filter(F.col("vec_id") < 5), k=5)
-
-
-@register(
-    "rollup_incremental_daily",
-    """
-    SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2) AS total_value,
-           round(min(value), 4) AS min_value,
-           round(max(value), 4) AS max_value,
-           CAST(round(round(sum(value), 2) * 100) AS BIGINT) * 100
-             // count(*) AS avg_value_e4
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="Continuous-aggregate pattern (operators/incremental.py): the "
-        "events table is ingested as TWO batches (event_id parity), "
-        "each appending per-(day, type) PARTIAL rows to a managed "
-        "rollup table; the read merges partials (counts/sums add, "
-        "min/max fold, avg derives). Oracle aggregates the raw events "
-        "directly — merged partials must equal the one-shot answer. "
-        "At 100 TB the rollup read touches partial rows only; a late "
-        "batch is one more partial append, never a rewrite.",
-    bench=False,  # times temp-warehouse setup, not query execution
-)
-def rollup_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from .operators.incremental import append_rollup_partials, read_rollup
-    from .tables import Warehouse
-
-    ev = table(spark, sf_dir, "events")
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rollup_inc_"))
-    append_rollup_partials(
-        wh, "db", "agg", ev.filter(F.col("event_id") % 2 == 0)
-    )
-    append_rollup_partials(
-        wh, "db", "agg", ev.filter(F.col("event_id") % 2 == 1)
-    )
-    out = read_rollup(wh, "db", "agg")
-    return out.select(
-        epoch_us(out, "bucket_day").alias("day_us"),
-        "event_type", "n", "total_value", "min_value", "max_value",
-        "avg_value_e4",
-    )
-
-
-@register(
-    "agg_percentile_disc",
-    """
-    SELECT event_type,
-           round(quantile_disc(value, 0.5), 4) AS p50_disc,
-           round(quantile_disc(value, 0.9), 4) AS p90_disc
-    FROM events GROUP BY event_type
-    """,
-    doc="Discrete percentiles (an actually-occurring value, no "
-        "interpolation) — distinct semantics from the continuous "
-        "percentile in agg_exact_percentiles / "
-        "count_distinct_exact_median.",
-)
-def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"), 4).alias("p50_disc"),
-        F.round(F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)"), 4).alias("p90_disc"),
-    )
-
-
-@register(
-    "agg_grouping_id_rollup",
-    """
-    SELECT coalesce(o_orderstatus, 'ALL') AS status,
-           coalesce(o_orderpriority, 'ALL') AS priority,
-           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
-                AS BIGINT) AS gid,
-           CAST(count(*) AS BIGINT) AS n
-    FROM orders
-    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-    """,
-    doc="grouping()/grouping_id exposure: distinguishes real NULL keys "
-        "from rollup subtotal rows — the metadata column BI tools key "
-        "on when consuming ROLLUP output.",
-)
-def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.grouping_id().cast("long").alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "gid",
-            "n",
-        )
-    )
-
-
-@register(
-    "ts_gapfill_daily_spend",
-    """
-    WITH daily AS (
-      SELECT user_id AS k, date_trunc('day', ts) AS day,
-             count(*) AS n_events,
-             CAST(round(sum(value) * 100) AS BIGINT) AS value_e2
-      FROM events WHERE user_id < 50 GROUP BY 1, 2
-    ),
-    span AS (SELECT k, min(day) AS lo, max(day) AS hi FROM daily GROUP BY k),
-    spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
-              FROM span),
-    j AS (SELECT s.k, s.day, d.n_events, d.value_e2
-          FROM spine s LEFT JOIN daily d ON s.k = d.k AND s.day = d.day)
-    SELECT k AS user_id, strftime(day, '%Y-%m-%d') AS day,
-           coalesce(n_events, CAST(0 AS BIGINT)) AS n_events,
-           last_value(value_e2 IGNORE NULLS) OVER (
-             PARTITION BY k ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS filled_value_e2,
-           value_e2 IS NULL AS is_gap
-    FROM j
-    """,
-    doc="Calendar gap-fill + forward fill (time_bucket_gapfill/locf "
-        "shape): per-user daily spine via sequence()+explode, left "
-        "join actuals, last(ignorenulls) carry — the densify primitive "
-        "for gridded training series (operators/resample.py).",
-)
-def ts_gapfill_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.resample import gapfill_daily_forward
-
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    return gapfill_daily_forward(ev)
-
-
-@register(
-    "text_bm25_topk",
-    f"""
-    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
-    toks AS (SELECT doc_id, unnest(w) AS term FROM w),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-           WHERE term <> '' GROUP BY 1, 2),
-    dl AS (SELECT doc_id, len(w) AS dl FROM w),
-    stats AS (SELECT count(*) AS n_docs,
-                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-    qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'window', 'join')),
-    qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf
-            GROUP BY term),
-    scored AS (
-      SELECT t.doc_id,
-             CAST(round(ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
-                        * t.tf * (1.2 + 1)
-                        / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
-                        * 1000000) AS BIGINT) AS w_e6
-      FROM qtf t JOIN qdf q USING (term) JOIN dl d USING (doc_id)
-      CROSS JOIN stats s)
-    SELECT doc_id, CAST(sum(w_e6) AS BIGINT) AS bm25_e6,
-           count(*) AS n_matched_terms
-    FROM scored GROUP BY doc_id
-    ORDER BY bm25_e6 DESC, doc_id LIMIT 20
-    """,
-    doc="Okapi BM25 top-20 retrieval for a fixed term bag "
-        "(operators/text.py::bm25_topk): tf/df/dl aggs + broadcast "
-        "scalars + TakeOrdered; avgdl derives from an exact integer "
-        "sum so both engines divide identical operands.",
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import bm25_topk
-
-    return bm25_topk(
-        table(spark, sf_dir, "documents"), ["spark", "window", "join"]
-    )
-
-
-@register(
-    "text_unigram_logprob",
-    f"""
-    WITH pos AS (
-      SELECT doc_id, tok
-      FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents)
-      WHERE tok <> ''),
-    counts AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
-    totals AS (SELECT CAST(sum(c) AS BIGINT) AS corpus_tokens,
-                      count(*) AS vocab FROM counts)
-    SELECT doc_id, count(*) AS n_tokens,
-           round(avg(ln((c + 1)
-                        / CAST(corpus_tokens + vocab AS DOUBLE))), 6)
-             AS avg_logprob
-    FROM pos JOIN counts USING (tok) CROSS JOIN totals
-    GROUP BY doc_id
-    """,
-    doc="Per-doc mean token log-prob under the corpus's add-one "
-        "unigram model (operators/text.py::unigram_logprob) — the "
-        "CCNet-style perplexity proxy for OOD/gibberish flagging; one "
-        "token-keyed shuffle each way, Zipf skew noted.",
-)
-def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import unigram_logprob
-
-    return unigram_logprob(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "dedup_prefix_filter_pairs",
-    f"""
-    WITH g AS (
-      SELECT doc_id, {_DUCK_SHINGLES} AS sh
-      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents)
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))
-                 / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
-                        AS DOUBLE), 4) AS jaccard_sim
-    FROM g a JOIN g b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))
-          >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
-    """,
-    doc="EXACT set-similarity join via prefix filtering "
-        "(operators/dedup.py::prefix_filter_pairs, PPJoin-family): "
-        "rare-first prefixes -> equi-join candidates -> length filter "
-        "-> exact verify. Unlike minhash (w.h.p.), this EQUALS the "
-        "quadratic oracle deterministically while staying "
-        "equi-join-shaped at scale.",
-)
-def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import prefix_filter_pairs
-
-    return prefix_filter_pairs(
-        table(spark, sf_dir, "documents"), threshold=0.8
-    )
-
-
-@register(
-    "dedup_ngram_span_coverage",
-    f"""
-    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
-    grams AS (
-      SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS g
-      FROM (SELECT doc_id, w,
-                   unnest(generate_series(1, greatest(len(w) - 4, 1)))
-                     AS i
-            FROM w)
-    ),
-    gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
-    SELECT doc_id, count(*) AS n_grams,
-           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS dup_grams,
-           round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
-    FROM grams JOIN gd USING (g)
-    GROUP BY doc_id
-    """,
-    doc="Per-doc duplicated-text fraction at 5-gram granularity "
-        "(operators/dedup.py::ngram_span_coverage) — the audit stage "
-        "of exact-substring dedup (Lee et al. 2022 at gram "
-        "granularity): positional grams, per-gram doc counts, join "
-        "back, per-doc fraction. Linear in gram positions.",
-)
-def dedup_ngram_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import ngram_span_coverage
-
-    return ngram_span_coverage(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "split_balance_classes",
-    """
-    SELECT doc_id, lang
-    FROM (
-      SELECT doc_id, lang,
-             row_number() OVER (
-               PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-      FROM documents)
-    WHERE rn <= 60
-    """,
-    doc="Class-balanced downsampling (operators/split.py::"
-        "balance_classes): cap each lang at 60 docs by content-"
-        "addressed md5 order — deterministic and engine-portable, "
-        "unlike ORDER BY rand(); over-represented classes clip, small "
-        "ones pass whole.",
-)
-def split_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.split import balance_classes
-
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return balance_classes(docs, "lang", "doc_id", cap=60)
-
-
-@register(
-    "emb_label_centroids",
-    """
-    SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
-           CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
-             AS sum_e6,
-           count(*) AS n_vecs,
-           round(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
-                 / count(*) / 1000000.0, 6) AS centroid
-    FROM (SELECT label, unnest(embedding) AS x,
-                 generate_subscripts(embedding, 1) AS dim
-          FROM embeddings)
-    GROUP BY label, dim
-    """,
-    doc="Per-label mean embedding / class prototypes "
-        "(operators/similarity.py::label_centroids): float components "
-        "snapped to integer micro-units and summed as BIGINT, so the "
-        "centroid is invariant under partitioning and engines — the "
-        "exact-sufficient-statistics discipline applied to vectors.",
-)
-def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import label_centroids
-
-    return label_centroids(table(spark, sf_dir, "embeddings"))
-
-
-@register(
-    "text_bigram_pmi",
-    f"""
-    WITH w AS (SELECT {_DUCK_TOKENS} AS w FROM documents),
-    uni AS (SELECT tok, count(*) AS c
-            FROM (SELECT unnest(w) AS tok FROM w)
-            WHERE tok <> '' GROUP BY tok),
-    ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uni),
-    big AS (SELECT bg, count(*) AS c_xy FROM (
-              SELECT array_to_string(list_slice(w, i, i + 1), ' ') AS bg
-              FROM (SELECT w,
-                           unnest(generate_series(
-                             1, greatest(len(w) - 1, 1))) AS i
-                    FROM w))
-            WHERE contains(bg, ' ') GROUP BY bg
-            HAVING count(*) >= 5),
-    nbig AS (SELECT CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) AS n_big
-             FROM w)
-    SELECT bg AS bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
-           round(ln(CAST(c_xy AS DOUBLE) * n_tok * n_tok
-                    / (CAST(n_big AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
-    FROM big
-    JOIN uni ux ON string_split(bg, ' ')[1] = ux.tok
-    JOIN uni uy ON string_split(bg, ' ')[2] = uy.tok
-    CROSS JOIN ntok CROSS JOIN nbig
-    ORDER BY pmi DESC, bigram LIMIT 20
-    """,
-    doc="Top-20 collocations by PMI over positional bigrams "
-        "(operators/text.py::bigram_pmi, Church & Hanks): all ln "
-        "operands are exact integers widened to double in the same "
-        "association order in both engines.",
-)
-def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import bigram_pmi
-
-    return bigram_pmi(table(spark, sf_dir, "documents"), min_count=5)
-
-
-@register(
-    "text_token_entropy",
-    f"""
-    WITH tf AS (SELECT doc_id, term, count(*) AS tf
-                FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term
-                      FROM documents)
-                WHERE term <> '' GROUP BY 1, 2),
-    per AS (SELECT doc_id, tf,
-                   CAST(round(tf * ln(tf) * 1000000) AS BIGINT)
-                     AS clnc_e6
-            FROM tf)
-    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-           count(*) AS n_distinct,
-           CAST(sum(clnc_e6) AS BIGINT) AS sum_clnc_e6,
-           round(ln(sum(tf)) - sum(clnc_e6) / 1000000.0 / sum(tf), 6)
-             AS entropy
-    FROM per GROUP BY doc_id
-    """,
-    doc="Per-doc Shannon token entropy (operators/text.py::"
-        "token_entropy): c*ln(c) snapped to integer micro-units per "
-        "TERM then integer-summed, so aggregation order can't flip a "
-        "rounding boundary — low entropy flags repetitive docs.",
-)
-def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.text import token_entropy
-
-    return token_entropy(table(spark, sf_dir, "documents"))
-
-
-@register(
-    "anomaly_daily_value",
-    """
-    WITH daily AS (
-      SELECT event_type AS grp, date_trunc('day', ts) AS day,
-             CAST(round(sum(value) * 100) AS BIGINT) AS total_e2
-      FROM events GROUP BY 1, 2),
-    stats AS (SELECT grp, count(*) AS n_days,
-                     CAST(sum(total_e2) AS BIGINT) AS s1,
-                     CAST(sum(total_e2 * total_e2) AS BIGINT) AS s2
-              FROM daily GROUP BY grp)
-    SELECT grp AS event_type, strftime(day, '%Y-%m-%d') AS day,
-           total_e2, n_days,
-           round((total_e2 - s1 / n_days)
-                 / sqrt((s2 - s1 * s1 / n_days) / n_days), 4) AS z
-    FROM daily JOIN stats USING (grp)
-    WHERE abs((total_e2 - s1 / n_days)
-              / sqrt((s2 - s1 * s1 / n_days) / n_days)) >= 2.0
-    """,
-    doc="Daily z-score anomaly detection per event_type "
-        "(operators/monitor.py::daily_zscore_anomalies): mean/var/z "
-        "derive as pure double functions of exact BIGINT sufficient "
-        "statistics (n, sum, sumsq) — partition- and engine-"
-        "invariant; two keyed aggs, no window.",
-)
-def anomaly_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.monitor import daily_zscore_anomalies
-
-    return daily_zscore_anomalies(table(spark, sf_dir, "events"))
-
-
-@register(
-    "diag_key_skew_profile",
-    """
-    WITH sizes AS (SELECT user_id AS k, count(*) AS sz
-                   FROM events GROUP BY 1)
-    SELECT count(*) AS n_keys, CAST(sum(sz) AS BIGINT) AS n_rows,
-           CAST(min(sz) AS BIGINT) AS min_sz,
-           CAST(quantile_disc(sz, 0.5) AS BIGINT) AS p50_sz,
-           CAST(quantile_disc(sz, 0.9) AS BIGINT) AS p90_sz,
-           CAST(quantile_disc(sz, 0.99) AS BIGINT) AS p99_sz,
-           CAST(max(sz) AS BIGINT) AS max_sz,
-           CAST(floor(100 * max(sz) / quantile_disc(sz, 0.5))
-                AS BIGINT) AS skew_ratio_e2
-    FROM sizes
-    """,
-    doc="Key-skew pre-flight profile (operators/monitor.py::"
-        "key_skew_profile): group-size distribution quantiles "
-        "(discrete — actual sizes, no interpolation) + max/p50 skew "
-        "ratio; the check that decides salting/AQE-skew-join before a "
-        "100 TB shuffle on the key.",
-)
-def diag_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.monitor import key_skew_profile
-
-    return key_skew_profile(
-        table(spark, sf_dir, "events"), key_col="user_id"
-    )
-
-
-@register(
-    "stream_dedup_parity",
-    """
-    SELECT event_type, count(*) AS n,
-           CAST(round(sum(value) * 100) AS BIGINT) AS total_e2
-    FROM events GROUP BY event_type
-    """,
-    doc="Batch-parity check for the streaming dedup operator "
-        "(streaming/ingest_stream.streaming_dedup): the events table "
-        "UNIONed with itself simulates at-least-once replay — exactly "
-        "the duplication the streaming path exists to absorb — and "
-        "dedup on event_id must restore the original stream, so the "
-        "oracle aggregates the raw table. On a stream the same "
-        "function is dropDuplicatesWithinWatermark (bounded state); "
-        "on batch it degrades to dropDuplicates.",
-)
-def stream_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming.ingest_stream import streaming_dedup
-
-    ev = table(spark, sf_dir, "events")
-    replayed = ev.unionAll(ev)
-    return (
-        streaming_dedup(replayed)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value") * 100).cast("long").alias("total_e2"),
-        )
-    )
-
-
-@register(
-    "scd2_user_event_periods",
-    """
-    WITH src AS (
-      SELECT user_id, event_id, event_type, ts FROM events
-      WHERE user_id < 100),
-    flagged AS (
-      SELECT user_id, event_id, event_type, ts,
-             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-                  THEN 1 ELSE 0 END AS chg
-      FROM src
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    numbered AS (
-      SELECT user_id, event_type, ts,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING
-                            AND CURRENT ROW) AS island
-      FROM flagged)
-    SELECT user_id, event_type,
-           CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us,
-           CAST(epoch_us(max(ts)) AS BIGINT) AS valid_to_us,
-           count(*) AS n_events
-    FROM numbered GROUP BY user_id, event_type, island
-    """,
-    doc="SCD2 history construction (gaps-and-islands): consecutive "
-        "same-event_type runs per user become validity periods "
-        "[valid_from, valid_to] — lag-change flag, running island "
-        "sum, per-island agg; ALL windows and the final agg share one "
-        "user_id shuffle (Exchange reuse), the same algebra the "
-        "sessionizer uses but keyed on value change, not time gap.",
-)
-def scd2_user_event_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    flagged = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        F.when(
-            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
-            1,
-        )
-        .otherwise(0)
-        .alias("chg"),
-    )
-    numbered = flagged.withColumn("island", F.sum("chg").over(run))
-    out = numbered.groupBy("user_id", "event_type", "island").agg(
-        F.min("ts").alias("from_ts"),
-        F.max("ts").alias("to_ts"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    return out.select(
-        "user_id",
-        "event_type",
-        epoch_us(out, "from_ts").alias("valid_from_us"),
-        epoch_us(out, "to_ts").alias("valid_to_us"),
-        "n_events",
-    )
-
-
-@register(
-    "audit_table_digest",
-    """
-    WITH h AS (
-      SELECT CAST(('0x' || substring(md5(
-               CAST(o_orderkey AS VARCHAR) || '|' ||
-               CAST(o_custkey AS VARCHAR) || '|' ||
-               o_orderstatus || '|' ||
-               CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                    AS VARCHAR) || '|' ||
-               strftime(o_orderdate, '%Y-%m-%d') || '|' ||
-               o_orderpriority), 1, 8))
-             AS BIGINT) AS rh
-      FROM orders)
-    SELECT count(*) AS n_rows,
-           CAST(sum(rh) AS BIGINT) AS digest_sum,
-           CAST(bit_xor(rh) AS BIGINT) AS digest_xor
-    FROM h
-    """,
-    doc="Order-invariant table content digest for migration audits "
-        "(the check a reference user runs after switching engines: "
-        "same rows in, same digest out, regardless of row order or "
-        "partitioning): md5 per row over portable string forms "
-        "(floats pre-scaled to integers — raw float-to-string "
-        "differs across engines), 32-bit prefix summed AND xor-folded. "
-        "One narrow map + one agg; linear, shuffle-free partials.",
-)
-def audit_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    row_str = F.concat_ws(
-        "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
-        F.col("o_orderpriority"),
-    )
-    rh = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
-    return o.select(rh.alias("rh")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("rh").alias("digest_sum"),
-        F.expr("bit_xor(rh)").alias("digest_xor"),
-    )
-
-
-@register(
-    "dedup_first_event_per_user_day",
-    """
-    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-           event_id, event_type
-    FROM (
-      SELECT user_id, ts, event_id, event_type,
-             row_number() OVER (
-               PARTITION BY user_id, date_trunc('day', ts)
-               ORDER BY ts, event_id) AS rn
-      FROM events)
-    WHERE rn = 1 AND user_id < 200
-    """,
-    doc="Windowed event dedup: keep the FIRST event per (user, day) — "
-        "the keep-one-of-many pattern (vs exact_dedup's "
-        "keep-min-hash): one ranking window on the grouping key, "
-        "filter rn=1; deterministic tie-break by (ts, event_id).",
-)
-def dedup_first_event_per_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
-    w = Window.partitionBy(
-        "user_id", F.date_trunc("DAY", "ts")
-    ).orderBy("ts", "event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias(
-                "day"
-            ),
-            "event_id",
-            "event_type",
-        )
-    )
-
-
-@register(
-    "pipeline_curate_corpus",
-    f"""
-    WITH s AS (
-      SELECT doc_id, text,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
-             {_DUCK_TOKENS} AS w
-      FROM documents),
-    gate AS (
-      SELECT doc_id, text, norm, len(w) AS n_tokens
-      FROM s
-      WHERE len(w) BETWEEN 5 AND 5000
-        AND (length(norm) - (len(w) - 1)) / CAST(len(w) AS DOUBLE)
-              BETWEEN 2.0 AND 12.0
-        AND length(regexp_replace(norm, '[^a-z]', '', 'g'))
-              / CAST(length(norm) AS DOUBLE) >= 0.6
-        AND len(list_filter(w, x -> list_contains(
-              ['a','and','das','dans','de','der','des','die','el','en',
-               'es','est','et','ein','in','is','it','la','le','les','of',
-               'pour','que','the','to','un','und','une','von','y','zu',
-               'ist'], x)))
-              / CAST(len(w) AS DOUBLE) >= 0.01),
-    keeper AS (
-      SELECT min(doc_id) AS doc_id FROM gate GROUP BY md5(norm)),
-    surv AS (
-      SELECT g.doc_id, g.n_tokens FROM gate g
-      JOIN keeper k ON g.doc_id = k.doc_id)
-    SELECT CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val'
-                ELSE 'test' END AS split,
-           count(*) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-    FROM (SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                    ::UBIGINT % 100) AS bucket,
-                 n_tokens
-          FROM surv) b
-    GROUP BY split
-    """,
-    doc="End-to-end corpus curation pipeline COMPOSED from catalog "
-        "operators: Gopher quality gate (row-local projection) -> "
-        "exact dedup keep-min (one md5 groupBy shuffle) -> "
-        "content-addressed 80/10/10 split (pure map) -> per-split "
-        "accounting. Demonstrates that the operators compose into one "
-        "lazy plan — Catalyst fuses the gate into the scan and the "
-        "pipeline runs in two shuffles total at any scale.",
-)
-def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.curation import quality_gate
-    from .operators.dedup import exact_dedup
-    from .operators.split import hash_split
-
-    docs = table(spark, sf_dir, "documents")
-    gate = quality_gate(docs).filter(F.col("keep")).select(
-        "doc_id", "n_tokens"
-    )
-    kept = docs.join(gate, "doc_id")
-    keepers = exact_dedup(kept).select(
-        F.col("keep_id").alias("doc_id")
-    )
-    surviving = kept.join(keepers, "doc_id").select("doc_id", "n_tokens")
-    split = hash_split(
-        surviving, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
-    )
-    return split.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-    )
-
-
-@register(
-    "stream_late_events_audit",
-    """
-    WITH runmax AS (
-      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
-             max(CAST(epoch_us(ts) AS BIGINT)) OVER (
-               PARTITION BY user_id ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING) AS seen_max
-      FROM events),
-    tagged AS (
-      SELECT user_id,
-             CASE WHEN seen_max IS NOT NULL AND us < seen_max
-                  THEN CAST(floor(seen_max / 60000000.0)
-                            - floor(us / 60000000.0)
-                       AS BIGINT)
-                  ELSE NULL END AS late_minutes
-      FROM runmax)
-    SELECT count(*) AS n_events,
-           CAST(count(late_minutes) AS BIGINT) AS n_late,
-           CAST(coalesce(max(late_minutes), 0) AS BIGINT)
-             AS max_late_minutes
-    FROM tagged
-    """,
-    doc="Watermark-lateness audit for streaming design: events arriving "
-        "with ts BEHIND the per-user running max (arrival order = "
-        "event_id) are late data; reports volume and worst lateness — "
-        "the measurement that justifies a watermark bound before "
-        "deploying the streaming operators. One per-user window, no "
-        "collect.",
-)
-def stream_late_events_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    us = epoch_us(ev, "ts")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seen_max = F.max(us).over(w)
-    tagged = ev.select(
-        "user_id",
-        F.when(
-            seen_max.isNotNull() & (us < seen_max),
-            (
-                F.floor(seen_max / 60000000.0)
-                - F.floor(us / 60000000.0)
-            ).cast("long"),
-        ).alias("late_minutes"),
-    )
-    return tagged.agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count("late_minutes").alias("n_late"),
-        F.coalesce(F.max("late_minutes"), F.lit(0))
-        .cast("long")
-        .alias("max_late_minutes"),
-    )
-
-
-@register(
-    "split_temporal_cutoff",
-    """
-    WITH span AS (
-      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
-             CAST(max(epoch_us(ts)) AS BIGINT) AS hi
-      FROM events),
-    cut AS (SELECT lo + CAST(floor((hi - lo) * 0.8) AS BIGINT) AS c
-            FROM span)
-    SELECT CASE WHEN CAST(epoch_us(ts) AS BIGINT) < c THEN 'train'
-                ELSE 'eval' END AS split,
-           count(*) AS n_events,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
-           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
-    FROM events CROSS JOIN cut GROUP BY 1
-    """,
-    doc="Temporal train/eval split (train on past, evaluate on "
-        "future): the leakage-preventing alternative to hash splits "
-        "for time-series tasks. Cutoff = 80th percentile of the time "
-        "SPAN in exact integer microseconds (adapts to any sf); a "
-        "literal cutoff predicate partition-prunes on date-"
-        "partitioned layouts (bucketing.write_date_partitioned).",
-)
-def split_temporal_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    us = epoch_us(ev, "ts")
-    evu = ev.select("user_id", us.alias("us"))
-    span = evu.agg(
-        F.min("us").alias("lo"), F.max("us").alias("hi")
-    ).select(
-        (
-            F.col("lo")
-            + F.floor((F.col("hi") - F.col("lo")) * 0.8).cast("long")
-        ).alias("c")
-    )
-    # scalar cutoff broadcast onto every row (1-row nested loop)
-    split = F.when(F.col("us") < F.col("c"), "train").otherwise("eval")
-    return (
-        evu.join(F.broadcast(span))
-        .groupBy(split.alias("split"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count_distinct("user_id").alias("n_users"),
-            F.min("us").alias("min_ts_us"),
-            F.max("us").alias("max_ts_us"),
-        )
-    )
-
-
-@register(
-    "graph_pagerank_custsupp",
-    """
-    WITH pairs AS (
-      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
-      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    edges AS (
-      SELECT c AS src, s AS dst FROM pairs
-      UNION ALL
-      SELECT s AS src, c AS dst FROM pairs),
-    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-    n AS (SELECT DISTINCT src AS node FROM edges),
-    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
-    i1 AS (SELECT e.dst AS node,
-                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100
-                       AS BIGINT) AS r
-           FROM edges e JOIN r0 r ON e.src = r.node
-                        JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    i2 AS (SELECT e.dst AS node,
-                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100
-                       AS BIGINT) AS r
-           FROM edges e JOIN i1 r ON e.src = r.node
-                        JOIN deg d ON e.src = d.src
-           GROUP BY e.dst),
-    i3 AS (SELECT e.dst AS node,
-                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100
-                       AS BIGINT) AS r
-           FROM edges e JOIN i2 r ON e.src = r.node
-                        JOIN deg d ON e.src = d.src
-           GROUP BY e.dst)
-    SELECT node, r AS r_e6 FROM i3
-    ORDER BY r_e6 DESC, node LIMIT 100
-    """,
-    doc="PageRank over the customer-supplier bipartite graph "
-        "(operators/graph.py::pagerank_int, 3 iterations): EXACT "
-        "integer micro-unit arithmetic (floor-div contributions, "
-        "BIGINT sums) makes an iterative algorithm hash-comparable "
-        "across engines — the oracle unrolls the same three "
-        "iterations in SQL. Both orientations included, so no "
-        "dangling nodes; per-iteration cost is one src join + one "
-        "dst agg.",
-)
-def graph_pagerank_custsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import pagerank_int
-
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    # broadcast_ranks=False here: on local[*] the per-iteration
-    # driver collect+broadcast round-trip costs more than the small
-    # shuffle it avoids (A/B: ~3.4 s vs ~4.4 s warm at sf0.1). On a
-    # real cluster with a data-sized edge list, broadcast_ranks=True
-    # is the right plan — edges shuffle once, only partial dst sums
-    # move per iteration (see pagerank_int docstring).
-    ranks = pagerank_int(edges, iterations=3)
-    return ranks.orderBy(F.desc("r_e6"), F.asc("node")).limit(100)
-
-
-@register(
-    "search_rrf_hybrid",
-    f"""
-    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
-    toks AS (SELECT doc_id, unnest(w) AS term FROM w),
-    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-           WHERE term <> '' GROUP BY 1, 2),
-    dl AS (SELECT doc_id, len(w) AS dl FROM w),
-    stats AS (SELECT count(*) AS n_docs,
-                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-    qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'window', 'join')),
-    qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtf
-            GROUP BY term),
-    bm AS (
-      SELECT doc_id, sum(CAST(round(
-               ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
-               * t.tf * (1.2 + 1)
-               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))
-               * 1000000) AS BIGINT)) AS bm25_e6
-      FROM qtf t JOIN qdf q USING (term) JOIN dl d USING (doc_id)
-      CROSS JOIN stats s GROUP BY doc_id),
-    bmrank AS (
-      SELECT doc_id, CAST(row_number() OVER (
-               ORDER BY bm25_e6 DESC, doc_id) AS BIGINT) AS rb
-      FROM bm ORDER BY bm25_e6 DESC, doc_id LIMIT 50),
-    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-           WHERE vec_id = 0),
-    cos AS (
-      SELECT e.vec_id AS doc_id,
-             round(list_cosine_similarity(q.qv,
-                   CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
-      FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> 0),
-    cosrank AS (
-      SELECT doc_id, CAST(row_number() OVER (
-               ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rc
-      FROM cos ORDER BY cos_sim DESC, doc_id LIMIT 50)
-    SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
-           coalesce(1000000 // (60 + b.rb), 0)
-             + coalesce(1000000 // (60 + c.rc), 0) AS rrf_e6,
-           b.rb AS bm25_rank, c.rc AS cosine_rank
-    FROM bmrank b FULL OUTER JOIN cosrank c ON b.doc_id = c.doc_id
-    ORDER BY rrf_e6 DESC, doc_id LIMIT 20
-    """,
-    doc="Hybrid retrieval via reciprocal rank fusion (Cormack et al. "
-        "2009): BM25 keyword ranking fused with embedding-cosine "
-        "ranking, score = sum 1/(60+rank) in integer micro-units "
-        "(floor division — exact in both engines). The modern "
-        "RAG-retrieval shape: each ranker runs its own scale path "
-        "(term-keyed aggs / LSH-IVF at scale), fusion touches only "
-        "two top-k lists — tiny regardless of corpus size.",
-)
-def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import brute_force_topk
-    from .operators.text import bm25_topk
-
-    docs = table(spark, sf_dir, "documents")
-    emb = table(spark, sf_dir, "embeddings")
-    bm = bm25_topk(docs, ["spark", "window", "join"], k=50)
-    wb = Window.orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
-    bmrank = bm.select(
-        "doc_id", F.row_number().over(wb).cast("long").alias("rb")
-    )
-    cos = brute_force_topk(
-        emb, emb.filter(F.col("vec_id") == 0), k=50
-    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
-    cosrank = cos.select(
-        "doc_id", F.col("rank").cast("long").alias("rc")
-    )
-    fused = bmrank.join(cosrank, "doc_id", "full_outer").select(
-        "doc_id",
-        (
-            F.coalesce(F.expr("1000000 div (60 + rb)"), F.lit(0))
-            + F.coalesce(F.expr("1000000 div (60 + rc)"), F.lit(0))
-        ).alias("rrf_e6"),
-        F.col("rb").alias("bm25_rank"),
-        F.col("rc").alias("cosine_rank"),
-    )
-    return fused.orderBy(F.desc("rrf_e6"), F.asc("doc_id")).limit(20)
-
-
-@register(
-    "fn_variant_props",
-    """
-    SELECT event_type,
-           count(*) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER))
-                AS BIGINT) AS k_sum,
-           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER))
-                AS BIGINT) AS k_min,
-           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER))
-                AS BIGINT) AS k_max
-    FROM events GROUP BY event_type
-    """,
-    doc="Semi-structured VARIANT surface (Spark 4): props parse once "
-        "into a VARIANT and variant_get extracts a typed path — the "
-        "engine-native successor to string json_extract (reference "
-        "stores JSON columns as typed flattened columns; VARIANT is "
-        "the keep-it-semi-structured alternative). Shredded access "
-        "stays columnar; the oracle uses DuckDB's json_extract.",
-)
-def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    k = F.expr(
-        "variant_get(parse_json(props), '$.k', 'int')"
-    ).cast("long")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("k_sum"),
-        F.min(k).alias("k_min"),
-        F.max(k).alias("k_max"),
-    )
-
-
-_CHUNK_ORACLE = """
-    SELECT doc_id,
-           CAST(s // 15 AS INTEGER) AS chunk_idx,
-           array_to_string(list_slice(w, s + 1, s + 20), ' ')
-             AS chunk_text,
-           CAST(len(list_slice(w, s + 1, s + 20)) AS INTEGER)
-             AS n_tokens
-    FROM (SELECT doc_id, {toks} AS w FROM documents WHERE doc_id < 200),
-         LATERAL (SELECT unnest(generate_series(0, len(w) - 1, 15)) AS s)
-"""
-
-
-@register(
-    "text_chunk_windows",
-    _CHUNK_ORACLE.format(toks=_DUCK_TOKENS),
-    doc="RAG context chunking: overlapping 20-token windows with "
-        "stride 15, emitted via sequence()+explode of per-chunk "
-        "structs — all JVM expressions, the production path (linear, "
-        "no Python). chunk_idx is the window ordinal.",
-)
-def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < 200
-    )
-    tokens = F.split(
-        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
-    )
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(tokens) - 1, F.lit(0)), F.lit(15)
-    )
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            (s / 15).cast("int").alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(tokens, s + 1, 20)).alias(
-                "chunk_text"
-            ),
-            F.size(F.slice(tokens, s + 1, 20)).alias("n_tokens"),
-        ),
-    )
-    return (
-        docs.select("doc_id", F.explode(chunks).alias("c"))
-        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
-    )
-
-
-@register(
-    "udtf_chunk_windows",
-    _CHUNK_ORACLE.format(toks=_DUCK_TOKENS),
-    doc="The SAME chunking as text_chunk_windows through Spark 4's "
-        "Python UDTF surface (arrow-optimized table function, LATERAL "
-        "correlation) — completing the UDF/UDTF API coverage; both "
-        "queries share one oracle, pinning UDTF output to the JVM "
-        "path exactly. UDTFs run Python per input row: right for "
-        "logic JVM expressions can't state, not for this hot path — "
-        "which is why the production twin exists.",
-)
-def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import udtf
-
-    @udtf(
-        returnType="chunk_idx int, chunk_text string, n_tokens int",
-        useArrow=True,
-    )
-    class ChunkTokens:
-        def eval(self, text: str):
-            toks = " ".join((text or "").lower().split()).split(" ")
-            for i, s in enumerate(range(0, max(len(toks), 1), 15)):
-                w = toks[s : s + 20]
-                yield i, " ".join(w), len(w)
-
-    spark.udtf.register("chunk_tokens", ChunkTokens)
-    register_testdata(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
-        FROM documents d, LATERAL chunk_tokens(d.text) c
-        WHERE d.doc_id < 200
-        """
-    )
-
-
-@register(
-    "source_ndjson_scan",
-    """
-    SELECT * FROM (VALUES
-      (CAST(NULL AS BOOLEAN), CAST(1.0 AS DOUBLE),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), '7', 'ann'),
-      (CAST(NULL AS BOOLEAN), CAST(2.5 AS DOUBLE),
-       CAST(1 AS BIGINT), CAST(2 AS BIGINT), '8', 'bob'),
-      (TRUE, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
-       CAST(NULL AS BIGINT), 'x9', CAST(NULL AS VARCHAR)))
-      t(active, score, tags_0, tags_1, user_id, user_name)
-    """,
-    doc="Custom Python DataSource round-trip "
-        "(sources.ScratchNdjsonDataSource): spark.read.format("
-        "'scratch_ndjson') applies N1 horizontal flatten + N3 "
-        "type-vote + cast-else-null as a NATIVE source — nested "
-        "user.id mixing int and string votes string, score mixing "
-        "int and float votes double, array elements land as "
-        "positional columns; one InputPartition per file. Oracle is "
-        "the literal expected relation.",
-    bench=False,  # times tempdir setup, not a scan
-)
-def source_ndjson_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    from .sources import ScratchNdjsonDataSource
-
-    spark.dataSource.register(ScratchNdjsonDataSource)
-    d = tempfile.mkdtemp(prefix="scratch_ndjson_")
-    with open(os.path.join(d, "batch.ndjson"), "w") as f:
-        f.write('{"user": {"id": 7, "name": "ann"}, "score": 1}\n')
-        f.write(
-            '{"user": {"id": 8, "name": "bob"}, "score": 2.5,'
-            ' "tags": [1, 2]}\n'
-        )
-        f.write('{"user": {"id": "x9"}, "active": true}\n')
-    return spark.read.format("scratch_ndjson").option("path", d).load()
-
-
-@register(
-    "cohort_monthly_retention",
-    """
-    WITH firsts AS (
-      SELECT user_id, date_trunc('month', min(ts)) AS cohort
-      FROM events GROUP BY user_id),
-    activity AS (
-      SELECT DISTINCT user_id, date_trunc('month', ts) AS m
-      FROM events)
-    SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
-           CAST(date_diff('month', f.cohort, a.m) AS BIGINT)
-             AS month_offset,
-           CAST(count(*) AS BIGINT) AS n_active_users
-    FROM activity a JOIN firsts f USING (user_id)
-    GROUP BY 1, 2
-    """,
-    doc="Cohort retention matrix: users grouped by first-event month, "
-        "counted in each subsequent month — the standard retention "
-        "triangle. Two aggs + one user-keyed join; the firsts frame "
-        "is one row per user, so at 100 TB the join is "
-        "broadcast-or-shuffle on user_id with no amplification.",
-)
-def cohort_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("MONTH", F.min("ts")).alias("cohort")
-    )
-    activity = ev.select(
-        "user_id", F.date_trunc("MONTH", "ts").alias("m")
-    ).distinct()
-    joined = activity.join(firsts, "user_id")
-    return (
-        joined.groupBy(
-            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
-            (
-                (F.year("m") - F.year("cohort")) * 12
-                + (F.month("m") - F.month("cohort"))
-            )
-            .cast("long")
-            .alias("month_offset"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_active_users"))
-    )
-
-
-@register(
-    "rolling_7d_active_users",
-    """
-    WITH ud AS (
-      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
-    days AS (SELECT DISTINCT d FROM ud)
-    SELECT strftime(days.d, '%Y-%m-%d') AS day,
-           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_7d
-    FROM days JOIN ud
-      ON ud.d <= days.d AND ud.d > days.d - INTERVAL 7 DAY
-    GROUP BY 1
-    """,
-    doc="Rolling 7-day distinct active users — sliding-window distinct "
-        "counts do NOT decompose into window functions; each (user, "
-        "day) pair is exploded into the 7 spine days it covers, then "
-        "an equi-join restricts to days that exist and one agg "
-        "dedups: work = 7x daily-active rows, all keyed shuffles, no "
-        "nested loop. At 100 TB swap exact counting for per-day HLL "
-        "sketches merged over the trailing window "
-        "(approx_hll_sketch_union shows the sketch path).",
-)
-def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("DAY", "ts").alias("d")
-    ).distinct()
-    # each active day COVERS the next 7 spine days: explode the bounded
-    # interval, then everything downstream is equi-keyed (the range
-    # join rewritten as bounded duplication — operators/rangejoin.py's
-    # trick; a naive d BETWEEN spine-6 AND spine predicate would plan
-    # as a BroadcastNestedLoopJoin)
-    covered = ud.select(
-        "user_id",
-        F.explode(
-            F.sequence(
-                F.col("d"),
-                F.col("d") + F.expr("INTERVAL 6 DAYS"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("spine_d"),
-    )
-    days = ud.select(F.col("d").alias("spine_d")).distinct()
-    return (
-        covered.join(days, "spine_d")
-        .groupBy(F.date_format("spine_d", "yyyy-MM-dd").alias("day"))
-        .agg(F.count_distinct("user_id").alias("active_7d"))
-    )
-
-
-@register(
-    "join_salted_user_totals",
-    """
-    WITH totals AS (
-      SELECT user_id, CAST(round(sum(value) * 100) AS BIGINT)
-               AS user_total_e2
-      FROM events GROUP BY user_id)
-    SELECT e.event_id, e.user_id, t.user_total_e2
-    FROM events e JOIN totals t USING (user_id)
-    WHERE e.user_id < 40
-    """,
-    doc="Salted skew join (operators/skew.py::salted_join): events "
-        "(big, user-skewed) join per-user totals (small, "
-        "non-broadcast path) on (user_id, salt) with the small side "
-        "replicated per salt — a hot user's rows spread over 8 "
-        "reducers instead of one. The oracle is the PLAIN join: "
-        "salting must redistribute work, never change rows.",
-)
-def join_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.skew import salted_join
-
-    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
-    totals = ev.groupBy("user_id").agg(
-        F.round(F.sum("value") * 100).cast("long").alias("user_total_e2")
-    )
-    big = ev.select("event_id", "user_id")
-    return salted_join(big, totals, "user_id").select(
-        "event_id", "user_id", "user_total_e2"
-    )
-
-
-@register(
-    "warehouse_time_travel",
-    """
-    SELECT * FROM (VALUES
-      (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(30 AS BIGINT)),
-      (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(90 AS BIGINT)))
-      t(version, n_rows, amount_sum)
-    """,
-    doc="Snapshot time travel (snapshots.py): two versioned appends "
-        "into a temp warehouse, then version-PINNED reads — v1 sees "
-        "only its manifest's files (2 rows), latest sees both "
-        "batches. The manifest PUT makes multi-file appends "
-        "atomically visible and replaces directory listing at plan "
-        "time; the Iceberg/Delta core idea over the existing "
-        "Hadoop-FS layout.",
-    bench=False,  # times temp-warehouse setup, not a scan
-)
-def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from . import snapshots as snap
-    from .tables import Warehouse
-
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_tt_"))
-    snap.append_versioned(
-        wh, "db", "t",
-        spark.createDataFrame(
-            [(1, 10), (2, 20)], "__row_id long, amount long"
-        ),
-    )
-    snap.append_versioned(
-        wh, "db", "t",
-        spark.createDataFrame([(3, 60)], "__row_id long, amount long"),
-    )
-    v1 = snap.read_snapshot(wh, "db", "t", version=1).agg(
-        F.lit(1).cast("long").alias("version"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("amount").alias("amount_sum"),
-    )
-    v2 = snap.read_snapshot(wh, "db", "t").agg(
-        F.lit(2).cast("long").alias("version"),
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("amount").alias("amount_sum"),
-    )
-    return v1.unionAll(v2)
-
-
-@register(
-    "warehouse_gdpr_delete",
-    """
-    SELECT * FROM (VALUES
-      (CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(2 AS BIGINT),
-       CAST(21 AS BIGINT)),
-      (CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT),
-       CAST(14 AS BIGINT)))
-      t(version, n_rows, n_flagged, id_sum)
-    """,
-    doc="Row-level takedown via copy-on-write "
-        "(snapshots.delete_where): two versioned appends, delete the "
-        "flagged rows, then audit BOTH versions — the pre-delete "
-        "snapshot still shows 6 rows with 2 flagged (the audit "
-        "trail), the post-delete snapshot shows 4 with 0. Only files "
-        "containing matches rewrite; the manifest PUT makes the "
-        "delete atomically visible.",
-    bench=False,  # times temp-warehouse setup, not a scan
-)
-def warehouse_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from . import snapshots as snap
-    from .tables import Warehouse
-
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_del_"))
-    snap.append_versioned(
-        wh, "db", "docs",
-        spark.createDataFrame(
-            [(1, False), (2, True), (3, False)],
-            "__row_id long, flagged boolean",
-        ),
-    )
-    pre_v = snap.append_versioned(
-        wh, "db", "docs",
-        spark.createDataFrame(
-            [(4, False), (5, True), (6, False)],
-            "__row_id long, flagged boolean",
-        ),
-    )
-    post_v, _ = snap.delete_where(wh, "db", "docs", F.col("flagged"))
-
-    def audit(version: int) -> DataFrame:
-        df = snap.read_snapshot(wh, "db", "docs", version=version)
-        return df.agg(
-            F.lit(version).cast("long").alias("version"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
-            F.sum("__row_id").alias("id_sum"),
-        )
-
-    return audit(pre_v).unionAll(audit(post_v))
-
-
-@register(
-    "warehouse_merge_upsert",
-    """
-    SELECT * FROM (VALUES
-      (CAST(1 AS BIGINT), 'old1', CAST(1000 AS BIGINT)),
-      (CAST(2 AS BIGINT), 'NEW2', CAST(9900 AS BIGINT)),
-      (CAST(3 AS BIGINT), 'old3', CAST(3000 AS BIGINT)),
-      (CAST(4 AS BIGINT), 'new4', CAST(4000 AS BIGINT)))
-      t(id, name, bal_e2)
-    """,
-    doc="MERGE / latest-wins upsert via copy-on-write "
-        "(snapshots.merge_upsert): matched keys replace, unmatched "
-        "insert, files without matching keys carry over; atomic at "
-        "the manifest PUT — the dimension-maintenance primitive the "
-        "append-only reference lacks.",
-    bench=False,  # times temp-warehouse setup, not a scan
-)
-def warehouse_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from . import snapshots as snap
-    from .tables import Warehouse
-
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_merge_"))
-    snap.append_versioned(
-        wh, "db", "dim",
-        spark.createDataFrame(
-            [(1, "old1", 1000), (2, "old2", 2000), (3, "old3", 3000)],
-            "__row_id long, name string, bal_e2 long",
-        ),
-    )
-    snap.merge_upsert(
-        wh, "db", "dim",
-        spark.createDataFrame(
-            [(2, "NEW2", 9900), (4, "new4", 4000)],
-            "__row_id long, name string, bal_e2 long",
-        ),
-        "__row_id",
-    )
-    out = snap.read_snapshot(wh, "db", "dim")
-    return out.select(
-        F.col("__row_id").alias("id"), "name", "bal_e2"
-    )
-
-
-@register(
-    "rollup_incremental_distinct",
-    _fixture_oracle(
-        "rollup_incremental_distinct",
-        ["day", "event_type", "approx_distinct"],
-    ),
-    doc="Incremental DISTINCT-count rollup "
-        "(operators/incremental.py::append_distinct_partials): events "
-        "ingested as TWO batches (event_id parity) append per-(day, "
-        "type) HLL sketch partials; the read union-merges sketches — "
-        "the one aggregate family additive partials can't serve "
-        "(distinct users don't add across batches). Deterministic "
-        "sketch algebra, so the oracle is a determinism-checked "
-        "golden snapshot (engine sketches differ from DuckDB's).",
-    bench=False,  # times temp-warehouse setup, not query execution
-)
-def rollup_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from .operators.incremental import (
-        append_distinct_partials,
-        read_distinct_rollup,
-    )
-    from .tables import Warehouse
-
-    ev = table(spark, sf_dir, "events")
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="rollup_du_"))
-    append_distinct_partials(
-        wh, "db", "du", ev.filter(F.col("event_id") % 2 == 0)
-    )
-    append_distinct_partials(
-        wh, "db", "du", ev.filter(F.col("event_id") % 2 == 1)
-    )
-    out = read_distinct_rollup(wh, "db", "du")
-    return out.select(
-        F.date_format("bucket_day", "yyyy-MM-dd").alias("day"),
-        "event_type",
-        F.round("approx_distinct", 4).alias("approx_distinct"),
-    )
+from .catalog.curation_queries import *  # noqa: F401,F403,E402
+from .catalog.lakehouse_misc import *  # noqa: F401,F403,E402
