@@ -77,6 +77,28 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def create_text(spark: SparkSession, path: str, text: str) -> bool:
+    """Create-IF-ABSENT: returns False when the file already exists —
+    the filesystem-level compare-and-swap snapshots.py uses as its
+    optimistic-concurrency commit primitive (create(overwrite=False)
+    is atomic on HDFS and local FS; object stores without conditional
+    PUT need a coordination layer above this, same as Delta/Iceberg)."""
+    fs, hpath, _ = _jfs(spark, path)
+    try:
+        out = fs.create(hpath, False)
+    except Exception:
+        # narrow the broad py4j exception: only an existing file is a
+        # benign CAS failure; anything else (quota, permissions) raises
+        if fs.exists(hpath):
+            return False
+        raise
+    try:
+        out.write(text.encode("utf-8"))
+    finally:
+        out.close()
+    return True
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     fs, hpath, jvm = _jfs(spark, path)
     stream = fs.open(hpath)

@@ -94,17 +94,40 @@ def _next_version(wh: Warehouse, database: str, table: str) -> int:
     return hi + 1
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed this snapshot version first."""
+
+
 def _put_manifest(
-    wh: Warehouse, database: str, table: str, manifest: dict
+    wh: Warehouse,
+    database: str,
+    table: str,
+    manifest: dict,
+    overwrite: bool = False,
 ) -> None:
     """Manifest PUT + watermark update (the PUT is the atomic commit
-    point; the watermark write after it only ever raises the floor)."""
+    point; the watermark write after it only ever raises the floor).
+
+    The PUT is create-if-absent (optimistic concurrency): two writers
+    racing to the same version number cannot silently last-write-win —
+    the loser gets CommitConflictError. commit_snapshot retries with a
+    fresh version (its manifest is recomputed from the directory, so
+    the retry adopts the winner's files too); copy-on-write DML
+    (delete_where / merge_upsert) does NOT retry — its manifest is
+    derived from a specific parent version, so the conflict surfaces
+    to the caller, who re-runs against the new state. ``overwrite``
+    is reserved for same-version metadata rewrites that are not
+    commits (maintain_table's retired-set drain)."""
     v = manifest["version"]
-    hfs.write_text(
-        wh.spark,
-        f"{_snap_dir(wh, database, table)}/v{v:012d}.json",
-        json.dumps(manifest, separators=(",", ":")),
-    )
+    body = json.dumps(manifest, separators=(",", ":"))
+    path = f"{_snap_dir(wh, database, table)}/v{v:012d}.json"
+    if overwrite:
+        hfs.write_text(wh.spark, path, body)
+    elif not hfs.create_text(wh.spark, path, body):
+        raise CommitConflictError(
+            f"snapshot v{v} of {database}.{table} was committed by a "
+            "concurrent writer"
+        )
     hfs.write_text(
         wh.spark,
         _watermark_path(wh, database, table),
@@ -117,39 +140,50 @@ def commit_snapshot(
 ) -> int:
     """Record the table's CURRENT data-file set as the next version.
     Returns the committed version number. The commit is one small
-    file PUT — atomic on every Hadoop FS that matters — so readers
-    either see the whole version or none of it."""
-    vs = versions(wh, database, table)
-    next_v = _next_version(wh, database, table)
-    # Copy-on-write DELETE/MERGE leave their replaced files on disk
-    # (older versions still reference them — that's the audit trail),
-    # recording them in the manifest's cumulative "retired" set. A
-    # directory listing therefore over-counts: subtract the retired
-    # set, or the first append after a takedown would RESURRECT the
-    # deleted rows in the new snapshot (caught by the read_changes
-    # CDC test).
-    retired: set = set()
-    if vs:
-        prev = json.loads(
-            hfs.read_text(
-                wh.spark,
-                f"{_snap_dir(wh, database, table)}/v{vs[-1]:012d}.json",
+    create-if-absent PUT — atomic on every Hadoop FS that matters —
+    so readers either see the whole version or none of it, and a
+    concurrent commit to the same number loses the CAS and RETRIES
+    with a recomputed manifest (which, being a fresh directory
+    listing, includes the winner's files — concurrent appends
+    linearize instead of losing one batch)."""
+    last_err: CommitConflictError | None = None
+    for _attempt in range(5):
+        vs = versions(wh, database, table)
+        next_v = _next_version(wh, database, table)
+        # Copy-on-write DELETE/MERGE leave their replaced files on disk
+        # (older versions still reference them — that's the audit
+        # trail), recording them in the manifest's cumulative "retired"
+        # set. A directory listing therefore over-counts: subtract the
+        # retired set, or the first append after a takedown would
+        # RESURRECT the deleted rows in the new snapshot (caught by the
+        # read_changes CDC test).
+        retired: set = set()
+        if vs:
+            prev = json.loads(
+                hfs.read_text(
+                    wh.spark,
+                    f"{_snap_dir(wh, database, table)}/v{vs[-1]:012d}.json",
+                )
             )
-        )
-        retired = set(prev.get("retired", []))
-    disk = _data_files(wh, database, table)
-    # prune retired names whose files are physically gone (maintenance
-    # deletes them) so the set stays bounded by live dead files, and
-    # never grows for the lifetime of the table
-    retired &= set(disk)
-    manifest = {
-        "version": next_v,
-        "files": [f for f in disk if f not in retired],
-        "retired": sorted(retired),
-        "schema": wh.schema(database, table).json(),
-    }
-    _put_manifest(wh, database, table, manifest)
-    return next_v
+            retired = set(prev.get("retired", []))
+        disk = _data_files(wh, database, table)
+        # prune retired names whose files are physically gone
+        # (maintenance deletes them) so the set stays bounded by live
+        # dead files, and never grows for the lifetime of the table
+        retired &= set(disk)
+        manifest = {
+            "version": next_v,
+            "files": [f for f in disk if f not in retired],
+            "retired": sorted(retired),
+            "schema": wh.schema(database, table).json(),
+        }
+        try:
+            _put_manifest(wh, database, table, manifest)
+            return next_v
+        except CommitConflictError as e:
+            last_err = e
+            continue
+    raise last_err  # type: ignore[misc]  # 5 consecutive conflicts
 
 
 def append_versioned(
@@ -524,6 +558,7 @@ def maintain_table(
             "retired": still_dead,
             "schema": prev["schema"],
         },
+        overwrite=True,  # same-version metadata rewrite, not a commit
     )
     return {
         "files_before": len(prev_files),

@@ -870,3 +870,44 @@ def test_read_changes_replays_any_dml_sequence(spark, tmp_path):
                 replay[k] = replay.get(k, 0) - 1
         replay = {k: c for k, c in replay.items() if c}
         assert replay == snaps[j], f"replay {i}->{j} diverged"
+
+
+def test_snapshot_commit_optimistic_concurrency(spark, tmp_path):
+    """The manifest PUT is create-if-absent: a concurrent writer racing
+    to the same version number loses the CAS loudly instead of
+    silently last-write-winning, and commit_snapshot retries with a
+    recomputed manifest so concurrent appenders linearize."""
+    import threading
+
+    import pytest as _pytest
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_occ"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(1, 10)], "__row_id long, amount long"),
+    )
+    # direct double-PUT of one version: the second loses the CAS
+    m = snap._manifest(wh, "db", "t", 1)
+    with _pytest.raises(snap.CommitConflictError, match="v1"):
+        snap._put_manifest(wh, "db", "t", m)
+
+    # four racing committers all succeed with DISTINCT version numbers
+    got, errs = [], []
+
+    def commit():
+        try:
+            got.append(snap.commit_snapshot(wh, "db", "t"))
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [threading.Thread(target=commit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert len(set(got)) == 4, got
+    assert snap.versions(wh, "db", "t") == [1] + sorted(got)
