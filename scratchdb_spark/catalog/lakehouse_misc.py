@@ -1027,3 +1027,52 @@ def rollup_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("approx_distinct", 4).alias("approx_distinct"),
     )
+
+
+@register(
+    "warehouse_pruned_scan",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(1045 AS BIGINT)))
+      t(files_planned, n_rows, k_sum)
+    """,
+    doc="Manifest zone-map file skipping (snapshots.read_snapshot "
+        "prune=): three disjoint-keyed single-file appends with "
+        "stat_cols=['k'] record per-file min/max in the manifest; a "
+        "range read plans ONLY the one overlapping file (the table's "
+        "empty seed file carries [None, None] stats and is skipped "
+        "too — NULL never matches a range). The Iceberg/Delta "
+        "file-skipping move: at 100 TB a selective range predicate "
+        "touches the files it can live in BEFORE parquet row-group "
+        "stats get a say, and stats cost is one agg job per commit "
+        "over just the new batch's files. files_planned comes from "
+        "the PLAN (inputFiles), so the oracle row pins the pruning "
+        "itself, not only the row results.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_zm_"))
+    for lo in (0, 100, 200):
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(lo + i, lo + i) for i in range(10)],
+                "__row_id long, k long",
+            ).coalesce(1),
+            stat_cols=["k"],
+        )
+    pruned = snap.read_snapshot(wh, "db", "t", prune=("k", 100, 109))
+    n_files = len(pruned.inputFiles())
+    return (
+        pruned.filter(F.col("k").between(100, 109))
+        .agg(
+            F.lit(n_files).cast("long").alias("files_planned"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("k_sum"),
+        )
+    )

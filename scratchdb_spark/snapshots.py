@@ -135,8 +135,81 @@ def _put_manifest(
     )
 
 
+def _file_stats(
+    wh: Warehouse, base: str, names: list[str], schema, stat_cols: list[str]
+) -> dict:
+    """Per-file min/max for ``stat_cols`` over exactly ``names`` — the
+    zone-map half of the manifest (Iceberg data-file stats / Delta
+    file skipping, public designs). ONE aggregation job over only the
+    named files (commit path passes just the new batch's files, so
+    stats cost is proportional to churn, not table size); map-side
+    combine makes the shuffle k-rows-per-file."""
+    if not names or not stat_cols:
+        return {}
+    from pyspark.sql import functions as F
+
+    for c in stat_cols:
+        f = next((f for f in schema.fields if f.name == c), None)
+        if f is None:
+            raise ValueError(f"stat column {c!r} not in table schema")
+        kind = f.dataType.simpleString()
+        if kind not in (
+            "bigint", "int", "smallint", "tinyint", "double", "float",
+            "string", "boolean",
+        ):
+            raise ValueError(
+                f"stat column {c!r} has non-JSON-portable type {kind}; "
+                "use a numeric/string column"
+            )
+    df = wh.spark.read.schema(schema).parquet(
+        *[f"{base}/{n}" for n in names]
+    )
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    rows = (
+        df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+    out = {
+        r["__f"].rsplit("/", 1)[-1]: {
+            c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_cols
+        }
+        for r in rows
+    }
+    # a file with no rows produces no aggregation row: record it as
+    # [None, None] (distinct from "no stats recorded") so range
+    # pruning can skip it — same as an all-null file, no value in it
+    # can ever satisfy a range predicate
+    for n in names:
+        out.setdefault(n, {c: [None, None] for c in stat_cols})
+    return out
+
+
+def _stats_for_manifest(
+    wh: Warehouse,
+    base: str,
+    prev: dict,
+    files: list[str],
+    rewritten: list[str],
+    schema,
+) -> dict:
+    """Stat fields for a COW commit's manifest: carry the previous
+    manifest's per-file stats for surviving files, compute fresh ones
+    only for the rewritten files. Returns {} when the table collects
+    no stats."""
+    cols = prev.get("stat_cols", [])
+    if not cols:
+        return {}
+    prev_stats = prev.get("stats", {})
+    carried = {f: prev_stats[f] for f in files if f in prev_stats}
+    fresh = _file_stats(
+        wh, base, [f for f in rewritten if f not in carried], schema, cols
+    )
+    return {"stat_cols": cols, "stats": {**carried, **fresh}}
+
+
 def commit_snapshot(
-    wh: Warehouse, database: str, table: str
+    wh: Warehouse, database: str, table: str, stat_cols: list[str] | None = None
 ) -> int:
     """Record the table's CURRENT data-file set as the next version.
     Returns the committed version number. The commit is one small
@@ -171,12 +244,43 @@ def commit_snapshot(
         # (maintenance deletes them) so the set stays bounded by live
         # dead files, and never grows for the lifetime of the table
         retired &= set(disk)
+        files = [f for f in disk if f not in retired]
+        schema = wh.schema(database, table)
+        # file statistics: stat_cols=None inherits the table's existing
+        # stat columns (once a table collects zone maps, every commit
+        # keeps them current); stats are computed ONLY for files new
+        # since the previous manifest and carried forward otherwise
+        prev_stats = prev.get("stats", {}) if vs else {}
+        cols = (
+            list(stat_cols)
+            if stat_cols is not None
+            else (prev.get("stat_cols", []) if vs else [])
+        )
+        stats = {}
+        if cols:
+            carried = {
+                f: prev_stats[f]
+                for f in files
+                if f in prev_stats
+                and set(prev_stats[f]) >= set(cols)
+            }
+            fresh = _file_stats(
+                wh,
+                wh._path(database, table),
+                [f for f in files if f not in carried],
+                schema,
+                cols,
+            )
+            stats = {**carried, **fresh}
         manifest = {
             "version": next_v,
-            "files": [f for f in disk if f not in retired],
+            "files": files,
             "retired": sorted(retired),
-            "schema": wh.schema(database, table).json(),
+            "schema": schema.json(),
         }
+        if cols:
+            manifest["stat_cols"] = cols
+            manifest["stats"] = stats
         try:
             _put_manifest(wh, database, table, manifest)
             return next_v
@@ -187,12 +291,18 @@ def commit_snapshot(
 
 
 def append_versioned(
-    wh: Warehouse, database: str, table: str, batch: DataFrame
+    wh: Warehouse,
+    database: str,
+    table: str,
+    batch: DataFrame,
+    stat_cols: list[str] | None = None,
 ) -> int:
     """append_aligned + snapshot commit: the batch's files become
-    visible to snapshot readers atomically, at the manifest PUT."""
+    visible to snapshot readers atomically, at the manifest PUT.
+    ``stat_cols`` opts the table into per-file min/max zone maps
+    (see commit_snapshot; later appends inherit them)."""
     wh.append_aligned(database, table, batch)
-    return commit_snapshot(wh, database, table)
+    return commit_snapshot(wh, database, table, stat_cols=stat_cols)
 
 
 def read_snapshot(
@@ -200,11 +310,22 @@ def read_snapshot(
     database: str,
     table: str,
     version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Plan over the exact file list of ``version`` (latest when
     None). The schema comes from the manifest — so a snapshot taken
     before a column existed reads WITHOUT that column, exactly what
-    the table looked like then."""
+    the table looked like then.
+
+    ``prune=(col, lo, hi)`` applies manifest-level FILE SKIPPING: only
+    files whose recorded [min, max] for ``col`` overlaps [lo, hi]
+    (either bound may be None for open-ended) enter the plan — the
+    zone-map scan-elimination move that makes a 100 TB range query
+    touch only the files its predicate can live in, BEFORE parquet
+    row-group stats get a say. Files without recorded stats are kept
+    (pruning must never drop rows), and the returned frame is a file-
+    level SUPERSET of the predicate — callers still apply their own
+    ``.filter``, exactly like Iceberg's planFiles contract."""
     vs = versions(wh, database, table)
     if not vs:
         raise ValueError(
@@ -225,7 +346,30 @@ def read_snapshot(
 
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     base = wh._path(database, table)
-    paths = [f"{base}/{name}" for name in manifest["files"]]
+    names = manifest["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        stats = manifest.get("stats", {})
+
+        def survives(name: str) -> bool:
+            rng = stats.get(name, {}).get(col)
+            if rng is None:
+                return True  # no stats recorded -> must scan
+            mn, mx = rng
+            if mn is None and mx is None:
+                # empty or all-null file: no value in it can satisfy
+                # a range predicate (NULL never matches BETWEEN)
+                return False
+            if mn is None or mx is None:
+                return True  # half-unknown -> keep, never drop rows
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+            return True
+
+        names = [n for n in names if survives(n)]
+    paths = [f"{base}/{name}" for name in names]
     if not paths:
         return wh.spark.createDataFrame([], schema)
     return wh.spark.read.schema(schema).parquet(*paths)
@@ -331,19 +475,20 @@ def delete_where(
         [f for f in prev["files"] if f not in set(affected)] + rewritten
     )
     next_v = _next_version(wh, database, table)
-    _put_manifest(
-        wh, database, table,
-        {
-            "version": next_v,
-            "files": new_files,
-            # replaced files stay on disk for older versions;
-            # commit_snapshot must never re-adopt them
-            "retired": sorted(
-                set(prev.get("retired", [])) | set(affected)
-            ),
-            "schema": prev["schema"],
-        },
-    )
+    manifest = {
+        "version": next_v,
+        "files": new_files,
+        # replaced files stay on disk for older versions;
+        # commit_snapshot must never re-adopt them
+        "retired": sorted(
+            set(prev.get("retired", [])) | set(affected)
+        ),
+        "schema": prev["schema"],
+        **_stats_for_manifest(
+            wh, base, prev, new_files, rewritten, schema
+        ),
+    }
+    _put_manifest(wh, database, table, manifest)
     n_after = read_snapshot(wh, database, table, next_v).count()
     return next_v, n_before - n_after
 
@@ -432,19 +577,20 @@ def merge_upsert(
         [f for f in prev["files"] if f not in set(affected)] + rewritten
     )
     next_v = _next_version(wh, database, table)
-    _put_manifest(
-        wh, database, table,
-        {
-            "version": next_v,
-            "files": new_files,
-            # replaced files stay on disk for older versions;
-            # commit_snapshot must never re-adopt them
-            "retired": sorted(
-                set(prev.get("retired", [])) | set(affected)
-            ),
-            "schema": prev["schema"],
-        },
-    )
+    manifest = {
+        "version": next_v,
+        "files": new_files,
+        # replaced files stay on disk for older versions;
+        # commit_snapshot must never re-adopt them
+        "retired": sorted(
+            set(prev.get("retired", [])) | set(affected)
+        ),
+        "schema": prev["schema"],
+        **_stats_for_manifest(
+            wh, base, prev, new_files, rewritten, schema
+        ),
+    }
+    _put_manifest(wh, database, table, manifest)
     return next_v, n_updated, n_inserted
 
 
@@ -527,18 +673,33 @@ def maintain_table(
     hfs.delete(wh.spark, tmp)
 
     next_v = _next_version(wh, database, table)
-    _put_manifest(
-        wh, database, table,
-        {
-            "version": next_v,
-            "files": sorted(rewritten),
-            # every pre-compaction file is now dead; listing them as
-            # retired blocks commit_snapshot re-adoption until the
-            # physical delete below (or a later maintenance) runs
-            "retired": sorted(prev_files | retired),
-            "schema": prev["schema"],
-        },
+    # recompute zone maps for the compacted layout: range-clustering on
+    # sort_col is exactly what makes per-file min/max maximally
+    # selective, so maintenance refreshes rather than drops them
+    from pyspark.sql import types as T
+
+    cols = prev.get("stat_cols", [])
+    stats = (
+        _file_stats(
+            wh, base, sorted(rewritten),
+            T.StructType.fromJson(json.loads(prev["schema"])), cols,
+        )
+        if cols
+        else {}
     )
+    new_manifest = {
+        "version": next_v,
+        "files": sorted(rewritten),
+        # every pre-compaction file is now dead; listing them as
+        # retired blocks commit_snapshot re-adoption until the
+        # physical delete below (or a later maintenance) runs
+        "retired": sorted(prev_files | retired),
+        "schema": prev["schema"],
+    }
+    if cols:
+        new_manifest["stat_cols"] = cols
+        new_manifest["stats"] = stats
+    _put_manifest(wh, database, table, new_manifest)
     # post-commit cleanup: drop old manifests, then old data files
     expired = expire_snapshots(wh, database, table, keep_last=1)
     for name in sorted(prev_files | retired):
@@ -550,14 +711,10 @@ def maintain_table(
         (prev_files | retired)
         & set(_data_files(wh, database, table))
     )
+    drained = dict(new_manifest)
+    drained["retired"] = still_dead
     _put_manifest(
-        wh, database, table,
-        {
-            "version": next_v,
-            "files": sorted(rewritten),
-            "retired": still_dead,
-            "schema": prev["schema"],
-        },
+        wh, database, table, drained,
         overwrite=True,  # same-version metadata rewrite, not a commit
     )
     return {

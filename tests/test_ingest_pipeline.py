@@ -911,3 +911,85 @@ def test_snapshot_commit_optimistic_concurrency(spark, tmp_path):
     assert not errs, errs
     assert len(set(got)) == 4, got
     assert snap.versions(wh, "db", "t") == [1] + sorted(got)
+
+
+def test_manifest_zone_maps_prune_files(spark, tmp_path):
+    """Per-file min/max stats in the manifest skip files at PLAN time:
+    a range read over disjoint-keyed batches plans only the
+    overlapping files, never drops rows, and stats survive appends,
+    COW deletes, and maintenance."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_zm"))
+    # three single-file batches with disjoint key ranges
+    for lo in (0, 100, 200):
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(lo + i, lo + i) for i in range(10)],
+                "__row_id long, k long",
+            ).coalesce(1),
+            stat_cols=["k"],
+        )
+    full = snap.read_snapshot(wh, "db", "t")
+    # 4 = the table's initial empty file + three batch files
+    assert len(full.inputFiles()) == 4
+
+    pruned = snap.read_snapshot(wh, "db", "t", prune=("k", 100, 109))
+    assert len(pruned.inputFiles()) == 1  # only the middle file plans
+    # superset contract: caller still filters; rows match the full scan
+    assert sorted(
+        r["k"] for r in pruned.filter(F.col("k").between(100, 109)).collect()
+    ) == list(range(100, 110))
+    # open-ended bounds
+    assert len(
+        snap.read_snapshot(wh, "db", "t", prune=("k", 200, None)).inputFiles()
+    ) == 1
+    assert len(
+        snap.read_snapshot(wh, "db", "t", prune=("k", None, 99)).inputFiles()
+    ) == 1
+
+    # stat_cols inherit on later appends (no explicit opt-in again)
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(300, 300)], "__row_id long, k long")
+        .coalesce(1),
+    )
+    v = snap.versions(wh, "db", "t")[-1]
+    m = snap._manifest(wh, "db", "t", v)
+    assert m["stat_cols"] == ["k"]
+    assert len(m["stats"]) == 5  # carried 4 (incl. empty) + fresh 1
+
+    # COW delete rewrites one file; stats carry + refresh
+    snap.delete_where(wh, "db", "t", F.col("k") == 105)
+    v = snap.versions(wh, "db", "t")[-1]
+    m = snap._manifest(wh, "db", "t", v)
+    assert set(m["stats"]) == set(m["files"])
+    pruned2 = snap.read_snapshot(wh, "db", "t", prune=("k", 100, 109))
+    got = sorted(
+        r["k"]
+        for r in pruned2.filter(F.col("k").between(100, 109)).collect()
+    )
+    assert got == [k for k in range(100, 110) if k != 105]
+
+    # maintenance recomputes stats over the compacted clustered layout
+    snap.maintain_table(wh, "db", "t", sort_col="k")
+    v = snap.versions(wh, "db", "t")[-1]
+    m = snap._manifest(wh, "db", "t", v)
+    assert m["stat_cols"] == ["k"] and set(m["stats"]) == set(m["files"])
+    after = snap.read_snapshot(wh, "db", "t", prune=("k", None, None))
+    assert after.count() == 30  # 31 appended - 1 deleted
+
+    # non-portable stat column type is rejected loudly
+    import pytest as _pytest
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh_zm2"))
+    with _pytest.raises(ValueError, match="not in table schema"):
+        snap.append_versioned(
+            wh2, "db", "t",
+            spark.createDataFrame([(1, 1)], "__row_id long, k long"),
+            stat_cols=["missing"],
+        )
