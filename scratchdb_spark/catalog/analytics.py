@@ -1206,3 +1206,74 @@ def rcte_nation_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _RCTE_NATION_CHAINS)
 
 
+
+
+#: Shared standard-SQL text for the histogram-sketch robust stats —
+#: BOTH engines execute this identical string (Spark via the N8
+#: pass-through surface, DuckDB as the oracle). e-notation float
+#: literals (0.5e0) force DOUBLE in DuckDB too (a bare 0.5 would be
+#: DECIMAL there and the interpolation arithmetic would diverge).
+_HIST_ROBUST_SQL = """
+    WITH b AS (
+      SELECT l_returnflag AS rf,
+             CAST(floor(l_extendedprice / 100.0e0) AS BIGINT) AS bk,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT rf, bk, cnt,
+             sum(cnt) OVER (PARTITION BY rf ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY rf) AS n
+      FROM b
+    ),
+    q AS (
+      SELECT rf,
+        min(CASE WHEN cum >= 0.25e0 * n AND cum - cnt < 0.25e0 * n
+          THEN (bk + (0.25e0 * n - (cum - cnt)) / cnt) * 100.0e0 END) AS p25,
+        min(CASE WHEN cum >= 0.5e0 * n AND cum - cnt < 0.5e0 * n
+          THEN (bk + (0.5e0 * n - (cum - cnt)) / cnt) * 100.0e0 END) AS p50,
+        min(CASE WHEN cum >= 0.75e0 * n AND cum - cnt < 0.75e0 * n
+          THEN (bk + (0.75e0 * n - (cum - cnt)) / cnt) * 100.0e0 END) AS p75
+      FROM c GROUP BY rf
+    ),
+    d AS (
+      SELECT c.rf, abs((c.bk + 0.5e0) * 100.0e0 - q.p50) AS dev,
+             c.cnt, c.n
+      FROM c JOIN q ON c.rf = q.rf
+    ),
+    dc AS (
+      SELECT rf, dev, cnt,
+             sum(cnt) OVER (PARTITION BY rf ORDER BY dev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcum,
+             n
+      FROM d
+    ),
+    m AS (
+      SELECT rf, min(CASE WHEN dcum >= 0.5e0 * n THEN dev END) AS mad_est
+      FROM dc GROUP BY rf
+    )
+    SELECT q.rf AS l_returnflag,
+           round(q.p50, 6) AS med_est,
+           round(q.p75 - q.p25, 6) AS iqr_est,
+           round(m.mad_est, 6) AS mad_est
+    FROM q JOIN m ON q.rf = m.rf
+"""
+
+
+@register(
+    "agg_robust_stats_histogram",
+    _HIST_ROBUST_SQL,
+    doc="Histogram-sketch robust statistics — the MERGEABLE scale "
+        "twin of agg_robust_price_stats' exact percentiles (which "
+        "buffer whole groups and carry a hot-group guard): fixed "
+        "$100 buckets aggregate with map-side combine, quantiles "
+        "interpolate inside the bucket from the per-group cumulative, "
+        "and MAD is the weighted median of bucket-center deviations — "
+        "computable from the SAME histogram, no second data pass. "
+        "State per group = bounded bucket counts (mergeable partials, "
+        "the incremental-rollup contract), so no executor ever "
+        "buffers a group. Both engines run this identical SQL text.",
+)
+def agg_robust_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _HIST_ROBUST_SQL)

@@ -1009,3 +1009,53 @@ def anomaly_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return daily_zscore_anomalies(table(spark, sf_dir, "events"))
 
+
+
+@register(
+    "ts_gapfill_linear_spend",
+    """
+    WITH daily AS (
+      SELECT user_id AS k, date_trunc('day', ts) AS day,
+             CAST(round(sum(value) * 100) AS BIGINT) AS value_e2
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ),
+    span AS (SELECT k, min(day) AS lo, max(day) AS hi FROM daily GROUP BY k),
+    spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM span),
+    j AS (SELECT s.k, s.day, d.value_e2
+          FROM spine s LEFT JOIN daily d ON s.k = d.k AND s.day = d.day),
+    w AS (
+      SELECT k, day, value_e2,
+        last_value(value_e2 IGNORE NULLS) OVER (PARTITION BY k ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN value_e2 IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+        first_value(value_e2 IGNORE NULLS) OVER (PARTITION BY k ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN value_e2 IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY k ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM j)
+    SELECT k AS user_id, strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN value_e2 IS NOT NULL THEN value_e2
+                ELSE prev_v + CAST(round((next_v - prev_v)
+                     * date_diff('day', prev_d, day)
+                     / date_diff('day', prev_d, next_d)) AS BIGINT) END
+             AS interp_value_e2,
+           value_e2 IS NULL AS is_gap
+    FROM w
+    """,
+    doc="Calendar gap-fill with LINEAR interpolation "
+        "(operators/resample.py::gapfill_daily_linear) — the "
+        "time_bucket_gapfill+interpolate twin of the locf query: two "
+        "per-key windows carry the last/next known (value, day) pair "
+        "and interior gaps interpolate over exact scaled-integer "
+        "endpoints (one float division of exact ints, bit-identical "
+        "cross-engine).",
+)
+def ts_gapfill_linear_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.resample import gapfill_daily_linear
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return gapfill_daily_linear(ev)

@@ -136,3 +136,75 @@ def gapfill_daily_forward(
         ),
         F.col("value_e2").isNull().alias("is_gap"),
     )
+
+
+def gapfill_daily_linear(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Calendar gap-fill with LINEAR interpolation — the
+    `time_bucket_gapfill + interpolate` twin of
+    :func:`gapfill_daily_forward`'s locf (TimescaleDB's public API
+    shape, reimplemented as a spine join; no reference code).
+
+    Same plan skeleton as the forward fill (daily agg -> per-key span
+    -> distributed sequence() spine -> left join -> per-key windows);
+    the fill needs TWO windows instead of one — last known
+    (value, day) looking back, first known looking forward — and the
+    interpolated value is
+    prev + round((next - prev) * gap_pos / gap_len)
+    over EXACT scaled-integer endpoints: the only float op is one
+    division of exact integers, bit-identical in any engine, so the
+    oracle hash-compares. Spine spans each key's own [min, max] known
+    days, so every gap is interior and both endpoints exist.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    daily = (
+        events.groupBy(F.col(key_col).alias("k"), day.alias("day"))
+        .agg(
+            F.round(F.sum(value_col) * 100)
+            .cast("long")
+            .alias("value_e2"),
+        )
+    )
+    span = daily.groupBy("k").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = span.select(
+        "k",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    j = spine.join(daily, ["k", "day"], "left")
+    back = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("k")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("value_e2").isNotNull(), F.col("day"))
+    prev_v = F.last("value_e2", ignorenulls=True).over(back)
+    prev_d = F.last(known_day, ignorenulls=True).over(back)
+    next_v = F.first("value_e2", ignorenulls=True).over(fwd)
+    next_d = F.first(known_day, ignorenulls=True).over(fwd)
+    gap_pos = F.datediff(F.col("day"), prev_d).cast("long")
+    gap_len = F.datediff(next_d, prev_d).cast("long")
+    interp = F.when(F.col("value_e2").isNotNull(), F.col("value_e2")).otherwise(
+        (
+            prev_v
+            + F.round((next_v - prev_v) * gap_pos / gap_len).cast("long")
+        )
+    )
+    return j.select(
+        F.col("k").alias(key_col),
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        interp.alias("interp_value_e2"),
+        F.col("value_e2").isNull().alias("is_gap"),
+    )
