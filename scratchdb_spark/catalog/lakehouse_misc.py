@@ -1076,3 +1076,47 @@ def warehouse_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("k_sum"),
         )
     )
+
+
+@register(
+    "warehouse_eq_pruned_scan",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(60 AS BIGINT)))
+      t(files_planned, n_rows, id_sum)
+    """,
+    doc="Equality file skipping via per-file low-cardinality "
+        "dictionaries (snapshots.read_snapshot prune_eq=): three "
+        "batches each clustered on one categorical value record "
+        "<=64-entry value dicts in the manifest; a point lookup plans "
+        "ONLY the file whose dict holds the value — where min/max "
+        "zone maps are useless because every file spans the whole "
+        "categorical 'range'. The parquet dictionary-page idea lifted "
+        "to manifest level; above the cap the column falls back to "
+        "range stats (never drops rows). files_planned is read from "
+        "the actual plan.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_eq_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_eq_"))
+    for i, reg in enumerate(["emea", "apac", "amer"]):
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(i * 10 + j, reg) for j in range(5)],
+                "__row_id long, region string",
+            ).coalesce(1),
+            stat_cols=["region"],
+        )
+    pruned = snap.read_snapshot(wh, "db", "t", prune_eq=("region", "apac"))
+    n_files = len(pruned.inputFiles())
+    return pruned.filter(F.col("region") == "apac").agg(
+        F.lit(n_files).cast("long").alias("files_planned"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__row_id").alias("id_sum"),
+    )

@@ -135,6 +135,13 @@ def _put_manifest(
     )
 
 
+#: max distinct values recorded per (file, column) dictionary; above
+#: this the dict is omitted and equality pruning falls back to the
+#: min/max range. Keeps manifest growth bounded: <= 64 scalars per
+#: file/col on top of the 2 min/max entries.
+_DICT_CAP = 64
+
+
 def _file_stats(
     wh: Warehouse, base: str, names: list[str], schema, stat_cols: list[str]
 ) -> dict:
@@ -166,22 +173,44 @@ def _file_stats(
     )
     aggs = []
     for c in stat_cols:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        aggs += [
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+            # low-cardinality dictionary: the distinct value set when
+            # it is small (<= _DICT_CAP) — slice() bounds what crosses
+            # the wire to CAP+1 values per file/col; a full set of
+            # exactly CAP+1 means "over cap" and records no dict.
+            # Enables EQUALITY file skipping where min/max ranges are
+            # useless (categorical columns clustered across files) —
+            # the parquet dictionary-page idea lifted to manifest level
+            F.slice(
+                F.sort_array(F.collect_set(F.col(c))), 1, _DICT_CAP + 1
+            ).alias(f"dc_{c}"),
+        ]
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
-    out = {
-        r["__f"].rsplit("/", 1)[-1]: {
-            c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in stat_cols
-        }
-        for r in rows
-    }
+    out = {}
+    for r in rows:
+        rec = {}
+        for c in stat_cols:
+            rec[c] = [r[f"mn_{c}"], r[f"mx_{c}"]]
+            vals = r[f"dc_{c}"]
+            if vals is not None and len(vals) <= _DICT_CAP:
+                rec[f"{c}__dict"] = list(vals)
+        out[r["__f"].rsplit("/", 1)[-1]] = rec
     # a file with no rows produces no aggregation row: record it as
     # [None, None] (distinct from "no stats recorded") so range
     # pruning can skip it — same as an all-null file, no value in it
     # can ever satisfy a range predicate
     for n in names:
-        out.setdefault(n, {c: [None, None] for c in stat_cols})
+        out.setdefault(
+            n,
+            {
+                **{c: [None, None] for c in stat_cols},
+                **{f"{c}__dict": [] for c in stat_cols},
+            },
+        )
     return out
 
 
@@ -311,6 +340,7 @@ def read_snapshot(
     table: str,
     version: int | None = None,
     prune: tuple | None = None,
+    prune_eq: tuple | None = None,
 ) -> DataFrame:
     """Plan over the exact file list of ``version`` (latest when
     None). The schema comes from the manifest — so a snapshot taken
@@ -325,7 +355,15 @@ def read_snapshot(
     row-group stats get a say. Files without recorded stats are kept
     (pruning must never drop rows), and the returned frame is a file-
     level SUPERSET of the predicate — callers still apply their own
-    ``.filter``, exactly like Iceberg's planFiles contract."""
+    ``.filter``, exactly like Iceberg's planFiles contract.
+
+    ``prune_eq=(col, value)`` is the EQUALITY counterpart: a file is
+    skipped when its recorded low-cardinality dictionary (<=
+    ``_DICT_CAP`` distinct values; omitted above that) lacks the
+    value, falling back to the min/max range when no dict exists —
+    the move that makes point lookups on categorical/clustered
+    columns touch only their files, where a range check alone is
+    useless (every file spans the whole categorical 'range')."""
     vs = versions(wh, database, table)
     if not vs:
         raise ValueError(
@@ -347,6 +385,26 @@ def read_snapshot(
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     base = wh._path(database, table)
     names = manifest["files"]
+    if prune_eq is not None:
+        eq_col, eq_val = prune_eq
+        eq_stats = manifest.get("stats", {})
+
+        def survives_eq(name: str) -> bool:
+            rec = eq_stats.get(name, {})
+            vals = rec.get(f"{eq_col}__dict")
+            if vals is not None:
+                return eq_val in vals  # [] = empty/all-null file: skip
+            rng = rec.get(eq_col)
+            if rng is None:
+                return True  # no stats recorded -> must scan
+            mn, mx = rng
+            if mn is None and mx is None:
+                return False
+            if mn is None or mx is None:
+                return True
+            return mn <= eq_val <= mx
+
+        names = [n for n in names if survives_eq(n)]
     if prune is not None:
         col, lo, hi = prune
         stats = manifest.get("stats", {})

@@ -993,3 +993,53 @@ def test_manifest_zone_maps_prune_files(spark, tmp_path):
             spark.createDataFrame([(1, 1)], "__row_id long, k long"),
             stat_cols=["missing"],
         )
+
+
+def test_manifest_dict_stats_prune_equality(spark, tmp_path):
+    """Low-cardinality per-file dictionaries skip files for EQUALITY
+    predicates where min/max ranges can't (categorical columns):
+    point lookups plan only the files whose dict holds the value, and
+    a column over the cap falls back to range-only, never dropping
+    rows."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_dict"))
+    # three single-file batches, each holding ONE region value
+    for i, reg in enumerate(["emea", "apac", "amer"]):
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(i * 10 + j, reg) for j in range(5)],
+                "__row_id long, region string",
+            ).coalesce(1),
+            stat_cols=["region"],
+        )
+    pruned = snap.read_snapshot(wh, "db", "t", prune_eq=("region", "apac"))
+    assert len(pruned.inputFiles()) == 1
+    rows = pruned.filter(F.col("region") == "apac").collect()
+    assert sorted(r["__row_id"] for r in rows) == [10, 11, 12, 13, 14]
+    # absent value -> zero files plan (empty frame, correct schema)
+    none = snap.read_snapshot(wh, "db", "t", prune_eq=("region", "nope"))
+    assert none.count() == 0 and "region" in none.columns
+
+    # dict caps out -> falls back to range, keeps the file
+    wh2 = Warehouse(spark, str(tmp_path / "wh_dict2"))
+    snap.append_versioned(
+        wh2, "db", "t",
+        spark.createDataFrame(
+            [(i, f"u{i:04d}") for i in range(200)],
+            "__row_id long, uid string",
+        ).coalesce(1),
+        stat_cols=["uid"],
+    )
+    v = snap.versions(wh2, "db", "t")[-1]
+    m = snap._manifest(wh2, "db", "t", v)
+    big = next(
+        rec for f, rec in m["stats"].items() if rec["uid"][0] is not None
+    )
+    assert "uid__dict" not in big  # over _DICT_CAP -> no dict recorded
+    got = snap.read_snapshot(wh2, "db", "t", prune_eq=("uid", "u0150"))
+    assert got.filter(F.col("uid") == "u0150").count() == 1
