@@ -507,33 +507,3 @@ def cte_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-
-@register(
-    "unpivot_part_metrics",
-    """
-    SELECT p_partkey, 'retail' AS metric, p_retailprice AS value
-    FROM part
-    UNION ALL
-    SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
-    """,
-    doc="UNPIVOT/melt (DataFrame.unpivot): wide numeric columns fold "
-        "into (metric, value) rows — the long-format reshape feeding "
-        "per-metric aggregation/charting. Narrow projection + "
-        "generator expression, no shuffle at all; the oracle is the "
-        "equivalent UNION ALL.",
-)
-def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part")
-    return (
-        p.select(
-            "p_partkey",
-            F.col("p_retailprice").alias("retail"),
-            F.col("p_size").cast("double").alias("size"),
-        )
-        .unpivot(
-            ids=["p_partkey"],
-            values=["retail", "size"],
-            variableColumnName="metric",
-            valueColumnName="value",
-        )
-    )
