@@ -118,3 +118,63 @@ def read_distinct_rollup(
             ).alias("approx_distinct")
         )
     )
+
+
+def maintain_sum_mv(
+    mv: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sum_col: str = "value_sum",
+    n_col: str = "n_rows",
+) -> DataFrame:
+    """Apply a CDC feed (snapshots.read_changes output: rows tagged
+    ``_change_type`` in ('insert', 'delete')) to a keyed
+    (sum, count) MATERIALIZED VIEW without touching the base table —
+    the algebraic delta rule for distributive aggregates: inserts
+    add, deletes subtract, keys whose count reaches zero drop out.
+
+    This is what a downstream aggregate does at 100 TB when its base
+    table takes appends AND copy-on-write deletes/merges: cost is
+    one grouped aggregation over the CHANGE ROWS (churn-sized) plus a
+    join against the MV (key-cardinality-sized) — the base table is
+    never rescanned. A merge_upsert's update flows through as its
+    delete/insert pair, so updated values net correctly. Only
+    distributive/algebraic aggregates maintain this way; holistic
+    ones (exact percentiles) need the histogram-partial path
+    (rollup_histogram_quantiles).
+
+    ``mv`` schema: keys + [sum_col, n_col]; returns the same shape.
+    """
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = changes.groupBy(*keys).agg(
+        F.sum(sign * F.col(value_col)).alias("__d_sum"),
+        F.sum(sign).alias("__d_n"),
+    )
+    merged = (
+        mv.join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce(F.col(sum_col), F.lit(0))
+                + F.coalesce(F.col("__d_sum"), F.lit(0))
+            ).alias(sum_col),
+            (
+                F.coalesce(F.col(n_col), F.lit(0))
+                + F.coalesce(F.col("__d_n"), F.lit(0))
+            ).cast("long").alias(n_col),
+        )
+        .filter(F.col(n_col) > 0)
+    )
+    return merged
+
+
+def sum_mv_of(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """The full-recompute definition the incremental path must match:
+    per-key (sum, count) over the current table state."""
+    return df.groupBy(*keys).agg(
+        F.sum(value_col).alias("value_sum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

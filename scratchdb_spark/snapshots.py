@@ -334,6 +334,45 @@ def append_versioned(
     return commit_snapshot(wh, database, table, stat_cols=stat_cols)
 
 
+def _range_survives(rng, lo, hi) -> bool:
+    """File-skip decision for a range predicate [lo, hi] (either bound
+    None = open) against a recorded [min, max]. Pure function — the
+    completeness property (a skipped file can contain NO matching
+    row) is property-tested without Spark."""
+    if rng is None:
+        return True  # no stats recorded -> must scan
+    mn, mx = rng
+    if mn is None and mx is None:
+        # empty or all-null file: no value in it can satisfy a range
+        # predicate (NULL never matches BETWEEN)
+        return False
+    if mn is None or mx is None:
+        return True  # half-unknown -> keep, never drop rows
+    if lo is not None and mx < lo:
+        return False
+    if hi is not None and mn > hi:
+        return False
+    return True
+
+
+def _eq_survives(rec: dict, col: str, val) -> bool:
+    """File-skip decision for an equality predicate against a file's
+    stat record: exact dictionary membership when a dict exists
+    ([] = empty/all-null file -> skip), else min/max range check."""
+    vals = rec.get(f"{col}__dict")
+    if vals is not None:
+        return val in vals
+    rng = rec.get(col)
+    if rng is None:
+        return True  # no stats recorded -> must scan
+    mn, mx = rng
+    if mn is None and mx is None:
+        return False
+    if mn is None or mx is None:
+        return True
+    return mn <= val <= mx
+
+
 def read_snapshot(
     wh: Warehouse,
     database: str,
@@ -388,45 +427,19 @@ def read_snapshot(
     if prune_eq is not None:
         eq_col, eq_val = prune_eq
         eq_stats = manifest.get("stats", {})
-
-        def survives_eq(name: str) -> bool:
-            rec = eq_stats.get(name, {})
-            vals = rec.get(f"{eq_col}__dict")
-            if vals is not None:
-                return eq_val in vals  # [] = empty/all-null file: skip
-            rng = rec.get(eq_col)
-            if rng is None:
-                return True  # no stats recorded -> must scan
-            mn, mx = rng
-            if mn is None and mx is None:
-                return False
-            if mn is None or mx is None:
-                return True
-            return mn <= eq_val <= mx
-
-        names = [n for n in names if survives_eq(n)]
+        names = [
+            n
+            for n in names
+            if _eq_survives(eq_stats.get(n, {}), eq_col, eq_val)
+        ]
     if prune is not None:
         col, lo, hi = prune
         stats = manifest.get("stats", {})
-
-        def survives(name: str) -> bool:
-            rng = stats.get(name, {}).get(col)
-            if rng is None:
-                return True  # no stats recorded -> must scan
-            mn, mx = rng
-            if mn is None and mx is None:
-                # empty or all-null file: no value in it can satisfy
-                # a range predicate (NULL never matches BETWEEN)
-                return False
-            if mn is None or mx is None:
-                return True  # half-unknown -> keep, never drop rows
-            if lo is not None and mx < lo:
-                return False
-            if hi is not None and mn > hi:
-                return False
-            return True
-
-        names = [n for n in names if survives(n)]
+        names = [
+            n
+            for n in names
+            if _range_survives(stats.get(n, {}).get(col), lo, hi)
+        ]
     paths = [f"{base}/{name}" for name in names]
     if not paths:
         return wh.spark.createDataFrame([], schema)

@@ -1043,3 +1043,79 @@ def test_manifest_dict_stats_prune_equality(spark, tmp_path):
     assert "uid__dict" not in big  # over _DICT_CAP -> no dict recorded
     got = snap.read_snapshot(wh2, "db", "t", prune_eq=("uid", "u0150"))
     assert got.filter(F.col("uid") == "u0150").count() == 1
+
+
+def test_incremental_mv_matches_recompute_on_random_dml(spark, tmp_path):
+    """maintain_sum_mv over the CDC feed must equal a full recompute
+    after ANY DML history — appends, COW deletes, and merge upserts
+    (whose updates arrive as delete/insert pairs and must net out)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators.incremental import (
+        maintain_sum_mv,
+        sum_mv_of,
+    )
+    from scratchdb_spark.tables import Warehouse
+
+    rng = random.Random(0xC0FFEE)
+    wh = Warehouse(spark, str(tmp_path / "wh_mv"))
+    next_id = [0]
+
+    def batch(n):
+        rows = []
+        for _ in range(n):
+            next_id[0] += 1
+            rows.append(
+                (next_id[0], rng.choice("abcd"), rng.randint(1, 9))
+            )
+        return spark.createDataFrame(
+            rows, "__row_id long, k string, amount long"
+        )
+
+    v1 = snap.append_versioned(wh, "db", "t", batch(12))
+    mv = sum_mv_of(
+        snap.read_snapshot(wh, "db", "t", version=v1), ["k"], "amount"
+    )
+    last = v1
+    for step in range(6):
+        op = rng.choice(["append", "delete", "merge"])
+        if op == "append":
+            snap.append_versioned(wh, "db", "t", batch(rng.randint(1, 6)))
+        elif op == "delete":
+            snap.delete_where(
+                wh, "db", "t", F.col("amount") == rng.randint(1, 9)
+            )
+        else:
+            current = snap.read_snapshot(wh, "db", "t")
+            ids = [r[0] for r in current.select("__row_id").collect()]
+            upd = []
+            for rid in rng.sample(ids, min(3, len(ids))):
+                upd.append((rid, rng.choice("abcd"), rng.randint(1, 9)))
+            next_id[0] += 1
+            upd.append((next_id[0], "e", rng.randint(1, 9)))
+            snap.merge_upsert(
+                wh, "db", "t",
+                spark.createDataFrame(
+                    upd, "__row_id long, k string, amount long"
+                ),
+                "__row_id",
+            )
+        # advance the MV by the changes since the last checkpoint
+        now = snap.versions(wh, "db", "t")[-1]
+        mv = maintain_sum_mv(
+            mv, snap.read_changes(wh, "db", "t", last, now), ["k"], "amount"
+        )
+        last = now
+        want = sorted(
+            map(
+                tuple,
+                sum_mv_of(
+                    snap.read_snapshot(wh, "db", "t"), ["k"], "amount"
+                ).collect(),
+            )
+        )
+        got = sorted(map(tuple, mv.collect()))
+        assert got == want, f"step {step} ({op}): {got} != {want}"

@@ -165,3 +165,72 @@ def test_split_buckets_match_md5_definition(ids):
         b = bucket(k)
         assert 0 <= b < 100
         assert b == bucket(k)
+
+
+# --- manifest file-skipping completeness ---------------------------------
+#
+# The contract that makes zone-map pruning safe: a file the decision
+# SKIPS can contain no row matching the predicate. Completeness is
+# checked against brute-force evaluation over the very values the
+# stats were derived from (pure Python; the Spark integration path is
+# covered in tests/test_ingest_pipeline.py).
+
+file_values = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    max_size=12,
+)
+bound = st.one_of(st.none(), st.integers(min_value=-60, max_value=60))
+
+
+def _stats_of(vals):
+    """Mirror snapshots._file_stats for one file's value list."""
+    nn = [v for v in vals if v is not None]
+    rng = [min(nn), max(nn)] if nn else [None, None]
+    rec = {"k": rng}
+    if len(set(nn)) <= 64:
+        rec["k__dict"] = sorted(set(nn))
+    return rec
+
+
+@settings(max_examples=300)
+@given(vals=file_values, lo=bound, hi=bound)
+def test_range_prune_never_drops_matching_rows(vals, lo, hi):
+    from scratchdb_spark.snapshots import _range_survives
+
+    rec = _stats_of(vals)
+    matches = [
+        v
+        for v in vals
+        if v is not None
+        and (lo is None or v >= lo)
+        and (hi is None or v <= hi)
+    ]
+    if matches:
+        assert _range_survives(rec["k"], lo, hi), (vals, lo, hi)
+    # and pruning is effective on disjoint ranges: a file strictly
+    # outside a closed predicate range is skipped
+    nn = [v for v in vals if v is not None]
+    if nn and lo is not None and hi is not None and (
+        max(nn) < lo or min(nn) > hi
+    ):
+        assert not _range_survives(rec["k"], lo, hi)
+
+
+@settings(max_examples=300)
+@given(vals=file_values, probe=st.integers(min_value=-60, max_value=60))
+def test_eq_prune_never_drops_matching_rows(vals, probe):
+    from scratchdb_spark.snapshots import _eq_survives
+
+    rec = _stats_of(vals)
+    if probe in vals:
+        assert _eq_survives(rec, "k", probe), (vals, probe)
+    else:
+        # with a dict recorded, the skip is EXACT: absent value ->
+        # file never planned
+        if "k__dict" in rec:
+            assert not _eq_survives(rec, "k", probe)
+    # no stats recorded at all -> always scan
+    assert _eq_survives({}, "k", probe)
+    from scratchdb_spark.snapshots import _range_survives
+
+    assert _range_survives(None, None, None)
