@@ -507,3 +507,45 @@ def cte_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+@register(
+    "window_interval_range_value",
+    """
+    SELECT user_id, event_id,
+           CAST(round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) * 100) AS BIGINT) AS trailing_1h_value_e2,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS trailing_1h_events
+    FROM events WHERE user_id < 20
+    """,
+    doc="Time-interval RANGE frame (trailing 1-hour per-user window): "
+        "the event-time sliding aggregate expressed as a WINDOW, not "
+        "a self-join — one per-user sort, state bounded by the frame. "
+        "Both engines order by integer epoch-microseconds with a "
+        "3.6e9-us RANGE offset, so frame membership is exact integer "
+        "arithmetic (no timestamp-type frame-bound divergence), and "
+        "the sum is emitted as an exact scaled integer.",
+)
+def window_interval_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import epoch_us
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    us = epoch_us(ev, "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w) * 100)
+        .cast("long")
+        .alias("trailing_1h_value_e2"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
