@@ -663,3 +663,51 @@ def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "sample_weighted_per_source",
+    """
+    SELECT source, doc_id, n_chars AS weight
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY round(ln(CAST((doc_id * 2654435761) % 2147483647
+                                      + 1 AS DOUBLE) / 2147483648.0)
+                              / CAST(greatest(n_chars, 1) AS DOUBLE), 12)
+                           DESC,
+                        doc_id ASC
+             ) AS rnk
+      FROM documents
+    )
+    WHERE rnk <= 10
+    """,
+    doc="PER-GROUP weighted sampling without replacement (the "
+        "stratified form of sample_weighted_topk): the same "
+        "deterministic Efraimidis-Spirakis key — Knuth-hash u, "
+        "ln(u)/w rounded to 12dp so libm ulps can't flip cutoffs — "
+        "ranked by a per-source window instead of a global top-k. "
+        "The per-domain corpus subsample that keeps every mixture "
+        "component represented. One shuffle on source; no global "
+        "sort; reproducible run-to-run and engine-to-engine.",
+)
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647) + 1
+    ).cast("double") / F.lit(2147483648.0)
+    key = F.round(
+        F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), 12
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc(key), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.col("n_chars").alias("weight"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select("source", "doc_id", "weight")
+    )

@@ -22,15 +22,22 @@ file names; versions are monotonically numbered, the latest version
 is max(N). JSON file lists are fine to ~10^6 files; beyond that real
 systems shard manifests (Iceberg manifest lists) — noted, not built.
 
-Interaction with compaction: ``operators/compaction.py`` rewrites
-data files in place, which invalidates OLDER manifests (their files
-are gone) — the same contract as Delta's VACUUM. Use
-``maintain_table`` for this, NOT a hand-rolled expire -> compact ->
-commit sequence: maintenance also physically reclaims COW-retired
-files before the rewrite (compact_path reads the whole directory, so
-a dead file left behind would compact its deleted rows back into the
-live data) and keeps version numbering monotonic across the history
-truncation.
+Maintenance: ``maintain_table`` compacts AS a copy-on-write commit —
+the compacted layout lands under fresh names, the manifest PUT is the
+single commit point, and only afterwards are old manifests expired
+and old/COW-retired files physically deleted (so a valid manifest
+exists at every instant, and deleted rows can never compact back into
+the live data). History truncates — the same contract as Delta's
+VACUUM — with version numbering kept monotonic, so pinned readers and
+stale CDC cursors err loudly, never silently. Do NOT hand-roll an
+expire -> compact_path -> commit sequence against a snapshot table.
+
+Commits are optimistically concurrent: the manifest PUT is a
+create-if-absent CAS; commit_snapshot retries with a recomputed
+manifest, COW DML surfaces the conflict. Manifests also carry
+optional per-file min/max zone maps and small value dictionaries
+(``stat_cols``) that ``read_snapshot(prune=/prune_eq=)`` uses for
+plan-time file skipping.
 """
 
 from __future__ import annotations
