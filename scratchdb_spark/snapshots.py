@@ -540,7 +540,14 @@ def delete_where(
     for n in hfs.list_names(wh.spark, tmp):
         if n.endswith(".parquet"):
             new_name = f"cow-{uuid.uuid4().hex}-{n}"
-            hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}")
+            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
+                # pre-commit failure: the live table is untouched (no
+                # manifest references the partial rewrite); raise
+                # rather than commit a manifest naming a missing file
+                raise IOError(
+                    f"COW rewrite rename failed: {tmp}/{n} -> "
+                    f"{base}/{new_name}"
+                )
             rewritten.append(new_name)
     hfs.delete(wh.spark, tmp)
 
@@ -641,7 +648,14 @@ def merge_upsert(
     for n in hfs.list_names(wh.spark, tmp):
         if n.endswith(".parquet"):
             new_name = f"cow-{uuid.uuid4().hex}-{n}"
-            hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}")
+            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
+                # pre-commit failure: the live table is untouched (no
+                # manifest references the partial rewrite); raise
+                # rather than commit a manifest naming a missing file
+                raise IOError(
+                    f"COW rewrite rename failed: {tmp}/{n} -> "
+                    f"{base}/{new_name}"
+                )
             rewritten.append(new_name)
     hfs.delete(wh.spark, tmp)
 
@@ -746,7 +760,14 @@ def maintain_table(
     for n in hfs.list_names(wh.spark, tmp):
         if n.endswith(".parquet"):
             new_name = f"compact-{uuid.uuid4().hex}-{n}"
-            hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}")
+            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
+                # pre-commit failure: the live table is untouched (no
+                # manifest references the partial rewrite); raise
+                # rather than commit a manifest naming a missing file
+                raise IOError(
+                    f"COW rewrite rename failed: {tmp}/{n} -> "
+                    f"{base}/{new_name}"
+                )
             rewritten.append(new_name)
     hfs.delete(wh.spark, tmp)
 
