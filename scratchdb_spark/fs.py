@@ -77,26 +77,65 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
-def create_text(spark: SparkSession, path: str, text: str) -> bool:
-    """Create-IF-ABSENT: returns False when the file already exists —
-    the filesystem-level compare-and-swap snapshots.py uses as its
-    optimistic-concurrency commit primitive (create(overwrite=False)
-    is atomic on HDFS and local FS; object stores without conditional
-    PUT need a coordination layer above this, same as Delta/Iceberg)."""
-    fs, hpath, _ = _jfs(spark, path)
-    try:
-        out = fs.create(hpath, False)
-    except Exception:
-        # narrow the broad py4j exception: only an existing file is a
-        # benign CAS failure; anything else (quota, permissions) raises
-        if fs.exists(hpath):
-            return False
-        raise
+def put_text_atomic(
+    spark: SparkSession, path: str, text: str, overwrite: bool = True
+) -> bool:
+    """Write-to-temp + rename, so the FINAL name only ever exists with
+    its complete content — a plain create() makes the filename visible
+    with zero bytes until the stream closes, and a concurrent reader
+    (snapshot readers, the CDC stream source) can catch the empty
+    window. Rename is atomic within one HDFS/local namespace.
+
+    ``overwrite=False`` is the compare-and-swap snapshots.py uses for
+    optimistic-concurrency commits: returns False when the target
+    already exists. On HDFS rename-onto-existing fails, making this a
+    true CAS; on the local FS (POSIX rename replaces) the existence
+    check narrows the race to the rename itself. Object stores
+    without atomic rename/conditional PUT need a coordination layer
+    above this — the same boundary Delta/Iceberg document."""
+    import uuid as _uuid
+
+    fs, hpath, jvm = _jfs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}.tmp-{_uuid.uuid4().hex}"
+    )
+    out = fs.create(tmp, True)
     try:
         out.write(text.encode("utf-8"))
     finally:
         out.close()
+    if not overwrite and fs.exists(hpath):
+        fs.delete(tmp, False)
+        return False
+    if overwrite and fs.exists(hpath):
+        # FileSystem.rename refuses an existing destination, so the
+        # replace path goes through FileContext's Rename.OVERWRITE —
+        # atomic on HDFS and on the local FS (Files.move
+        # REPLACE_EXISTING); the destination never observably vanishes
+        try:
+            ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                hpath.toUri(), spark._jsc.hadoopConfiguration()
+            )
+            gw = spark.sparkContext._gateway
+            opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+            opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            ctx.rename(tmp, hpath, opts)
+            return True
+        except Exception:
+            # FS without FileContext support: narrow non-atomic window
+            fs.delete(hpath, False)
+    if not fs.rename(tmp, hpath):
+        fs.delete(tmp, False)
+        if not overwrite and fs.exists(hpath):
+            return False  # HDFS true-CAS path: a racer won the rename
+        raise IOError(f"atomic put failed: {tmp} -> {path}")
     return True
+
+
+def create_text(spark: SparkSession, path: str, text: str) -> bool:
+    """Create-IF-ABSENT with full-content visibility (see
+    put_text_atomic): returns False when the file already exists."""
+    return put_text_atomic(spark, path, text, overwrite=False)
 
 
 def read_text(spark: SparkSession, path: str) -> str:

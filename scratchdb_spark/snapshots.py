@@ -128,8 +128,11 @@ def _put_manifest(
     v = manifest["version"]
     body = json.dumps(manifest, separators=(",", ":"))
     path = f"{_snap_dir(wh, database, table)}/v{v:012d}.json"
+    # write-to-temp + rename: the manifest NAME only ever appears with
+    # its full content, so concurrent version listers can never parse
+    # a half-written commit (caught live by the CDC stream source test)
     if overwrite:
-        hfs.write_text(wh.spark, path, body)
+        hfs.put_text_atomic(wh.spark, path, body)
     elif not hfs.create_text(wh.spark, path, body):
         raise CommitConflictError(
             f"snapshot v{v} of {database}.{table} was committed by a "

@@ -106,3 +106,66 @@ def test_scratch_ndjson_stream_tails_rotated_files(spark, tmp_path):
         assert got == {1, 2, 3}
     finally:
         q.stop()
+
+
+def test_scratch_cdc_stream_follows_snapshot_versions(spark, tmp_path):
+    """CDC streaming source: bootstrap emits the current state as
+    inserts; later micro-batches carry only the churn (appends as
+    inserts, COW deletes as deletes, carried survivors cancel);
+    version-number offsets make replay exact."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(3, 30)], "__row_id long, amount long"),
+    )
+    q = (
+        spark.readStream.format("scratch_cdc")
+        .option("path", str(tmp_path / "wh"))
+        .option("database", "db")
+        .option("table", "t")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_feed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["__row_id"], r["amount"], r["_change_type"])
+            for r in spark.sql("SELECT * FROM cdc_feed").collect()
+        }
+        # bootstrap: current state as inserts
+        assert got == {(1, 10, "insert"), (2, 20, "insert"),
+                       (3, 30, "insert")}
+
+        # churn: one COW delete + one append -> only the delta arrives
+        snap.delete_where(wh, "db", "t", F.col("__row_id") == 2)
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame([(4, 40)], "__row_id long, amount long"),
+        )
+        q.processAllAvailable()
+        got = {
+            (r["__row_id"], r["amount"], r["_change_type"])
+            for r in spark.sql("SELECT * FROM cdc_feed").collect()
+        }
+        assert got == {
+            (1, 10, "insert"), (2, 20, "insert"), (3, 30, "insert"),
+            (2, 20, "delete"), (4, 40, "insert"),
+        }
+    finally:
+        q.stop()
