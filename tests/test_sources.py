@@ -169,3 +169,71 @@ def test_scratch_cdc_stream_follows_snapshot_versions(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_cdc_stream_drives_incremental_mv(spark, tmp_path):
+    """End-to-end incremental pipeline: snapshot DML -> scratch_cdc
+    stream -> foreachBatch maintain_sum_mv — the MV advances at churn
+    cost per micro-batch and always equals the full recompute."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators.incremental import (
+        maintain_sum_mv,
+        sum_mv_of,
+    )
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "__row_id long, k string, amount long"
+        ),
+    )
+
+    mv_state = {"mv": spark.createDataFrame(
+        [], "k string, value_sum long, n_rows long"
+    )}
+
+    def advance(batch_df, _batch_id):
+        # the CDC batch IS a change feed: apply the delta rule
+        mv = maintain_sum_mv(
+            mv_state["mv"], batch_df, ["k"], "amount"
+        )
+        # pin the tiny MV so the next batch doesn't replan history
+        mv_state["mv"] = spark.createDataFrame(
+            mv.collect(), "k string, value_sum long, n_rows long"
+        )
+
+    q = (
+        spark.readStream.format("scratch_cdc")
+        .option("path", str(tmp_path / "wh"))
+        .option("database", "db")
+        .option("table", "t")
+        .load()
+        .writeStream.foreachBatch(advance)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(3, "a", 5)], "__row_id long, k string, amount long"
+            ),
+        )
+        snap.delete_where(wh, "db", "t", F.col("__row_id") == 2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = sorted(
+        map(tuple, sum_mv_of(
+            snap.read_snapshot(wh, "db", "t"), ["k"], "amount"
+        ).collect())
+    )
+    got = sorted(map(tuple, mv_state["mv"].collect()))
+    assert got == want == [("a", 15, 2)]
