@@ -921,3 +921,32 @@ def read_changes(
         "_change_type", F.lit("delete")
     )
     return inserts.unionAll(deletes)
+
+
+def orphan_files(
+    wh: Warehouse, database: str, table: str
+) -> dict[str, list[str]]:
+    """Audit the table directory against its live manifests: which
+    data files on disk does NO retained version reference, and which
+    of those are known COW-retired (still needed only as the older
+    versions' audit trail) vs true orphans (crash debris from an
+    interrupted rewrite — safe to delete immediately).
+
+    The dry-run half of VACUUM: at scale you run this on a cadence
+    and alert on growth, then let maintenance (or a manual delete of
+    the ``orphaned`` list) reclaim. Read-only; listing + manifest
+    reads, no data scan.
+    """
+    disk = set(_data_files(wh, database, table))
+    referenced: set = set()
+    retired: set = set()
+    for v in versions(wh, database, table):
+        m = _manifest(wh, database, table, v)
+        referenced |= set(m["files"])
+        retired |= set(m.get("retired", []))
+    return {
+        "referenced": sorted(referenced & disk),
+        "retired": sorted((retired & disk) - referenced),
+        "orphaned": sorted(disk - referenced - retired),
+        "missing": sorted(referenced - disk),
+    }

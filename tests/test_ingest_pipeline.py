@@ -1119,3 +1119,50 @@ def test_incremental_mv_matches_recompute_on_random_dml(spark, tmp_path):
         )
         got = sorted(map(tuple, mv.collect()))
         assert got == want, f"step {step} ({op}): {got} != {want}"
+
+
+def test_orphan_files_report(spark, tmp_path):
+    """orphan_files classifies disk files: referenced by live
+    manifests, COW-retired (audit trail), true orphans (crash
+    debris), and missing (manifest names a vanished file)."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import fs as hfs
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i) for i in range(4)], "__row_id long, amount long"
+        ).coalesce(1),
+    )
+    snap.delete_where(wh, "db", "t", F.col("amount") == 2)
+    base = wh._path("db", "t")
+    # crash debris: a stray data file no manifest knows about
+    hfs.write_text(spark, f"{base}/cow-deadbeef-stray.parquet", "junk")
+
+    rep = snap.orphan_files(wh, "db", "t")
+    assert rep["orphaned"] == ["cow-deadbeef-stray.parquet"]
+    assert rep["missing"] == []
+    # the COW-replaced file is still REFERENCED while v1 is retained
+    # (it is v1's audit trail), so nothing is retired-only yet
+    assert rep["retired"] == []
+    assert set(rep["referenced"]) >= set(
+        snap._manifest(wh, "db", "t", snap.versions(wh, "db", "t")[-1])[
+            "files"
+        ]
+    )
+    # expire v1: the replaced file is now retired-only (held on disk
+    # solely by the latest manifest's retired set)
+    snap.expire_snapshots(wh, "db", "t", keep_last=1)
+    rep1 = snap.orphan_files(wh, "db", "t")
+    assert len(rep1["retired"]) >= 1
+    assert rep1["orphaned"] == ["cow-deadbeef-stray.parquet"]
+    # maintenance reclaims old + retired files; the stray (unknown to
+    # any manifest) remains visible as an orphan for manual cleanup
+    snap.maintain_table(wh, "db", "t")
+    rep2 = snap.orphan_files(wh, "db", "t")
+    assert rep2["retired"] == [] and rep2["missing"] == []
+    assert rep2["orphaned"] == ["cow-deadbeef-stray.parquet"]
