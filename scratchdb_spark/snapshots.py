@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 
 from pyspark.sql import DataFrame
 
@@ -126,6 +127,11 @@ def _put_manifest(
     is reserved for same-version metadata rewrites that are not
     commits (maintain_table's retired-set drain)."""
     v = manifest["version"]
+    # commit wall-clock for timestamp time travel (read_snapshot
+    # as_of_timestamp; informational — version numbers remain the
+    # ordering authority, the stamp is monotonic only as far as the
+    # committing hosts' clocks are)
+    manifest.setdefault("committed_at", time.time())
     body = json.dumps(manifest, separators=(",", ":"))
     path = f"{_snap_dir(wh, database, table)}/v{v:012d}.json"
     # write-to-temp + rename: the manifest NAME only ever appears with
@@ -383,6 +389,77 @@ def _eq_survives(rec: dict, col: str, val) -> bool:
     return mn <= val <= mx
 
 
+def version_as_of(
+    wh: Warehouse, database: str, table: str, ts: float
+) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose
+    ``committed_at`` is <= ts (Delta/Iceberg's timestamp time travel).
+    Versions older than the retention window are expired, so a ts
+    before the earliest retained commit errs loudly."""
+    vs = versions(wh, database, table)
+    best = None
+    for v in vs:
+        at = _manifest(wh, database, table, v).get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained snapshot of {database}.{table} committed at "
+            f"or before {ts} (earliest retained: {vs[:1]})"
+        )
+    return best
+
+
+def rollback_table(
+    wh: Warehouse, database: str, table: str, to_version: int
+) -> int:
+    """Roll the table back to ``to_version`` as a NEW commit whose
+    file list is the old version's — zero data movement (the old
+    files are still on disk: COW never deletes, only maintenance
+    does), monotonic numbering, and CDC-CONSISTENT: downstream
+    read_changes consumers see the rollback as ordinary
+    delete/insert change rows, so incremental MVs recover without
+    special-casing. The undo primitive for a bad batch or bad MERGE.
+
+    Refuses (loudly) when any of the old version's files has been
+    physically reclaimed by maintenance — rollback past a
+    maintenance cycle needs a restore from backup, not a manifest
+    swap."""
+    vs = versions(wh, database, table)
+    if to_version not in vs:
+        raise ValueError(
+            f"version {to_version} not in {database}.{table} "
+            f"snapshots {vs}"
+        )
+    target = _manifest(wh, database, table, to_version)
+    disk = set(_data_files(wh, database, table))
+    gone = sorted(set(target["files"]) - disk)
+    if gone:
+        raise ValueError(
+            f"cannot roll back {database}.{table} to v{to_version}: "
+            f"{len(gone)} of its files were reclaimed by maintenance "
+            f"(e.g. {gone[0]}); restore from backup instead"
+        )
+    latest = _manifest(wh, database, table, vs[-1])
+    next_v = _next_version(wh, database, table)
+    # files ADDED after to_version stay on disk as the newer versions'
+    # audit trail; mark them retired so commit_snapshot can't re-adopt
+    newer = (set(latest["files"]) | set(latest.get("retired", []))) - set(
+        target["files"]
+    )
+    manifest = {
+        "version": next_v,
+        "files": sorted(target["files"]),
+        "retired": sorted(newer & disk),
+        "schema": target["schema"],
+    }
+    for k in ("stat_cols", "stats"):
+        if k in target:
+            manifest[k] = target[k]
+    _put_manifest(wh, database, table, manifest)
+    return next_v
+
+
 def read_snapshot(
     wh: Warehouse,
     database: str,
@@ -390,6 +467,7 @@ def read_snapshot(
     version: int | None = None,
     prune: tuple | None = None,
     prune_eq: tuple | None = None,
+    as_of_timestamp: float | None = None,
 ) -> DataFrame:
     """Plan over the exact file list of ``version`` (latest when
     None). The schema comes from the manifest — so a snapshot taken
@@ -420,6 +498,12 @@ def read_snapshot(
             "append_versioned/commit_snapshot (plain reads: "
             "Warehouse.read)"
         )
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass either version or as_of_timestamp, not both"
+            )
+        version = version_as_of(wh, database, table, as_of_timestamp)
     v = vs[-1] if version is None else version
     if v not in vs:
         raise ValueError(

@@ -1166,3 +1166,65 @@ def test_orphan_files_report(spark, tmp_path):
     rep2 = snap.orphan_files(wh, "db", "t")
     assert rep2["retired"] == [] and rep2["missing"] == []
     assert rep2["orphaned"] == ["cow-deadbeef-stray.parquet"]
+
+
+def test_rollback_and_timestamp_time_travel(spark, tmp_path):
+    """rollback_table restores an old version as a NEW zero-copy
+    commit that flows through the CDC feed as ordinary change rows;
+    read_snapshot(as_of_timestamp=) resolves Delta-style TIMESTAMP AS
+    OF; rollback past maintenance refuses loudly."""
+    import time as _time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(3, 30)], "__row_id long, amount long"),
+    )
+    snap.delete_where(wh, "db", "t", F.col("__row_id") == 1)
+
+    # timestamp time travel resolves to v1
+    asof = snap.read_snapshot(
+        wh, "db", "t", as_of_timestamp=t_after_v1
+    )
+    assert {r["__row_id"] for r in asof.collect()} == {1, 2}
+    with _pytest.raises(ValueError, match="at or before"):
+        snap.version_as_of(wh, "db", "t", 0.0)
+
+    # rollback to v1: new version, old content, zero copy
+    rb_v = snap.rollback_table(wh, "db", "t", v1)
+    assert rb_v == snap.versions(wh, "db", "t")[-1]
+    now = snap.read_snapshot(wh, "db", "t")
+    assert {r["__row_id"] for r in now.collect()} == {1, 2}
+    # the rollback is CDC-visible as ordinary change rows
+    ch = snap.read_changes(wh, "db", "t", from_version=3, to_version=rb_v)
+    got = {(r["_change_type"], r["__row_id"]) for r in ch.collect()}
+    assert got == {("insert", 1), ("delete", 3)}
+    # and a later commit does not resurrect the rolled-off batch
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(9, 90)], "__row_id long, amount long"),
+    )
+    assert {
+        r["__row_id"]
+        for r in snap.read_snapshot(wh, "db", "t").collect()
+    } == {1, 2, 9}
+
+    # maintenance reclaims old files -> rollback refuses loudly
+    pre_maint = snap.versions(wh, "db", "t")[-1]
+    snap.maintain_table(wh, "db", "t")
+    with _pytest.raises(ValueError, match="not in"):
+        snap.rollback_table(wh, "db", "t", pre_maint)
