@@ -1171,3 +1171,63 @@ def warehouse_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap.delete_where(wh, "db", "t", F.col("amount") == 20)
     changes = snap.read_changes(wh, "db", "t", from_version=v1)
     return maintain_sum_mv(mv1, changes, ["k"], "amount")
+
+
+@register(
+    "warehouse_rollback",
+    """
+    SELECT * FROM (VALUES
+      (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(30 AS BIGINT),
+       CAST(1 AS BIGINT), CAST(1 AS BIGINT)))
+      t(version, n_rows, amount_sum, cdc_inserts, cdc_deletes)
+    """,
+    doc="Zero-copy rollback (snapshots.rollback_table): a bad batch "
+        "and a bad delete are undone by committing the good "
+        "version's file list as a NEW version — no data movement, "
+        "monotonic numbering, and the rollback reaches CDC consumers "
+        "as ordinary delete/insert change rows (cdc_inserts/"
+        "cdc_deletes pin that: restoring row 1, retracting row 3), "
+        "so downstream incremental MVs recover without special-"
+        "casing. The undo primitive for bad MERGEs at 100 TB, where "
+        "re-writing the table is not an option.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_rb_"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(3, 30)], "__row_id long, amount long"),
+    )
+    pre_v = snap.delete_where(
+        wh, "db", "t", F.col("__row_id") == 1
+    )[0]
+    rb_v = snap.rollback_table(wh, "db", "t", v1)
+    ch = snap.read_changes(
+        wh, "db", "t", from_version=pre_v, to_version=rb_v
+    )
+    cur = snap.read_snapshot(wh, "db", "t")
+    return cur.agg(
+        F.lit(rb_v).cast("long").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").alias("amount_sum"),
+    ).crossJoin(
+        ch.agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", 1).otherwise(0)
+            ).cast("long").alias("cdc_inserts"),
+            F.sum(
+                F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+            ).cast("long").alias("cdc_deletes"),
+        )
+    )
