@@ -46,6 +46,7 @@ ALLOWED_NESTED_LOOP = {
     "text_bm25_topk": "1-row (N, avgdl) corpus-stats join",
     "text_bigram_pmi": "1-row (n_tok, n_big) corpus-total joins",
     "split_temporal_cutoff": "1-row time-span cutoff scalar join",
+    "warehouse_rollback": "1-row state agg x 1-row CDC-count agg",
     "join_salted_user_totals": (
         "deliberate bounded replication: small side x 8-row broadcast "
         "salt table IS the salted-join technique"
