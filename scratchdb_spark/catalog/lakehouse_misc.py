@@ -1231,3 +1231,37 @@ def warehouse_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("cdc_deletes"),
         )
     )
+
+
+@register(
+    "warehouse_history",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(4 AS BIGINT)))
+      t(version, n_files)
+    """,
+    doc="DESCRIBE HISTORY (snapshots.history): one metadata row per "
+        "retained snapshot — the operational view consulted before "
+        "time travel / rollback / CDC debugging. Manifest reads "
+        "only, never a data scan. The catalog projection keeps the "
+        "deterministic columns (version, file count); committed_at "
+        "is wall-clock and is exercised by the timestamp-travel "
+        "pytest instead.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_h_"))
+    for rows in ([(1, 10)], [(2, 20)], [(3, 30)]):
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(rows, "__row_id long, amount long")
+            .coalesce(1),
+        )
+    return snap.history(wh, "db", "t").select("version", "n_files")

@@ -1034,3 +1034,29 @@ def orphan_files(
         "orphaned": sorted(disk - referenced - retired),
         "missing": sorted(referenced - disk),
     }
+
+
+def history(wh: Warehouse, database: str, table: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained snapshot — version,
+    commit wall-clock, file/retired counts, and whether the commit
+    carries zone-map stats. Metadata reads only (manifest per
+    version; never a data scan); the operational at-a-glance view a
+    table owner checks before time travel, rollback, or debugging a
+    CDC consumer."""
+    rows = []
+    for v in versions(wh, database, table):
+        m = _manifest(wh, database, table, v)
+        rows.append(
+            (
+                v,
+                float(m["committed_at"]) if "committed_at" in m else None,
+                len(m["files"]),
+                len(m.get("retired", [])),
+                bool(m.get("stat_cols")),
+            )
+        )
+    return wh.spark.createDataFrame(
+        rows,
+        "version long, committed_at double, n_files long, "
+        "n_retired long, has_stats boolean",
+    )
