@@ -69,7 +69,14 @@ class ControlStore:
         except Exception:
             return None
         if link.expires_at <= time.time():
-            hfs.delete(self.spark, path, recursive=False)
+            # lazy delete is best-effort: a storage error here must
+            # not turn the expired-share not-found into a 500 (the
+            # class contract: read paths swallow storage errors); the
+            # doc is re-deleted on the next lookup
+            try:
+                hfs.delete(self.spark, path, recursive=False)
+            except Exception:
+                pass
             return None
         return link
 

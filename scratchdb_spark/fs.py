@@ -122,8 +122,29 @@ def put_text_atomic(
             ctx.rename(tmp, hpath, opts)
             return True
         except Exception:
-            # FS without FileContext support: narrow non-atomic window
+            # FS without FileContext support: fall back to
+            # delete-then-rename (narrow non-atomic window). Verify
+            # the temp file still exists BEFORE deleting the
+            # destination — a transient FileContext failure followed
+            # by a missing temp would otherwise delete the only copy.
+            if not fs.exists(tmp):
+                raise IOError(
+                    f"atomic put failed: temp file {tmp} vanished "
+                    f"before replacing {path}"
+                )
             fs.delete(hpath, False)
+            if not fs.rename(tmp, hpath):
+                # destination already deleted and the rename failed:
+                # re-create it from the in-memory body so the file is
+                # never left absent (full-content-visibility nicety
+                # lost for this write; existence preserved)
+                out = fs.create(hpath, True)
+                try:
+                    out.write(text.encode("utf-8"))
+                finally:
+                    out.close()
+                fs.delete(tmp, False)
+            return True
     if not fs.rename(tmp, hpath):
         fs.delete(tmp, False)
         if not overwrite and fs.exists(hpath):

@@ -53,6 +53,10 @@ from .tables import Warehouse
 
 _SNAP_DIR = "_snapshots"
 _SNAP_RE = re.compile(r"^v(\d{12})\.json$")
+#: change-file storage under _snapshots/ (Delta CDF's public design:
+#: non-append commits persist their exact change rows at commit time,
+#: so change feeds replay from files instead of re-diffing data)
+_CHANGES_DIR = "changes"
 
 
 def _snap_dir(wh: Warehouse, database: str, table: str) -> str:
@@ -251,6 +255,30 @@ def _stats_for_manifest(
         wh, base, [f for f in rewritten if f not in carried], schema, cols
     )
     return {"stat_cols": cols, "stats": {**carried, **fresh}}
+
+
+def _write_changes(
+    wh: Warehouse, database: str, table: str, change_df: DataFrame
+) -> list[str]:
+    """Persist a commit's exact change rows (table columns +
+    ``_change_type``) as parquet under ``_snapshots/changes/cd-<uuid>/``
+    and return the ``_snapshots``-relative file paths for the manifest's
+    ``changes`` key. The write is a distributed Spark job (cost
+    proportional to the commit's churn) and is INVISIBLE until the
+    manifest PUT records it — a CAS-losing commit leaves the directory
+    as debris that maintain_table reclaims. This is what lets the
+    streaming CDC source read change rows on EXECUTORS: the driver only
+    ever plans (version, file) splits, never materializes rows."""
+    import uuid
+
+    rel_dir = f"{_CHANGES_DIR}/cd-{uuid.uuid4().hex}"
+    out_dir = f"{_snap_dir(wh, database, table)}/{rel_dir}"
+    change_df.write.mode("overwrite").parquet(out_dir)
+    return sorted(
+        f"{rel_dir}/{n}"
+        for n in hfs.list_names(wh.spark, out_dir)
+        if n.endswith(".parquet")
+    )
 
 
 def commit_snapshot(
@@ -452,6 +480,17 @@ def rollback_table(
         "files": sorted(target["files"]),
         "retired": sorted(newer & disk),
         "schema": target["schema"],
+        # change-data-feed capture: the rollback's net effect as
+        # explicit change rows (the exceptAll diff latest -> target,
+        # a distributed churn-proportional job), so streaming CDC
+        # consumers replay the rollback from parquet on executors —
+        # the same delete/insert pairs batch read_changes derives
+        "changes": _write_changes(
+            wh,
+            database,
+            table,
+            read_changes(wh, database, table, vs[-1], to_version),
+        ),
     }
     for k in ("stat_cols", "stats"):
         if k in target:
@@ -551,9 +590,12 @@ def expire_snapshots(
     ``keep_last=0`` drops EVERY manifest, which also forgets the
     cumulative ``retired`` set — the next commit_snapshot would
     re-adopt any COW-dead files still on disk. Only expire everything
-    when those files are physically deleted in the same operation,
-    which is exactly what maintain_table does (it reads the retired
-    set BEFORE expiring, then deletes the files)."""
+    when those files are physically deleted in the same operation.
+    Do NOT hand-roll that sequence against a live table:
+    maintain_table is the safe form — it COMMITS the compacted
+    layout first (the new manifest's retired set blocks re-adoption),
+    then expires with ``keep_last=1`` and reclaims the dead files, so
+    a valid manifest exists at every instant."""
     vs = versions(wh, database, table)
     expired = vs[:-keep_last] if keep_last > 0 else vs
     for v in expired:
@@ -609,6 +651,21 @@ def delete_where(
 
     n_before = current.count()
     schema = current.schema
+    # change-data-feed capture (Delta CDF's public design): the exact
+    # deleted rows are known right here — persist them as change files
+    # so the streaming CDC source replays this commit from parquet on
+    # EXECUTORS instead of re-diffing manifests on the driver. Cost:
+    # one extra filtered scan of only the affected files (churn-
+    # proportional); invisible until the manifest PUT below.
+    changes = _write_changes(
+        wh,
+        database,
+        table,
+        wh.spark.read.schema(schema)
+        .parquet(*[f"{base}/{n}" for n in affected])
+        .filter(predicate)
+        .withColumn("_change_type", F.lit("delete")),
+    )
     keep = (
         wh.spark.read.schema(schema)
         .parquet(*[f"{base}/{n}" for n in affected])
@@ -656,6 +713,7 @@ def delete_where(
             set(prev.get("retired", [])) | set(affected)
         ),
         "schema": prev["schema"],
+        "changes": changes,
         **_stats_for_manifest(
             wh, base, prev, new_files, rewritten, schema
         ),
@@ -724,8 +782,29 @@ def merge_upsert(
             .join(keys, key_col, "anti")
         )
         rewrite = survivors.unionByName(aligned_updates)
+        replaced = (
+            wh.spark.read.schema(schema)
+            .parquet(*[f"{base}/{n}" for n in affected])
+            .join(keys, key_col, "semi")
+        )
     else:
         rewrite = aligned_updates
+        replaced = wh.spark.createDataFrame([], schema)
+    # change-data-feed capture: replaced rows as the delete preimages,
+    # every update row as an insert postimage (Delta CDF semantics —
+    # an update whose values happen to equal the existing row still
+    # emits its delete/insert pair here, whereas the manifest-diff
+    # batch read_changes cancels it; both are valid change feeds and
+    # converge to the same applied state). Churn-proportional job;
+    # invisible until the manifest PUT.
+    changes = _write_changes(
+        wh,
+        database,
+        table,
+        replaced.withColumn("_change_type", F.lit("delete")).unionByName(
+            aligned_updates.withColumn("_change_type", F.lit("insert"))
+        ),
+    )
 
     import uuid
 
@@ -765,6 +844,7 @@ def merge_upsert(
             set(prev.get("retired", [])) | set(affected)
         ),
         "schema": prev["schema"],
+        "changes": changes,
         **_stats_for_manifest(
             wh, base, prev, new_files, rewritten, schema
         ),
@@ -881,6 +961,11 @@ def maintain_table(
         # physical delete below (or a later maintenance) runs
         "retired": sorted(prev_files | retired),
         "schema": prev["schema"],
+        # compaction preserves content exactly: an EXPLICIT empty
+        # change set, so CDC consumers crossing this version emit
+        # nothing (vs a pure append, where absent "changes" means
+        # "the added files are the inserts")
+        "changes": [],
     }
     if cols:
         new_manifest["stat_cols"] = cols
@@ -890,19 +975,41 @@ def maintain_table(
     expired = expire_snapshots(wh, database, table, keep_last=1)
     for name in sorted(prev_files | retired):
         hfs.delete(wh.spark, f"{base}/{name}", recursive=False)
+    # reclaim change-file dirs no retained manifest references — the
+    # expired versions' CDF parquet, plus any CAS-loser debris. Kept
+    # change dirs are exactly the retained manifests' "changes" sets,
+    # so a stream cursor inside the retention window replays fine and
+    # one below it already errs loudly at the manifest read.
+    chg_root = f"{base}/{_SNAP_DIR}/{_CHANGES_DIR}"
+    referenced_dirs: set = set()
+    for v in versions(wh, database, table):
+        for rel in _manifest(wh, database, table, v).get("changes", []):
+            referenced_dirs.add(rel.split("/")[1])
+    for d in hfs.list_names(wh.spark, chg_root, dirs_only=True):
+        if d not in referenced_dirs:
+            hfs.delete(wh.spark, f"{chg_root}/{d}")
     # the dead files are physically gone: drain the retired set (a
     # crash before this re-PUT leaves stale retired names, which the
-    # next commit_snapshot prunes against the directory listing)
-    still_dead = sorted(
-        (prev_files | retired)
-        & set(_data_files(wh, database, table))
-    )
-    drained = dict(new_manifest)
-    drained["retired"] = still_dead
-    _put_manifest(
-        wh, database, table, drained,
-        overwrite=True,  # same-version metadata rewrite, not a commit
-    )
+    # next commit_snapshot prunes against the directory listing).
+    # Guard: a concurrent commit landing between the maintenance CAS
+    # and expire_snapshots makes the maintenance version non-latest —
+    # expire(keep_last=1) then already deleted ITS manifest, and a
+    # blind re-PUT would resurrect an expired manifest as an extra
+    # history entry the expiry decision never saw. Skip the drain in
+    # that case: the newer commit inherited the retired set and the
+    # next commit_snapshot prunes it against the directory anyway.
+    vs_now = versions(wh, database, table)
+    if vs_now and vs_now[-1] == next_v:
+        still_dead = sorted(
+            (prev_files | retired)
+            & set(_data_files(wh, database, table))
+        )
+        drained = dict(new_manifest)
+        drained["retired"] = still_dead
+        _put_manifest(
+            wh, database, table, drained,
+            overwrite=True,  # same-version metadata rewrite, not a commit
+        )
     return {
         "files_before": len(prev_files),
         "files_after": len(rewritten),

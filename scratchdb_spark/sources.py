@@ -120,6 +120,7 @@ try:  # Spark 4 Python DataSource API
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         InputPartition,
         SimpleDataSourceStreamReader,
     )
@@ -326,43 +327,11 @@ try:  # Spark 4 Python DataSource API
         with open(os.path.join(base, "_snapshots", f"v{v:012d}.json")) as f:
             return _json.load(f)
 
-    def _cdc_rows(base: str, names, fields) -> list[tuple]:
-        """Rows of the named parquet files as schema-ordered tuples
-        (missing columns -> None: the evolved-reader alignment)."""
-        import os
-
-        import pyarrow.parquet as pq
-
-        out = []
-        for name in sorted(names):
-            table = pq.read_table(os.path.join(base, name))
-            for rec in table.to_pylist():
-                out.append(tuple(rec.get(n) for n, _ in fields))
-        return out
-
-    def _cdc_diff(base: str, from_v: int, to_v: int, fields):
-        """Bag-semantics change rows between two versions: the manifest
-        file diff with identical rows cancelled (read_changes'
-        exceptAll contract, evaluated driver-side)."""
-        from collections import Counter
-
-        old_files: set = set()
-        old_retained: set = set()
-        if from_v:
-            old_m = _cdc_manifest(base, from_v)
-            old_files = set(old_m["files"])
-        new_m = _cdc_manifest(base, to_v)
-        new_files = set(new_m["files"])
-        added = Counter(_cdc_rows(base, new_files - old_files, fields))
-        removed = Counter(_cdc_rows(base, old_files - new_files, fields))
-        inserts = added - removed
-        deletes = removed - added
-        for row, n in sorted(inserts.items(), key=lambda kv: repr(kv[0])):
-            for _ in range(n):
-                yield row + ("insert",)
-        for row, n in sorted(deletes.items(), key=lambda kv: repr(kv[0])):
-            for _ in range(n):
-                yield row + ("delete",)
+    class CdcRetentionError(Exception):
+        """The stream's cursor references a snapshot version outside
+        the table's retention window (history truncated by
+        maintenance). Raised at partition-PLANNING time, so the feed
+        fails loudly instead of silently going stale."""
 
     class ScratchCdcDataSource(DataSource):
         """``spark.readStream.format("scratch_cdc")`` — consume a
@@ -378,15 +347,19 @@ try:  # Spark 4 Python DataSource API
         loudly (missing-manifest read), never silently.
 
         Version 0 -> latest bootstraps the current table state as
-        inserts (diff against the empty set); each later micro-batch
-        is the manifest file-diff between consecutive offsets with
-        identical rows cancelled (bag semantics — a COW rewrite's
-        carried survivors produce no change rows), so batch size is
-        churn-sized, never a rescan. The *simple* stream API
-        evaluates driver-side (pyarrow) over local-filesystem
-        warehouse roots — right for bounded churn; the cluster-scale
-        consumer is the batch ``snapshots.read_changes`` +
-        ``incremental.maintain_sum_mv`` pair.
+        inserts; each later micro-batch replays the commits in the
+        offset window from their manifests: a pure APPEND's added
+        data files stream as inserts, and a COW DELETE/MERGE/rollback
+        streams the explicit CHANGE FILES it persisted at commit time
+        (snapshots._write_changes — Delta CDF's public design), so
+        batch size is churn-sized, never a rescan.
+
+        Scale shape: the DRIVER only plans (file, role) splits from
+        manifest metadata — like Iceberg's planFiles — while row reads
+        run as one EXECUTOR task per file (partition-based
+        DataSourceStreamReader). No change row ever passes through
+        the driver, so a busy feed on a 100 TB table scales with the
+        cluster, not one process.
         """
 
         @classmethod
@@ -409,49 +382,122 @@ try:  # Spark 4 Python DataSource API
                 + [T.StructField("_change_type", T.StringType())]
             )
 
-        def simpleStreamReader(self, schema):
+        def streamReader(self, schema):
             return _ScratchCdcStreamReader(self.options, schema)
 
-    class _ScratchCdcStreamReader(SimpleDataSourceStreamReader):
+    class _CdcPartition(InputPartition):
+        def __init__(self, path: str, role: str):
+            self.path = path
+            self.role = role  # 'insert' (data file) | 'change' (CDF file)
+
+    class _ScratchCdcStreamReader(DataSourceStreamReader):
+        """Partition-planning CDC reader. Per version transition in
+        (start, end]:
+
+        - manifest carries ``changes`` (COW DELETE/MERGE/rollback
+          wrote explicit change files; maintenance records an empty
+          set): one partition per change file — the commit's exact
+          delete/insert rows.
+        - no ``changes`` key (pure append): one partition per ADDED
+          data file, emitted as inserts.
+        - files removed with no change record (out-of-band mutation /
+          pre-CDF writer): loud planning error, never a guess.
+
+        A start offset below the retention window raises
+        CdcRetentionError at planning time — the documented 'errs
+        loudly, never silently' contract. A missing/half-written
+        LATEST manifest is the opposite case: latestOffset only
+        advances to versions whose manifest parses, so a mid-PUT
+        commit is simply not yet an offset."""
+
         def __init__(self, options, schema):
             self.base = _cdc_base(options)
-            # _change_type is produced by the diff, not read from files
+            # _change_type is synthesized per-partition, not read
+            # from data files
             self.fields = [
-                (f.name, f.dataType)
-                for f in schema.fields
-                if f.name != "_change_type"
+                f.name for f in schema.fields if f.name != "_change_type"
             ]
 
         def initialOffset(self):
             return {"v": 0}
 
-        def read(self, start):
-            import json as _json
-
+        def latestOffset(self):
             vs = _cdc_versions(self.base)
-            cur = int(start["v"])
-            if not vs or vs[-1] <= cur:
-                return iter([]), start
-            latest = vs[-1]
-            try:
-                rows = list(_cdc_diff(self.base, cur, latest, self.fields))
-            except (_json.JSONDecodeError, FileNotFoundError):
-                # a commit is mid-PUT on a store without atomic rename
-                # (the engine's own PUTs are temp+rename, so this is
-                # the defensive path): treat the version as not yet
-                # visible and pick it up on the next poll
-                return iter([]), start
-            return iter(rows), {"v": latest}
+            for v in reversed(vs):
+                try:
+                    _cdc_manifest(self.base, v)
+                except (ValueError, OSError):
+                    # commit mid-PUT on a store without atomic rename
+                    # (the engine's own PUTs are temp+rename, so this
+                    # is the defensive path): not yet declarable
+                    continue
+                return {"v": v}
+            return {"v": 0}
 
-        def readBetweenOffsets(self, start, end):
-            return iter(
-                list(
-                    _cdc_diff(
-                        self.base, int(start["v"]), int(end["v"]),
-                        self.fields,
-                    )
+        def partitions(self, start, end):
+            start_v, end_v = int(start["v"]), int(end["v"])
+            if start_v >= end_v:
+                return []
+            vs = _cdc_versions(self.base)
+            if (start_v > 0 and start_v not in vs) or end_v not in vs:
+                gone = start_v if start_v not in vs else end_v
+                raise CdcRetentionError(
+                    f"CDC cursor v{gone} of {self.base} is below the "
+                    f"retention window (retained: {vs}): maintenance "
+                    "truncated history past this stream's offset. "
+                    "Re-bootstrap the consumer (fresh checkpoint from "
+                    "offset 0, or reconcile against "
+                    "snapshots.read_snapshot)."
                 )
-            )
+            if start_v == 0:
+                # bootstrap: the end version's full state as inserts
+                # (diff against the empty set needs no cancellation)
+                m = _cdc_manifest(self.base, end_v)
+                return [
+                    _CdcPartition(f"{self.base}/{n}", "insert")
+                    for n in sorted(m["files"])
+                ]
+            parts = []
+            prev_m = _cdc_manifest(self.base, start_v)
+            for v in [u for u in vs if start_v < u <= end_v]:
+                m = _cdc_manifest(self.base, v)
+                if "changes" in m:
+                    parts += [
+                        _CdcPartition(
+                            f"{self.base}/_snapshots/{rel}", "change"
+                        )
+                        for rel in m["changes"]
+                    ]
+                else:
+                    removed = set(prev_m["files"]) - set(m["files"])
+                    if removed:
+                        raise ValueError(
+                            f"version v{v} of {self.base} removed "
+                            f"{len(removed)} file(s) but recorded no "
+                            "change files (out-of-band mutation or a "
+                            "pre-CDF writer); use batch "
+                            "snapshots.read_changes for this window"
+                        )
+                    parts += [
+                        _CdcPartition(f"{self.base}/{n}", "insert")
+                        for n in sorted(
+                            set(m["files"]) - set(prev_m["files"])
+                        )
+                    ]
+                prev_m = m
+            return parts
+
+        def read(self, partition):
+            # EXECUTOR-side: one parquet file per task; missing
+            # columns (schema evolution) read as NULL by name
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(partition.path)
+            is_change = partition.role == "change"
+            for rec in table.to_pylist():
+                yield tuple(rec.get(n) for n in self.fields) + (
+                    (rec.get("_change_type") if is_change else "insert"),
+                )
 
         def commit(self, end):
             pass

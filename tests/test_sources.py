@@ -237,3 +237,121 @@ def test_cdc_stream_drives_incremental_mv(spark, tmp_path):
     )
     got = sorted(map(tuple, mv_state["mv"].collect()))
     assert got == want == [("a", 15, 2)]
+
+
+def test_cdc_partition_planning_executor_reads(spark, tmp_path):
+    """Partition-planning CDC reader (the scale path): the driver
+    plans one split per file from manifest METADATA only; row reads
+    happen in read(partition) — the method Spark invokes inside
+    executor tasks. Bootstrap plans one partition per data file; a
+    DML transition plans the commit's persisted change files; an
+    append transition plans only the added files."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import (
+        CdcRetentionError,
+        ScratchCdcDataSource,
+    )
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ).repartition(2),
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(3, 30)], "__row_id long, amount long"),
+    )
+    opts = {"path": str(tmp_path / "wh"), "database": "db", "table": "t"}
+    ds = ScratchCdcDataSource(opts)
+    reader = ds.streamReader(ds.schema())
+    assert reader.latestOffset() == {"v": 2}
+
+    # bootstrap: >1 partition (one per data file), all inserts
+    boot = reader.partitions({"v": 0}, {"v": 2})
+    assert len(boot) >= 3 and all(p.role == "insert" for p in boot)
+    rows = sorted(r for p in boot for r in reader.read(p))
+    assert rows == [(1, 10, "insert"), (2, 20, "insert"), (3, 30, "insert")]
+
+    # COW delete: the transition plans CHANGE FILES, and reading the
+    # partition yields exactly the deleted row — no manifest diff, no
+    # driver-side row materialization
+    snap.delete_where(wh, "db", "t", F.col("__row_id") == 1)
+    dml = reader.partitions({"v": 2}, {"v": 3})
+    assert dml and all(p.role == "change" for p in dml)
+    assert [r for p in dml for r in reader.read(p)] == [(1, 10, "delete")]
+
+    # append transition: only the added file is planned
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(4, 40)], "__row_id long, amount long"),
+    )
+    app = reader.partitions({"v": 3}, {"v": 4})
+    assert [r for p in app for r in reader.read(p)] == [(4, 40, "insert")]
+
+    # retention contract: maintenance truncates history; a cursor
+    # below the window fails AT PLANNING TIME with the explicit
+    # retention error — never a silent empty batch
+    snap.maintain_table(wh, "db", "t")
+    latest = reader.latestOffset()["v"]
+    with pytest.raises(CdcRetentionError, match="retention"):
+        reader.partitions({"v": 3}, {"v": latest})
+
+
+def test_cdc_stream_errs_loudly_below_retention(spark, tmp_path):
+    """ADVICE r5 (medium): an open stream whose checkpointed offset
+    was expired by maintain_table must FAIL its next poll with the
+    retention error, not return empty batches forever (a silent stall
+    would leave downstream MVs stale with no signal)."""
+    import pytest
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(1, 10)], "__row_id long, amount long"),
+    )
+
+    def start():
+        # foreachBatch sink: supports restart-from-checkpoint (the
+        # memory sink does not)
+        return (
+            spark.readStream.format("scratch_cdc")
+            .option("path", str(tmp_path / "wh"))
+            .option("database", "db")
+            .option("table", "t")
+            .load()
+            .writeStream.foreachBatch(lambda df, _bid: df.count())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()  # checkpoint offset is now v1
+    finally:
+        q.stop()
+
+    # maintenance truncates history past the stream's offset, then
+    # the table keeps moving
+    snap.maintain_table(wh, "db", "t")
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(2, 20)], "__row_id long, amount long"),
+    )
+
+    q = start()  # resumes from the checkpointed (now-expired) offset
+    try:
+        with pytest.raises(Exception, match="retention"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
