@@ -234,27 +234,237 @@ def _file_stats(
     return out
 
 
-def _stats_for_manifest(
-    wh: Warehouse,
-    base: str,
-    prev: dict,
-    files: list[str],
-    rewritten: list[str],
-    schema,
-) -> dict:
-    """Stat fields for a COW commit's manifest: carry the previous
-    manifest's per-file stats for surviving files, compute fresh ones
-    only for the rewritten files. Returns {} when the table collects
-    no stats."""
-    cols = prev.get("stat_cols", [])
-    if not cols:
-        return {}
-    prev_stats = prev.get("stats", {})
-    carried = {f: prev_stats[f] for f in files if f in prev_stats}
-    fresh = _file_stats(
-        wh, base, [f for f in rewritten if f not in carried], schema, cols
+# --- manifest sharding (Iceberg's manifest-list idea, public design) --
+#
+# Above _SHARD_THRESHOLD files a manifest stops inlining its file list
+# and instead references immutable SHARD files
+# (``_snapshots/shards/s-<uuid>.json``), each holding <= _SHARD_SIZE
+# file names plus their per-file stats. The commit manifest stays a
+# small JSON (one record per shard: name, count, lexical name range,
+# rolled-up stats), so:
+#   - a COMMIT rewrites only the shards whose name range covers a
+#     removed file and writes one new shard per ~_SHARD_SIZE of churn —
+#     O(churn), never O(table files);
+#   - PRUNED reads (read_snapshot prune=/prune_eq=) drop whole shards
+#     by the rolled-up [min,max]/dict before opening them, so the
+#     driver parses stats only for shards the predicate can live in;
+#   - unchanged shards are shared across versions by reference (the
+#     audit-trail versions cost no extra metadata).
+# The remaining driver-side O(n) is the surviving file-NAME list, which
+# any Spark planner needs to build the scan anyway. Shards of expired
+# versions are reclaimed by maintain_table.
+
+_SHARD_THRESHOLD = 2048  # files; manifests shard above this
+_SHARD_SIZE = 1024  # files per shard
+_SHARDS_DIR = "shards"
+
+
+def _shard_path(wh: Warehouse, database: str, table: str, name: str) -> str:
+    return f"{_snap_dir(wh, database, table)}/{_SHARDS_DIR}/{name}"
+
+
+def _read_shard(wh: Warehouse, database: str, table: str, name: str) -> dict:
+    return json.loads(
+        hfs.read_text(wh.spark, _shard_path(wh, database, table, name))
     )
-    return {"stat_cols": cols, "stats": {**carried, **fresh}}
+
+
+def _shard_agg(stats: dict, names: list[str], cols: list[str]) -> dict:
+    """Rolled-up stats for a shard record: per-column [min,max] over
+    the member files' zone maps and a capped union dictionary —
+    exactly the per-file record shape, lifted one level, so the same
+    _range_survives/_eq_survives decide WHOLE-SHARD skipping. A column
+    any member lacks stats for is omitted (the shard must then always
+    be opened: pruning never drops rows)."""
+    rec: dict = {}
+    for c in cols:
+        if any(n not in stats or c not in stats[n] for n in names):
+            continue
+        mns = [stats[n][c][0] for n in names if stats[n][c][0] is not None]
+        mxs = [stats[n][c][1] for n in names if stats[n][c][1] is not None]
+        rec[c] = [min(mns) if mns else None, max(mxs) if mxs else None]
+        union: set = set()
+        have_all = True
+        for n in names:
+            d = stats[n].get(f"{c}__dict")
+            if d is None:
+                have_all = False
+                break
+            union |= set(d)
+        if have_all and len(union) <= _DICT_CAP:
+            rec[f"{c}__dict"] = sorted(union)
+    return rec
+
+
+def _write_shard(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    names: list[str],
+    stats: dict,
+    cols: list[str],
+) -> dict:
+    """Write one immutable shard file and return its manifest record.
+    uuid names never collide; visibility gates on the manifest PUT."""
+    import uuid
+
+    names = sorted(names)
+    shard_name = f"s-{uuid.uuid4().hex}.json"
+    body = {
+        "files": names,
+        "stats": {n: stats[n] for n in names if n in stats},
+    }
+    hfs.put_text_atomic(
+        wh.spark,
+        _shard_path(wh, database, table, shard_name),
+        json.dumps(body, separators=(",", ":")),
+    )
+    rec = {
+        "name": shard_name,
+        "n": len(names),
+        "first": names[0],
+        "last": names[-1],
+    }
+    if cols:
+        rec["agg"] = _shard_agg(body["stats"], names, cols)
+    return rec
+
+
+def _manifest_files(
+    wh: Warehouse, database: str, table: str, m: dict
+) -> list[str]:
+    """A manifest's full data-file name list (inline or via shards)."""
+    if "shards" not in m:
+        return list(m["files"])
+    out: list[str] = []
+    for rec in m["shards"]:
+        out += _read_shard(wh, database, table, rec["name"])["files"]
+    return sorted(out)
+
+
+def _manifest_n_files(m: dict) -> int:
+    return m["n_files"] if "shards" in m else len(m["files"])
+
+
+def _manifest_stats(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    m: dict,
+    names: list[str] | None = None,
+) -> dict:
+    """Per-file stats lookup. For sharded manifests only shards whose
+    lexical name range covers a requested name are opened."""
+    if "shards" not in m:
+        s = m.get("stats", {})
+        if names is None:
+            return dict(s)
+        return {n: s[n] for n in names if n in s}
+    out: dict = {}
+    wanted = None if names is None else sorted(names)
+    for rec in m["shards"]:
+        if wanted is not None and not any(
+            rec["first"] <= n <= rec["last"] for n in wanted
+        ):
+            continue
+        out.update(
+            _read_shard(wh, database, table, rec["name"]).get("stats", {})
+        )
+    if names is None:
+        return out
+    return {n: out[n] for n in names if n in out}
+
+
+def _assemble_manifest_entry(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    prev: dict | None,
+    files: list[str],
+    added: list[str],
+    removed: set,
+    fresh_stats: dict,
+    cols: list[str],
+) -> dict:
+    """The files/stats portion of a new manifest for ``files``:
+    inline below _SHARD_THRESHOLD, sharded above. ``added`` are names
+    new since ``prev`` (their stats, if any, are in ``fresh_stats``);
+    ``removed`` are prev names no longer live — the set that decides
+    which prev shards must rewrite. Kept shards carry their files AND
+    stats by reference; only shards touched by removals are opened,
+    so commit metadata cost is O(churn) in stats and shard IO."""
+    files = sorted(files)
+    file_set = set(files)
+    if len(files) <= _SHARD_THRESHOLD and not (
+        prev and "shards" in prev and len(files) > _SHARD_THRESHOLD // 2
+    ):
+        # inline (small table, or a sharded table that shrank well
+        # below the threshold — hysteresis avoids flapping)
+        entry: dict = {"files": files}
+        if cols:
+            carried = (
+                _manifest_stats(
+                    wh, database, table, prev,
+                    [n for n in files if n not in fresh_stats],
+                )
+                if prev
+                else {}
+            )
+            entry["stat_cols"] = cols
+            entry["stats"] = {
+                **carried,
+                **{n: fresh_stats[n] for n in files if n in fresh_stats},
+            }
+        return entry
+
+    kept: list[dict] = []
+    remainder: list[str] = list(added)
+    remainder_stats: dict = dict(fresh_stats)
+    if prev is not None and "shards" in prev:
+        for rec in prev["shards"]:
+            touched = any(
+                rec["first"] <= r <= rec["last"] for r in removed
+            )
+            # a shard is also force-opened when stats were newly
+            # enabled and its record predates them (no rolled-up agg)
+            stale_stats = bool(cols) and "agg" not in rec
+            if touched or stale_stats:
+                sh = _read_shard(wh, database, table, rec["name"])
+                live = [n for n in sh["files"] if n in file_set]
+                remainder += live
+                for n in live:
+                    s = sh.get("stats", {}).get(n)
+                    if s is not None and n not in remainder_stats:
+                        remainder_stats[n] = s
+            else:
+                kept.append(rec)
+    elif prev is not None:
+        # inline prev crossing the threshold: every file re-shards
+        remainder = files
+        carried = _manifest_stats(
+            wh, database, table, prev,
+            [n for n in files if n not in fresh_stats],
+        )
+        remainder_stats = {**carried, **fresh_stats}
+    else:
+        remainder = files
+
+    remainder = sorted(set(remainder))
+    shards = list(kept)
+    for i in range(0, len(remainder), _SHARD_SIZE):
+        chunk = remainder[i : i + _SHARD_SIZE]
+        shards.append(
+            _write_shard(
+                wh, database, table, chunk, remainder_stats, cols
+            )
+        )
+    entry = {
+        "shards": sorted(shards, key=lambda r: r["first"]),
+        "n_files": len(files),
+    }
+    if cols:
+        entry["stat_cols"] = cols
+    return entry
 
 
 def _write_changes(
@@ -317,43 +527,59 @@ def commit_snapshot(
         # (maintenance deletes them) so the set stays bounded by live
         # dead files, and never grows for the lifetime of the table
         retired &= set(disk)
-        files = [f for f in disk if f not in retired]
+        files = sorted(f for f in disk if f not in retired)
         schema = wh.schema(database, table)
+        prev_files = (
+            set(_manifest_files(wh, database, table, prev)) if vs else set()
+        )
+        added = [f for f in files if f not in prev_files]
+        removed = prev_files - set(files)
         # file statistics: stat_cols=None inherits the table's existing
         # stat columns (once a table collects zone maps, every commit
-        # keeps them current); stats are computed ONLY for files new
-        # since the previous manifest and carried forward otherwise
-        prev_stats = prev.get("stats", {}) if vs else {}
+        # keeps them current); stats are computed ONLY for files whose
+        # stats aren't carried from the previous manifest/shards —
+        # normally just the appended batch, so stats cost is O(churn)
         cols = (
             list(stat_cols)
             if stat_cols is not None
             else (prev.get("stat_cols", []) if vs else [])
         )
-        stats = {}
+        fresh = {}
         if cols:
-            carried = {
-                f: prev_stats[f]
-                for f in files
-                if f in prev_stats
-                and set(prev_stats[f]) >= set(cols)
-            }
+            if (
+                vs
+                and "shards" in prev
+                and set(prev.get("stat_cols", [])) >= set(cols)
+            ):
+                # sharded prev with covering stat columns: carried
+                # stats STAY in their shards (never materialized on
+                # the driver) — the every-commit-keeps-stats-current
+                # invariant guarantees coverage; fresh = the new batch
+                fresh_names = added
+            elif vs:
+                carried_ok = {
+                    f
+                    for f, rec in _manifest_stats(
+                        wh, database, table, prev,
+                        [f for f in files if f in prev_files],
+                    ).items()
+                    if set(rec) >= set(cols)
+                }
+                fresh_names = [f for f in files if f not in carried_ok]
+            else:
+                fresh_names = files
             fresh = _file_stats(
-                wh,
-                wh._path(database, table),
-                [f for f in files if f not in carried],
-                schema,
-                cols,
+                wh, wh._path(database, table), fresh_names, schema, cols
             )
-            stats = {**carried, **fresh}
         manifest = {
             "version": next_v,
-            "files": files,
             "retired": sorted(retired),
             "schema": schema.json(),
+            **_assemble_manifest_entry(
+                wh, database, table, prev if vs else None,
+                files, added, removed, fresh, cols,
+            ),
         }
-        if cols:
-            manifest["stat_cols"] = cols
-            manifest["stats"] = stats
         try:
             _put_manifest(wh, database, table, manifest)
             return next_v
@@ -417,6 +643,54 @@ def _eq_survives(rec: dict, col: str, val) -> bool:
     return mn <= val <= mx
 
 
+def _file_survives(rec: dict, prune, prune_eq) -> bool:
+    """Combined skip decision for one file's (or one shard's rolled-up)
+    stat record against the optional range and equality prunes."""
+    if prune_eq is not None and not _eq_survives(rec, *prune_eq):
+        return False
+    if prune is not None:
+        col, lo, hi = prune
+        if not _range_survives(rec.get(col), lo, hi):
+            return False
+    return True
+
+
+def _plan_files(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    m: dict,
+    prune,
+    prune_eq,
+) -> list[str]:
+    """The version's surviving file names under the prunes. Sharded
+    manifests prune WHOLE SHARDS by their rolled-up [min,max]/dict
+    before opening them — the driver parses per-file stats only for
+    shards the predicate can live in (Iceberg's manifest-list
+    short-circuit), so a selective predicate over a 10^6-file table
+    opens a handful of shard JSONs, not one monolithic manifest."""
+    if "shards" not in m:
+        stats = m.get("stats", {})
+        return [
+            n
+            for n in m["files"]
+            if _file_survives(stats.get(n, {}), prune, prune_eq)
+        ]
+    names: list[str] = []
+    for rec in m["shards"]:
+        agg = rec.get("agg")
+        if agg is not None and not _file_survives(agg, prune, prune_eq):
+            continue  # the whole shard is skipped unopened
+        sh = _read_shard(wh, database, table, rec["name"])
+        stats = sh.get("stats", {})
+        names += [
+            n
+            for n in sh["files"]
+            if _file_survives(stats.get(n, {}), prune, prune_eq)
+        ]
+    return sorted(names)
+
+
 def version_as_of(
     wh: Warehouse, database: str, table: str, ts: float
 ) -> int:
@@ -460,8 +734,9 @@ def rollback_table(
             f"snapshots {vs}"
         )
     target = _manifest(wh, database, table, to_version)
+    target_files = _manifest_files(wh, database, table, target)
     disk = set(_data_files(wh, database, table))
-    gone = sorted(set(target["files"]) - disk)
+    gone = sorted(set(target_files) - disk)
     if gone:
         raise ValueError(
             f"cannot roll back {database}.{table} to v{to_version}: "
@@ -472,12 +747,12 @@ def rollback_table(
     next_v = _next_version(wh, database, table)
     # files ADDED after to_version stay on disk as the newer versions'
     # audit trail; mark them retired so commit_snapshot can't re-adopt
-    newer = (set(latest["files"]) | set(latest.get("retired", []))) - set(
-        target["files"]
-    )
+    newer = (
+        set(_manifest_files(wh, database, table, latest))
+        | set(latest.get("retired", []))
+    ) - set(target_files)
     manifest = {
         "version": next_v,
-        "files": sorted(target["files"]),
         "retired": sorted(newer & disk),
         "schema": target["schema"],
         # change-data-feed capture: the rollback's net effect as
@@ -492,7 +767,9 @@ def rollback_table(
             read_changes(wh, database, table, vs[-1], to_version),
         ),
     }
-    for k in ("stat_cols", "stats"):
+    # identical file list -> the target's files/stats entry (inline or
+    # shard references — shards are immutable, sharing them is free)
+    for k in ("files", "stats", "stat_cols", "shards", "n_files"):
         if k in target:
             manifest[k] = target[k]
     _put_manifest(wh, database, table, manifest)
@@ -548,31 +825,12 @@ def read_snapshot(
         raise ValueError(
             f"version {v} not in {database}.{table} snapshots {vs}"
         )
-    raw = hfs.read_text(
-        wh.spark, f"{_snap_dir(wh, database, table)}/v{v:012d}.json"
-    )
-    manifest = json.loads(raw)
+    manifest = _manifest(wh, database, table, v)
     from pyspark.sql import types as T
 
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     base = wh._path(database, table)
-    names = manifest["files"]
-    if prune_eq is not None:
-        eq_col, eq_val = prune_eq
-        eq_stats = manifest.get("stats", {})
-        names = [
-            n
-            for n in names
-            if _eq_survives(eq_stats.get(n, {}), eq_col, eq_val)
-        ]
-    if prune is not None:
-        col, lo, hi = prune
-        stats = manifest.get("stats", {})
-        names = [
-            n
-            for n in names
-            if _range_survives(stats.get(n, {}).get(col), lo, hi)
-        ]
+    names = _plan_files(wh, database, table, manifest, prune, prune_eq)
     paths = [f"{base}/{name}" for name in names]
     if not paths:
         return wh.spark.createDataFrame([], schema)
@@ -695,18 +953,15 @@ def delete_where(
             rewritten.append(new_name)
     hfs.delete(wh.spark, tmp)
 
-    prev = json.loads(
-        hfs.read_text(
-            wh.spark, f"{_snap_dir(wh, database, table)}/v{vs[-1]:012d}.json"
-        )
-    )
+    prev = _manifest(wh, database, table, vs[-1])
+    prev_files = _manifest_files(wh, database, table, prev)
     new_files = sorted(
-        [f for f in prev["files"] if f not in set(affected)] + rewritten
+        [f for f in prev_files if f not in set(affected)] + rewritten
     )
     next_v = _next_version(wh, database, table)
+    cols = prev.get("stat_cols", [])
     manifest = {
         "version": next_v,
-        "files": new_files,
         # replaced files stay on disk for older versions;
         # commit_snapshot must never re-adopt them
         "retired": sorted(
@@ -714,8 +969,15 @@ def delete_where(
         ),
         "schema": prev["schema"],
         "changes": changes,
-        **_stats_for_manifest(
-            wh, base, prev, new_files, rewritten, schema
+        **_assemble_manifest_entry(
+            wh, database, table, prev, new_files,
+            added=rewritten, removed=set(affected),
+            fresh_stats=(
+                _file_stats(wh, base, rewritten, schema, cols)
+                if cols
+                else {}
+            ),
+            cols=cols,
         ),
     }
     _put_manifest(wh, database, table, manifest)
@@ -825,19 +1087,15 @@ def merge_upsert(
             rewritten.append(new_name)
     hfs.delete(wh.spark, tmp)
 
-    prev = json.loads(
-        hfs.read_text(
-            wh.spark,
-            f"{_snap_dir(wh, database, table)}/v{vs[-1]:012d}.json",
-        )
-    )
+    prev = _manifest(wh, database, table, vs[-1])
+    prev_files = _manifest_files(wh, database, table, prev)
     new_files = sorted(
-        [f for f in prev["files"] if f not in set(affected)] + rewritten
+        [f for f in prev_files if f not in set(affected)] + rewritten
     )
     next_v = _next_version(wh, database, table)
+    cols = prev.get("stat_cols", [])
     manifest = {
         "version": next_v,
-        "files": new_files,
         # replaced files stay on disk for older versions;
         # commit_snapshot must never re-adopt them
         "retired": sorted(
@@ -845,8 +1103,15 @@ def merge_upsert(
         ),
         "schema": prev["schema"],
         "changes": changes,
-        **_stats_for_manifest(
-            wh, base, prev, new_files, rewritten, schema
+        **_assemble_manifest_entry(
+            wh, database, table, prev, new_files,
+            added=rewritten, removed=set(affected),
+            fresh_stats=(
+                _file_stats(wh, base, rewritten, schema, cols)
+                if cols
+                else {}
+            ),
+            cols=cols,
         ),
     }
     _put_manifest(wh, database, table, manifest)
@@ -901,7 +1166,7 @@ def maintain_table(
         vs = versions(wh, database, table)
 
     prev = _manifest(wh, database, table, vs[-1])
-    prev_files = set(prev["files"])
+    prev_files = set(_manifest_files(wh, database, table, prev))
     retired = set(prev.get("retired", []))
     sizes = {
         p.rsplit("/", 1)[-1]: sz for p, sz in list_data_files(wh.spark, base)
@@ -955,7 +1220,6 @@ def maintain_table(
     )
     new_manifest = {
         "version": next_v,
-        "files": sorted(rewritten),
         # every pre-compaction file is now dead; listing them as
         # retired blocks commit_snapshot re-adoption until the
         # physical delete below (or a later maintenance) runs
@@ -966,10 +1230,15 @@ def maintain_table(
         # nothing (vs a pure append, where absent "changes" means
         # "the added files are the inserts")
         "changes": [],
+        # prev=None: the compacted layout is all-fresh, so the entry
+        # re-shards (or re-inlines) from scratch — maintenance is also
+        # the shard-compaction point
+        **_assemble_manifest_entry(
+            wh, database, table, None, sorted(rewritten),
+            added=sorted(rewritten), removed=set(),
+            fresh_stats=stats, cols=cols,
+        ),
     }
-    if cols:
-        new_manifest["stat_cols"] = cols
-        new_manifest["stats"] = stats
     _put_manifest(wh, database, table, new_manifest)
     # post-commit cleanup: drop old manifests, then old data files
     expired = expire_snapshots(wh, database, table, keep_last=1)
@@ -988,6 +1257,17 @@ def maintain_table(
     for d in hfs.list_names(wh.spark, chg_root, dirs_only=True):
         if d not in referenced_dirs:
             hfs.delete(wh.spark, f"{chg_root}/{d}")
+    # same for manifest shards: keep only the retained manifests'
+    # shard set (history truncated to one version, so this reclaims
+    # every pre-compaction shard plus CAS-loser debris)
+    sh_root = f"{base}/{_SNAP_DIR}/{_SHARDS_DIR}"
+    referenced_shards: set = set()
+    for v in versions(wh, database, table):
+        for rec in _manifest(wh, database, table, v).get("shards", []):
+            referenced_shards.add(rec["name"])
+    for n in hfs.list_names(wh.spark, sh_root):
+        if n not in referenced_shards:
+            hfs.delete(wh.spark, f"{sh_root}/{n}", recursive=False)
     # the dead files are physically gone: drain the retired set (a
     # crash before this re-PUT leaves stale retired names, which the
     # next commit_snapshot prunes against the directory listing).
@@ -1069,7 +1349,27 @@ def read_changes(
             )
     old_m = _manifest(wh, database, table, from_version)
     new_m = _manifest(wh, database, table, to_v)
-    old_files, new_files = set(old_m["files"]), set(new_m["files"])
+    # shard-aware diff: shards are immutable and shared by reference,
+    # so shards present in BOTH manifests cancel without being opened
+    # — the metadata cost of a changes read is O(churn shards)
+    if "shards" in old_m and "shards" in new_m:
+        old_recs = {r["name"] for r in old_m["shards"]}
+        new_recs = {r["name"] for r in new_m["shards"]}
+        old_files: set = set()
+        for r in old_m["shards"]:
+            if r["name"] not in new_recs:
+                old_files |= set(
+                    _read_shard(wh, database, table, r["name"])["files"]
+                )
+        new_files: set = set()
+        for r in new_m["shards"]:
+            if r["name"] not in old_recs:
+                new_files |= set(
+                    _read_shard(wh, database, table, r["name"])["files"]
+                )
+    else:
+        old_files = set(_manifest_files(wh, database, table, old_m))
+        new_files = set(_manifest_files(wh, database, table, new_m))
     base = wh._path(database, table)
 
     from pyspark.sql import functions as F
@@ -1133,7 +1433,7 @@ def orphan_files(
     retired: set = set()
     for v in versions(wh, database, table):
         m = _manifest(wh, database, table, v)
-        referenced |= set(m["files"])
+        referenced |= set(_manifest_files(wh, database, table, m))
         retired |= set(m.get("retired", []))
     return {
         "referenced": sorted(referenced & disk),
@@ -1157,7 +1457,7 @@ def history(wh: Warehouse, database: str, table: str) -> DataFrame:
             (
                 v,
                 float(m["committed_at"]) if "committed_at" in m else None,
-                len(m["files"]),
+                _manifest_n_files(m),
                 len(m.get("retired", [])),
                 bool(m.get("stat_cols")),
             )

@@ -327,6 +327,53 @@ try:  # Spark 4 Python DataSource API
         with open(os.path.join(base, "_snapshots", f"v{v:012d}.json")) as f:
             return _json.load(f)
 
+    def _cdc_manifest_files(base: str, m: dict) -> list[str]:
+        """A manifest's data-file names, resolving shard references
+        (snapshots._SHARDS_DIR) for large tables."""
+        import json as _json
+        import os
+
+        if "shards" not in m:
+            return sorted(m["files"])
+        out: list[str] = []
+        for rec in m["shards"]:
+            with open(
+                os.path.join(base, "_snapshots", "shards", rec["name"])
+            ) as f:
+                out += _json.load(f)["files"]
+        return sorted(out)
+
+    def _cdc_file_diff(
+        base: str, prev_m: dict, m: dict
+    ) -> tuple[set, set]:
+        """(removed, added) file names between consecutive manifests.
+        Shards shared by reference cancel without being opened, so
+        append-transition planning cost is O(churn shards) even on a
+        10^6-file table."""
+        if "shards" in prev_m and "shards" in m:
+            prev_recs = {r["name"] for r in prev_m["shards"]}
+            new_recs = {r["name"] for r in m["shards"]}
+            prev_only: set = set()
+            for r in prev_m["shards"]:
+                if r["name"] not in new_recs:
+                    prev_only |= set(
+                        _cdc_manifest_files(
+                            base, {"shards": [r], "n_files": r["n"]}
+                        )
+                    )
+            new_only: set = set()
+            for r in m["shards"]:
+                if r["name"] not in prev_recs:
+                    new_only |= set(
+                        _cdc_manifest_files(
+                            base, {"shards": [r], "n_files": r["n"]}
+                        )
+                    )
+            return prev_only - new_only, new_only - prev_only
+        prev_files = set(_cdc_manifest_files(base, prev_m))
+        files = set(_cdc_manifest_files(base, m))
+        return prev_files - files, files - prev_files
+
     class CdcRetentionError(Exception):
         """The stream's cursor references a snapshot version outside
         the table's retention window (history truncated by
@@ -455,7 +502,7 @@ try:  # Spark 4 Python DataSource API
                 m = _cdc_manifest(self.base, end_v)
                 return [
                     _CdcPartition(f"{self.base}/{n}", "insert")
-                    for n in sorted(m["files"])
+                    for n in _cdc_manifest_files(self.base, m)
                 ]
             parts = []
             prev_m = _cdc_manifest(self.base, start_v)
@@ -469,7 +516,7 @@ try:  # Spark 4 Python DataSource API
                         for rel in m["changes"]
                     ]
                 else:
-                    removed = set(prev_m["files"]) - set(m["files"])
+                    removed, added = _cdc_file_diff(self.base, prev_m, m)
                     if removed:
                         raise ValueError(
                             f"version v{v} of {self.base} removed "
@@ -480,9 +527,7 @@ try:  # Spark 4 Python DataSource API
                         )
                     parts += [
                         _CdcPartition(f"{self.base}/{n}", "insert")
-                        for n in sorted(
-                            set(m["files"]) - set(prev_m["files"])
-                        )
+                        for n in sorted(added)
                     ]
                 prev_m = m
             return parts

@@ -1228,3 +1228,327 @@ def test_rollback_and_timestamp_time_travel(spark, tmp_path):
     snap.maintain_table(wh, "db", "t")
     with _pytest.raises(ValueError, match="not in"):
         snap.rollback_table(wh, "db", "t", pre_maint)
+
+
+def test_manifest_sharding_reuse_cow_and_maintenance(
+    spark, tmp_path, monkeypatch
+):
+    """Above _SHARD_THRESHOLD a manifest becomes a manifest-list of
+    immutable shard files (Iceberg's public design): appends REUSE
+    untouched shards by reference (O(churn) commit metadata), COW
+    deletes rewrite only the shards whose name range covers an
+    affected file, reads resolve transparently, and maintenance
+    re-inlines a shrunken table and reclaims unreferenced shards."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    monkeypatch.setattr(snap, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(snap, "_SHARD_SIZE", 4)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df1 = spark.range(0, 80).select(
+        F.col("id").alias("__row_id"), F.col("id").alias("k")
+    )
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        df1.repartitionByRange(8, "k"),
+        stat_cols=["k"],
+    )
+    m1 = snap._manifest(wh, "db", "t", v1)
+    assert "shards" in m1 and "files" not in m1
+    n1 = snap._manifest_n_files(m1)
+    assert n1 >= 7  # crossed the (monkeypatched) threshold
+    assert len(m1["shards"]) == (n1 + 3) // 4  # _SHARD_SIZE chunks
+    assert snap.read_snapshot(wh, "db", "t").count() == 80
+
+    # append: one new shard; both old shards shared BY REFERENCE
+    v2 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1000, 1000)], "__row_id long, k long"
+        ).coalesce(1),
+    )
+    m2 = snap._manifest(wh, "db", "t", v2)
+    names1 = {r["name"] for r in m1["shards"]}
+    names2 = {r["name"] for r in m2["shards"]}
+    assert names1 < names2 and len(names2) == len(names1) + 1
+    # stats carried: the new version still prunes on k (zone maps
+    # stayed current without recomputing old files)
+    assert (
+        snap.read_snapshot(wh, "db", "t", prune=("k", 1000, None)).count()
+        == 1
+    )
+
+    # streaming CDC planner diffs SHARD RECORDS: the append
+    # transition between two sharded manifests plans exactly the one
+    # added file without opening the shared shards
+    from scratchdb_spark.sources import ScratchCdcDataSource
+
+    ds = ScratchCdcDataSource(
+        {"path": str(tmp_path / "wh"), "database": "db", "table": "t"}
+    )
+    reader = ds.streamReader(ds.schema())
+    app = reader.partitions({"v": v1}, {"v": v2})
+    assert len(app) == 1 and app[0].role == "insert"
+
+    # COW delete of one row rewrites ONLY the covering shard
+    v3, n_del = snap.delete_where(wh, "db", "t", F.col("k") == 5)
+    assert n_del == 1
+    m3 = snap._manifest(wh, "db", "t", v3)
+    names3 = {r["name"] for r in m3["shards"]}
+    assert len(names2 - names3) == 1  # one shard retired...
+    assert len(names2 & names3) == len(names2) - 1  # ...the rest shared
+    assert snap.read_snapshot(wh, "db", "t").count() == 80
+    # CDC across the sharded DML replays from change files
+    chg = snap.read_changes(wh, "db", "t", v2, v3).collect()
+    assert [(r["k"], r["_change_type"]) for r in chg] == [(5, "delete")]
+
+    # maintenance compacts + re-inlines (small table) + reclaims
+    # every unreferenced shard file
+    res = snap.maintain_table(wh, "db", "t", sort_col="k")
+    m4 = snap._manifest(wh, "db", "t", res["version"])
+    assert "files" in m4
+    assert snap.read_snapshot(wh, "db", "t").count() == 80
+    from scratchdb_spark import fs as hfs
+
+    left = hfs.list_names(
+        spark, f"{wh._path('db', 't')}/_snapshots/shards"
+    )
+    assert left == []
+
+
+def test_sharded_pruning_never_parses_full_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """10,052-file sharded table (file names synthesized; only the
+    probed shard's two files exist physically): a selective pruned
+    read opens exactly ONE shard JSON — shard-level rolled-up stats
+    skip the other ~10k files without the driver ever parsing their
+    records, and DESCRIBE HISTORY reads no shard at all."""
+    import json as js
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = wh._path("db", "t")
+    os.makedirs(f"{base}/_snapshots/shards")
+    schema = T.StructType(
+        [
+            T.StructField("__row_id", T.LongType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+    for i, k in enumerate([1, 2]):
+        pq.write_table(
+            pa.table({"__row_id": [i], "k": [k]}),
+            f"{base}/aaa-{i}.parquet",
+        )
+    recs = []
+    real = {
+        "files": ["aaa-0.parquet", "aaa-1.parquet"],
+        "stats": {
+            "aaa-0.parquet": {"k": [1, 1], "k__dict": [1]},
+            "aaa-1.parquet": {"k": [2, 2], "k__dict": [2]},
+        },
+    }
+    with open(f"{base}/_snapshots/shards/s-real.json", "w") as f:
+        js.dump(real, f)
+    recs.append(
+        {
+            "name": "s-real.json",
+            "n": 2,
+            "first": "aaa-0.parquet",
+            "last": "aaa-1.parquet",
+            "agg": {"k": [1, 2], "k__dict": [1, 2]},
+        }
+    )
+    for s in range(10):
+        names = [f"zzz-{s:02d}-{i:04d}.parquet" for i in range(1005)]
+        with open(f"{base}/_snapshots/shards/s-fake{s}.json", "w") as f:
+            js.dump({"files": names, "stats": {}}, f)
+        recs.append(
+            {
+                "name": f"s-fake{s}.json",
+                "n": 1005,
+                "first": names[0],
+                "last": names[-1],
+                "agg": {"k": [100, 200]},
+            }
+        )
+    manifest = {
+        "version": 1,
+        "retired": [],
+        "schema": schema.json(),
+        "shards": recs,
+        "n_files": 10052,
+    }
+    manifest["stat_cols"] = ["k"]
+    with open(f"{base}/_snapshots/v{1:012d}.json", "w") as f:
+        js.dump(manifest, f)
+
+    opened: list[str] = []
+    orig = snap._read_shard
+    monkeypatch.setattr(
+        snap,
+        "_read_shard",
+        lambda w, d, t, name: (opened.append(name), orig(w, d, t, name))[1],
+    )
+    out = snap.read_snapshot(wh, "db", "t", prune=("k", 1, 2))
+    assert sorted(r["k"] for r in out.collect()) == [1, 2]
+    assert opened == ["s-real.json"]
+
+    # equality prune on a value no shard dictionary contains: zero
+    # shards opened, empty plan
+    opened.clear()
+    assert snap.read_snapshot(wh, "db", "t", prune_eq=("k", 7)).count() == 0
+    assert opened == []
+
+    # history never opens a shard (n_files from the manifest record)
+    opened.clear()
+    h = snap.history(wh, "db", "t").collect()
+    assert h[0]["n_files"] == 10052 and opened == []
+
+
+def test_append_versioned_two_writer_race_linearizes(spark, tmp_path):
+    """TRUE-concurrency OCC (VERDICT r5 #4): two threads run
+    append_versioned with different batches through a barrier; under
+    every interleaving BOTH batches are in the final snapshot — the
+    CAS loser's retry recomputes its manifest from the directory, so
+    it adopts the winner's files instead of clobbering them
+    (linearize-on-retry, snapshots.commit_snapshot). Repeated runs
+    shake out different interleavings."""
+    import threading
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    for it in range(3):
+        wh = Warehouse(spark, str(tmp_path / f"wh{it}"))
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame([(0, 0)], "__row_id long, amount long"),
+        )
+        barrier = threading.Barrier(2)
+        errs: list = []
+
+        def writer(lo):
+            try:
+                df = spark.createDataFrame(
+                    [(lo, lo * 10), (lo + 1, lo * 10 + 10)],
+                    "__row_id long, amount long",
+                )
+                barrier.wait()
+                snap.append_versioned(wh, "db", "t", df)
+            except Exception as e:  # pragma: no cover - diagnostic
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(lo,)) for lo in (10, 20)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        got = {
+            r["__row_id"]
+            for r in snap.read_snapshot(wh, "db", "t").collect()
+        }
+        assert got == {0, 10, 11, 20, 21}, f"iteration {it}: {got}"
+
+
+def test_snapshot_schema_evolution_random_histories(spark, tmp_path):
+    """Schema evolution x snapshots (VERDICT r5 #5), randomized:
+    across histories mixing appends, column-adding appends, and COW
+    deletes —
+    - time travel to a pre-add version replays the OLD schema (the
+      column does not exist there, not even as NULLs);
+    - CDC replay read_changes(i, j) applied to snapshot(i), aligned
+      to snapshot(j)'s schema, reproduces snapshot(j) exactly (the
+      evolved-reader cast alignment), for every version pair."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    rng = random.Random(20260814)
+    for case in range(4):
+        ops = ["append"] + [
+            rng.choice(["append", "evolve", "delete"]) for _ in range(4)
+        ]
+        wh = Warehouse(spark, str(tmp_path / f"wh{case}"))
+        vs: list[int] = []
+        evolved = False
+        next_id = itertools.count(1)
+
+        for op in ops:
+            if op == "evolve":
+                evolved = True
+                op = "append"  # the add happens via the wider batch
+            if op == "append":
+                rows = [
+                    (next(next_id), rng.randrange(5))
+                    for _ in range(rng.randrange(1, 4))
+                ]
+                if evolved:
+                    df = spark.createDataFrame(
+                        [(i, a, f"b{i}") for i, a in rows],
+                        "__row_id long, a long, b string",
+                    )
+                else:
+                    df = spark.createDataFrame(
+                        rows, "__row_id long, a long"
+                    )
+                vs.append(snap.append_versioned(wh, "db", "t", df))
+            else:  # delete
+                if not vs:
+                    continue
+                v, _n = snap.delete_where(
+                    wh, "db", "t",
+                    F.col("a") == rng.randrange(5),
+                )
+                vs.append(v)
+
+        # time travel: a version committed before the add must NOT
+        # have the column
+        schemas = {
+            v: set(snap.read_snapshot(wh, "db", "t", v).columns)
+            for v in vs
+        }
+        pre_add = [v for v in vs if "b" not in schemas[v]]
+        for v in pre_add:
+            assert schemas[v] == {"__row_id", "a"}
+
+        def multiset(df, cols):
+            out: dict = {}
+            for r in df.collect():
+                d = r.asDict()
+                k = tuple(d.get(c) for c in cols)
+                out[k] = out.get(k, 0) + 1
+            return out
+
+        for i, j in itertools.combinations(vs, 2):
+            cols = sorted(schemas[j])
+            replay = multiset(snap.read_snapshot(wh, "db", "t", i), cols)
+            for r in snap.read_changes(wh, "db", "t", i, j).collect():
+                d = r.asDict()
+                k = tuple(d.get(c) for c in cols)
+                if d["_change_type"] == "insert":
+                    replay[k] = replay.get(k, 0) + 1
+                else:
+                    replay[k] = replay.get(k, 0) - 1
+            replay = {k: c for k, c in replay.items() if c}
+            want = multiset(snap.read_snapshot(wh, "db", "t", j), cols)
+            assert replay == want, (
+                f"case {case} ops {ops}: replay {i}->{j} diverged"
+            )
