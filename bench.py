@@ -57,15 +57,57 @@ HEADLINE = [
 ]
 
 
-def run_catalog(spark, sf_dir: str) -> dict[str, float]:
+def _stage_totals(spark) -> tuple[int, int] | None:
+    """Cumulative (shuffle bytes, completed tasks) over all completed
+    stages, via the UI REST status API (the bench session enables the
+    UI; spark.ui.retainedStages is raised so multi-pass runs never
+    evict stages mid-diff). Shuffle bytes = write side only, so each
+    shuffle is counted once."""
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as resp:
+            stages = json.load(resp)
+    except Exception:
+        return None
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("numCompleteTasks", 0) for s in stages),
+    )
+
+
+def run_catalog(
+    spark, sf_dir: str, stage_metrics: dict[str, dict] | None = None
+) -> dict[str, float]:
+    """One timed pass over the benchable catalog. When
+    ``stage_metrics`` is passed, per-query shuffle bytes and task
+    counts (diffs of the cumulative stage totals, REST calls outside
+    the timed window) are recorded into it — plan-shape regressions
+    (an extra shuffle, a blown-up task count) then separate from
+    host-load noise in round-over-round comparisons."""
     times: dict[str, float] = {}
     for name, spec in sorted(catalog.registry().items()):
         if not spec.bench:
             continue
+        before = _stage_totals(spark) if stage_metrics is not None else None
         t0 = time.perf_counter()
         df = spec.spark_fn(spark, sf_dir)
         df.count()
         times[name] = round(time.perf_counter() - t0, 4)
+        if stage_metrics is not None and before is not None:
+            after = _stage_totals(spark)
+            if after is not None:
+                stage_metrics[name] = {
+                    "shuffle_bytes": max(0, after[0] - before[0]),
+                    "tasks": max(0, after[1] - before[1]),
+                }
         # Operators that persist() intermediates (minhash, simhash, CC)
         # would otherwise accumulate cached blocks across 90+ queries;
         # evict between queries (untimed) so memory stays flat.
@@ -78,14 +120,23 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
-    # default 2: per-query medians absorb host-load spikes (PERF.md
-    # measured ±3x single-run variance), so round-over-round artifact
-    # comparisons don't need a load caveat
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
+    # default 3: pass 1 is the recorded warm-up, the per-query MEDIAN
+    # over passes 2..N absorbs host-load spikes (PERF.md measured ±3x
+    # single-run variance), so round-over-round artifact comparisons
+    # don't need a load caveat
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
 
-    spark = get_spark("scratchdb-bench")
+    spark = get_spark(
+        "scratchdb-bench",
+        **{
+            # UI on for this session only: the REST status API is how
+            # per-query shuffle/task metrics are collected
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up (untimed): touch every table's parquet footer and start
@@ -105,9 +156,13 @@ def main() -> None:
     # catalog pass already took >180 s (loaded host / bigger sf), the
     # median isn't worth risking a lost artifact.
     runs = []
+    stage_metrics: dict[str, dict] = {}
     for i in range(max(1, repeat)):
         t0 = time.perf_counter()
-        runs.append(run_catalog(spark, sf_dir))
+        # stage metrics collected on the LAST planned pass (steady
+        # state; REST diffs happen outside the timed window)
+        collect = stage_metrics if i + 1 == max(1, repeat) else None
+        runs.append(run_catalog(spark, sf_dir, stage_metrics=collect))
         if time.perf_counter() - t0 > 180 and i + 1 < repeat:
             repeat = len(runs)
             break
@@ -133,6 +188,20 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # per-query {median, min, shuffle_bytes, tasks}: the
+                # min separates host noise (median >> min) from plan
+                # regressions (shuffle_bytes/tasks moved)
+                "detail": {
+                    name: {
+                        "median": times[name],
+                        "min": round(min(r[name] for r in runs), 4),
+                        **stage_metrics.get(name, {}),
+                    }
+                    for name in times
+                },
+                "warmup_pass": (
+                    runs[0] if len(runs) > 1 else None
+                ),
                 "sf": sf,
                 "repeat": repeat,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),

@@ -38,6 +38,18 @@ from .ids import next_row_id
 from .infer import infer_types, json_value_tag, vote
 
 
+#: auto-switch bounds for append_ndjson_lines: at or below these the
+#: whole-batch vote runs driver-side (one rotated file's worth — the
+#: reference's worker-thread shape); above either bound the batch is
+#: parallelized once and handed to the distributed append_lines_df
+#: path, so a caller (or a misconfigured writer rotation) can never
+#: funnel a huge batch's parse+vote CPU through the driver. The
+#: rotation defaults (ingest/writer.py) keep normal batches far below
+#: both bounds.
+DISTRIBUTED_ROWS_THRESHOLD = 50_000
+DISTRIBUTED_BYTES_THRESHOLD = 64 << 20
+
+
 class PartialInsertError(Exception):
     """Some items failed; valid ones were stored (api/data.go:140-150
     returns 500 'Partially inserted data')."""
@@ -119,6 +131,27 @@ class IngestPipeline:
     ) -> None:
         lines = list(lines)
         if not lines:
+            return
+        if (
+            len(lines) > DISTRIBUTED_ROWS_THRESHOLD
+            or sum(len(l) for l in lines) > DISTRIBUTED_BYTES_THRESHOLD
+        ):
+            # identical semantics, distributed execution: the batch is
+            # already driver-resident (it arrived through the insert
+            # buffer), but the per-line parse + type-vote CPU must not
+            # run single-threaded — ship the lines out once and run
+            # the same vote/read pipeline in Arrow workers
+            n_slices = max(1, min(len(lines) // 100_000 + 1, 32))
+            self.append_lines_df(
+                database,
+                table,
+                self.spark.createDataFrame(
+                    self.spark.sparkContext.parallelize(
+                        lines, n_slices
+                    ).map(lambda l: (l,)),
+                    "value string",
+                ),
+            )
             return
         rows = [json.loads(l) for l in lines]
         voted = infer_types(rows)  # N3: whole-batch vote

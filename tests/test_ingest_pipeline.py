@@ -1552,3 +1552,46 @@ def test_snapshot_schema_evolution_random_histories(spark, tmp_path):
             assert replay == want, (
                 f"case {case} ops {ops}: replay {i}->{j} diverged"
             )
+
+
+def test_append_lines_auto_switch_boundary_parity(pipe, spark, monkeypatch):
+    """VERDICT r5 #6: append_ndjson_lines auto-switches to the
+    distributed vote above the rows/bytes thresholds. At the exact
+    boundary (one batch just under -> driver path, one just over ->
+    distributed path) both tables end up with IDENTICAL schema and
+    rows — the switch is invisible except for where the CPU runs."""
+    from scratchdb_spark.ingest import pipeline as pl
+
+    monkeypatch.setattr(pl, "DISTRIBUTED_ROWS_THRESHOLD", 4)
+    lines_under = [
+        json.dumps({"a": i, "b": f"x{i}", "__row_id": i}) for i in range(4)
+    ]
+    lines_over = [
+        json.dumps({"a": i, "b": f"x{i}", "__row_id": i}) for i in range(5)
+    ]
+    # type-conflict line exercises the vote in both paths
+    lines_under[2] = json.dumps({"a": 2.5, "b": 7, "__row_id": 2})
+    lines_over[2] = json.dumps({"a": 2.5, "b": 7, "__row_id": 2})
+
+    pipe.append_ndjson_lines("db", "under", lines_under)   # driver vote
+    pipe.append_ndjson_lines("db", "over", lines_over)     # distributed
+
+    under = pipe.warehouse.read("db", "under")
+    over = pipe.warehouse.read("db", "over")
+    assert dict(under.dtypes) == dict(over.dtypes)
+    assert dict(under.dtypes)["a"] == "double"  # vote: int+float -> double
+    assert dict(under.dtypes)["b"] == "string"  # vote: string+int -> string
+    key = lambda r: r["__row_id"]  # noqa: E731
+    u = sorted([r.asDict() for r in under.collect()], key=key)
+    o = sorted([r.asDict() for r in over.collect()], key=key)
+    assert u == o[: len(u)]
+
+    # byte-bound switch too
+    monkeypatch.setattr(pl, "DISTRIBUTED_ROWS_THRESHOLD", 10_000)
+    monkeypatch.setattr(pl, "DISTRIBUTED_BYTES_THRESHOLD", 10)
+    pipe.append_ndjson_lines("db", "bytes", lines_over)
+    b = sorted(
+        [r.asDict() for r in pipe.warehouse.read("db", "bytes").collect()],
+        key=key,
+    )
+    assert b == o
