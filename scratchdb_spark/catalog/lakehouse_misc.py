@@ -1391,3 +1391,66 @@ def warehouse_sharded_prune_scan(
         )
     finally:
         snap._SHARD_THRESHOLD, snap._SHARD_SIZE = old
+
+
+@register(
+    "warehouse_zorder_maintain",
+    """
+    SELECT * FROM (VALUES
+      (CAST(256 AS BIGINT), CAST(256 AS BIGINT), true, true))
+      t(x_rows, y_rows, x_pruned, y_pruned)
+    """,
+    doc="Z-ORDER maintenance for a snapshot table "
+        "(snapshots.maintain_table(zorder_cols=...) over "
+        "operators/compaction.zorder_key, new r6 — OPTIMIZE ZORDER's "
+        "public design): a 32x32 (x, y) grid lands in files spanning "
+        "both full ranges (no pruning possible); maintenance "
+        "range-clusters on the Morton key and refreshes the manifest "
+        "zone maps, after which range reads on x AND on y each plan "
+        "FEWER files than the table holds — the multi-dimension "
+        "file-skipping a single-column sort cannot give. Output: "
+        "filtered row counts through the pruned scans plus the "
+        "pruned-plan-is-smaller flags for both dimensions.",
+    bench=False,  # times temp-warehouse setup + compaction, not a scan
+)
+def warehouse_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_zord_"))
+    grid = spark.range(0, 1024).select(
+        F.col("id").alias("__row_id"),
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+    )
+    # id-ordered layout: every file spans the full x range and a y
+    # stripe — x predicates can prune nothing before z-ordering
+    snap.append_versioned(
+        wh, "db", "t", grid.repartition(8), stat_cols=["x", "y"]
+    )
+    snap.maintain_table(
+        wh, "db", "t", zorder_cols=["x", "y"], target_file_bytes=2048
+    )
+
+    def probe(col: str):
+        pruned = snap.read_snapshot(wh, "db", "t", prune=(col, 0, 7))
+        n_files = (
+            pruned.select(F.input_file_name()).distinct().count()
+        )
+        rows = pruned.filter(F.col(col) <= 7).count()
+        return rows, n_files
+
+    total_files = (
+        snap.read_snapshot(wh, "db", "t")
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    x_rows, x_files = probe("x")
+    y_rows, y_files = probe("y")
+    return spark.createDataFrame(
+        [(x_rows, y_rows, x_files < total_files, y_files < total_files)],
+        "x_rows long, y_rows long, x_pruned boolean, y_pruned boolean",
+    )

@@ -1123,6 +1123,8 @@ def maintain_table(
     database: str,
     table: str,
     sort_col: str | None = "__row_id",
+    zorder_cols: list[str] | None = None,
+    target_file_bytes: int | None = None,
 ) -> dict:
     """Periodic maintenance for a snapshot-managed table: TRUNCATES
     history to one fresh snapshot of the compacted layout. Returns
@@ -1172,10 +1174,29 @@ def maintain_table(
         p.rsplit("/", 1)[-1]: sz for p, sz in list_data_files(wh.spark, base)
     }
     total = sum(sizes.get(n, 0) for n in prev_files)
-    n_target = plan_target_files(total, DEFAULT_TARGET_FILE_BYTES)
+    n_target = plan_target_files(
+        total,
+        DEFAULT_TARGET_FILE_BYTES
+        if target_file_bytes is None
+        else target_file_bytes,
+    )
 
     current = read_snapshot(wh, database, table)
-    if sort_col is not None and any(
+    if zorder_cols:
+        # multi-dimensional clustering (OPTIMIZE ZORDER's public
+        # design): range-cluster on the Morton key so every compacted
+        # file gets a bounded min/max rectangle in ALL the z-ordered
+        # columns at once — the manifest zone maps then prune files
+        # for predicates on ANY of them, not just a leading sort key
+        from .operators.compaction import zorder_key
+
+        zdf, zcol = zorder_key(current, list(zorder_cols))
+        out = (
+            zdf.repartitionByRange(n_target, zcol)
+            .sortWithinPartitions(zcol)
+            .drop(zcol, *[f"__z_{c}" for c in zorder_cols])
+        )
+    elif sort_col is not None and any(
         f.name == sort_col for f in current.schema.fields
     ):
         out = current.repartitionByRange(

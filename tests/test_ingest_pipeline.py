@@ -1595,3 +1595,38 @@ def test_append_lines_auto_switch_boundary_parity(pipe, spark, monkeypatch):
         key=key,
     )
     assert b == o
+
+
+def test_maintain_table_zorder_prunes_both_dims(spark, tmp_path):
+    """maintain_table(zorder_cols=...): the compacted layout is
+    range-clustered on the Morton key, manifest zone maps refresh for
+    BOTH columns, and pruned snapshot reads on either dimension plan
+    strictly fewer files than the table holds — content unchanged."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    grid = spark.range(0, 1024).select(
+        F.col("id").alias("__row_id"),
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+    )
+    snap.append_versioned(
+        wh, "db", "t", grid.repartition(8), stat_cols=["x", "y"]
+    )
+    res = snap.maintain_table(
+        wh, "db", "t", zorder_cols=["x", "y"], target_file_bytes=2048
+    )
+    assert res["files_after"] > 2  # enough files for pruning to matter
+    full = snap.read_snapshot(wh, "db", "t")
+    assert full.count() == 1024
+    assert set(full.columns) == {"__row_id", "x", "y"}  # helpers dropped
+    total = full.select(F.input_file_name()).distinct().count()
+    for col in ("x", "y"):
+        pruned = snap.read_snapshot(wh, "db", "t", prune=(col, 0, 7))
+        assert pruned.filter(F.col(col) <= 7).count() == 256
+        assert (
+            pruned.select(F.input_file_name()).distinct().count() < total
+        )
