@@ -330,6 +330,23 @@ def _write_shard(
     return rec
 
 
+def _read_shards(
+    wh: Warehouse, database: str, table: str, names: list[str]
+) -> list[dict]:
+    """Read several shard JSONs, overlapping the (pure IO) reads on a
+    small thread pool — py4j serves each thread on its own gateway
+    connection, so a full-file-list resolution over hundreds of
+    shards costs ~max(latency) rather than sum(latency)."""
+    if len(names) <= 2:
+        return [_read_shard(wh, database, table, n) for n in names]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(names))) as ex:
+        return list(
+            ex.map(lambda n: _read_shard(wh, database, table, n), names)
+        )
+
+
 def _manifest_files(
     wh: Warehouse, database: str, table: str, m: dict
 ) -> list[str]:
@@ -337,8 +354,10 @@ def _manifest_files(
     if "shards" not in m:
         return list(m["files"])
     out: list[str] = []
-    for rec in m["shards"]:
-        out += _read_shard(wh, database, table, rec["name"])["files"]
+    for sh in _read_shards(
+        wh, database, table, [rec["name"] for rec in m["shards"]]
+    ):
+        out += sh["files"]
     return sorted(out)
 
 
@@ -676,12 +695,16 @@ def _plan_files(
             for n in m["files"]
             if _file_survives(stats.get(n, {}), prune, prune_eq)
         ]
+    surviving = [
+        rec
+        for rec in m["shards"]
+        if rec.get("agg") is None
+        or _file_survives(rec["agg"], prune, prune_eq)
+    ]  # other shards are skipped UNOPENED
     names: list[str] = []
-    for rec in m["shards"]:
-        agg = rec.get("agg")
-        if agg is not None and not _file_survives(agg, prune, prune_eq):
-            continue  # the whole shard is skipped unopened
-        sh = _read_shard(wh, database, table, rec["name"])
+    for sh in _read_shards(
+        wh, database, table, [rec["name"] for rec in surviving]
+    ):
         stats = sh.get("stats", {})
         names += [
             n

@@ -462,7 +462,9 @@ try:  # Spark 4 Python DataSource API
             # _change_type is synthesized per-partition, not read
             # from data files
             self.fields = [
-                f.name for f in schema.fields if f.name != "_change_type"
+                (f.name, f.dataType)
+                for f in schema.fields
+                if f.name != "_change_type"
             ]
 
         def initialOffset(self):
@@ -533,16 +535,38 @@ try:  # Spark 4 Python DataSource API
             return parts
 
         def read(self, partition):
-            # EXECUTOR-side: one parquet file per task; missing
-            # columns (schema evolution) read as NULL by name
+            # EXECUTOR-side: one parquet file per task, emitted as
+            # Arrow RecordBatches (vectorized end-to-end — no
+            # per-row Python objects). Schema evolution aligns by
+            # name: a column the file predates reads as typed NULLs,
+            # a type-widened column casts to the stream schema.
+            import pyarrow as pa
             import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_type
 
-            table = pq.read_table(partition.path)
             is_change = partition.role == "change"
-            for rec in table.to_pylist():
-                yield tuple(rec.get(n) for n in self.fields) + (
-                    (rec.get("_change_type") if is_change else "insert"),
-                )
+            want = [(n, to_arrow_type(dt)) for n, dt in self.fields]
+            pf = pq.ParquetFile(partition.path)
+            for batch in pf.iter_batches():
+                n_rows = batch.num_rows
+                cols, names = [], []
+                for name, atype in want:
+                    if name in batch.schema.names:
+                        col = batch.column(name)
+                        if col.type != atype:
+                            col = col.cast(atype)
+                    else:
+                        col = pa.nulls(n_rows, type=atype)
+                    cols.append(col)
+                    names.append(name)
+                if is_change:
+                    cols.append(batch.column("_change_type"))
+                else:
+                    cols.append(
+                        pa.array(["insert"] * n_rows, type=pa.string())
+                    )
+                names.append("_change_type")
+                yield pa.RecordBatch.from_arrays(cols, names=names)
 
         def commit(self, end):
             pass

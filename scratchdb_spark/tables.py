@@ -284,4 +284,29 @@ class Warehouse:
             # invisible (the explicit sidecar schema projects them away)
             # if the process died between the two writes.
             self._write_schema(database, table, aligned.schema)
-        aligned.write.mode("append").parquet(self._path(database, table))
+        # stage-then-rename instead of a direct mode("append"): two
+        # concurrent appenders to one directory would otherwise race
+        # on the shared FileOutputCommitter staging dir (_temporary/0
+        # — one job's commit cleanup deletes the other's in-flight
+        # task output). Writing each batch into its OWN dot-prefixed
+        # staging dir (invisible to parquet readers) and renaming the
+        # files in under unique names makes concurrent appends safe —
+        # the multi-writer posture append_versioned's OCC commit
+        # already promises at the manifest level, now honored at the
+        # data-file level too. Cost: one rename per output file.
+        import uuid as _uuid
+
+        path = self._path(database, table)
+        stage = f"{path}/.stage-{_uuid.uuid4().hex}"
+        aligned.write.mode("overwrite").parquet(stage)
+        try:
+            for n in hfs.list_names(self.spark, stage):
+                if not n.endswith(".parquet"):
+                    continue
+                dst = f"{path}/b{_uuid.uuid4().hex[:12]}-{n}"
+                if not hfs.rename(self.spark, f"{stage}/{n}", dst):
+                    raise IOError(
+                        f"append stage rename failed: {stage}/{n} -> {dst}"
+                    )
+        finally:
+            hfs.delete(self.spark, stage)

@@ -272,11 +272,21 @@ def test_cdc_partition_planning_executor_reads(spark, tmp_path):
     reader = ds.streamReader(ds.schema())
     assert reader.latestOffset() == {"v": 2}
 
+    def rows_of(parts):
+        # read() yields Arrow RecordBatches (the vectorized executor
+        # path); flatten to schema-ordered tuples for assertions
+        out = []
+        for p in parts:
+            for b in reader.read(p):
+                out += [tuple(d.values()) for d in b.to_pylist()]
+        return sorted(out)
+
     # bootstrap: >1 partition (one per data file), all inserts
     boot = reader.partitions({"v": 0}, {"v": 2})
     assert len(boot) >= 3 and all(p.role == "insert" for p in boot)
-    rows = sorted(r for p in boot for r in reader.read(p))
-    assert rows == [(1, 10, "insert"), (2, 20, "insert"), (3, 30, "insert")]
+    assert rows_of(boot) == [
+        (1, 10, "insert"), (2, 20, "insert"), (3, 30, "insert")
+    ]
 
     # COW delete: the transition plans CHANGE FILES, and reading the
     # partition yields exactly the deleted row — no manifest diff, no
@@ -284,7 +294,7 @@ def test_cdc_partition_planning_executor_reads(spark, tmp_path):
     snap.delete_where(wh, "db", "t", F.col("__row_id") == 1)
     dml = reader.partitions({"v": 2}, {"v": 3})
     assert dml and all(p.role == "change" for p in dml)
-    assert [r for p in dml for r in reader.read(p)] == [(1, 10, "delete")]
+    assert rows_of(dml) == [(1, 10, "delete")]
 
     # append transition: only the added file is planned
     snap.append_versioned(
@@ -292,7 +302,7 @@ def test_cdc_partition_planning_executor_reads(spark, tmp_path):
         spark.createDataFrame([(4, 40)], "__row_id long, amount long"),
     )
     app = reader.partitions({"v": 3}, {"v": 4})
-    assert [r for p in app for r in reader.read(p)] == [(4, 40, "insert")]
+    assert rows_of(app) == [(4, 40, "insert")]
 
     # retention contract: maintenance truncates history; a cursor
     # below the window fails AT PLANNING TIME with the explicit
@@ -355,3 +365,38 @@ def test_cdc_stream_errs_loudly_below_retention(spark, tmp_path):
             q.processAllAvailable()
     finally:
         q.stop()
+
+
+def test_cdc_stream_reads_align_evolved_schema(spark, tmp_path):
+    """Executor reads align by NAME to the stream schema: files
+    written before a column add yield typed NULLs for it (the Arrow
+    nulls path), newer files carry their values."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(1, 10)], "__row_id long, amount long"),
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(2, 20, "x")], "__row_id long, amount long, note string"
+        ),
+    )
+    ds = ScratchCdcDataSource(
+        {"path": str(tmp_path / "wh"), "database": "db", "table": "t"}
+    )
+    reader = ds.streamReader(ds.schema())
+    rows = sorted(
+        tuple(d.values())
+        for p in reader.partitions({"v": 0}, {"v": 2})
+        for b in reader.read(p)
+        for d in b.to_pylist()
+    )
+    assert rows == [
+        (1, 10, None, "insert"),
+        (2, 20, "x", "insert"),
+    ]
