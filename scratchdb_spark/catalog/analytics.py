@@ -1277,3 +1277,29 @@ _HIST_ROBUST_SQL = """
 )
 def agg_robust_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _HIST_ROBUST_SQL)
+
+
+@register(
+    "ann_pq_refine_topk",
+    _fixture_oracle(
+        "ann_pq_refine_topk", ["query_id", "neighbor_id", "cos_sim", "rank"]
+    ),
+    doc="Two-stage ANN retrieval (operators/similarity.py::"
+        "pq_refine_topk, new r6 — the public IVFADC+R / FAISS refine "
+        "design): the PQ-ADC code-table scan (64x smaller than the "
+        "embeddings) fetches k*overfetch candidates per query, then "
+        "EXACT cosine re-scores only those candidates via an equi-join "
+        "back to the raw vectors (query batch broadcast; re-scoring "
+        "cost q*k*overfetch dots, independent of corpus size). "
+        "Returns the exact metric from a scan that never read raw "
+        "embeddings — the standard fix for PQ quantization error. "
+        "Deterministic (pq_topk's determinism + 6dp/id tiebreaks) -> "
+        "golden-fixture oracle; exact twin ann_cosine_topk.",
+)
+def ann_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_refine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_refine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, overfetch=4
+    )

@@ -841,3 +841,72 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    overfetch: int = 4,
+    m: int = 4,
+    codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval (the public IVFADC+R / FAISS IndexRefine
+    design): a coarse PQ-ADC scan over the 4-byte code table fetches
+    ``k * overfetch`` candidates per query, then EXACT cosine
+    re-scores only those candidates from the raw embedding column and
+    keeps the true top-k. Output: (query_id, neighbor_id, cos_sim,
+    rank) — the exact metric, recovered from a scan that never read
+    the raw vectors.
+
+    Scale shape: stage 1 is pq_topk's code-table scan (64x smaller
+    than the embeddings, local top-(k*overfetch) bounds rows leaving
+    each partition); stage 2 joins q x (k * overfetch) candidate IDs
+    back to the corpus — an equi-join on the vector id that touches
+    only candidate rows (parquet row-group stats prune on the
+    sort-on-write id), with the query batch broadcast. Re-scoring
+    cost is q * k * overfetch exact dots, independent of corpus size
+    — the standard fix for PQ's quantization error without paying an
+    exact scan.
+    """
+    cand = pq_topk(
+        corpus,
+        queries,
+        k=k * overfetch,
+        m=m,
+        codes=codes,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    emb = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+    )
+    qemb = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    rescored = (
+        cand.join(emb, "neighbor_id")
+        .join(F.broadcast(qemb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

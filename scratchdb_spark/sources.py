@@ -466,6 +466,18 @@ try:  # Spark 4 Python DataSource API
                 for f in schema.fields
                 if f.name != "_change_type"
             ]
+            # micro-batch rate limit: at most N snapshot versions per
+            # trigger (the maxOffsetsPerTrigger analogue) — a consumer
+            # catching up on a long backlog advances in bounded,
+            # checkpointable steps instead of one giant batch. Planner
+            # state only (the Python API exposes no start offset to
+            # latestOffset), so the cap applies from the second
+            # trigger of a reader's lifetime: the bootstrap batch and
+            # the first batch after a restart are uncapped.
+            self.max_versions = int(
+                options.get("maxVersionsPerTrigger", 0)
+            )  # 0 = unbounded
+            self._floor = 0  # latest offset this reader has declared
 
         def initialOffset(self):
             return {"v": 0}
@@ -480,6 +492,14 @@ try:  # Spark 4 Python DataSource API
                     # (the engine's own PUTs are temp+rename, so this
                     # is the defensive path): not yet declarable
                     continue
+                if self.max_versions > 0 and self._floor > 0:
+                    # advance at most max_versions retained versions
+                    # past the last declared offset (monotonic: the
+                    # capped pick is itself a retained version)
+                    ahead = [u for u in vs if u > self._floor]
+                    if ahead:
+                        v = min(v, ahead[: self.max_versions][-1])
+                self._floor = max(self._floor, v)
                 return {"v": v}
             return {"v": 0}
 

@@ -1519,3 +1519,38 @@ def test_bloom_prune_join_equals_plain_join_and_actually_prunes(
     assert kept <= match + max(10, n // 100)
     # partition invariance of the merged bitmap
     assert bloom_of_keys(sup.repartition(5), "s_suppkey") == bm
+
+
+def test_pq_refine_improves_on_pq_and_scores_exact(spark, sf_dir):
+    """Two-stage retrieval: refine recall (vs the exact brute-force
+    answer) must be at least PQ's own recall, and every refined score
+    must EQUAL the exact cosine (the whole point: exact metric from a
+    coarse scan)."""
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        pq_refine_topk,
+        pq_topk,
+    )
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    coarse = pq_topk(emb, q, k=5).collect()
+    refined = pq_refine_topk(emb, q, k=5, overfetch=4).collect()
+
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    coarse_set = {(r["query_id"], r["neighbor_id"]) for r in coarse}
+    refined_set = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    r_coarse = len(exact_set & coarse_set) / len(exact_set)
+    r_refined = len(exact_set & refined_set) / len(exact_set)
+    assert r_refined >= r_coarse, (r_refined, r_coarse)
+    assert r_refined >= 0.3, f"refine recall too low: {r_refined}"
+
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact
+    }
+    for r in refined:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-9, key

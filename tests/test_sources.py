@@ -400,3 +400,58 @@ def test_cdc_stream_reads_align_evolved_schema(spark, tmp_path):
         (1, 10, None, "insert"),
         (2, 20, "x", "insert"),
     ]
+
+
+def test_cdc_stream_max_versions_per_trigger(spark, tmp_path):
+    """maxVersionsPerTrigger=1 (the maxOffsetsPerTrigger analogue):
+    a backlog of commits drains one version per micro-batch — bounded,
+    checkpointable steps instead of one giant catch-up batch."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(1, 10)], "__row_id long, amount long"),
+    )
+    batches: list = []
+
+    def sink(df, _bid):
+        rows = sorted(
+            (r["__row_id"], r["_change_type"]) for r in df.collect()
+        )
+        if rows:
+            batches.append(rows)
+
+    q = (
+        spark.readStream.format("scratch_cdc")
+        .option("path", str(tmp_path / "wh"))
+        .option("database", "db")
+        .option("table", "t")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert batches == [[(1, "insert")]]  # bootstrap
+        for rid in (2, 3):
+            snap.append_versioned(
+                wh, "db", "t",
+                spark.createDataFrame(
+                    [(rid, rid * 10)], "__row_id long, amount long"
+                ),
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the two-commit backlog drained as TWO single-version batches
+    assert batches == [
+        [(1, "insert")],
+        [(2, "insert")],
+        [(3, "insert")],
+    ]

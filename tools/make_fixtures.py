@@ -42,6 +42,7 @@ FIXTURE_NAMES = [
     "text_cms_token_freq",
     "approx_kmv_segment_overlap",
     "ann_pq_topk",
+    "ann_pq_refine_topk",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
