@@ -1454,3 +1454,79 @@ def warehouse_zorder_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(x_rows, y_rows, x_files < total_files, y_files < total_files)],
         "x_rows long, y_rows long, x_pruned boolean, y_pruned boolean",
     )
+
+
+@register(
+    "warehouse_binpack_compact",
+    """
+    SELECT * FROM (VALUES
+      (CAST(20003 AS BIGINT), true, true, CAST(0 AS BIGINT)))
+      t(n_rows, files_shrank, big_kept, cdc_rows)
+    """,
+    doc="Incremental bin-pack compaction "
+        "(snapshots.compact_small_files, new r6 — Iceberg's "
+        "rewrite_data_files binpack, public design): a micro-batch "
+        "backlog of small files rewrites into target-size files as an "
+        "ORDINARY copy-on-write commit — larger files keep their "
+        "names, history is preserved (pinned readers / CDC cursors "
+        "unaffected, unlike maintain_table's truncating rewrite), and "
+        "the commit records an explicit empty change set, so the CDC "
+        "stream crosses it with ZERO rows. Cost is proportional to "
+        "the small-file backlog, never table size — the steady-state "
+        "maintenance loop for a continuously ingesting 100 TB table. "
+        "Output: row count after, file-count-shrank and "
+        "big-file-kept flags, and the CDC row count across the "
+        "compaction commit.",
+    bench=False,  # times temp-warehouse setup + compaction, not a scan
+)
+def warehouse_binpack_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_pack_"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.range(0, 20000).select(
+            F.col("id").alias("__row_id"), F.col("id").alias("v")
+        ).coalesce(1),
+    )
+    for i in (100000, 100001, 100002):
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(i, i)], "__row_id long, v long"
+            ).coalesce(1),
+        )
+    pre_v = snap.versions(wh, "db", "t")[-1]
+    pre = snap._manifest(wh, "db", "t", pre_v)
+    pre_files = snap._manifest_files(wh, "db", "t", pre)
+    import os as _os
+
+    base = wh._path("db", "t")
+    big = {
+        n
+        for n in pre_files
+        if _os.path.getsize(f"{base}/{n}") >= 30 * 1024
+    }
+    res = snap.compact_small_files(
+        wh, "db", "t", small_file_bytes=30 * 1024
+    )
+    m = snap._manifest(wh, "db", "t", res["version"])
+    live = set(snap._manifest_files(wh, "db", "t", m))
+    cdc_rows = snap.read_changes(
+        wh, "db", "t", pre_v, res["version"]
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                snap.read_snapshot(wh, "db", "t").count(),
+                len(live) < len(pre_files),
+                big <= live,
+                cdc_rows,
+            )
+        ],
+        "n_rows long, files_shrank boolean, big_kept boolean, "
+        "cdc_rows long",
+    )

@@ -1141,6 +1141,129 @@ def merge_upsert(
     return next_v, n_updated, n_inserted
 
 
+def compact_small_files(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int | None = None,
+    sort_col: str | None = "__row_id",
+) -> dict:
+    """Incremental bin-pack compaction as an ORDINARY copy-on-write
+    commit (Iceberg's rewrite_data_files binpack strategy, public
+    design): only live files smaller than ``small_file_bytes``
+    rewrite into ~target-size files; larger files are untouched, and
+    HISTORY IS PRESERVED — pinned readers and open CDC cursors keep
+    working, unlike maintain_table's truncating full rewrite. The
+    commit records an explicit empty change set (content-preserving),
+    so streaming CDC consumers cross it without emitting a row.
+
+    This is the steady-state maintenance loop for a continuously
+    ingesting table: cost is proportional to the SMALL-FILE BACKLOG
+    (the micro-batch debris the rotation thresholds produce), never
+    to table size — at 100 TB you run this on a tight cadence and
+    reserve maintain_table (full rewrite + retention truncation +
+    physical reclaim) for the retention boundary. Replaced files stay
+    on disk as the older versions' audit trail (retired set blocks
+    re-adoption); maintain_table later reclaims them. A concurrent
+    commit surfaces as CommitConflictError — re-run, like COW DML.
+    Returns {version, files_rewritten, files_after, bytes_rewritten}.
+    """
+    from .operators.compaction import (
+        DEFAULT_TARGET_FILE_BYTES,
+        list_data_files,
+        plan_target_files,
+    )
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    base = wh._path(database, table)
+    prev = _manifest(wh, database, table, vs[-1])
+    files = _manifest_files(wh, database, table, prev)
+    sizes = {
+        p.rsplit("/", 1)[-1]: sz for p, sz in list_data_files(wh.spark, base)
+    }
+    small = [n for n in files if sizes.get(n, 0) < small_file_bytes]
+    if len(small) < 2:
+        return {
+            "version": vs[-1],
+            "files_rewritten": 0,
+            "files_after": len(files),
+            "bytes_rewritten": 0,
+        }
+    total = sum(sizes.get(n, 0) for n in small)
+    n_target = plan_target_files(
+        total,
+        DEFAULT_TARGET_FILE_BYTES
+        if target_file_bytes is None
+        else target_file_bytes,
+    )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(prev["schema"]))
+    src = wh.spark.read.schema(schema).parquet(
+        *[f"{base}/{n}" for n in small]
+    )
+    if sort_col is not None and any(
+        f.name == sort_col for f in schema.fields
+    ):
+        out = src.repartitionByRange(
+            n_target, sort_col
+        ).sortWithinPartitions(sort_col)
+    else:
+        out = src.coalesce(n_target)
+
+    import uuid
+
+    tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
+    out.write.mode("overwrite").parquet(tmp)
+    rewritten = []
+    for n in hfs.list_names(wh.spark, tmp):
+        if n.endswith(".parquet"):
+            new_name = f"pack-{uuid.uuid4().hex}-{n}"
+            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
+                raise IOError(
+                    f"binpack rewrite rename failed: {tmp}/{n} -> "
+                    f"{base}/{new_name}"
+                )
+            rewritten.append(new_name)
+    hfs.delete(wh.spark, tmp)
+
+    new_files = sorted(
+        [n for n in files if n not in set(small)] + rewritten
+    )
+    next_v = _next_version(wh, database, table)
+    cols = prev.get("stat_cols", [])
+    manifest = {
+        "version": next_v,
+        "retired": sorted(set(prev.get("retired", [])) | set(small)),
+        "schema": prev["schema"],
+        "changes": [],  # content-preserving: zero CDC rows
+        **_assemble_manifest_entry(
+            wh, database, table, prev, new_files,
+            added=rewritten, removed=set(small),
+            fresh_stats=(
+                _file_stats(wh, base, rewritten, schema, cols)
+                if cols
+                else {}
+            ),
+            cols=cols,
+        ),
+    }
+    _put_manifest(wh, database, table, manifest)
+    return {
+        "version": next_v,
+        "files_rewritten": len(small),
+        "files_after": len(new_files),
+        "bytes_rewritten": total,
+    }
+
+
 def maintain_table(
     wh: Warehouse,
     database: str,

@@ -1630,3 +1630,75 @@ def test_maintain_table_zorder_prunes_both_dims(spark, tmp_path):
         assert (
             pruned.select(F.input_file_name()).distinct().count() < total
         )
+
+
+def test_compact_small_files_binpack_preserves_history_and_cdc(
+    spark, tmp_path
+):
+    """Incremental bin-pack (snapshots.compact_small_files): only the
+    small-file backlog rewrites; big files keep their names; history
+    is preserved (pinned read of the pre-compaction version still
+    works); the commit is CDC-silent (explicit empty change set); a
+    later commit_snapshot does not resurrect the packed-away files."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # one "big" file + a backlog of small single-row appends
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.range(0, 50000).select(
+            F.col("id").alias("__row_id"), F.col("id").alias("v")
+        ).coalesce(1),
+    )
+    import os as _os
+
+    base = wh._path("db", "t")
+    # the one file >= the binpack threshold (create_empty_table also
+    # leaves a legitimately-small zero-row file that SHOULD pack)
+    big = {
+        n
+        for n in snap._manifest_files(
+            wh, "db", "t", snap._manifest(wh, "db", "t", 1)
+        )
+        if _os.path.getsize(f"{base}/{n}") >= 20 * 1024
+    }
+    assert len(big) == 1
+    for i in (100000, 100001, 100002, 100003):
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(i, i)], "__row_id long, v long"
+            ).coalesce(1),
+        )
+    pre_v = snap.versions(wh, "db", "t")[-1]
+    n_before = len(snap._manifest_files(
+        wh, "db", "t", snap._manifest(wh, "db", "t", pre_v)
+    ))
+
+    res = snap.compact_small_files(
+        wh, "db", "t", small_file_bytes=20 * 1024
+    )
+    assert res["files_rewritten"] == n_before - len(big)
+    m = snap._manifest(wh, "db", "t", res["version"])
+    live = set(snap._manifest_files(wh, "db", "t", m))
+    assert big <= live  # the big file untouched, same name
+    assert len(live) < n_before  # backlog packed down
+    assert m["changes"] == []  # CDC-silent commit
+    assert snap.read_snapshot(wh, "db", "t").count() == 50004
+    # history preserved: the pre-compaction version still reads
+    assert snap.read_snapshot(wh, "db", "t", pre_v).count() == 50004
+
+    # the CDC stream crosses the binpack without emitting a row
+    ds = ScratchCdcDataSource(
+        {"path": str(tmp_path / "wh"), "database": "db", "table": "t"}
+    )
+    reader = ds.streamReader(ds.schema())
+    assert reader.partitions({"v": pre_v}, {"v": res["version"]}) == []
+
+    # a later plain commit does not resurrect the packed-away files
+    v_next = snap.commit_snapshot(wh, "db", "t")
+    assert snap.read_snapshot(wh, "db", "t", v_next).count() == 50004
