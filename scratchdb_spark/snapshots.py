@@ -1593,20 +1593,59 @@ def orphan_files(
     The dry-run half of VACUUM: at scale you run this on a cadence
     and alert on growth, then let maintenance (or a manual delete of
     the ``orphaned`` list) reclaim. Read-only; listing + manifest
-    reads, no data scan.
+    reads, no data scan. Also audits METADATA debris under
+    ``_snapshots/``: change-file dirs and manifest shards no retained
+    version references (expiry leftovers / CAS-loser writes), and
+    interrupted-rewrite temp dirs (``rw-*`` + the appends' dot-stage
+    dirs) — the crash residue classes the engine can produce.
     """
     disk = set(_data_files(wh, database, table))
     referenced: set = set()
     retired: set = set()
+    ref_chg_dirs: set = set()
+    ref_shards: set = set()
     for v in versions(wh, database, table):
         m = _manifest(wh, database, table, v)
         referenced |= set(_manifest_files(wh, database, table, m))
         retired |= set(m.get("retired", []))
+        for rel in m.get("changes", []):
+            ref_chg_dirs.add(rel.split("/")[1])
+        for rec in m.get("shards", []):
+            ref_shards.add(rec["name"])
+    snapd = _snap_dir(wh, database, table)
+    chg_debris = sorted(
+        d
+        for d in hfs.list_names(
+            wh.spark, f"{snapd}/{_CHANGES_DIR}", dirs_only=True
+        )
+        if d not in ref_chg_dirs
+    )
+    shard_debris = sorted(
+        n
+        for n in hfs.list_names(wh.spark, f"{snapd}/{_SHARDS_DIR}")
+        if n not in ref_shards
+    )
+    base = wh._path(database, table)
+    rewrite_debris = sorted(
+        [
+            f"{_SNAP_DIR}/{d}"
+            for d in hfs.list_names(wh.spark, snapd, dirs_only=True)
+            if d.startswith("rw-")
+        ]
+        + [
+            d
+            for d in hfs.list_names(wh.spark, base, dirs_only=True)
+            if d.startswith(".stage-")
+        ]
+    )
     return {
         "referenced": sorted(referenced & disk),
         "retired": sorted((retired & disk) - referenced),
         "orphaned": sorted(disk - referenced - retired),
         "missing": sorted(referenced - disk),
+        "change_dirs_orphaned": chg_debris,
+        "shards_orphaned": shard_debris,
+        "rewrite_tmp_dirs": rewrite_debris,
     }
 
 

@@ -478,9 +478,16 @@ try:  # Spark 4 Python DataSource API
                 options.get("maxVersionsPerTrigger", 0)
             )  # 0 = unbounded
             self._floor = 0  # latest offset this reader has declared
+            # Delta's startingVersion analogue: begin the feed AT a
+            # known version instead of bootstrapping the whole table
+            # as inserts — the consumer that already holds a snapshot
+            # (e.g. an MV built from read_snapshot at v) resumes from
+            # exactly there. Applies only to a FRESH checkpoint; a
+            # restart replays from the checkpointed offset as usual.
+            self.starting_version = int(options.get("startingVersion", 0))
 
         def initialOffset(self):
-            return {"v": 0}
+            return {"v": self.starting_version}
 
         def latestOffset(self):
             vs = _cdc_versions(self.base)

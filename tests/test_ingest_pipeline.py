@@ -1702,3 +1702,50 @@ def test_compact_small_files_binpack_preserves_history_and_cdc(
     # a later plain commit does not resurrect the packed-away files
     v_next = snap.commit_snapshot(wh, "db", "t")
     assert snap.read_snapshot(wh, "db", "t", v_next).count() == 50004
+
+
+def test_orphan_files_reports_metadata_debris(spark, tmp_path):
+    """orphan_files also audits _snapshots/ metadata: unreferenced
+    change dirs and shards (expiry leftovers / CAS-loser writes) and
+    interrupted-rewrite temp dirs; referenced metadata is NOT
+    flagged, and maintenance clears the flagged debris."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import fs as hfs
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i) for i in range(4)], "__row_id long, amount long"
+        ).coalesce(1),
+    )
+    snap.delete_where(wh, "db", "t", F.col("amount") == 2)
+    rep = snap.orphan_files(wh, "db", "t")
+    # the delete's change dir is referenced by the live manifest
+    assert rep["change_dirs_orphaned"] == []
+    assert rep["shards_orphaned"] == []
+    assert rep["rewrite_tmp_dirs"] == []
+
+    # fabricate debris: a CAS-loser change dir, a stray shard, an
+    # interrupted rewrite dir
+    base = wh._path("db", "t")
+    hfs.write_text(
+        spark, f"{base}/_snapshots/changes/cd-loser/part-0.parquet", "x"
+    )
+    hfs.write_text(spark, f"{base}/_snapshots/shards/s-stray.json", "{}")
+    hfs.mkdirs(spark, f"{base}/_snapshots/rw-crashed")
+    rep = snap.orphan_files(wh, "db", "t")
+    assert rep["change_dirs_orphaned"] == ["cd-loser"]
+    assert rep["shards_orphaned"] == ["s-stray.json"]
+    assert "_snapshots/rw-crashed" in rep["rewrite_tmp_dirs"]
+
+    # maintenance reclaims change/shard debris (rw- tmp dirs of a
+    # LIVE rewrite can't be distinguished from crashed ones, so they
+    # stay reported until manually removed)
+    snap.maintain_table(wh, "db", "t")
+    rep = snap.orphan_files(wh, "db", "t")
+    assert rep["change_dirs_orphaned"] == []
+    assert rep["shards_orphaned"] == []

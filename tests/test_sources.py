@@ -455,3 +455,47 @@ def test_cdc_stream_max_versions_per_trigger(spark, tmp_path):
         [(2, "insert")],
         [(3, "insert")],
     ]
+
+
+def test_cdc_stream_starting_version(spark, tmp_path):
+    """startingVersion (Delta's analogue): a fresh stream begins AT a
+    known version — no bootstrap of the pre-existing state — so a
+    consumer that already holds read_snapshot(v) resumes exactly
+    there."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(1, 10)], "__row_id long, amount long"),
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(2, 20)], "__row_id long, amount long"),
+    )
+    rows: list = []
+    q = (
+        spark.readStream.format("scratch_cdc")
+        .option("path", str(tmp_path / "wh"))
+        .option("database", "db")
+        .option("table", "t")
+        .option("startingVersion", str(v1))
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: rows.extend(
+                (r["__row_id"], r["_change_type"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # only the post-v1 append arrives; row 1 (pre-existing state at
+    # the starting version) is NOT replayed
+    assert sorted(rows) == [(2, "insert")]
