@@ -930,7 +930,6 @@ def delete_where(
     if not affected:
         return versions(wh, database, table)[-1], 0
 
-    n_before = current.count()
     schema = current.schema
     # change-data-feed capture (Delta CDF's public design): the exact
     # deleted rows are known right here — persist them as change files
@@ -1004,8 +1003,21 @@ def delete_where(
         ),
     }
     _put_manifest(wh, database, table, manifest)
-    n_after = read_snapshot(wh, database, table, next_v).count()
-    return next_v, n_before - n_after
+    # deleted-row count from the change files' parquet FOOTERS (row
+    # counts only, no data scan) — the old before/after counting cost
+    # two FULL table scans per delete, table-size work for a
+    # churn-size operation
+    n_deleted = (
+        wh.spark.read.parquet(
+            *[
+                f"{_snap_dir(wh, database, table)}/{rel}"
+                for rel in changes
+            ]
+        ).count()
+        if changes
+        else 0
+    )
+    return next_v, n_deleted
 
 
 def merge_upsert(
@@ -1039,10 +1051,6 @@ def merge_upsert(
     current = read_snapshot(wh, database, table)
     schema = current.schema
     keys = updates.select(F.col(key_col)).distinct()
-    n_updated = current.join(keys, key_col, "semi").count()
-    n_inserted = updates.join(
-        current.select(key_col).distinct(), key_col, "anti"
-    ).count()
 
     tagged = current.withColumn("__file", F.input_file_name())
     affected = sorted(
@@ -1075,6 +1083,14 @@ def merge_upsert(
     else:
         rewrite = aligned_updates
         replaced = wh.spark.createDataFrame([], schema)
+    # update/insert counts from the AFFECTED files only — a matching
+    # key can only live in an affected file (that is what made it
+    # affected), so these counts are churn-proportional; the old
+    # current-vs-keys joins cost two full table scans per merge
+    n_updated = replaced.count()
+    n_inserted = updates.join(
+        replaced.select(key_col).distinct(), key_col, "anti"
+    ).count()
     # change-data-feed capture: replaced rows as the delete preimages,
     # every update row as an insert postimage (Delta CDF semantics —
     # an update whose values happen to equal the existing row still
