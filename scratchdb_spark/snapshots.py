@@ -861,12 +861,25 @@ def read_snapshot(
 
 
 def expire_snapshots(
-    wh: Warehouse, database: str, table: str, keep_last: int = 2
+    wh: Warehouse,
+    database: str,
+    table: str,
+    keep_last: int = 2,
+    older_than: float | None = None,
 ) -> list[int]:
     """Drop all but the newest ``keep_last`` manifests (metadata only
     — data files are shared across versions and are NOT deleted;
     orphan-file cleanup is compaction's job). Returns expired
     versions.
+
+    ``older_than`` (epoch seconds) additionally RESTRICTS expiry to
+    versions committed before that instant — the Delta/Iceberg
+    retention-window form: ``expire_snapshots(wh, db, t, keep_last=1,
+    older_than=time.time() - 7*86400)`` keeps the latest version plus
+    everything from the last 7 days, which is how you state the
+    time-travel window you promise readers. Commit stamps come from
+    the committing hosts' clocks (manifest ``committed_at``);
+    versions predating the stamp count as expirable.
 
     ``keep_last=0`` drops EVERY manifest, which also forgets the
     cumulative ``retired`` set — the next commit_snapshot would
@@ -879,6 +892,13 @@ def expire_snapshots(
     a valid manifest exists at every instant."""
     vs = versions(wh, database, table)
     expired = vs[:-keep_last] if keep_last > 0 else vs
+    if older_than is not None:
+        expired = [
+            v
+            for v in expired
+            if _manifest(wh, database, table, v).get("committed_at", 0.0)
+            < older_than
+        ]
     for v in expired:
         hfs.delete(
             wh.spark,

@@ -1749,3 +1749,41 @@ def test_orphan_files_reports_metadata_debris(spark, tmp_path):
     rep = snap.orphan_files(wh, "db", "t")
     assert rep["change_dirs_orphaned"] == []
     assert rep["shards_orphaned"] == []
+
+
+def test_expire_snapshots_older_than_window(spark, tmp_path):
+    """Age-based retention (Delta/Iceberg's expire-by-timestamp form):
+    older_than restricts expiry to versions committed before the
+    cutoff, so keep_last=1 + a window keeps the latest version PLUS
+    everything inside the promised time-travel window."""
+    import time as _time
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def add(i):
+        return snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame([(i, i)], "__row_id long, amount long"),
+        )
+
+    v1 = add(1)
+    _time.sleep(0.05)
+    cutoff = _time.time()
+    _time.sleep(0.05)
+    v2, v3 = add(2), add(3)
+
+    # v2 is a keep_last candidate but inside the window -> retained
+    expired = snap.expire_snapshots(
+        wh, "db", "t", keep_last=1, older_than=cutoff
+    )
+    assert expired == [v1]
+    assert snap.versions(wh, "db", "t") == [v2, v3]
+    # moving the cutoff forward expires v2 too (keep_last still holds)
+    expired = snap.expire_snapshots(
+        wh, "db", "t", keep_last=1, older_than=_time.time()
+    )
+    assert expired == [v2]
+    assert snap.versions(wh, "db", "t") == [v3]
