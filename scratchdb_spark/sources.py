@@ -485,6 +485,10 @@ try:  # Spark 4 Python DataSource API
             # exactly there. Applies only to a FRESH checkpoint; a
             # restart replays from the checkpointed offset as usual.
             self.starting_version = int(options.get("startingVersion", 0))
+            # a declared starting version is also the rate-limit
+            # floor, so maxVersionsPerTrigger caps the very first
+            # catch-up batch of a startingVersion consumer
+            self._floor = self.starting_version
 
         def initialOffset(self):
             return {"v": self.starting_version}
