@@ -1530,3 +1530,61 @@ def warehouse_binpack_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, files_shrank boolean, big_kept boolean, "
         "cdc_rows long",
     )
+
+
+@register(
+    "warehouse_wap_publish",
+    """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+       CAST(2 AS BIGINT)))
+      t(pre_rows, staged_rows, post_rows, cdc_inserts)
+    """,
+    doc="Write-Audit-Publish staging (snapshots.stage_append/"
+        "read_staged/publish_staged, new r6 — Iceberg's WAP pattern, "
+        "public design): a batch lands durably under "
+        "_snapshots/staged/<id>/ where it is auditable (row counts, "
+        "quality gates) but INVISIBLE to readers, to "
+        "commit_snapshot's directory listing, and to the CDC feed; "
+        "publish renames the audited files in (no data rewrite) and "
+        "commits ONE ordinary append version — downstream CDC "
+        "consumers see plain inserts. The gate a production pipeline "
+        "puts between ingest and consumers at 100 TB: bad batches "
+        "are discarded without the table ever knowing. Output: rows "
+        "before, staged (audited) rows, rows after publish, and the "
+        "CDC insert count across the publish transition.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_wap_"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+    sid = snap.stage_append(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(3, 30), (4, 40)], "__row_id long, amount long"
+        ),
+    )
+    staged_rows = snap.read_staged(wh, "db", "t", sid).count()
+    pre_rows = snap.read_snapshot(wh, "db", "t").count()
+    v_pub = snap.publish_staged(wh, "db", "t", sid)
+    post_rows = snap.read_snapshot(wh, "db", "t", v_pub).count()
+    cdc_inserts = (
+        snap.read_changes(wh, "db", "t", v1, v_pub)
+        .filter(F.col("_change_type") == "insert")
+        .count()
+    )
+    return spark.createDataFrame(
+        [(pre_rows, staged_rows, post_rows, cdc_inserts)],
+        "pre_rows long, staged_rows long, post_rows long, "
+        "cdc_inserts long",
+    )

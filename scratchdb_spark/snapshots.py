@@ -1177,6 +1177,117 @@ def merge_upsert(
     return next_v, n_updated, n_inserted
 
 
+# --- write-audit-publish staging (Iceberg's WAP pattern, public) -----
+
+_STAGED_DIR = "staged"
+
+
+def stage_append(
+    wh: Warehouse, database: str, table: str, batch: DataFrame
+) -> str:
+    """Write-Audit-Publish stage 1: the batch lands DURABLY under
+    ``_snapshots/staged/<id>/`` — readable via read_staged for audit
+    (row counts, quality gates, dedup checks), but INVISIBLE to every
+    table reader and to commit_snapshot's directory listing. Publish
+    atomically with publish_staged, or throw away with
+    discard_staged; nothing touches the live table until publish.
+    Returns the staging id.
+
+    The batch aligns to the CURRENT table schema (try_cast,
+    missing -> NULL). New columns are refused: a staged write must
+    not leak schema change before its own publish — evolve with a
+    regular append first.
+    """
+    import uuid
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    from pyspark.sql import functions as F
+
+    schema = wh.schema(database, table)
+    known = {f.name for f in schema.fields}
+    extra = [c for c in batch.columns if c not in known]
+    if extra:
+        raise ValueError(
+            f"staged append cannot add columns {extra}; evolve the "
+            "table with a regular append first, then stage"
+        )
+    aligned = batch.select(
+        *[
+            (
+                F.col(f.name).try_cast(f.dataType)
+                if f.name in batch.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    sid = f"wap-{uuid.uuid4().hex[:16]}"
+    aligned.write.mode("overwrite").parquet(
+        f"{_snap_dir(wh, database, table)}/{_STAGED_DIR}/{sid}"
+    )
+    return sid
+
+
+def read_staged(
+    wh: Warehouse, database: str, table: str, staging_id: str
+) -> DataFrame:
+    """Audit view of a staged batch (WAP stage 2): exactly the rows
+    publish_staged would make live."""
+    d = f"{_snap_dir(wh, database, table)}/{_STAGED_DIR}/{staging_id}"
+    if not hfs.is_dir(wh.spark, d):
+        raise ValueError(
+            f"no staged batch {staging_id!r} on {database}.{table}"
+        )
+    return wh.spark.read.schema(wh.schema(database, table)).parquet(d)
+
+
+def publish_staged(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    staging_id: str,
+    stat_cols: list[str] | None = None,
+) -> int:
+    """WAP stage 3: move the audited files into the table under
+    unique names and commit — the batch becomes visible exactly at
+    the manifest PUT, as one ordinary append version (CDC consumers
+    see plain inserts). File moves are renames (no data rewrite); a
+    crash between the renames and the commit leaves the files to be
+    adopted by the next commit, the same exposure as any append.
+    Returns the published version."""
+    d = f"{_snap_dir(wh, database, table)}/{_STAGED_DIR}/{staging_id}"
+    names = [
+        n for n in hfs.list_names(wh.spark, d) if n.endswith(".parquet")
+    ]
+    if not hfs.is_dir(wh.spark, d):
+        raise ValueError(
+            f"no staged batch {staging_id!r} on {database}.{table}"
+        )
+    base = wh._path(database, table)
+    for n in names:
+        dst = f"{base}/{staging_id}-{n}"
+        if not hfs.rename(wh.spark, f"{d}/{n}", dst):
+            raise IOError(f"publish rename failed: {d}/{n} -> {dst}")
+    hfs.delete(wh.spark, d)
+    return commit_snapshot(wh, database, table, stat_cols=stat_cols)
+
+
+def discard_staged(
+    wh: Warehouse, database: str, table: str, staging_id: str
+) -> bool:
+    """WAP abort: delete the staged batch; the live table never knew
+    it existed. Returns whether anything was deleted."""
+    return hfs.delete(
+        wh.spark,
+        f"{_snap_dir(wh, database, table)}/{_STAGED_DIR}/{staging_id}",
+    )
+
+
 def compact_small_files(
     wh: Warehouse,
     database: str,

@@ -1787,3 +1787,58 @@ def test_expire_snapshots_older_than_window(spark, tmp_path):
     )
     assert expired == [v2]
     assert snap.versions(wh, "db", "t") == [v3]
+
+
+def test_write_audit_publish_staging(spark, tmp_path):
+    """WAP (stage_append/read_staged/publish_staged/discard_staged):
+    a staged batch is durable and auditable but invisible — to
+    readers, to commit_snapshot's directory listing, and to the CDC
+    feed — until publish, which lands it as one ordinary append
+    version; discard never touches the table."""
+    import pytest
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+    sid = snap.stage_append(
+        wh, "db", "t",
+        spark.createDataFrame([(3, 30), (4, 40)], "__row_id long, amount long"),
+    )
+    # audit: staged rows readable; table + plain commits unaffected
+    assert snap.read_staged(wh, "db", "t", sid).count() == 2
+    assert snap.read_snapshot(wh, "db", "t").count() == 2
+    v_noop = snap.commit_snapshot(wh, "db", "t")
+    assert snap.read_snapshot(wh, "db", "t", v_noop).count() == 2
+
+    # new columns must not leak before publish
+    with pytest.raises(ValueError, match="cannot add columns"):
+        snap.stage_append(
+            wh, "db", "t",
+            spark.createDataFrame([(9, "x")], "__row_id long, extra string"),
+        )
+
+    v_pub = snap.publish_staged(wh, "db", "t", sid)
+    assert snap.read_snapshot(wh, "db", "t", v_pub).count() == 4
+    # CDC: publish is one ordinary append transition
+    chg = snap.read_changes(wh, "db", "t", v_noop, v_pub)
+    assert sorted(
+        (r["__row_id"], r["_change_type"]) for r in chg.collect()
+    ) == [(3, "insert"), (4, "insert")]
+    # the staged dir is gone; double-publish errs loudly
+    with pytest.raises(ValueError, match="no staged batch"):
+        snap.publish_staged(wh, "db", "t", sid)
+
+    # discard: never touches the table
+    sid2 = snap.stage_append(
+        wh, "db", "t",
+        spark.createDataFrame([(5, 50)], "__row_id long, amount long"),
+    )
+    assert snap.discard_staged(wh, "db", "t", sid2)
+    assert snap.read_snapshot(wh, "db", "t").count() == 4
