@@ -54,6 +54,17 @@ def list_names(
     return out
 
 
+def mtime(spark: SparkSession, path: str) -> int:
+    """Modification time of ``path`` in epoch milliseconds (0 when the
+    path doesn't exist). Used by maintenance reclamation to give
+    not-yet-referenced metadata written by in-flight commits a grace
+    window before being treated as debris."""
+    fs, hpath, _ = _jfs(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    return int(fs.getFileStatus(hpath).getModificationTime())
+
+
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, hpath, _ = _jfs(spark, path)
     return bool(fs.delete(hpath, recursive))
@@ -134,16 +145,31 @@ def put_text_atomic(
                 )
             fs.delete(hpath, False)
             if not fs.rename(tmp, hpath):
-                # destination already deleted and the rename failed:
-                # re-create it from the in-memory body so the file is
-                # never left absent (full-content-visibility nicety
-                # lost for this write; existence preserved)
-                out = fs.create(hpath, True)
+                # destination already deleted and the rename failed.
+                # Recover through a SECOND temp + rename, never a plain
+                # create(hpath) — that would make the final name
+                # visible with zero bytes mid-write, breaking this
+                # function's contract (a concurrent manifest reader
+                # could observe truncated JSON on a committed version).
+                tmp2 = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}.tmp-{_uuid.uuid4().hex}"
+                )
+                out = fs.create(tmp2, True)
                 try:
                     out.write(text.encode("utf-8"))
                 finally:
                     out.close()
                 fs.delete(tmp, False)
+                if not fs.rename(tmp2, hpath):
+                    # destination is gone and two renames failed:
+                    # raise rather than leave a non-atomic create —
+                    # the caller's commit fails loudly instead of a
+                    # reader seeing partial content
+                    fs.delete(tmp2, False)
+                    raise IOError(
+                        f"atomic put failed: retry rename {tmp2} -> "
+                        f"{path} after destination delete"
+                    )
             return True
     if not fs.rename(tmp, hpath):
         fs.delete(tmp, False)

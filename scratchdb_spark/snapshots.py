@@ -445,8 +445,20 @@ def _assemble_manifest_entry(
                 rec["first"] <= r <= rec["last"] for r in removed
             )
             # a shard is also force-opened when stats were newly
-            # enabled and its record predates them (no rolled-up agg)
-            stale_stats = bool(cols) and "agg" not in rec
+            # enabled (no rolled-up agg at all) OR when the requested
+            # stat set GREW past what the shard's members carry —
+            # _shard_agg omits a column any member lacks, so a missing
+            # agg column is exactly "this shard needs backfill". The
+            # commit that widens stat_cols computes fresh stats for
+            # those files (a one-time O(table) scan, inherent: min/max
+            # of a new column requires reading it); without this
+            # force-open the freshly computed stats would be DISCARDED
+            # for kept shards and the next commit's covering shortcut
+            # would assume coverage that never happened.
+            stale_stats = bool(cols) and (
+                "agg" not in rec
+                or any(c not in rec.get("agg", {}) for c in cols)
+            )
             if touched or stale_stats:
                 sh = _read_shard(wh, database, table, rec["name"])
                 live = [n for n in sh["files"] if n in file_set]
@@ -879,7 +891,15 @@ def expire_snapshots(
     everything from the last 7 days, which is how you state the
     time-travel window you promise readers. Commit stamps come from
     the committing hosts' clocks (manifest ``committed_at``);
-    versions predating the stamp count as expirable.
+    versions predating the stamp count as expirable. Expiry is a
+    CONTIGUOUS PREFIX of history: the age filter stops at the first
+    non-expirable version rather than filtering each independently —
+    with clock skew across committing hosts, per-version filtering
+    could expire a MIDDLE version while retaining its neighbors,
+    and the streaming CDC planner would then merge the transition
+    across the hole (an expired intermediate append whose successor
+    carries a 'changes' key would silently never emit its inserts,
+    instead of the loud retention error).
 
     ``keep_last=0`` drops EVERY manifest, which also forgets the
     cumulative ``retired`` set — the next commit_snapshot would
@@ -893,12 +913,17 @@ def expire_snapshots(
     vs = versions(wh, database, table)
     expired = vs[:-keep_last] if keep_last > 0 else vs
     if older_than is not None:
-        expired = [
-            v
-            for v in expired
-            if _manifest(wh, database, table, v).get("committed_at", 0.0)
-            < older_than
-        ]
+        import itertools
+
+        expired = list(
+            itertools.takewhile(
+                lambda v: _manifest(wh, database, table, v).get(
+                    "committed_at", 0.0
+                )
+                < older_than,
+                expired,
+            )
+        )
     for v in expired:
         hfs.delete(
             wh.spark,
@@ -939,10 +964,18 @@ def delete_where(
         )
     base = wh._path(database, table)
     current = read_snapshot(wh, database, table)
+    # Delta DELETE semantics: a row is deleted iff the predicate is
+    # TRUE; NULL evaluates to not-deleted. Normalizing once here makes
+    # delete and keep EXACT complements (filter(p) / filter(~p) both
+    # drop NULL rows — which would physically delete them while never
+    # emitting them to the change files, silently diverging the CDC
+    # feed from the table).
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    pred_true = F.coalesce(pred.cast("boolean"), F.lit(False))
     tagged = current.withColumn("__file", F.input_file_name())
     affected = sorted(
         r["__file"].rsplit("/", 1)[-1]
-        for r in tagged.filter(predicate)
+        for r in tagged.filter(pred_true)
         .select("__file")
         .distinct()
         .collect()
@@ -963,13 +996,13 @@ def delete_where(
         table,
         wh.spark.read.schema(schema)
         .parquet(*[f"{base}/{n}" for n in affected])
-        .filter(predicate)
+        .filter(pred_true)
         .withColumn("_change_type", F.lit("delete")),
     )
     keep = (
         wh.spark.read.schema(schema)
         .parquet(*[f"{base}/{n}" for n in affected])
-        .filter(~predicate)
+        .filter(~pred_true)
     )
     # rewrite survivors into fresh files under a unique prefix (never
     # collides with live names), then commit a manifest that swaps
@@ -1418,10 +1451,23 @@ def maintain_table(
     sort_col: str | None = "__row_id",
     zorder_cols: list[str] | None = None,
     target_file_bytes: int | None = None,
+    reclaim_grace_ms: int = 600_000,
 ) -> dict:
     """Periodic maintenance for a snapshot-managed table: TRUNCATES
     history to one fresh snapshot of the compacted layout. Returns
     the compaction stats plus the new version.
+
+    ``reclaim_grace_ms``: unreferenced change dirs / manifest shards
+    younger than this are NOT reclaimed. DML commits write their
+    change files and shards BEFORE the manifest PUT (that ordering is
+    what makes the PUT the single atomic commit point), so a commit in
+    flight during maintenance briefly has metadata no manifest
+    references yet; deleting it as debris would let the commit land a
+    manifest naming missing files. The grace window (default 10 min —
+    generous vs any real commit latency) means only metadata old
+    enough that its owning commit either landed (now referenced) or
+    died (true debris) is reclaimed; 0 restores reclaim-everything for
+    quiesced tables.
 
     The compaction is itself a copy-on-write commit: the compacted
     layout is written to NEW file names alongside the live files, the
@@ -1554,33 +1600,68 @@ def maintain_table(
         ),
     }
     _put_manifest(wh, database, table, new_manifest)
+    # capture the change-dir / shard references of every manifest
+    # ABOUT TO BE expired: those are definitively dead the moment
+    # expiry removes the only manifests naming them, so they reclaim
+    # unconditionally below
+    dead_dirs: set = set()
+    dead_shards: set = set()
+    for v in versions(wh, database, table):
+        if v == next_v:
+            continue
+        m = _manifest(wh, database, table, v)
+        for rel in m.get("changes", []):
+            dead_dirs.add(rel.split("/")[1])
+        for rec in m.get("shards", []):
+            dead_shards.add(rec["name"])
     # post-commit cleanup: drop old manifests, then old data files
     expired = expire_snapshots(wh, database, table, keep_last=1)
     for name in sorted(prev_files | retired):
         hfs.delete(wh.spark, f"{base}/{name}", recursive=False)
     # reclaim change-file dirs no retained manifest references — the
-    # expired versions' CDF parquet, plus any CAS-loser debris. Kept
+    # expired versions' CDF parquet, plus CAS-loser debris. Kept
     # change dirs are exactly the retained manifests' "changes" sets,
     # so a stream cursor inside the retention window replays fine and
     # one below it already errs loudly at the manifest read.
+    # NEVER-referenced metadata gets a grace window: DML commits write
+    # change files / shards BEFORE their manifest PUT, so young
+    # unreferenced entries may belong to a commit in flight — deleting
+    # them would let that commit land a manifest naming missing files.
+    # Expired-manifest refs (dead_dirs/dead_shards) carry no such
+    # ambiguity and reclaim regardless of age.
+    import time as _time
+
+    cutoff_ms = int(_time.time() * 1000) - reclaim_grace_ms
     chg_root = f"{base}/{_SNAP_DIR}/{_CHANGES_DIR}"
     referenced_dirs: set = set()
     for v in versions(wh, database, table):
         for rel in _manifest(wh, database, table, v).get("changes", []):
             referenced_dirs.add(rel.split("/")[1])
     for d in hfs.list_names(wh.spark, chg_root, dirs_only=True):
-        if d not in referenced_dirs:
+        if d in referenced_dirs:
+            continue
+        if (
+            d in dead_dirs
+            or hfs.mtime(wh.spark, f"{chg_root}/{d}") <= cutoff_ms
+        ):
             hfs.delete(wh.spark, f"{chg_root}/{d}")
     # same for manifest shards: keep only the retained manifests'
     # shard set (history truncated to one version, so this reclaims
-    # every pre-compaction shard plus CAS-loser debris)
+    # every expired-manifest shard immediately, plus unreferenced
+    # debris older than the grace window; a concurrent sharded
+    # commit's pre-PUT shards are inside the window and survive)
     sh_root = f"{base}/{_SNAP_DIR}/{_SHARDS_DIR}"
     referenced_shards: set = set()
     for v in versions(wh, database, table):
         for rec in _manifest(wh, database, table, v).get("shards", []):
             referenced_shards.add(rec["name"])
     for n in hfs.list_names(wh.spark, sh_root):
-        if n not in referenced_shards:
+        if n in referenced_shards:
+            continue
+        if (
+            n in dead_shards
+            or hfs.mtime(wh.spark, f"{sh_root}/{n}") <= cutoff_ms
+        ):
             hfs.delete(wh.spark, f"{sh_root}/{n}", recursive=False)
     # the dead files are physically gone: drain the retired set (a
     # crash before this re-PUT leaves stale retired names, which the

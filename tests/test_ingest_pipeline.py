@@ -394,6 +394,44 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     assert zero == 0 and same_v == new_v
 
 
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """Delta DELETE semantics: rows where the predicate evaluates to
+    NULL are NOT deleted — delete/keep must be exact complements.
+    Previously filter(p)/filter(~p) both dropped NULL rows, physically
+    deleting them while never emitting them to the change files, so the
+    CDC feed silently diverged from the table state and n_deleted
+    undercounted."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, None), (5, "b")],
+            "__row_id long, who string",
+        ),
+    )
+    # predicate is NULL on rows 3 and 4 -> they must SURVIVE
+    v2, n_deleted = snap.delete_where(wh, "db", "t", F.col("who") == "b")
+    assert n_deleted == 2
+    latest = snap.read_snapshot(wh, "db", "t")
+    assert latest.count() == 3
+    assert latest.filter(F.col("who").isNull()).count() == 2
+    # change files contain exactly the deleted rows (ids 2 and 5)
+    changed = snap.read_changes(wh, "db", "t", v1, v2)
+    rows = {
+        (r["__row_id"], r["_change_type"]) for r in changed.collect()
+    }
+    assert rows == {(2, "delete"), (5, "delete")}
+    # string predicates are normalized the same way
+    v3, n2 = snap.delete_where(wh, "db", "t", "who = 'a'")
+    assert n2 == 1
+    assert snap.read_snapshot(wh, "db", "t").count() == 2
+
+
 def test_merge_upsert_latest_wins(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -1742,10 +1780,18 @@ def test_orphan_files_reports_metadata_debris(spark, tmp_path):
     assert rep["shards_orphaned"] == ["s-stray.json"]
     assert "_snapshots/rw-crashed" in rep["rewrite_tmp_dirs"]
 
-    # maintenance reclaims change/shard debris (rw- tmp dirs of a
-    # LIVE rewrite can't be distinguished from crashed ones, so they
-    # stay reported until manually removed)
+    # under the DEFAULT reclaim grace window, never-referenced fresh
+    # metadata survives maintenance: it may belong to a commit in
+    # flight (change files / shards are written before the manifest
+    # PUT), so deleting it young would break that commit's files
     snap.maintain_table(wh, "db", "t")
+    rep = snap.orphan_files(wh, "db", "t")
+    assert rep["change_dirs_orphaned"] == ["cd-loser"]
+    assert rep["shards_orphaned"] == ["s-stray.json"]
+    # with grace 0 (quiesced table), maintenance reclaims the debris
+    # (rw- tmp dirs of a LIVE rewrite can't be distinguished from
+    # crashed ones, so they stay reported until manually removed)
+    snap.maintain_table(wh, "db", "t", reclaim_grace_ms=0)
     rep = snap.orphan_files(wh, "db", "t")
     assert rep["change_dirs_orphaned"] == []
     assert rep["shards_orphaned"] == []
@@ -1842,3 +1888,102 @@ def test_write_audit_publish_staging(spark, tmp_path):
     )
     assert snap.discard_staged(wh, "db", "t", sid2)
     assert snap.read_snapshot(wh, "db", "t").count() == 4
+
+def test_expire_older_than_stops_at_first_retained(spark, tmp_path):
+    """Clock-skew safety: older_than expiry removes a CONTIGUOUS
+    PREFIX of history only. A middle version stamped by a skewed
+    (future) clock must act as a barrier — expiring around it would
+    punch a hole that the CDC planner then merges across, silently
+    dropping the expired intermediate's inserts instead of raising
+    the loud retention error."""
+    import json as js
+    import time as _time
+
+    from scratchdb_spark import fs as hfs
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    vs = []
+    for i in range(4):
+        vs.append(
+            snap.append_versioned(
+                wh, "db", "t",
+                spark.createDataFrame(
+                    [(i, i * 10)], "__row_id long, amount long"
+                ).coalesce(1),
+            )
+        )
+    # v2's committing host has a skewed clock: stamp it in the future
+    sd = snap._snap_dir(wh, "db", "t")
+    p = f"{sd}/v{vs[1]:012d}.json"
+    m = js.loads(hfs.read_text(spark, p))
+    m["committed_at"] = _time.time() + 3600
+    hfs.put_text_atomic(spark, p, js.dumps(m), overwrite=True)
+
+    # v1 and v3 are old enough to expire; v2 is "from the future".
+    # Per-version filtering would expire v1 AND v3, leaving a hole at
+    # v2; the contiguous-prefix rule stops at v2 and expires only v1.
+    expired = snap.expire_snapshots(
+        wh, "db", "t", keep_last=1, older_than=_time.time() + 1
+    )
+    assert expired == [vs[0]]
+    assert snap.versions(wh, "db", "t") == vs[1:]
+
+
+def test_stat_cols_widening_backfills_kept_shards(
+    spark, tmp_path, monkeypatch
+):
+    """Widening stat_cols on a SHARDED table force-opens shards whose
+    rolled-up agg lacks a requested column, so the transition commit's
+    freshly computed stats actually land in rewritten shards (instead
+    of being discarded for kept-by-reference shards) and the new
+    column prunes from then on; the one-time O(table) stats scan is
+    the inherent cost of stats for a new column."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    monkeypatch.setattr(snap, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(snap, "_SHARD_SIZE", 4)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 80).select(
+        F.col("id").alias("__row_id"),
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("k2"),
+    )
+    v1 = snap.append_versioned(
+        wh, "db", "t", df.repartitionByRange(8, "k"), stat_cols=["k"]
+    )
+    m1 = snap._manifest(wh, "db", "t", v1)
+    assert "shards" in m1
+    assert all("k2" not in r.get("agg", {}) for r in m1["shards"])
+
+    # widen the stat set: every kept shard lacks k2 -> all force-open
+    v2 = snap.commit_snapshot(wh, "db", "t", stat_cols=["k", "k2"])
+    m2 = snap._manifest(wh, "db", "t", v2)
+    assert m2["stat_cols"] == ["k", "k2"]
+    assert all("k2" in r["agg"] for r in m2["shards"])
+
+    # the new column actually prunes (file-level: only the one
+    # range-partition file whose k2 zone map reaches 7900 is read)
+    pruned = snap.read_snapshot(wh, "db", "t", prune=("k2", 7900, None))
+    assert pruned.count() == 10  # one 10-row file of the 8
+    assert pruned.agg(F.min("k2")).collect()[0][0] >= 7000
+    # and the NEXT commit takes the covering shortcut legitimately:
+    # appended batch gets k2 stats, carried shards keep theirs
+    v3 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1000, 1000, 123456)], "__row_id long, k long, k2 long"
+        ).coalesce(1),
+    )
+    m3 = snap._manifest(wh, "db", "t", v3)
+    assert all("k2" in r["agg"] for r in m3["shards"])
+    assert (
+        snap.read_snapshot(
+            wh, "db", "t", prune=("k2", 123456, None)
+        ).count()
+        == 1
+    )
