@@ -147,28 +147,72 @@ def compact_path(
     }
 
 
-def zorder_key(df, cols: list[str], bits: int = 16):
+def _quantile_cutpoints(df, c: str, n_buckets: int) -> list:
+    """``n_buckets - 1`` ascending cutpoints for column ``c``, computed
+    WITHOUT any global sort. Numeric columns use approxQuantile
+    (Greenwald-Khanna: one scan, mergeable per-partition summaries,
+    driver receives only the cutpoint list). Other orderable types
+    (string/date/...) use a bounded random sample fetched via
+    orderBy(rand).limit(k) — Spark plans that as TakeOrdered (per-
+    partition top-k merged on the driver), never a single-partition
+    sort — and take empirical quantiles of the sample on the driver.
+    Repeated cutpoints from skewed distributions are collapsed, so a
+    heavily-skewed column just uses fewer effective buckets."""
+    from pyspark.sql import types as T
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    field = df.schema[c]
+    if isinstance(field.dataType, T.NumericType):
+        cuts = df.stat.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
+    else:
+        k = n_buckets * 32  # ~32 samples/bucket: quantile error well
+        # under one bucket width with high probability
+        sample = sorted(
+            r[0]
+            for r in df.select(c)
+            .na.drop()
+            .orderBy(F.rand(20240814))
+            .limit(k)
+            .collect()
+        )
+        if not sample:
+            return []
+        cuts = [
+            sample[min(len(sample) - 1, int(p * len(sample)))]
+            for p in probs
+        ]
+    out: list = []
+    for v in cuts:
+        if v is not None and (not out or v > out[-1]):
+            out.append(v)
+    return out
+
+
+def zorder_key(df, cols: list[str], bits: int = 8):
     """Z-order (Morton) key column over 2+ dimensions for multi-column
     data clustering — the OPTIMIZE ZORDER analogue for plain parquet.
 
-    Each column is rank-normalized to a ``bits``-bit integer
-    (percent_rank over its own ordering, so skewed distributions still
-    spread across the grid), then the bit planes interleave into one
-    BIGINT. Range-clustering files on this key gives every file a
-    bounded min/max rectangle in ALL the z-ordered dimensions at once,
-    so row-group/file pruning works for predicates on any single one —
-    the property a single-column sort only provides for its leading
-    column.
+    Each column is quantile-bucketized to a ``bits``-bit integer, then
+    the bit planes interleave into one BIGINT. Range-clustering files
+    on this key gives every file a bounded min/max rectangle in ALL
+    the z-ordered dimensions at once, so row-group/file pruning works
+    for predicates on any single one — the property a single-column
+    sort only provides for its leading column.
 
-    Built from window + bit expressions (JVM codegen; no UDF). The
-    percent_rank windows are per-column global orderings: at 100 TB
-    replace with approx-quantile bucketization (mapInPandas-free:
-    approxQuantile driver call + F.bucketizer-style CASE) if the
-    single-partition window becomes the bottleneck; the interleave is
-    unchanged.
+    100 TB shape: the driver fetches ~2^bits cutpoints per dimension
+    once (approxQuantile — one scan with mergeable partition
+    summaries; a bounded TakeOrdered sample for non-numeric types),
+    and the per-row key is pure codegen — count-of-cutpoints-below
+    over a literal array plus the bit interleave. NO window functions
+    and NO single-partition exchange anywhere in the key stage: the
+    earlier percent_rank formulation sorted the whole table into one
+    task per z-ordered column, which inside maintain_table is exactly
+    where a large table would die. Quantile bucketization also keeps
+    skewed distributions spread across the grid, same as rank did.
+    Default 8 bits = 256 buckets/dim: resolution only needs to exceed
+    the target file count a few-fold for file-level pruning; raise it
+    if clustering into >10k files.
     """
-    from pyspark.sql.window import Window as W
-
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     # The interleaved key must fit in the 64-bit BIGINT: JVM shiftleft
@@ -187,12 +231,27 @@ def zorder_key(df, cols: list[str], bits: int = 16):
     qcols = []
     for c in cols:
         qc = f"__z_{c}"
-        ranked = ranked.withColumn(
-            qc,
-            F.round(
-                F.percent_rank().over(W.partitionBy().orderBy(c)) * maxv
-            ).cast("long"),
-        )
+        cuts = _quantile_cutpoints(df, c, 1 << bits)
+        if not cuts:
+            # constant / all-null / empty column: one bucket
+            bucket = F.lit(0).cast("long")
+        else:
+            # bucket = #cutpoints <= value (0..len(cuts)), evaluated
+            # as a literal-array filter — whole-stage codegen, no
+            # shuffle; NULLs compare to nothing and land in bucket 0
+            # (same position rank-ordering gave them). Low-cardinality
+            # columns collapse to few effective buckets, so RESCALE to
+            # the full bits range: Morton locality is NOT invariant to
+            # bucket placement — values confined to the low corner
+            # leave the top bit planes (the curve's primary
+            # subdivisions) unused and measurably worsen clustering.
+            arr = F.array(*[F.lit(v) for v in cuts])
+            bucket = F.round(
+                F.size(F.filter(arr, lambda x: x <= F.col(c)))
+                * maxv
+                / len(cuts)
+            ).cast("long")
+        ranked = ranked.withColumn(qc, bucket)
         qcols.append(qc)
     # interleave: output bit (i * n_cols + j) = bit i of column j
     one = F.lit(1).cast("long")

@@ -903,6 +903,35 @@ def test_zorder_clustering_prunes_both_dims(spark, tmp_path):
     assert spark.read.parquet(path).count() == 4096
 
 
+def test_zorder_key_plan_has_no_global_sort(spark):
+    """The z-order key stage must be pure whole-stage-codegen: no
+    window functions and no single-partition exchange anywhere. The
+    earlier percent_rank formulation was a full-table sort into ONE
+    task per z-ordered column — inside maintain_table, exactly where
+    a 100 TB table would hit it. Also covers non-numeric dimensions
+    (sampled cutpoints, same codegen key shape)."""
+    from scratchdb_spark.operators.compaction import zorder_key
+
+    df = spark.range(4096).selectExpr(
+        "id",
+        "CAST(id % 64 AS DOUBLE) AS a",
+        "concat('k', lpad(CAST(pmod(hash(id), 64) AS STRING), 2, '0')) AS s",
+    )
+    zdf, zc = zorder_key(df, ["a", "s"])
+    plan = zdf._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan  # key build shuffles nothing at all
+    # key is live and spreads across the full grid for both dims
+    row = zdf.selectExpr(
+        "count(distinct __zkey) AS nz",
+        "max(__z_a) AS ma",
+        "max(__z_s) AS ms",
+    ).collect()[0]
+    assert row["nz"] > 1000
+    assert row["ma"] > 200 and row["ms"] > 200  # rescaled to 8-bit range
+
+
 def test_prefix_filter_equals_exact_quadratic(spark, sf_dir):
     """Prefix filtering is EXACT: its pair set must equal the
     brute-force quadratic jaccard join, not just approximate it."""
