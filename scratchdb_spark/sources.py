@@ -297,59 +297,112 @@ try:  # Spark 4 Python DataSource API
 
 
     # --- CDC streaming source over the snapshot layer ------------------
+    #
+    # All CDC IO (version listing, manifest/shard JSON, executor
+    # parquet opens) goes through pyarrow.fs, so the stream source
+    # works on the same non-file:// warehouses the rest of the engine
+    # does (the ingest writer / snapshot layer use the Hadoop
+    # FileSystem API; that API needs the driver JVM, which executor
+    # Python workers don't have — pyarrow.fs is the process-local
+    # equivalent that covers local, s3://, gs://, hdfs:// and mounted
+    # schemes, and its FileSystem objects PICKLE, so the reader
+    # resolved once on the driver ships to every executor task).
 
-    def _cdc_base(options) -> str:
+    def cdc_filesystem_option(fs) -> str:
+        """Serialize a pyarrow FileSystem for the ``filesystemPickle``
+        reader option: ``.option("filesystemPickle",
+        cdc_filesystem_option(my_fs))``. For filesystems pyarrow's
+        from_uri can't resolve (custom mounts, fsspec adapters via
+        PyFileSystem, test doubles); ``path`` is then a path WITHIN
+        that filesystem. base64 because DataSource options are
+        strings and cross a Python-worker process boundary."""
+        import base64
+        import pickle
+
+        return base64.b64encode(pickle.dumps(fs)).decode("ascii")
+
+    def _cdc_resolve(options) -> tuple:
+        """(pyarrow FileSystem, table base path) for the warehouse
+        root in ``options``. Bare paths and file:/file:// map to the
+        local FS; other URI schemes resolve via
+        pyarrow.fs.FileSystem.from_uri (s3/gs/hdfs/...); an explicit
+        ``filesystemPickle`` option overrides resolution entirely.
+        Resolution happens wherever Spark instantiates the source (a
+        Python worker process — there is no driver JVM to lean on,
+        which is exactly why this layer is pyarrow.fs, not the
+        Hadoop FileSystem API the rest of the engine uses)."""
+        import base64
+        import pickle
+
+        from pyarrow import fs as pafs
+
         root = options["path"]
-        for prefix in ("file://", "file:"):
-            if root.startswith(prefix):
-                root = root[len(prefix):]
-                break
-        return f"{root.rstrip('/')}/{options['database']}/{options['table']}"
+        pickled = options.get("filesystemPickle") or options.get(
+            "filesystempickle"  # DataFrameReader options lowercase keys
+        )
+        if pickled:
+            fs = pickle.loads(base64.b64decode(pickled))
+            base = root.split("://", 1)[1] if "://" in root else root
+        elif "://" in root and not root.startswith("file://"):
+            fs, base = pafs.FileSystem.from_uri(root)
+        else:
+            for prefix in ("file://", "file:"):
+                if root.startswith(prefix):
+                    root = root[len(prefix):]
+                    break
+            fs, base = pafs.LocalFileSystem(), root
+        return fs, (
+            f"{base.rstrip('/')}/{options['database']}/{options['table']}"
+        )
 
-    def _cdc_versions(base: str) -> list[int]:
-        import os
+    def _cdc_read_json(fs, path: str) -> dict:
+        import json as _json
+
+        with fs.open_input_stream(path) as f:
+            return _json.loads(f.read().decode("utf-8"))
+
+    def _cdc_versions(fs, base: str) -> list[int]:
         import re as _re
 
-        d = os.path.join(base, "_snapshots")
-        if not os.path.isdir(d):
-            return []
+        from pyarrow import fs as pafs
+
+        sel = pafs.FileSelector(
+            f"{base}/_snapshots", allow_not_found=True
+        )
         out = []
-        for n in os.listdir(d):
-            m = _re.fullmatch(r"v(\d{12})\.json", n)
-            if m:
+        for info in fs.get_file_info(sel):
+            m = _re.fullmatch(r"v(\d{12})\.json", info.base_name)
+            if m and info.is_file:
                 out.append(int(m.group(1)))
         return sorted(out)
 
-    def _cdc_manifest(base: str, v: int) -> dict:
-        import json as _json
-        import os
+    def _cdc_manifest(fs, base: str, v: int) -> dict:
+        return _cdc_read_json(fs, f"{base}/_snapshots/v{v:012d}.json")
 
-        with open(os.path.join(base, "_snapshots", f"v{v:012d}.json")) as f:
-            return _json.load(f)
-
-    def _cdc_manifest_files(base: str, m: dict) -> list[str]:
+    def _cdc_manifest_files(fs, base: str, m: dict) -> list[str]:
         """A manifest's data-file names, resolving shard references
         (snapshots._SHARDS_DIR) for large tables."""
-        import json as _json
-        import os
-
         if "shards" not in m:
             return sorted(m["files"])
         out: list[str] = []
         for rec in m["shards"]:
-            with open(
-                os.path.join(base, "_snapshots", "shards", rec["name"])
-            ) as f:
-                out += _json.load(f)["files"]
+            out += _cdc_read_json(
+                fs, f"{base}/_snapshots/shards/{rec['name']}"
+            )["files"]
         return sorted(out)
 
     def _cdc_file_diff(
-        base: str, prev_m: dict, m: dict
+        fs, base: str, prev_m: dict, m: dict
     ) -> tuple[set, set]:
         """(removed, added) file names between consecutive manifests.
         Shards shared by reference cancel without being opened, so
         append-transition planning cost is O(churn shards) even on a
-        10^6-file table."""
+        10^6-file table. The one transition where BOTH sides are not
+        sharded the same way — the commit that crosses the
+        _SHARD_THRESHOLD (inline -> sharded) or re-inlines after
+        maintenance — falls back to diffing full file lists: a
+        one-time O(table-files) planning cost per table per crossing,
+        bounded by the threshold itself on the inline side."""
         if "shards" in prev_m and "shards" in m:
             prev_recs = {r["name"] for r in prev_m["shards"]}
             new_recs = {r["name"] for r in m["shards"]}
@@ -358,7 +411,7 @@ try:  # Spark 4 Python DataSource API
                 if r["name"] not in new_recs:
                     prev_only |= set(
                         _cdc_manifest_files(
-                            base, {"shards": [r], "n_files": r["n"]}
+                            fs, base, {"shards": [r], "n_files": r["n"]}
                         )
                     )
             new_only: set = set()
@@ -366,12 +419,12 @@ try:  # Spark 4 Python DataSource API
                 if r["name"] not in prev_recs:
                     new_only |= set(
                         _cdc_manifest_files(
-                            base, {"shards": [r], "n_files": r["n"]}
+                            fs, base, {"shards": [r], "n_files": r["n"]}
                         )
                     )
             return prev_only - new_only, new_only - prev_only
-        prev_files = set(_cdc_manifest_files(base, prev_m))
-        files = set(_cdc_manifest_files(base, m))
+        prev_files = set(_cdc_manifest_files(fs, base, prev_m))
+        files = set(_cdc_manifest_files(fs, base, m))
         return prev_files - files, files - prev_files
 
     class CdcRetentionError(Exception):
@@ -416,13 +469,13 @@ try:  # Spark 4 Python DataSource API
         def schema(self):
             import json as _json
 
-            base = _cdc_base(self.options)
-            vs = _cdc_versions(base)
+            fs, base = _cdc_resolve(self.options)
+            vs = _cdc_versions(fs, base)
             if not vs:
                 raise ValueError(
                     f"{base} has no snapshots; commit one first"
                 )
-            m = _cdc_manifest(base, vs[-1])
+            m = _cdc_manifest(fs, base, vs[-1])
             fields = T.StructType.fromJson(_json.loads(m["schema"]))
             return T.StructType(
                 list(fields.fields)
@@ -458,7 +511,9 @@ try:  # Spark 4 Python DataSource API
         commit is simply not yet an offset."""
 
         def __init__(self, options, schema):
-            self.base = _cdc_base(options)
+            # resolved ONCE on the driver; the pyarrow FileSystem
+            # pickles with the reader into every executor task
+            self._fs, self.base = _cdc_resolve(options)
             # _change_type is synthesized per-partition, not read
             # from data files
             self.fields = [
@@ -494,10 +549,10 @@ try:  # Spark 4 Python DataSource API
             return {"v": self.starting_version}
 
         def latestOffset(self):
-            vs = _cdc_versions(self.base)
+            vs = _cdc_versions(self._fs, self.base)
             for v in reversed(vs):
                 try:
-                    _cdc_manifest(self.base, v)
+                    _cdc_manifest(self._fs, self.base, v)
                 except (ValueError, OSError):
                     # commit mid-PUT on a store without atomic rename
                     # (the engine's own PUTs are temp+rename, so this
@@ -518,7 +573,7 @@ try:  # Spark 4 Python DataSource API
             start_v, end_v = int(start["v"]), int(end["v"])
             if start_v >= end_v:
                 return []
-            vs = _cdc_versions(self.base)
+            vs = _cdc_versions(self._fs, self.base)
             if (start_v > 0 and start_v not in vs) or end_v not in vs:
                 gone = start_v if start_v not in vs else end_v
                 raise CdcRetentionError(
@@ -532,15 +587,15 @@ try:  # Spark 4 Python DataSource API
             if start_v == 0:
                 # bootstrap: the end version's full state as inserts
                 # (diff against the empty set needs no cancellation)
-                m = _cdc_manifest(self.base, end_v)
+                m = _cdc_manifest(self._fs, self.base, end_v)
                 return [
                     _CdcPartition(f"{self.base}/{n}", "insert")
-                    for n in _cdc_manifest_files(self.base, m)
+                    for n in _cdc_manifest_files(self._fs, self.base, m)
                 ]
             parts = []
-            prev_m = _cdc_manifest(self.base, start_v)
+            prev_m = _cdc_manifest(self._fs, self.base, start_v)
             for v in [u for u in vs if start_v < u <= end_v]:
-                m = _cdc_manifest(self.base, v)
+                m = _cdc_manifest(self._fs, self.base, v)
                 if "changes" in m:
                     parts += [
                         _CdcPartition(
@@ -549,7 +604,7 @@ try:  # Spark 4 Python DataSource API
                         for rel in m["changes"]
                     ]
                 else:
-                    removed, added = _cdc_file_diff(self.base, prev_m, m)
+                    removed, added = _cdc_file_diff(self._fs, self.base, prev_m, m)
                     if removed:
                         raise ValueError(
                             f"version v{v} of {self.base} removed "
@@ -577,7 +632,7 @@ try:  # Spark 4 Python DataSource API
 
             is_change = partition.role == "change"
             want = [(n, to_arrow_type(dt)) for n, dt in self.fields]
-            pf = pq.ParquetFile(partition.path)
+            pf = pq.ParquetFile(self._fs.open_input_file(partition.path))
             for batch in pf.iter_batches():
                 n_rows = batch.num_rows
                 cols, names = [], []

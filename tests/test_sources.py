@@ -499,3 +499,141 @@ def test_cdc_stream_starting_version(spark, tmp_path):
     # only the post-v1 append arrives; row 1 (pre-existing state at
     # the starting version) is NOT replayed
     assert sorted(rows) == [(2, "insert")]
+
+
+def test_cdc_stream_on_non_file_scheme(spark, tmp_path):
+    """The CDC source's planner and executor reads go through
+    pyarrow.fs, so a warehouse on a non-local filesystem streams the
+    same as local disk. A pickled SubTreeFileSystem (a real alternate
+    pyarrow FileSystem with its own path namespace, mounted on local
+    disk so no external service is needed) passed via the
+    filesystemPickle option exercises the same resolution + open
+    seams an s3:// or hdfs:// deployment hits — including the
+    FileSystem crossing into the source's Python worker process and
+    pickling into executor tasks, which a driver-JVM Hadoop FS could
+    never do."""
+    from pyarrow import fs as pafs
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark import sources as src
+    from scratchdb_spark.tables import Warehouse
+
+    mount = str(tmp_path / "mnt")
+    os.makedirs(mount)
+    # warehouse physically at <mount>/wh; the CDC source sees it only
+    # through the subtree filesystem as path "wh"
+    wh = Warehouse(spark, f"{mount}/wh")
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20)], "__row_id long, amount long"
+        ),
+    )
+
+    fs_opt = src.cdc_filesystem_option(
+        pafs.SubTreeFileSystem(mount, pafs.LocalFileSystem())
+    )
+    spark.dataSource.register(src.ScratchCdcDataSource)
+    q = (
+        spark.readStream.format("scratch_cdc")
+        .option("path", "wh")
+        .option("filesystemPickle", fs_opt)
+        .option("database", "db")
+        .option("table", "t")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdc_subtree")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["__row_id"], r["amount"], r["_change_type"])
+            for r in spark.sql("SELECT * FROM cdc_subtree").collect()
+        }
+        assert got == {(1, 10, "insert"), (2, 20, "insert")}
+        # churn through the filesystem too: COW delete streams its
+        # change file, append streams the added file
+        snap.delete_where(wh, "db", "t", F.col("__row_id") == 1)
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(3, 30)], "__row_id long, amount long"
+            ),
+        )
+        q.processAllAvailable()
+        got = {
+            (r["__row_id"], r["amount"], r["_change_type"])
+            for r in spark.sql("SELECT * FROM cdc_subtree").collect()
+        }
+        assert got == {
+            (1, 10, "insert"), (2, 20, "insert"),
+            (1, 10, "delete"), (3, 30, "insert"),
+        }
+    finally:
+        q.stop()
+
+
+def test_cdc_planning_across_shard_threshold_crossing(
+    spark, tmp_path, monkeypatch
+):
+    """The commit that crosses _SHARD_THRESHOLD (inline manifest ->
+    sharded manifest-list) is the one transition where shard-reference
+    cancellation can't apply — the planner falls back to diffing full
+    file lists (documented one-time O(table-files) planning cost).
+    The batch it plans must still be EXACT: only the appended files,
+    as inserts, with no rows lost or duplicated at the boundary."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    monkeypatch.setattr(snap, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(snap, "_SHARD_SIZE", 4)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # v1: 4 files — just under the (monkeypatched) threshold: inline
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.range(0, 40)
+        .selectExpr("id AS __row_id", "id AS k")
+        .repartitionByRange(4, "k"),
+    )
+    m1 = snap._manifest(wh, "db", "t", v1)
+    assert "files" in m1 and "shards" not in m1
+
+    # v2: append 4 more files — crosses the threshold: sharded
+    v2 = snap.append_versioned(
+        wh, "db", "t",
+        spark.range(1000, 1040)
+        .selectExpr("id AS __row_id", "id AS k")
+        .repartitionByRange(4, "k"),
+    )
+    m2 = snap._manifest(wh, "db", "t", v2)
+    assert "shards" in m2 and "files" not in m2
+
+    ds = ScratchCdcDataSource(
+        {"path": str(tmp_path / "wh"), "database": "db", "table": "t"}
+    )
+    reader = ds.streamReader(ds.schema())
+    # the inline->sharded transition plans EXACTLY the added files
+    parts = reader.partitions({"v": v1}, {"v": v2})
+    assert len(parts) == 4 and all(p.role == "insert" for p in parts)
+    rows = []
+    for p in parts:
+        for b in reader.read(p):
+            rows += [tuple(d.values()) for d in b.to_pylist()]
+    assert sorted(rows) == [
+        (i, i, "insert") for i in range(1000, 1040)
+    ]
+
+    # and the next sharded->sharded append goes back to O(churn)
+    # shard-reference planning
+    v3 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(2000, 2000)], "__row_id long, k long"
+        ).coalesce(1),
+    )
+    parts3 = reader.partitions({"v": v2}, {"v": v3})
+    assert len(parts3) == 1 and parts3[0].role == "insert"
