@@ -523,7 +523,11 @@ def _write_changes(
 
 
 def commit_snapshot(
-    wh: Warehouse, database: str, table: str, stat_cols: list[str] | None = None
+    wh: Warehouse,
+    database: str,
+    table: str,
+    stat_cols: list[str] | None = None,
+    summary: dict | None = None,
 ) -> int:
     """Record the table's CURRENT data-file set as the next version.
     Returns the committed version number. The commit is one small
@@ -611,6 +615,11 @@ def commit_snapshot(
                 files, added, removed, fresh, cols,
             ),
         }
+        if summary:
+            # commit provenance (Iceberg snapshot-summary's public
+            # design): small operation metadata — e.g. the WAP staging
+            # id — surfaced by history() for auditability
+            manifest["summary"] = dict(summary)
         try:
             _put_manifest(wh, database, table, manifest)
             return next_v
@@ -1292,22 +1301,30 @@ def publish_staged(
     see plain inserts). File moves are renames (no data rewrite); a
     crash between the renames and the commit leaves the files to be
     adopted by the next commit, the same exposure as any append.
-    Returns the published version."""
+    The committed manifest records the staging id in its summary
+    (Iceberg snapshot-summary's public design), so DESCRIBE HISTORY
+    shows WAP publishes as such. Returns the published version."""
     d = f"{_snap_dir(wh, database, table)}/{_STAGED_DIR}/{staging_id}"
-    names = [
-        n for n in hfs.list_names(wh.spark, d) if n.endswith(".parquet")
-    ]
+    # existence guard FIRST: a bogus/double-published staging id must
+    # raise the documented error, not whatever a listing of a missing
+    # directory happens to do on the underlying filesystem
     if not hfs.is_dir(wh.spark, d):
         raise ValueError(
             f"no staged batch {staging_id!r} on {database}.{table}"
         )
+    names = [
+        n for n in hfs.list_names(wh.spark, d) if n.endswith(".parquet")
+    ]
     base = wh._path(database, table)
     for n in names:
         dst = f"{base}/{staging_id}-{n}"
         if not hfs.rename(wh.spark, f"{d}/{n}", dst):
             raise IOError(f"publish rename failed: {d}/{n} -> {dst}")
     hfs.delete(wh.spark, d)
-    return commit_snapshot(wh, database, table, stat_cols=stat_cols)
+    return commit_snapshot(
+        wh, database, table, stat_cols=stat_cols,
+        summary={"operation": "wap-publish", "staging_id": staging_id},
+    )
 
 
 def discard_staged(
@@ -1887,6 +1904,7 @@ def history(wh: Warehouse, database: str, table: str) -> DataFrame:
     rows = []
     for v in versions(wh, database, table):
         m = _manifest(wh, database, table, v)
+        summ = m.get("summary", {})
         rows.append(
             (
                 v,
@@ -1894,10 +1912,13 @@ def history(wh: Warehouse, database: str, table: str) -> DataFrame:
                 _manifest_n_files(m),
                 len(m.get("retired", [])),
                 bool(m.get("stat_cols")),
+                summ.get("operation"),
+                summ.get("staging_id"),
             )
         )
     return wh.spark.createDataFrame(
         rows,
         "version long, committed_at double, n_files long, "
-        "n_retired long, has_stats boolean",
+        "n_retired long, has_stats boolean, operation string, "
+        "staging_id string",
     )

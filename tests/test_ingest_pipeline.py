@@ -1877,9 +1877,20 @@ def test_write_audit_publish_staging(spark, tmp_path):
     assert sorted(
         (r["__row_id"], r["_change_type"]) for r in chg.collect()
     ) == [(3, "insert"), (4, "insert")]
-    # the staged dir is gone; double-publish errs loudly
+    # the staged dir is gone; double-publish errs loudly, as does a
+    # wholly bogus staging id (the is_dir guard runs BEFORE any
+    # listing, so the error is the documented one on every FS)
     with pytest.raises(ValueError, match="no staged batch"):
         snap.publish_staged(wh, "db", "t", sid)
+    with pytest.raises(ValueError, match="no staged batch"):
+        snap.publish_staged(wh, "db", "t", "wap-does-not-exist")
+
+    # provenance: DESCRIBE HISTORY shows the publish as a WAP commit
+    # carrying its staging id; ordinary commits carry neither
+    hrows = {r["version"]: r for r in snap.history(wh, "db", "t").collect()}
+    assert hrows[v_pub]["operation"] == "wap-publish"
+    assert hrows[v_pub]["staging_id"] == sid
+    assert hrows[v_noop]["operation"] is None
 
     # discard: never touches the table
     sid2 = snap.stage_append(
