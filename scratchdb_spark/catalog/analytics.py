@@ -1303,3 +1303,32 @@ def ann_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_refine_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, overfetch=4
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    _fixture_oracle(
+        "ann_ivfpq_topk", ["query_id", "neighbor_id", "cos_sim", "rank"]
+    ),
+    doc="IVFADC ANN retrieval (operators/similarity.py::ivfpq_topk, "
+        "new r7 — Jegou et al. 2011 / FAISS IVF,PQ + refine, public "
+        "designs): an IVF coarse quantizer restricts candidates to "
+        "nprobe probed inverted lists, a PQ-ADC scan scores ONLY "
+        "those lists from the 4-byte code table (per-candidate "
+        "lookups, local top per query), and exact cosine re-scores "
+        "the k*overfetch survivors — NO stage touches the full "
+        "corpus, the true 100 TB ANN shape (pq_refine_topk's stage 1 "
+        "still ADC-scans every code). One fused mapInPandas pass "
+        "assigns cells and PQ-encodes; candidates come from a "
+        "broadcast equi-join on cell id. Measured recall at equal "
+        "candidate budget >= the full-scan PQ refine (pytest pins "
+        "it); deterministic -> golden-fixture oracle; exact twin "
+        "ann_cosine_topk.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, overfetch=4
+    )

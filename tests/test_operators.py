@@ -1505,6 +1505,50 @@ def test_pq_topk_recall_and_code_compression(spark, sf_dir):
     assert sorted(map(str, inv)) == sorted(map(str, approx))
 
 
+def test_ivfpq_recall_at_least_full_scan_pq_refine(spark, sf_dir):
+    """IVFADC (ivfpq_topk): at an EQUAL candidate budget
+    (k * overfetch exact re-scores per query), restricting the ADC
+    scan to the probed inverted lists must not cost recall vs the
+    full-code-table PQ refine — probed cells are geometrically close,
+    so the candidate pool is at least as good while the scan touches
+    only ~nprobe/n_centroids of the code table. Also pins exactness
+    of the reported metric (cos_sim values match brute force on
+    overlapping pairs) and partition invariance."""
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        pq_refine_topk,
+    )
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    ivfpq_rows = ivfpq_topk(emb, q, k=5, overfetch=4).collect()
+    ivfpq = {(r["query_id"], r["neighbor_id"]) for r in ivfpq_rows}
+    pqr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_refine_topk(emb, q, k=5, overfetch=4).collect()
+    }
+    recall_ivfpq = len(ivfpq & set(exact)) / len(exact)
+    recall_pqr = len(pqr & set(exact)) / len(exact)
+    assert recall_ivfpq >= recall_pqr, (
+        f"IVFADC recall {recall_ivfpq} below full-scan PQ refine "
+        f"{recall_pqr} at equal candidate budget"
+    )
+    # the refine stage reports the EXACT metric
+    for r in ivfpq_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cos_sim"] - exact[key]) < 1e-5
+    # partition invariance (fixture-oracle prerequisite)
+    inv = ivfpq_topk(emb.repartition(7), q, k=5, overfetch=4).collect()
+    assert sorted(map(str, inv)) == sorted(map(str, ivfpq_rows))
+
+
 def test_bloom_prune_join_equals_plain_join_and_actually_prunes(
     spark, sf_dir
 ):

@@ -61,21 +61,32 @@ def main() -> None:
         count = spark.read.parquet(os.path.join(root, "db", "t")).count()
         assert count == rows == n, (count, rows, n)
 
-        # distributed worker half (append_ndjson_file -> append_lines_df)
+        # distributed worker half (append_ndjson_file -> append_lines_df),
+        # measured COLD (first Spark Python-UDF job of the path: worker
+        # pool spin-up + broadcast + codegen) and WARM (steady state —
+        # the rate a continuously-ingesting stream actually sustains,
+        # since the worker pool and codegen cache persist across
+        # micro-batches). The cold/warm gap is per-SESSION fixed cost,
+        # not per-batch.
         ndjson = os.path.join(root, "batch.ndjson")
         with open(ndjson, "w", encoding="utf-8") as fh:
             for i in range(n):
                 fh.write(json.dumps(synth_doc(i)) + "\n")
         t0 = time.perf_counter()
         pipe.append_ndjson_file("db", "t2", ndjson)
-        t_dist = time.perf_counter() - t0
+        t_dist_cold = time.perf_counter() - t0
         assert spark.read.parquet(os.path.join(root, "db", "t2")).count() == n
+        t0 = time.perf_counter()
+        pipe.append_ndjson_file("db", "t3", ndjson)
+        t_dist_warm = time.perf_counter() - t0
+        assert spark.read.parquet(os.path.join(root, "db", "t3")).count() == n
 
         print(json.dumps({
             "rows": n,
             "api_half_rows_per_sec": round(n / t_api),
             "worker_half_driver_rows_per_sec": round(n / t_worker),
-            "worker_half_distributed_rows_per_sec": round(n / t_dist),
+            "worker_half_distributed_cold_rows_per_sec": round(n / t_dist_cold),
+            "worker_half_distributed_warm_rows_per_sec": round(n / t_dist_warm),
             "end_to_end_rows_per_sec": round(n / (t_api + t_worker)),
         }))
     finally:

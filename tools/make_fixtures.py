@@ -43,6 +43,7 @@ FIXTURE_NAMES = [
     "approx_kmv_segment_overlap",
     "ann_pq_topk",
     "ann_pq_refine_topk",
+    "ann_ivfpq_topk",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
