@@ -1588,3 +1588,176 @@ def warehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pre_rows long, staged_rows long, post_rows long, "
         "cdc_inserts long",
     )
+
+
+@register(
+    "warehouse_delete_null_predicate",
+    """
+    SELECT * FROM (VALUES
+      (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+       CAST(2 AS BIGINT)))
+      t(n_deleted, rows_after, null_rows_kept, cdc_deletes)
+    """,
+    doc="Row-level DELETE under NULL predicates (snapshots."
+        "delete_where, fixed r7 — Delta DELETE semantics): a row "
+        "deletes iff the predicate is TRUE; rows where it evaluates "
+        "to NULL survive. delete/keep are exact complements via "
+        "coalesce(pred, false), so the change files equal the true "
+        "delta — previously NULL-predicate rows were physically "
+        "deleted but never written to the CDC change files, silently "
+        "diverging the streaming feed from the table and "
+        "undercounting n_deleted. Output: deleted count, surviving "
+        "rows, surviving NULL-cell rows, and the CDC delete count "
+        "across the transition (must equal n_deleted).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_delete_null_predicate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_nulldel_"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, None), (5, "b")],
+            "__row_id long, who string",
+        ),
+    )
+    v2, n_deleted = snap.delete_where(
+        wh, "db", "t", F.col("who") == "b"
+    )
+    latest = snap.read_snapshot(wh, "db", "t")
+    cdc_deletes = (
+        snap.read_changes(wh, "db", "t", v1, v2)
+        .filter(F.col("_change_type") == "delete")
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_deleted,
+                latest.count(),
+                latest.filter(F.col("who").isNull()).count(),
+                cdc_deletes,
+            )
+        ],
+        "n_deleted long, rows_after long, null_rows_kept long, "
+        "cdc_deletes long",
+    )
+
+
+@register(
+    "warehouse_wap_history",
+    """
+    SELECT * FROM (VALUES
+      (CAST(3 AS BIGINT), CAST(1 AS BIGINT), 'wap-publish', true))
+      t(n_versions, n_wap, wap_operation, id_recorded)
+    """,
+    doc="Commit provenance in DESCRIBE HISTORY (snapshots.history + "
+        "commit summaries, new r7 — Iceberg snapshot-summary's "
+        "public design): publish_staged records its staging id in "
+        "the committed manifest's summary, and history() surfaces "
+        "operation/staging_id columns, so WAP publishes are "
+        "auditable as such while ordinary commits carry neither. "
+        "Output: retained version count, WAP-commit count, the "
+        "operation label, and whether the staging id round-trips.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_wap_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_waph_"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(1, 10)], "__row_id long, amount long"),
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(2, 20)], "__row_id long, amount long"),
+    )
+    sid = snap.stage_append(
+        wh, "db", "t",
+        spark.createDataFrame([(3, 30)], "__row_id long, amount long"),
+    )
+    snap.publish_staged(wh, "db", "t", sid)
+    h = snap.history(wh, "db", "t")
+    wap = h.filter(F.col("operation") == "wap-publish")
+    row = wap.collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                h.count(),
+                wap.count(),
+                row["operation"],
+                row["staging_id"] == sid,
+            )
+        ],
+        "n_versions long, n_wap long, wap_operation string, "
+        "id_recorded boolean",
+    )
+
+
+@register(
+    "warehouse_stat_widening_prune",
+    """
+    SELECT * FROM (VALUES
+      (true, CAST(10 AS BIGINT), CAST(80 AS BIGINT)))
+      t(all_shards_cover, pruned_rows, total_rows)
+    """,
+    doc="stat_cols widening on a SHARDED table (snapshots."
+        "_assemble_manifest_entry stale-stats force-open, fixed r7): "
+        "when the requested stat set grows past what a kept shard's "
+        "members carry, the shard force-opens so the transition "
+        "commit's freshly computed stats LAND in rewritten shards — "
+        "previously they were discarded for kept-by-reference shards "
+        "and the next commit's covering shortcut assumed coverage "
+        "that never happened (the new column never pruned on old "
+        "files). Output: whether every shard's rolled-up agg covers "
+        "the widened column, and a pruned read on that column "
+        "planning one file of eight.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_stat_widening_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    old = (snap._SHARD_THRESHOLD, snap._SHARD_SIZE)
+    snap._SHARD_THRESHOLD, snap._SHARD_SIZE = 6, 4
+    try:
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_widen_"))
+        df = spark.range(0, 80).select(
+            F.col("id").alias("__row_id"),
+            F.col("id").alias("k"),
+            (F.col("id") * 100).alias("k2"),
+        )
+        snap.append_versioned(
+            wh, "db", "t", df.repartitionByRange(8, "k"),
+            stat_cols=["k"],
+        )
+        v2 = snap.commit_snapshot(
+            wh, "db", "t", stat_cols=["k", "k2"]
+        )
+        m2 = snap._manifest(wh, "db", "t", v2)
+        covered = all("k2" in r["agg"] for r in m2["shards"])
+        pruned = snap.read_snapshot(
+            wh, "db", "t", prune=("k2", 7900, None)
+        )
+        total = snap.read_snapshot(wh, "db", "t")
+        return spark.createDataFrame(
+            [(covered, pruned.count(), total.count())],
+            "all_shards_cover boolean, pruned_rows long, "
+            "total_rows long",
+        )
+    finally:
+        snap._SHARD_THRESHOLD, snap._SHARD_SIZE = old
