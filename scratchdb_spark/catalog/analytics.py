@@ -1391,3 +1391,35 @@ def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < 10
     )
     return query_ann_index(wh, "db", "emb_idx", q, k=5)
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    _fixture_oracle(
+        "ann_ivfpq_residual_topk",
+        ["query_id", "neighbor_id", "cos_sim", "rank"],
+    ),
+    doc="IVFADC with RESIDUAL encoding (operators/similarity.py::"
+        "ivfpq_residual_topk, new r8 — by_residual=True, the FAISS "
+        "default per Jegou et al. 2011): identical probed-lists "
+        "dataflow to ann_ivfpq_topk, but codes quantize "
+        "v_norm - centroid(cell) against residual-trained codebooks. "
+        "On a clustered corpus residuals concentrate near the "
+        "origin, so the same m*codes budget covers a tighter "
+        "distribution — lower quantization error at the SAME 4-byte "
+        "code size (pytest pins residual recall >= raw on a "
+        "clustered corpus; on the near-uniform synthetic testdata "
+        "raw wins, the documented by_residual trade-off). The ADC "
+        "table becomes per-(query, probed cell) — n_q*nprobe*m*codes "
+        "floats, still closure-broadcast-tiny — and candidate rows "
+        "carry their cid so the kernel picks the right table; no "
+        "stage touches the full corpus. Deterministic -> golden-"
+        "fixture oracle; exact twin ann_cosine_topk.",
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_residual_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, overfetch=4
+    )

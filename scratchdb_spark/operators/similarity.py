@@ -913,16 +913,28 @@ def pq_refine_topk(
 
 
 def _coarse_centroids(corpus, n_centroids, id_col, vec_col):
-    """Deterministic IVF coarse quantizer: the corpus vectors with the
-    ``n_centroids`` smallest ids, unit-normalized (same rule as
-    ivf_topk — engine-independent, so results are oracle-checkable; a
-    k-means refinement drops in by replacing only this function)."""
+    """Deterministic IVF coarse quantizer: the ``n_centroids``
+    corpus vectors with the smallest ids ACTUALLY PRESENT,
+    unit-normalized (same rule as ivf_topk — engine-independent, so
+    results are oracle-checkable; a k-means refinement drops in by
+    replacing only this function). orderBy+limit rather than
+    ``id < n_centroids`` so a corpus with shifted or sparse ids (or
+    one whose low ids were deleted before a rebuild) still yields a
+    full quantizer instead of silently fewer cells."""
     cent = sorted(
         (r[0], r[1])
-        for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).cast("long"), F.col(vec_col))
+        for r in corpus.select(
+            F.col(id_col).cast("long").alias("__cid"), F.col(vec_col)
+        )
+        .orderBy("__cid")
+        .limit(n_centroids)
         .collect()
     )
+    if not cent:
+        raise ValueError(
+            "IVF coarse quantizer needs a non-empty corpus; got zero "
+            f"rows (id_col={id_col!r}, vec_col={vec_col!r})"
+        )
     cent_ids = np.array([c[0] for c in cent], dtype=np.int64)
     C = np.array([np.asarray(c[1], dtype=np.float64) for c in cent])
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -996,20 +1008,26 @@ def _query_probe_tables(queries, books, cent_ids, C, nprobe, id_col, vec_col):
     return qids, tables, probes
 
 
-def _adc_candidates(index, probes, qids, tables, m, nq, spark):
+def _adc_candidates(index, probes, qids, tables, m, nq, spark,
+                    exclude_self=True):
     """Probed-list ADC scan: (query, cell) pairs broadcast-equi-join
     the (vec_id, cid, code) index — candidate volume ~ probed list
     sizes — then per-CANDIDATE table lookups score and a local
     top-``nq`` per query bounds rows leaving each partition. Returns
-    the global top-``nq`` candidate ids per query."""
+    the global top-``nq`` candidate ids per query.
+
+    ``exclude_self`` drops candidates whose vec_id EQUALS the query
+    id — right for corpus-drawn queries (the family convention:
+    "my neighbors, not me"), wrong for EXTERNAL queries whose ids
+    merely coincide with corpus ids; those callers pass False."""
     probe_df = (
         spark.createDataFrame(probes, "query_id long, cids array<long>")
         .select("query_id", F.explode("cids").alias("cid"))
     )
     qidx = {int(qid): i for i, qid in enumerate(qids)}
-    cand = index.join(F.broadcast(probe_df), "cid").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
+    cand = index.join(F.broadcast(probe_df), "cid")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
 
     def adc_score(batches):
         for pdf in batches:
@@ -1148,12 +1166,20 @@ def pq_train_codebooks_residual(
 ) -> np.ndarray:
     """Residual PQ codebooks (IVFADC's by_residual=True, the FAISS
     default): train on r = v_norm - centroid(cell(v)) instead of the
-    raw vectors. Residuals concentrate near the origin — the m*codes
-    codebook budget covers a much tighter distribution than the whole
-    sphere, so quantization error (and therefore candidate-ranking
-    error) drops at the SAME code size. Same determinism contract as
-    pq_train_codebooks: sorted-id bounded sample, first-k init,
-    argmin ties to the lowest index, fixed iterations."""
+    raw vectors. WHEN the corpus is clustered and the coarse cells
+    align with the clusters, residuals concentrate near the origin —
+    the m*codes codebook budget covers a much tighter distribution
+    than the whole sphere, so quantization error (and candidate-
+    ranking error) drops at the SAME code size; pytest pins residual
+    candidate recall >= raw encoding on such a corpus. On data that
+    is near-uniform on the sphere (the synthetic testdata
+    embeddings: best-centroid cos ~ 0.22, mean residual norm ~ 1.25
+    > the unit raw norm) residuals are a WIDER distribution than the
+    vectors themselves and raw encoding wins — which is why
+    ivfpq_topk defaults to by_residual=False. Same determinism
+    contract as pq_train_codebooks: sorted-id bounded sample,
+    first-k init, argmin ties to the lowest index, fixed
+    iterations."""
     rows = (
         corpus.select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
@@ -1225,7 +1251,8 @@ def _assign_encode_residual_df(corpus, books, cent_ids, C, id_col, vec_col):
 
 
 def _adc_candidates_residual(
-    index, probes, qids, Q, books, cent_ids, C, nq, spark
+    index, probes, qids, Q, books, cent_ids, C, nq, spark,
+    exclude_self=True,
 ):
     """Residual-mode ADC scan: the distance table depends on the CELL
     as well as the query — d^2(q, c + b) per subspace — so each query
@@ -1255,9 +1282,9 @@ def _adc_candidates_residual(
         spark.createDataFrame(probes, "query_id long, cids array<long>")
         .select("query_id", F.explode("cids").alias("cid"))
     )
-    cand = index.join(F.broadcast(probe_df), "cid").filter(
-        F.col("query_id") != F.col("vec_id")
-    )
+    cand = index.join(F.broadcast(probe_df), "cid")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("vec_id"))
 
     def adc_score(batches):
         for pdf in batches:
@@ -1308,14 +1335,19 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVFADC with residual encoding (by_residual=True — the FAISS
-    default and the accuracy upgrade ivfpq_topk's docstring names):
-    identical dataflow to ivfpq_topk, but codes quantize
+    default): identical dataflow to ivfpq_topk, but codes quantize
     v_norm - centroid(cell) against residual-trained codebooks, and
     the per-query ADC table becomes per-(query, probed cell) —
     n_q * nprobe * m * codes floats, still closure-broadcast-tiny.
-    The tighter residual distribution buys lower quantization error
-    at the SAME 4-byte code size (pytest pins candidate-stage recall
-    >= the raw-encoding variant). Exact refine unchanged."""
+    On a CLUSTERED corpus the tighter residual distribution buys
+    lower quantization error at the SAME 4-byte code size (pytest
+    pins candidate recall >= the raw-encoding variant on a clustered
+    corpus whose coarse cells align with its clusters); on data
+    near-uniform on the sphere residuals are WIDER than the unit
+    vectors and raw encoding wins (measured on the synthetic
+    testdata: raw 0.72-0.74 vs residual 0.70 recall@5 — see
+    pq_train_codebooks_residual for the geometry). Pick per corpus,
+    exactly as FAISS exposes by_residual. Exact refine unchanged."""
     cent_ids, C = _coarse_centroids(corpus, n_centroids, id_col, vec_col)
     books = pq_train_codebooks_residual(
         corpus, cent_ids, C, m=m, codes=codes,

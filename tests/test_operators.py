@@ -1699,3 +1699,87 @@ def test_ann_index_incremental_matches_frozen_rebuild(spark, sf_dir, tmp_path):
         k=5,
     ).collect()
     assert wide  # new vectors are first-class query targets
+
+
+def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark):
+    """by_residual=True's contract, pinned in its regime: on a
+    corpus of tight clusters whose coarse cells align with the
+    clusters, residuals concentrate near the origin and the SAME
+    m*codes budget quantizes them with less error — so residual-
+    encoded IVFADC recall must be >= the raw-encoding variant at an
+    equal candidate budget. (On the near-uniform synthetic testdata
+    the inequality flips — mean residual norm 1.25 > the unit raw
+    norm — which is why ivfpq_topk defaults to raw encoding; see
+    pq_train_codebooks_residual's docstring.) Corpus is seeded and
+    the pipeline deterministic, so this is an exact pin, not a
+    statistical one."""
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for ci in range(8):
+        P = centers[ci] + 0.12 * rng.normal(size=(40, 32))
+        for j in range(40):
+            # interleaved ids: the 8 smallest ids (the deterministic
+            # coarse centroids) span all 8 clusters
+            rows.append((j * 8 + ci, [float(x) for x in P[j]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") >= 312)  # one query per cluster
+    kw = dict(k=5, overfetch=4, n_centroids=8, nprobe=2, m=4, codes=16)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    res_rows = ivfpq_residual_topk(emb, q, **kw).collect()
+    res = {(r["query_id"], r["neighbor_id"]) for r in res_rows}
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, q, **kw).collect()
+    }
+    recall_res = len(res & exact) / len(exact)
+    recall_raw = len(raw & exact) / len(exact)
+    assert recall_res >= recall_raw, (
+        f"residual recall {recall_res} below raw {recall_raw} on a "
+        "clustered corpus — by_residual's home regime"
+    )
+    assert recall_res >= 0.8  # absolute floor, not just relative
+    # partition invariance (fixture-oracle prerequisite)
+    inv = ivfpq_residual_topk(emb.repartition(7), q, **kw).collect()
+    assert sorted(map(str, inv)) == sorted(map(str, res_rows))
+
+
+def test_ivfpq_residual_exact_metric_and_invariance_on_testdata(
+    spark, sf_dir
+):
+    """The residual variant's refine stage reports the EXACT cosine
+    (matches brute force on overlapping pairs), and the whole
+    pipeline is partition-invariant on the driver-checked corpus —
+    the prerequisites for its golden-fixture oracle."""
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_residual_topk,
+    )
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    rows = ivfpq_residual_topk(emb, q, k=5, overfetch=4).collect()
+    assert rows
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(r["cos_sim"] - exact[key]) < 1e-5
+    inv = ivfpq_residual_topk(
+        emb.repartition(7), q, k=5, overfetch=4
+    ).collect()
+    assert sorted(map(str, inv)) == sorted(map(str, rows))

@@ -45,6 +45,7 @@ FIXTURE_NAMES = [
     "ann_pq_refine_topk",
     "ann_ivfpq_topk",
     "ann_index_incremental",
+    "ann_ivfpq_residual_topk",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
