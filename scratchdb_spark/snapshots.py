@@ -644,6 +644,95 @@ def append_versioned(
     return commit_snapshot(wh, database, table, stat_cols=stat_cols)
 
 
+def overwrite_versioned(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    batch: DataFrame,
+    stat_cols: list[str] | None = None,
+    summary: dict | None = None,
+    cdc: bool = True,
+) -> int:
+    """INSERT OVERWRITE as ONE atomic commit: ``batch`` replaces the
+    table's ENTIRE content, and the single manifest PUT is the only
+    visibility point — a concurrent reader sees the old complete
+    snapshot or the new one, never an empty table and never a mix
+    (the delete-everything-then-append sequence this replaces had
+    both failure modes). A crash before the PUT leaves the old table
+    intact plus reclaimable orphans. Returns the committed version.
+
+    The batch keeps ITS OWN partitioning/ordering — callers cluster
+    before the call (e.g. repartitionByRange on the layout key) and
+    the written files inherit it, so zone-map stats stay selective.
+    The batch aligns to the current table schema (try_cast, missing
+    -> NULL; new columns refused — evolve via append first). On a
+    table that is not yet snapshot-managed this is just the creating
+    append, committed with the same summary.
+
+    ``cdc=False`` skips writing change files (delete preimages of
+    every old row + insert postimages of every new row — table-sized,
+    like the overwrite itself). Use it ONLY for derived tables with
+    no CDC consumers: batch read_changes still diffs correctly from
+    the manifests alone, but a STREAMING cursor crossing the version
+    gets the loud removed-files-without-change-files error instead of
+    a silent wrong feed."""
+    from pyspark.sql import functions as F
+
+    vs = versions(wh, database, table)
+    if not vs:
+        wh.append_aligned(database, table, batch)
+        return commit_snapshot(
+            wh, database, table, stat_cols=stat_cols, summary=summary
+        )
+    base = wh._path(database, table)
+    prev = _manifest(wh, database, table, vs[-1])
+    schema = wh.schema(database, table)
+    known = {f.name for f in schema.fields}
+    extra = [c for c in batch.columns if c not in known]
+    if extra:
+        raise ValueError(
+            f"overwrite cannot add columns {extra}; evolve the table "
+            "with a regular append first"
+        )
+    aligned = batch.select(
+        *[
+            (
+                F.col(f.name).try_cast(f.dataType)
+                if f.name in batch.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    prev_files = _manifest_files(wh, database, table, prev)
+    changes: list[str] = []
+    if cdc and prev_files:
+        old = wh.spark.read.schema(schema).parquet(
+            *[f"{base}/{n}" for n in prev_files]
+        )
+        changes = _write_changes(
+            wh,
+            database,
+            table,
+            old.withColumn("_change_type", F.lit("delete")).unionByName(
+                aligned.withColumn("_change_type", F.lit("insert"))
+            ),
+        )
+    rewritten = _cow_rewrite(wh, base, aligned, prefix="ow")
+    if stat_cols is not None and set(stat_cols) != set(
+        prev.get("stat_cols", [])
+    ):
+        # stat-column change rides the overwrite: every file is fresh,
+        # so recording the new columns costs nothing extra
+        prev = dict(prev)
+        prev["stat_cols"] = list(stat_cols)
+    next_v = _cow_commit(
+        wh, database, table, prev, prev_files, rewritten, changes,
+        summary=summary,
+    )
+    return next_v
+
+
 def _range_survives(rng, lo, hi) -> bool:
     """File-skip decision for a range predicate [lo, hi] (either bound
     None = open) against a recorded [min, max]. Pure function — the
@@ -951,11 +1040,91 @@ def expire_snapshots(
     return expired
 
 
+def _cow_rewrite(wh: Warehouse, base: str, df: DataFrame,
+                 prefix: str = "cow") -> list[str]:
+    """COW rewrite helper shared by DELETE/MERGE/OVERWRITE/compaction:
+    land ``df`` in a temp dir under ``_snapshots``, rename the parquet
+    files into the table under fresh unique names (never colliding
+    with live files), return the new names. The files are INVISIBLE
+    to snapshot readers until a manifest PUT references them; a
+    pre-commit failure leaves the live table untouched."""
+    import uuid
+
+    tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    rewritten = []
+    for n in hfs.list_names(wh.spark, tmp):
+        if n.endswith(".parquet"):
+            new_name = f"{prefix}-{uuid.uuid4().hex}-{n}"
+            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
+                # pre-commit failure: the live table is untouched (no
+                # manifest references the partial rewrite); raise
+                # rather than commit a manifest naming a missing file
+                raise IOError(
+                    f"COW rewrite rename failed: {tmp}/{n} -> "
+                    f"{base}/{new_name}"
+                )
+            rewritten.append(new_name)
+    hfs.delete(wh.spark, tmp)
+    return rewritten
+
+
+def _cow_commit(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    prev: dict,
+    affected,
+    rewritten: list[str],
+    changes: list[str],
+    summary: dict | None = None,
+) -> int:
+    """Commit a COW file swap (``affected`` out, ``rewritten`` in) as
+    the next version — the single atomic manifest PUT shared by
+    DELETE/MERGE/OVERWRITE. Untouched files carry over with their
+    stats; replaced files join the cumulative ``retired`` set so
+    commit_snapshot never re-adopts them."""
+    from pyspark.sql import types as T
+
+    base = wh._path(database, table)
+    schema = T.StructType.fromJson(json.loads(prev["schema"]))
+    prev_files = _manifest_files(wh, database, table, prev)
+    affected = set(affected)
+    new_files = sorted(
+        [f for f in prev_files if f not in affected] + rewritten
+    )
+    next_v = _next_version(wh, database, table)
+    cols = prev.get("stat_cols", [])
+    manifest = {
+        "version": next_v,
+        # replaced files stay on disk for older versions;
+        # commit_snapshot must never re-adopt them
+        "retired": sorted(set(prev.get("retired", [])) | affected),
+        "schema": prev["schema"],
+        "changes": changes,
+        **_assemble_manifest_entry(
+            wh, database, table, prev, new_files,
+            added=rewritten, removed=affected,
+            fresh_stats=(
+                _file_stats(wh, base, rewritten, schema, cols)
+                if cols
+                else {}
+            ),
+            cols=cols,
+        ),
+    }
+    if summary:
+        manifest["summary"] = dict(summary)
+    _put_manifest(wh, database, table, manifest)
+    return next_v
+
+
 def delete_where(
     wh: Warehouse,
     database: str,
     table: str,
     predicate,
+    summary: dict | None = None,
 ) -> tuple[int, int]:
     """Row-level DELETE via copy-on-write, the takedown primitive a
     training-data pipeline needs (opt-outs, contamination, PII): files
@@ -1022,62 +1191,114 @@ def delete_where(
         .parquet(*[f"{base}/{n}" for n in affected])
         .filter(~pred_true)
     )
-    # rewrite survivors into fresh files under a unique prefix (never
-    # collides with live names), then commit a manifest that swaps
-    # affected -> rewritten; data-file writes before the manifest PUT
-    # are invisible until the commit, so readers never see a partial
-    # delete
-    import uuid
-
-    tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
-    keep.write.mode("overwrite").parquet(tmp)
-    rewritten = []
-    for n in hfs.list_names(wh.spark, tmp):
-        if n.endswith(".parquet"):
-            new_name = f"cow-{uuid.uuid4().hex}-{n}"
-            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
-                # pre-commit failure: the live table is untouched (no
-                # manifest references the partial rewrite); raise
-                # rather than commit a manifest naming a missing file
-                raise IOError(
-                    f"COW rewrite rename failed: {tmp}/{n} -> "
-                    f"{base}/{new_name}"
-                )
-            rewritten.append(new_name)
-    hfs.delete(wh.spark, tmp)
-
+    # rewrite survivors into fresh files, then commit a manifest that
+    # swaps affected -> rewritten; data-file writes before the
+    # manifest PUT are invisible until the commit, so readers never
+    # see a partial delete
+    rewritten = _cow_rewrite(wh, base, keep)
     prev = _manifest(wh, database, table, vs[-1])
-    prev_files = _manifest_files(wh, database, table, prev)
-    new_files = sorted(
-        [f for f in prev_files if f not in set(affected)] + rewritten
+    next_v = _cow_commit(
+        wh, database, table, prev, affected, rewritten, changes,
+        summary=summary,
     )
-    next_v = _next_version(wh, database, table)
-    cols = prev.get("stat_cols", [])
-    manifest = {
-        "version": next_v,
-        # replaced files stay on disk for older versions;
-        # commit_snapshot must never re-adopt them
-        "retired": sorted(
-            set(prev.get("retired", [])) | set(affected)
-        ),
-        "schema": prev["schema"],
-        "changes": changes,
-        **_assemble_manifest_entry(
-            wh, database, table, prev, new_files,
-            added=rewritten, removed=set(affected),
-            fresh_stats=(
-                _file_stats(wh, base, rewritten, schema, cols)
-                if cols
-                else {}
-            ),
-            cols=cols,
-        ),
-    }
-    _put_manifest(wh, database, table, manifest)
     # deleted-row count from the change files' parquet FOOTERS (row
     # counts only, no data scan) — the old before/after counting cost
     # two FULL table scans per delete, table-size work for a
     # churn-size operation
+    n_deleted = (
+        wh.spark.read.parquet(
+            *[
+                f"{_snap_dir(wh, database, table)}/{rel}"
+                for rel in changes
+            ]
+        ).count()
+        if changes
+        else 0
+    )
+    return next_v, n_deleted
+
+
+def delete_keys(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    keys: DataFrame,
+    key_col: str,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """Row-level DELETE by KEY SET via copy-on-write: every row whose
+    ``key_col`` appears in ``keys`` is removed. Returns
+    (new_version, rows_deleted).
+
+    This is the mass-takedown form of delete_where: the key set stays
+    a DataFrame END-TO-END — affected files tag via a semi-join,
+    survivors via an anti-join (AQE broadcasts the key side when it
+    is small, shuffles when it is not) — so a 10^6-row GDPR/opt-out
+    delete plans like any join instead of becoming a 10^6-element
+    Catalyst IN-list literal that stalls the analyzer and bloats the
+    driver. Same visibility contract as delete_where: files
+    containing matching rows are rewritten without them, the manifest
+    PUT is the single atomic commit point, old versions still see the
+    deleted rows, and the exact deleted rows land in the change feed.
+    """
+    from pyspark.sql import functions as F
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    base = wh._path(database, table)
+    current = read_snapshot(wh, database, table)
+    schema = current.schema
+    if key_col not in current.columns:
+        raise ValueError(
+            f"key column {key_col!r} not in {database}.{table} "
+            f"columns {current.columns}"
+        )
+    # align the key frame to the table's key type so the joins below
+    # are equi-joins on identical types (no implicit cross-type casts)
+    key_type = schema[key_col].dataType
+    keys_d = (
+        keys.select(F.col(keys.columns[0]).alias(key_col))
+        if len(keys.columns) == 1 and key_col not in keys.columns
+        else keys.select(key_col)
+    ).select(F.col(key_col).try_cast(key_type).alias(key_col)).distinct()
+
+    tagged = current.withColumn("__file", F.input_file_name())
+    affected = sorted(
+        r["__file"].rsplit("/", 1)[-1]
+        for r in tagged.join(keys_d, key_col, "semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return vs[-1], 0
+
+    affected_df = wh.spark.read.schema(schema).parquet(
+        *[f"{base}/{n}" for n in affected]
+    )
+    # change feed: the exact deleted rows (delete preimages), then
+    # survivors rewritten — both churn-proportional (affected files
+    # only); everything is invisible until the manifest PUT
+    changes = _write_changes(
+        wh,
+        database,
+        table,
+        affected_df.join(keys_d, key_col, "semi").withColumn(
+            "_change_type", F.lit("delete")
+        ),
+    )
+    rewritten = _cow_rewrite(
+        wh, base, affected_df.join(keys_d, key_col, "anti")
+    )
+    prev = _manifest(wh, database, table, vs[-1])
+    next_v = _cow_commit(
+        wh, database, table, prev, affected, rewritten, changes,
+        summary=summary,
+    )
     n_deleted = (
         wh.spark.read.parquet(
             *[
@@ -1097,6 +1318,7 @@ def merge_upsert(
     table: str,
     updates: DataFrame,
     key_col: str,
+    summary: dict | None = None,
 ) -> tuple[int, int, int]:
     """MERGE (latest-wins upsert) via copy-on-write: rows whose
     ``key_col`` matches an update are REPLACED, unmatched update rows
@@ -1178,53 +1400,12 @@ def merge_upsert(
         ),
     )
 
-    import uuid
-
-    tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
-    rewrite.write.mode("overwrite").parquet(tmp)
-    rewritten = []
-    for n in hfs.list_names(wh.spark, tmp):
-        if n.endswith(".parquet"):
-            new_name = f"cow-{uuid.uuid4().hex}-{n}"
-            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
-                # pre-commit failure: the live table is untouched (no
-                # manifest references the partial rewrite); raise
-                # rather than commit a manifest naming a missing file
-                raise IOError(
-                    f"COW rewrite rename failed: {tmp}/{n} -> "
-                    f"{base}/{new_name}"
-                )
-            rewritten.append(new_name)
-    hfs.delete(wh.spark, tmp)
-
+    rewritten = _cow_rewrite(wh, base, rewrite)
     prev = _manifest(wh, database, table, vs[-1])
-    prev_files = _manifest_files(wh, database, table, prev)
-    new_files = sorted(
-        [f for f in prev_files if f not in set(affected)] + rewritten
+    next_v = _cow_commit(
+        wh, database, table, prev, affected, rewritten, changes,
+        summary=summary,
     )
-    next_v = _next_version(wh, database, table)
-    cols = prev.get("stat_cols", [])
-    manifest = {
-        "version": next_v,
-        # replaced files stay on disk for older versions;
-        # commit_snapshot must never re-adopt them
-        "retired": sorted(
-            set(prev.get("retired", [])) | set(affected)
-        ),
-        "schema": prev["schema"],
-        "changes": changes,
-        **_assemble_manifest_entry(
-            wh, database, table, prev, new_files,
-            added=rewritten, removed=set(affected),
-            fresh_stats=(
-                _file_stats(wh, base, rewritten, schema, cols)
-                if cols
-                else {}
-            ),
-            cols=cols,
-        ),
-    }
-    _put_manifest(wh, database, table, manifest)
     return next_v, n_updated, n_inserted
 
 
@@ -1424,44 +1605,14 @@ def compact_small_files(
     else:
         out = src.coalesce(n_target)
 
-    import uuid
-
-    tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
-    out.write.mode("overwrite").parquet(tmp)
-    rewritten = []
-    for n in hfs.list_names(wh.spark, tmp):
-        if n.endswith(".parquet"):
-            new_name = f"pack-{uuid.uuid4().hex}-{n}"
-            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
-                raise IOError(
-                    f"binpack rewrite rename failed: {tmp}/{n} -> "
-                    f"{base}/{new_name}"
-                )
-            rewritten.append(new_name)
-    hfs.delete(wh.spark, tmp)
-
+    rewritten = _cow_rewrite(wh, base, out, prefix="pack")
     new_files = sorted(
         [n for n in files if n not in set(small)] + rewritten
     )
-    next_v = _next_version(wh, database, table)
-    cols = prev.get("stat_cols", [])
-    manifest = {
-        "version": next_v,
-        "retired": sorted(set(prev.get("retired", [])) | set(small)),
-        "schema": prev["schema"],
-        "changes": [],  # content-preserving: zero CDC rows
-        **_assemble_manifest_entry(
-            wh, database, table, prev, new_files,
-            added=rewritten, removed=set(small),
-            fresh_stats=(
-                _file_stats(wh, base, rewritten, schema, cols)
-                if cols
-                else {}
-            ),
-            cols=cols,
-        ),
-    }
-    _put_manifest(wh, database, table, manifest)
+    # content-preserving: zero CDC rows (explicit empty change set)
+    next_v = _cow_commit(
+        wh, database, table, prev, set(small), rewritten, [],
+    )
     return {
         "version": next_v,
         "files_rewritten": len(small),
@@ -1478,6 +1629,7 @@ def maintain_table(
     zorder_cols: list[str] | None = None,
     target_file_bytes: int | None = None,
     reclaim_grace_ms: int = 600_000,
+    summary: dict | None = None,
 ) -> dict:
     """Periodic maintenance for a snapshot-managed table: TRUNCATES
     history to one fresh snapshot of the compacted layout. Returns
@@ -1572,22 +1724,7 @@ def maintain_table(
 
     # COW rewrite: land in a temp dir, rename into the table under
     # fresh names (invisible to snapshot readers until the PUT)
-    tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
-    out.write.mode("overwrite").parquet(tmp)
-    rewritten = []
-    for n in hfs.list_names(wh.spark, tmp):
-        if n.endswith(".parquet"):
-            new_name = f"compact-{uuid.uuid4().hex}-{n}"
-            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
-                # pre-commit failure: the live table is untouched (no
-                # manifest references the partial rewrite); raise
-                # rather than commit a manifest naming a missing file
-                raise IOError(
-                    f"COW rewrite rename failed: {tmp}/{n} -> "
-                    f"{base}/{new_name}"
-                )
-            rewritten.append(new_name)
-    hfs.delete(wh.spark, tmp)
+    rewritten = _cow_rewrite(wh, base, out, prefix="compact")
 
     next_v = _next_version(wh, database, table)
     # recompute zone maps for the compacted layout: range-clustering on
@@ -1625,6 +1762,12 @@ def maintain_table(
             fresh_stats=stats, cols=cols,
         ),
     }
+    if summary:
+        # provenance on the truncated-to-one snapshot (and anything a
+        # derived-table maintainer must re-pin across the truncation,
+        # e.g. the ANN index's quantizer-sidecar pointer — history
+        # before this version is gone, so the pointer must ride HERE)
+        new_manifest["summary"] = dict(summary)
     _put_manifest(wh, database, table, new_manifest)
     # capture the change-dir / shard references of every manifest
     # ABOUT TO BE expired: those are definitively dead the moment

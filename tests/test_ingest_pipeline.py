@@ -1998,3 +1998,188 @@ def test_stat_cols_widening_backfills_kept_shards(
         ).count()
         == 1
     )
+
+
+def test_delete_keys_matches_delete_where_and_feeds_cdc(spark, tmp_path):
+    """delete_keys (keys-frame COW delete): same semantics as a
+    delete_where isin over the same ids — rows gone, old versions
+    still see them, exact delete preimages in the change feed — but
+    the key set rides a JOIN, never a Catalyst IN-list literal.
+    Also pins summary provenance in DESCRIBE HISTORY."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [(i, i % 7) for i in range(500)]
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(rows, "__row_id long, grp long"),
+    )
+    v1 = snap.versions(wh, "db", "t")[-1]
+    keys = spark.range(100, 200).select(F.col("id").alias("__row_id"))
+    v2, n = snap.delete_keys(
+        wh, "db", "t", keys, "__row_id",
+        summary={"operation": "keyed-delete", "reason": "test"},
+    )
+    assert n == 100
+    live = snap.read_snapshot(wh, "db", "t")
+    assert live.count() == 400
+    assert live.filter(
+        (F.col("__row_id") >= 100) & (F.col("__row_id") < 200)
+    ).count() == 0
+    # time travel: the pre-delete version still sees every row
+    assert snap.read_snapshot(wh, "db", "t", version=v1).count() == 500
+    # CDC: exactly the deleted rows, as delete preimages
+    ch = snap.read_changes(wh, "db", "t", v1, v2)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 100
+    assert ch.filter(F.col("_change_type") == "insert").count() == 0
+    # provenance surfaced by DESCRIBE HISTORY
+    hist = {
+        r["version"]: r["operation"]
+        for r in snap.history(wh, "db", "t").collect()
+    }
+    assert hist[v2] == "keyed-delete"
+    # a keys frame with a differently-named single column still works
+    v3, n3 = snap.delete_keys(
+        wh, "db", "t", spark.range(200, 210), "__row_id"
+    )
+    assert n3 == 10 and snap.read_snapshot(wh, "db", "t").count() == 390
+    # no-match key set: no new version, zero deleted
+    v4, n4 = snap.delete_keys(
+        wh, "db", "t", spark.range(10_000, 10_100), "__row_id"
+    )
+    assert (v4, n4) == (v3, 0)
+
+
+def test_delete_keys_mass_takedown_no_driver_literal(spark, tmp_path):
+    """The GDPR/mass-opt-out shape: a 100k-id delete set. The key set
+    is a DataFrame end-to-end (spark.range here — the ids NEVER
+    exist driver-side), so this plans as an anti-join; the old
+    collect+isin funnel would have built a 100k-element Catalyst
+    literal. Correctness pinned by exact counts and survivors."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "big",
+        spark.range(200_000).select(
+            F.col("id").alias("__row_id"),
+            (F.col("id") % 97).alias("grp"),
+        ),
+    )
+    keys = spark.range(0, 200_000, 2).select(
+        F.col("id").alias("__row_id")
+    )  # 100k even ids, never materialized on the driver
+    v, n = snap.delete_keys(wh, "db", "big", keys, "__row_id")
+    assert n == 100_000
+    live = snap.read_snapshot(wh, "db", "big")
+    assert live.count() == 100_000
+    assert live.filter(F.col("__row_id") % 2 == 0).count() == 0
+
+
+def test_overwrite_versioned_is_one_atomic_commit(spark, tmp_path):
+    """overwrite_versioned: the entire table content swaps in ONE
+    manifest PUT — exactly one new version appears, time travel
+    still serves the old content, batch CDC yields the full
+    delete+insert transition, and the summary lands in history.
+    The delete-everything-then-append sequence this replaces took
+    two commits with an empty-table window between them."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "__row_id long, tag string"
+        ),
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(3, "c")], "__row_id long, tag string"),
+    )
+    vs_before = snap.versions(wh, "db", "t")
+    v_old = vs_before[-1]
+    new = spark.createDataFrame(
+        [(10, "x"), (11, "y")], "__row_id long, tag string"
+    )
+    v_new = snap.overwrite_versioned(
+        wh, "db", "t", new, summary={"operation": "rebuild"}
+    )
+    vs_after = snap.versions(wh, "db", "t")
+    # exactly ONE commit — no intermediate empty-table version
+    assert vs_after == vs_before + [v_new]
+    got = sorted(
+        (r["__row_id"], r["tag"])
+        for r in snap.read_snapshot(wh, "db", "t").collect()
+    )
+    assert got == [(10, "x"), (11, "y")]
+    # old version intact
+    assert snap.read_snapshot(wh, "db", "t", version=v_old).count() == 3
+    # CDC across the overwrite: 3 deletes + 2 inserts
+    ch = snap.read_changes(wh, "db", "t", v_old, v_new)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 3
+    assert ch.filter(F.col("_change_type") == "insert").count() == 2
+    hist = {
+        r["version"]: r["operation"]
+        for r in snap.history(wh, "db", "t").collect()
+    }
+    assert hist[v_new] == "rebuild"
+    # schema contract: new columns are refused (evolve via append)
+    with pytest.raises(ValueError, match="cannot add columns"):
+        snap.overwrite_versioned(
+            wh, "db", "t",
+            spark.createDataFrame([(1, 2)], "__row_id long, extra long"),
+        )
+    # a fresh (never-committed) table: overwrite IS the creating
+    # append, still one commit, summary preserved
+    v0 = snap.overwrite_versioned(
+        wh, "db", "t2", new, summary={"operation": "rebuild"}
+    )
+    assert snap.read_snapshot(wh, "db", "t2").count() == 2
+    assert snap.versions(wh, "db", "t2") == [v0]
+
+
+def test_overwrite_versioned_cdc_false_manifest_diff_still_exact(
+    spark, tmp_path
+):
+    """cdc=False (derived tables nobody streams): no change files are
+    written, but batch read_changes still reconstructs the exact
+    transition from the manifest diff alone — and the overwrite
+    keeps its clustering, so zone-map stats prune on the new layout."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.range(100).select(
+            F.col("id").alias("__row_id"), (F.col("id") % 5).alias("cell")
+        ),
+        stat_cols=["cell"],
+    )
+    v1 = snap.versions(wh, "db", "t")[-1]
+    new = spark.range(100, 160).select(
+        F.col("id").alias("__row_id"), (F.col("id") % 3).alias("cell")
+    )
+    v2 = snap.overwrite_versioned(
+        wh, "db", "t",
+        new.repartitionByRange(3, "cell").sortWithinPartitions("cell"),
+        cdc=False,
+    )
+    m = snap._manifest(wh, "db", "t", v2)
+    assert m.get("changes") == []
+    ch = snap.read_changes(wh, "db", "t", v1, v2)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 100
+    assert ch.filter(F.col("_change_type") == "insert").count() == 60
+    # stats carried: equality pruning plans fewer files than the table
+    all_files = snap._manifest_files(wh, "db", "t", m)
+    planned = snap._plan_files(
+        wh, "db", "t", m, None, ("cell", 0)
+    )
+    assert len(planned) < len(all_files)
