@@ -1341,15 +1341,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "neighbor_id", "cos_sim", "rank"],
     ),
     doc="Persistent IVFADC index with CDC-driven refresh "
-        "(operators/ann_index.py, new r7): the (vec_id, cid, code) "
-        "table is built once from a source snapshot — range-clustered "
-        "by cell id with zone-map stats, codebooks frozen in an "
-        "atomic sidecar — then the source takes a COW delete AND a "
-        "new-vector append, and refresh_ann_index replays only the "
-        "CDC window (snapshots.read_changes): net-deleted ids COW-"
-        "delete from the index, inserted ids re-encode under the "
-        "frozen quantizers and MERGE on the id — churn-proportional, "
-        "never a corpus re-encode. The query plans ONLY probed cells "
+        "(operators/ann_index.py, new r7; hardened r8): the "
+        "(vec_id, cid, code) table is built as ONE atomic overwrite "
+        "commit — range-clustered by cell id with zone-map stats, "
+        "codebooks frozen in a content-addressed sidecar the "
+        "manifest summary pins, so a concurrent reader never sees "
+        "an empty index or new codes against old codebooks — then "
+        "the source takes a COW delete AND a new-vector append, and "
+        "refresh_ann_index replays only the CDC window "
+        "(snapshots.read_changes): net-deleted ids leave via a "
+        "KEYS-FRAME COW delete (anti-join, never a driver IN-list "
+        "literal), inserted ids re-encode under the frozen "
+        "quantizers and MERGE on the id — churn-proportional, never "
+        "a corpus re-encode; the advanced-src_version sidecar stamps "
+        "LAST (crash-safe replay). The query plans ONLY probed cells "
         "via IN-list manifest pruning (prune_eq cid), ADC-scores the "
         "surviving files' rows, and exact-refines against the "
         "source's current snapshot. Deleted neighbors vanish from "

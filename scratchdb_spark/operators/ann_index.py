@@ -10,22 +10,40 @@ changes by a fraction of a percent per day. This module persists the
   range-clustered by cell id with zone-map stats on ``cid`` — the
   manifest then FILE-SKIPS unprobed cells at query time (an inverted
   file realized as data layout + manifest pruning, the same mechanism
-  Iceberg/Delta use for partition-ish pruning);
+  Iceberg/Delta use for partition-ish pruning). A REBUILD is ONE
+  atomic overwrite commit (snapshots.overwrite_versioned): a
+  concurrent query sees the old complete index or the new one, never
+  an empty table and never new codes decoded against old codebooks;
 - REFRESH reads the source table's CDC feed (snapshots.read_changes)
   between the index's recorded source version and the current one and
-  applies churn-sized DML to the index: COW deletes for removed ids,
-  a keyed MERGE for inserted/updated ids re-encoded under the FROZEN
-  codebooks — cost proportional to source churn, never corpus size
-  (re-training/re-clustering is a rebuild, as in FAISS practice);
+  applies churn-sized DML to the index: a KEYS-FRAME COW delete for
+  removed ids (snapshots.delete_keys — the id set stays a DataFrame
+  end-to-end, so a 10^6-id takedown plans as an anti-join, never a
+  driver IN-list literal), and a keyed MERGE for inserted/updated ids
+  re-encoded under the FROZEN codebooks — cost proportional to source
+  churn, never corpus size (re-training/re-clustering is a rebuild,
+  as in FAISS practice);
 - QUERY plans the probed cells through ``prune_eq=('cid', [cells])``
   (IN-list manifest pruning), ADC-scores only the surviving files'
-  rows, and exact-refines against the source embeddings.
+  rows, and exact-refines against the source embeddings;
+- MAINTAIN (maintain_ann_index) re-clusters the index on ``cid``
+  after refresh churn: repeated MERGEs write files OUTSIDE the
+  original cid-range clustering, eroding the file-skipping that makes
+  queries cheap — periodic maintenance restores fresh-build pruning
+  (pytest pins files-planned after N refresh cycles == a fresh
+  build). Run it on the same cadence you'd run OPTIMIZE on a
+  clustered lakehouse table.
 
-Codebooks/centroids live in a ``_ann_index.json`` sidecar next to the
-index table (atomic PUT, same visibility contract as the schema
-sidecar). Frozen quantizers are what make incremental refresh sound:
-codes written in different refreshes are comparable because they
-quantize against the same geometry.
+Quantizer visibility contract: codebooks/centroids live in a
+content-addressed sidecar (``_ann_meta-<id>.json``) written BEFORE
+the commit that references it; each build/refresh/maintain commit
+records its sidecar name in the manifest SUMMARY. A reader resolves
+the manifest FIRST and then loads exactly the sidecar that manifest's
+chain names, so quantizers and codes can never disagree — the manifest
+PUT is the single visibility point for both. Frozen quantizers are
+what make incremental refresh sound: codes written in different
+refreshes are comparable because they quantize against the same
+geometry.
 
 Reference parity: the reference has no vector indexes; this extends
 SURVEY §2's similarity-search family to the serving shape a training-
@@ -36,6 +54,7 @@ query by reading ~nprobe/n_centroids of the code table).
 from __future__ import annotations
 
 import json
+import uuid
 
 import numpy as np
 
@@ -54,21 +73,88 @@ from .similarity import (
     pq_train_codebooks,
 )
 
-_META = "_ann_index.json"
+_META_PREFIX = "_ann_meta-"
 
 
-def _meta_path(wh: Warehouse, database: str, index_table: str) -> str:
-    return f"{wh._path(database, index_table)}/{_META}"
+def _put_meta(wh: Warehouse, database: str, index_table: str,
+              meta: dict) -> str:
+    """Write a content-addressed quantizer sidecar. Unreferenced until
+    some commit's summary names it — writing it first is what makes
+    the later manifest PUT the single atomic visibility point for
+    data AND quantizers."""
+    name = f"{_META_PREFIX}{uuid.uuid4().hex[:16]}.json"
+    hfs.put_text_atomic(
+        wh.spark,
+        f"{wh._path(database, index_table)}/{name}",
+        json.dumps(meta, separators=(",", ":")),
+    )
+    return name
 
 
-def _load_meta(wh: Warehouse, database: str, index_table: str) -> dict:
+def _load_meta(
+    wh: Warehouse, database: str, index_table: str,
+    version: int | None = None,
+) -> dict:
+    """Resolve the quantizer sidecar AS OF an index version: walk the
+    manifest chain from ``version`` (latest when None) back to the
+    newest commit whose summary names a sidecar, and load exactly
+    that file. Every build/refresh/maintain stamps its final commit,
+    so the walk is O(1-2) manifest reads in steady state (bounded by
+    commits since the last stamped one)."""
+    vs = snap.versions(wh, database, index_table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{index_table} has no snapshots — "
+            "build_ann_index first"
+        )
+    v = vs[-1] if version is None else version
+    name = None
+    for u in reversed([x for x in vs if x <= v]):
+        summ = snap._manifest(wh, database, index_table, u).get(
+            "summary", {}
+        )
+        if "ann_meta_file" in summ:
+            name = summ["ann_meta_file"]
+            break
+    if name is None:
+        raise ValueError(
+            f"{database}.{index_table} has no ANN sidecar commit in "
+            f"its retained history (versions {vs}) — not an ANN index "
+            "table, or its build commit was expired without a "
+            "maintain_ann_index re-stamp"
+        )
     meta = json.loads(
-        hfs.read_text(wh.spark, _meta_path(wh, database, index_table))
+        hfs.read_text(
+            wh.spark, f"{wh._path(database, index_table)}/{name}"
+        )
     )
     meta["books"] = np.array(meta["books"], dtype=np.float64)
     meta["cent_ids"] = np.array(meta["cent_ids"], dtype=np.int64)
     meta["centroids"] = np.array(meta["centroids"], dtype=np.float64)
+    meta["meta_file"] = name
     return meta
+
+
+def _gc_meta_files(wh: Warehouse, database: str, index_table: str) -> int:
+    """Delete sidecars no RETAINED manifest references (rebuilds and
+    maintenance truncations strand the old ones). Runs only inside
+    the single maintenance writer (build/maintain), after its commit
+    — a sidecar referenced by any retained manifest survives, so
+    readers of retained versions never lose their quantizers."""
+    base = wh._path(database, index_table)
+    referenced = set()
+    for v in snap.versions(wh, database, index_table):
+        summ = snap._manifest(wh, database, index_table, v).get(
+            "summary", {}
+        )
+        if "ann_meta_file" in summ:
+            referenced.add(summ["ann_meta_file"])
+    n = 0
+    for name in hfs.list_names(wh.spark, base):
+        if name.startswith(_META_PREFIX) and name not in referenced:
+            hfs.delete(wh.spark, f"{base}/{name}", recursive=False)
+            n += 1
+    return n
 
 
 def build_ann_index(
@@ -83,12 +169,22 @@ def build_ann_index(
     vec_col: str = "embedding",
     n_files: int | None = None,
 ) -> int:
-    """Build (or rebuild) the IVFADC index table from the CURRENT
+    """Build (or REBUILD) the IVFADC index table from the CURRENT
     snapshot of ``src_table``. Returns the index table's committed
     version. The index layout is range-clustered on ``cid`` with
     zone-map stats, so each cell's codes land in few files and query
-    planning file-skips the rest; the sidecar records the frozen
-    quantizers plus the exact source version the index reflects."""
+    planning file-skips the rest.
+
+    A rebuild is ONE atomic commit: the sidecar (frozen quantizers +
+    the exact source version the index reflects) is written first
+    under a fresh content-addressed name — invisible, since nothing
+    references it — then overwrite_versioned swaps the complete new
+    file set AND the sidecar pointer in a single manifest PUT. A
+    concurrent query_ann_index resolves either the old manifest (old
+    files + old sidecar, both still on disk) or the new one — never
+    an empty index, never new codes against old codebooks. A crash
+    before the PUT leaves the old index fully live plus one orphan
+    sidecar, reclaimed by the next successful build's GC."""
     src_version = snap.versions(wh, database, src_table)[-1]
     src = snap.read_snapshot(wh, database, src_table, version=src_version)
     books = pq_train_codebooks(
@@ -97,19 +193,6 @@ def build_ann_index(
     cent_ids, C = _coarse_centroids(src, n_centroids, id_col, vec_col)
     index_df = _assign_encode_df(src, books, cent_ids, C, id_col, vec_col)
     nf = n_files if n_files is not None else max(1, min(n_centroids, 32))
-    # a rebuild replaces the previous index wholesale: COW-delete the
-    # old rows first so the commit below is the complete new index
-    if snap.versions(wh, database, index_table):
-        snap.delete_where(wh, database, index_table, F.lit(True))
-    v = snap.append_versioned(
-        wh,
-        database,
-        index_table,
-        index_df.withColumnRenamed("vec_id", "__row_id")
-        .repartitionByRange(nf, "cid")
-        .sortWithinPartitions("cid", "__row_id"),
-        stat_cols=["cid"],
-    )
     meta = {
         "kind": "ivfpq",
         "m": m,
@@ -123,11 +206,25 @@ def build_ann_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    hfs.put_text_atomic(
-        wh.spark,
-        _meta_path(wh, database, index_table),
-        json.dumps(meta, separators=(",", ":")),
+    # a brand-new index table: create the directory FIRST —
+    # create_empty_table initializes a fresh table dir with
+    # mode("overwrite"), which would wipe a sidecar written before it
+    wh.create_empty_table(database, index_table)
+    meta_name = _put_meta(wh, database, index_table, meta)
+    v = snap.overwrite_versioned(
+        wh,
+        database,
+        index_table,
+        index_df.withColumnRenamed("vec_id", "__row_id")
+        .repartitionByRange(nf, "cid")
+        .sortWithinPartitions("cid", "__row_id"),
+        stat_cols=["cid"],
+        summary={"operation": "ann-build", "ann_meta_file": meta_name},
+        # derived table, no CDC consumers: skip table-sized change
+        # files; batch read_changes still diffs from the manifests
+        cdc=False,
     )
+    _gc_meta_files(wh, database, index_table)
     return v
 
 
@@ -138,13 +235,27 @@ def refresh_ann_index(
     replaying the CDC feed between the recorded and current source
     versions — churn-proportional, never a corpus rescan:
 
-    - ids whose NET effect over the window is a delete -> COW delete
-      from the index (the id list is churn-bounded; it rides a
-      delete_where isin predicate, so parquet row-group stats on the
-      sorted-on-write id prune untouched index files);
+    - ids whose NET effect over the window is a delete -> keys-frame
+      COW delete (snapshots.delete_keys): the id set stays a
+      DataFrame end-to-end, deleted via anti-join — a mass takedown
+      (10^6+ opt-outs) plans like any join instead of a Catalyst
+      IN-list literal; parquet row-group stats on the sorted-on-write
+      id still prune untouched index files;
     - ids inserted or updated -> re-encoded under the FROZEN sidecar
       quantizers (one fused pass over only those rows) and MERGEd on
       the id (merge_upsert: update-in-place semantics).
+
+    Commit protocol (crash-safe, stamp-last): a new sidecar (same
+    frozen quantizers, advanced src_version) is written first —
+    unreferenced, hence invisible; the DML commits land; a final
+    metadata-only commit stamps the sidecar pointer. A crash anywhere
+    before the stamp leaves the recorded src_version at the OLD
+    value, and the next refresh replays the same window — the delete
+    is idempotent (already-absent ids affect no files) and the MERGE
+    is idempotent (same keys, same frozen-quantizer codes). A reader
+    between the DML commits and the stamp sees consistent quantizers
+    (refresh never changes them) and at worst misses the newest
+    upserts — eventual freshness, never wrong scores.
 
     Returns {n_deleted, n_upserted, src_version}. No-op (and no new
     index version) when the source hasn't moved. Quantizers are never
@@ -166,17 +277,22 @@ def refresh_ann_index(
     ins = ch.filter(F.col("_change_type") == "insert")
     dels = (
         ch.filter(F.col("_change_type") == "delete")
-        .select(F.col(id_col).cast("long").alias("vec_id"))
+        .select(F.col(id_col).cast("long").alias("__row_id"))
         .subtract(
-            ins.select(F.col(id_col).cast("long").alias("vec_id"))
+            ins.select(F.col(id_col).cast("long").alias("__row_id"))
         )
     )
-    del_ids = [r["vec_id"] for r in dels.collect()]  # churn-bounded
-    n_deleted = 0
-    if del_ids:
-        _v, n_deleted = snap.delete_where(
-            wh, database, index_table, F.col("__row_id").isin(del_ids)
-        )
+    new_meta = {
+        k: (v.tolist() if isinstance(v, np.ndarray) else v)
+        for k, v in meta.items()
+        if k != "meta_file"
+    }
+    new_meta["src_version"] = cur
+    meta_name = _put_meta(wh, database, index_table, new_meta)
+    _v, n_deleted = snap.delete_keys(
+        wh, database, index_table, dels, "__row_id",
+        summary={"operation": "ann-refresh-delete"},
+    )
     upserts = _assign_encode_df(
         ins, meta["books"], meta["cent_ids"], meta["centroids"],
         id_col, vec_col,
@@ -184,24 +300,65 @@ def refresh_ann_index(
     n_upserted = 0
     if upserts.limit(1).count():
         _v, n_up, n_in = snap.merge_upsert(
-            wh, database, index_table, upserts, "__row_id"
+            wh, database, index_table, upserts, "__row_id",
+            summary={"operation": "ann-refresh-merge"},
         )
         n_upserted = n_up + n_in
-    meta_out = dict(meta)
-    meta_out["books"] = meta["books"].tolist()
-    meta_out["cent_ids"] = meta["cent_ids"].tolist()
-    meta_out["centroids"] = meta["centroids"].tolist()
-    meta_out["src_version"] = cur
-    hfs.put_text_atomic(
-        wh.spark,
-        _meta_path(wh, database, index_table),
-        json.dumps(meta_out, separators=(",", ":")),
+    # stamp LAST: the pointer to the advanced-src_version sidecar
+    # becomes visible only after every DML above landed
+    snap.commit_snapshot(
+        wh, database, index_table,
+        summary={
+            "operation": "ann-refresh",
+            "ann_meta_file": meta_name,
+            "src_version": cur,
+        },
     )
     return {
         "n_deleted": n_deleted,
         "n_upserted": n_upserted,
         "src_version": cur,
     }
+
+
+def maintain_ann_index(
+    wh: Warehouse,
+    database: str,
+    index_table: str,
+    target_file_bytes: int | None = None,
+) -> dict:
+    """Re-cluster the index on ``cid`` and truncate its history.
+    Refresh MERGEs rewrite affected files and append upsert files
+    with NO cid locality — after enough churn a probed cell's codes
+    are smeared across most files and prune_eq stops skipping
+    anything. This restores the fresh-build layout (range-cluster on
+    cid, zone-map stats recomputed), so files-planned-per-probe drops
+    back to ~nprobe/n_centroids of the file count; pytest pins
+    post-maintenance planning == a fresh build's.
+
+    Recluster cadence contract: run when refresh volume since the
+    last build/maintenance approaches the index size (the point where
+    smear saturates), or on the same schedule as table OPTIMIZE jobs.
+    maintain_table truncates history to ONE version, which would drop
+    the commit carrying the sidecar pointer — so the pointer is
+    re-stamped on the maintenance commit itself (summary=), keeping
+    _load_meta resolvable across the truncation. Quantizers are
+    untouched: maintenance is layout-only, content-identical."""
+    meta = _load_meta(wh, database, index_table)
+    stats = snap.maintain_table(
+        wh,
+        database,
+        index_table,
+        sort_col="cid",
+        target_file_bytes=target_file_bytes,
+        summary={
+            "operation": "ann-maintain",
+            "ann_meta_file": meta["meta_file"],
+            "src_version": meta["src_version"],
+        },
+    )
+    _gc_meta_files(wh, database, index_table)
+    return stats
 
 
 def query_ann_index(
@@ -212,14 +369,25 @@ def query_ann_index(
     k: int = 5,
     nprobe: int = 4,
     overfetch: int = 4,
+    exclude_self: bool = True,
 ) -> DataFrame:
-    """Top-k through the persisted index: probe cells from the sidecar
-    quantizers, plan ONLY the probed cells' index files via IN-list
-    manifest pruning (``prune_eq=('cid', cells)`` — unprobed cells'
-    files are skipped before any scan), ADC-score the candidates, and
-    exact-refine against the source table's current snapshot. Output
-    matches ivfpq_topk: (query_id, neighbor_id, cos_sim, rank)."""
-    meta = _load_meta(wh, database, index_table)
+    """Top-k through the persisted index: resolve ONE index version,
+    load exactly the sidecar that version's chain names (quantizers
+    consistent with the codes by construction — see module
+    docstring), probe cells, plan ONLY the probed cells' index files
+    via IN-list manifest pruning (``prune_eq=('cid', cells)`` —
+    unprobed cells' files are skipped before any scan), ADC-score the
+    candidates, and exact-refine against the source table's current
+    snapshot. Output matches ivfpq_topk: (query_id, neighbor_id,
+    cos_sim, rank).
+
+    ``exclude_self`` (default True, the corpus-drawn-query family
+    convention) drops candidates whose vec_id equals the query id.
+    External queries use their OWN id space — pass False when those
+    ids may coincide with corpus vec_ids, or results silently lose
+    the colliding neighbor."""
+    v = snap.versions(wh, database, index_table)[-1]
+    meta = _load_meta(wh, database, index_table, version=v)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     qids, tables, probes = _query_probe_tables(
         queries, meta["books"], meta["cent_ids"], meta["centroids"],
@@ -227,11 +395,11 @@ def query_ann_index(
     )
     cells = sorted({c for _qid, cs in probes for c in cs})
     index = snap.read_snapshot(
-        wh, database, index_table, prune_eq=("cid", cells)
+        wh, database, index_table, version=v, prune_eq=("cid", cells)
     ).select(F.col("__row_id").alias("vec_id"), "cid", "code")
     cand_ids = _adc_candidates(
         index, probes, qids, tables, int(meta["m"]),
-        k * overfetch, wh.spark,
+        k * overfetch, wh.spark, exclude_self=exclude_self,
     )
     src = snap.read_snapshot(wh, database, meta["src_table"])
     return _exact_refine(cand_ids, src, queries, k, id_col, vec_col)

@@ -1783,3 +1783,195 @@ def test_ivfpq_residual_exact_metric_and_invariance_on_testdata(
         emb.repartition(7), q, k=5, overfetch=4
     ).collect()
     assert sorted(map(str, inv)) == sorted(map(str, rows))
+
+
+def test_ann_index_rebuild_is_atomic_and_version_consistent(
+    spark, sf_dir, tmp_path
+):
+    """Rebuild atomicity (ann_index.py): a rebuild is ONE
+    overwrite commit — exactly one new index version appears (the
+    old delete-then-append protocol interposed an empty-table
+    version a concurrent reader could observe), and quantizers are
+    PINNED per version: each retained version's codes decode exactly
+    against the sidecar its own manifest chain names, so a reader
+    resolving any retained version can never mix new codes with old
+    codebooks. Sidecar GC keeps every referenced sidecar alive."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import fs as hfs
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import ann_index as ai
+    from scratchdb_spark.operators.similarity import _assign_encode_df
+    from scratchdb_spark.tables import Warehouse, table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    emb = table(spark, sf_dir, "embeddings")
+    snap.append_versioned(wh, "db", "emb", emb)
+    v1 = ai.build_ann_index(wh, "db", "emb", "emb_idx")
+    meta1 = ai._load_meta(wh, "db", "emb_idx", version=v1)
+
+    # source grows; REBUILD (quantizers retrain on the new corpus)
+    snap.append_versioned(
+        wh, "db", "emb",
+        emb.select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+            "label",
+        ),
+    )
+    vs_before = snap.versions(wh, "db", "emb_idx")
+    v2 = ai.build_ann_index(wh, "db", "emb", "emb_idx")
+    # exactly ONE commit: no empty-index intermediate version
+    assert snap.versions(wh, "db", "emb_idx") == vs_before + [v2]
+
+    meta2 = ai._load_meta(wh, "db", "emb_idx", version=v2)
+    assert meta2["src_version"] > meta1["src_version"]
+    assert meta2["meta_file"] != meta1["meta_file"]
+    # both sidecars referenced by retained manifests -> both alive
+    base = wh._path("db", "emb_idx")
+    names = set(hfs.list_names(spark, base))
+    assert meta1["meta_file"] in names and meta2["meta_file"] in names
+
+    # per-version consistency: version v's index content == the
+    # re-encode of the source AS OF v's recorded src_version under
+    # v's OWN sidecar quantizers — for BOTH retained versions
+    for v, meta in ((v1, meta1), (v2, meta2)):
+        want = {
+            (r["vec_id"], r["cid"], tuple(r["code"]))
+            for r in _assign_encode_df(
+                snap.read_snapshot(
+                    wh, "db", "emb", version=meta["src_version"]
+                ),
+                meta["books"], meta["cent_ids"], meta["centroids"],
+                "vec_id", "embedding",
+            ).collect()
+        }
+        got = {
+            (r["__row_id"], r["cid"], tuple(r["code"]))
+            for r in snap.read_snapshot(
+                wh, "db", "emb_idx", version=v
+            ).collect()
+        }
+        assert got == want, f"version {v} codes disagree with its sidecar"
+
+    # the crash-window shape: a sidecar written with NOTHING
+    # referencing it yet (pre-commit crash) is invisible to readers
+    # and reclaimed by the next build's GC
+    orphan = ai._put_meta(
+        wh, "db", "emb_idx", {k: v for k, v in
+                              [("kind", "ivfpq"), ("junk", True)]}
+    )
+    assert ai._load_meta(wh, "db", "emb_idx")["meta_file"] == (
+        meta2["meta_file"]
+    )
+    ai._gc_meta_files(wh, "db", "emb_idx")
+    names = set(hfs.list_names(spark, base))
+    assert orphan not in names and meta2["meta_file"] in names
+
+
+def test_ann_index_recluster_restores_fresh_build_pruning(
+    spark, sf_dir, tmp_path
+):
+    """Index clustering degradation under churn (ann_index.py::
+    maintain_ann_index): each refresh MERGE writes upsert files with
+    no cid locality, so after N cycles a probe plans MORE files than
+    a fresh build; maintenance re-clusters on cid and must bring
+    files-planned back to <= a fresh build over the same corpus.
+    Query results must be identical before/after maintenance
+    (layout-only), and the sidecar pointer must survive the history
+    truncation."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import ann_index as ai
+    from scratchdb_spark.tables import Warehouse, table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    emb = table(spark, sf_dir, "embeddings")
+    snap.append_versioned(wh, "db", "emb", emb)
+    ai.build_ann_index(wh, "db", "emb", "emb_idx", n_files=8)
+
+    def files_planned(cells):
+        vs = snap.versions(wh, "db", "emb_idx")
+        m = snap._manifest(wh, "db", "emb_idx", vs[-1])
+        return len(
+            snap._plan_files(wh, "db", "emb_idx", m, None, ("cid", cells))
+        )
+
+    meta = ai._load_meta(wh, "db", "emb_idx")
+    probe = [int(c) for c in meta["cent_ids"][:4]]
+    fresh_planned = files_planned(probe)
+
+    # N refresh cycles of churn: move a rotating stripe of vectors
+    for i in range(5):
+        snap.delete_where(
+            wh, "db", "emb",
+            (F.col("vec_id") % 13 == i) & (F.col("vec_id") < 1_000_000),
+        )
+        snap.append_versioned(
+            wh, "db", "emb",
+            emb.filter(F.col("vec_id") % 17 == i).select(
+                (F.col("vec_id") + (i + 1) * 1_000_000).alias("vec_id"),
+                "embedding",
+                "label",
+            ),
+        )
+        ai.refresh_ann_index(wh, "db", "emb_idx")
+
+    churned_planned = files_planned(probe)
+    assert churned_planned > fresh_planned, (
+        "churn should smear cells across files "
+        f"({churned_planned} vs fresh {fresh_planned})"
+    )
+    q = snap.read_snapshot(wh, "db", "emb").filter(F.col("vec_id") < 10)
+    before = sorted(
+        map(str, ai.query_ann_index(wh, "db", "emb_idx", q, k=5).collect())
+    )
+
+    stats = ai.maintain_ann_index(wh, "db", "emb_idx")
+    assert stats["files_after"] <= stats["files_before"]
+    # pruning restored to fresh-build selectivity
+    assert files_planned(probe) <= fresh_planned
+    # layout-only: identical results; sidecar resolvable post-truncation
+    after = sorted(
+        map(str, ai.query_ann_index(wh, "db", "emb_idx", q, k=5).collect())
+    )
+    assert after == before
+    meta2 = ai._load_meta(wh, "db", "emb_idx")
+    assert meta2["src_version"] == meta["src_version"] + 10  # 5x(del+app)
+    # refresh still works across the truncation (no-op: src unmoved)
+    r = ai.refresh_ann_index(wh, "db", "emb_idx")
+    assert r == {"n_deleted": 0, "n_upserted": 0,
+                 "src_version": meta2["src_version"]}
+
+
+def test_ann_index_query_exclude_self_flag(spark, sf_dir, tmp_path):
+    """query_ann_index serves EXTERNAL queries whose ids may
+    coincide with corpus vec_ids: with exclude_self=False a
+    colliding id keeps the corpus vector in its results (itself, at
+    cos_sim 1.0, rank 1); the default True preserves the
+    corpus-drawn-query family convention."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import ann_index as ai
+    from scratchdb_spark.tables import Warehouse, table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    emb = table(spark, sf_dir, "embeddings")
+    snap.append_versioned(wh, "db", "emb", emb)
+    ai.build_ann_index(wh, "db", "emb", "emb_idx")
+    q = snap.read_snapshot(wh, "db", "emb").filter(F.col("vec_id") < 5)
+
+    incl = ai.query_ann_index(
+        wh, "db", "emb_idx", q, k=3, exclude_self=False
+    ).collect()
+    top = {
+        r["query_id"]: (r["neighbor_id"], r["cos_sim"])
+        for r in incl
+        if r["rank"] == 1
+    }
+    for qid, (nid, cs) in top.items():
+        assert nid == qid and abs(cs - 1.0) < 1e-6
+    excl = ai.query_ann_index(wh, "db", "emb_idx", q, k=3).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in excl)
