@@ -1798,9 +1798,24 @@ def maintain_table(
     # them would let that commit land a manifest naming missing files.
     # Expired-manifest refs (dead_dirs/dead_shards) carry no such
     # ambiguity and reclaim regardless of age.
+    # "Now" comes from the STORE's clock, not the driver's: the ages
+    # being compared are filesystem mtimes stamped by the storage
+    # service, and driver-vs-store skew would silently shrink (or
+    # stretch) the window — a probe file written here and stat'ed
+    # back yields the store's own timestamp, so the grace window is
+    # skew-free by construction. If the probe write fails we fall
+    # back to the driver clock (documented bounded-skew assumption).
     import time as _time
+    import uuid as _uuid
 
-    cutoff_ms = int(_time.time() * 1000) - reclaim_grace_ms
+    probe = f"{base}/{_SNAP_DIR}/.reclaim-probe-{_uuid.uuid4().hex}"
+    try:
+        hfs.write_text(wh.spark, probe, "")
+        store_now_ms = hfs.mtime(wh.spark, probe)
+        hfs.delete(wh.spark, probe, recursive=False)
+    except Exception:
+        store_now_ms = int(_time.time() * 1000)
+    cutoff_ms = store_now_ms - reclaim_grace_ms
     chg_root = f"{base}/{_SNAP_DIR}/{_CHANGES_DIR}"
     referenced_dirs: set = set()
     for v in versions(wh, database, table):

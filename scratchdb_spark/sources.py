@@ -315,7 +315,17 @@ try:  # Spark 4 Python DataSource API
         from_uri can't resolve (custom mounts, fsspec adapters via
         PyFileSystem, test doubles); ``path`` is then a path WITHIN
         that filesystem. base64 because DataSource options are
-        strings and cross a Python-worker process boundary."""
+        strings and cross a Python-worker process boundary.
+
+        TRUST BOUNDARY: the option is pickle.loads'd inside Spark's
+        Python worker/executor processes, so setting it is CODE-
+        EQUIVALENT there — anyone who can pass reader options can run
+        arbitrary code in the workers. That is the same trust level
+        as submitting the Spark job itself (reader options come from
+        the job author, same user, same processes), but do NOT
+        forward this option from untrusted external input. The
+        resolver fails fast on payloads that don't unpickle to a
+        pyarrow FileSystem."""
         import base64
         import pickle
 
@@ -342,6 +352,15 @@ try:  # Spark 4 Python DataSource API
         )
         if pickled:
             fs = pickle.loads(base64.b64decode(pickled))
+            if not isinstance(fs, pafs.FileSystem):
+                # fail fast on garbage (see cdc_filesystem_option's
+                # trust-boundary note): a payload that unpickles to
+                # anything else would surface as opaque attribute
+                # errors deep in executor reads
+                raise TypeError(
+                    "filesystemPickle must deserialize to a "
+                    f"pyarrow.fs.FileSystem, got {type(fs).__name__}"
+                )
             base = root.split("://", 1)[1] if "://" in root else root
         elif "://" in root and not root.startswith("file://"):
             fs, base = pafs.FileSystem.from_uri(root)

@@ -637,3 +637,32 @@ def test_cdc_planning_across_shard_threshold_crossing(
     )
     parts3 = reader.partitions({"v": v2}, {"v": v3})
     assert len(parts3) == 1 and parts3[0].role == "insert"
+
+
+def test_cdc_filesystem_pickle_rejects_non_filesystem():
+    """filesystemPickle is code-equivalent by design (documented
+    trust boundary); a payload that unpickles to anything but a
+    pyarrow FileSystem must fail fast with a clear TypeError, not
+    surface as opaque attribute errors deep in executor reads."""
+    import base64
+    import pickle
+
+    import pytest
+
+    from scratchdb_spark import sources as src
+
+    bogus = base64.b64encode(pickle.dumps({"not": "a fs"})).decode()
+    with pytest.raises(TypeError, match="pyarrow.fs.FileSystem"):
+        src._cdc_resolve(
+            {"path": "/tmp/x", "database": "db", "table": "t",
+             "filesystemPickle": bogus}
+        )
+    # the happy path still resolves
+    import pyarrow.fs as pafs
+
+    good = src.cdc_filesystem_option(pafs.LocalFileSystem())
+    fs, base = src._cdc_resolve(
+        {"path": "/tmp/x", "database": "db", "table": "t",
+         "filesystemPickle": good}
+    )
+    assert isinstance(fs, pafs.FileSystem) and base == "/tmp/x/db/t"
