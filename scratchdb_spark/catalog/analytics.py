@@ -1428,3 +1428,83 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_residual_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, overfetch=4
     )
+
+
+@register(
+    "ann_index_maintain",
+    """
+    SELECT * FROM (VALUES
+      (true, true, true, CAST(35 AS BIGINT)))
+      t(churn_smears_cells, maintain_restores_pruning,
+        results_unchanged, result_rows)
+    """,
+    doc="Index re-clustering under churn (operators/ann_index.py::"
+        "maintain_ann_index, new r8): refresh MERGEs rewrite files "
+        "with no cell-id locality, so after churn a probe PLANS more "
+        "index files than a fresh build (prune_eq file-skipping "
+        "erodes); maintenance range-re-clusters on cid, re-stamps "
+        "the quantizer sidecar across maintain_table's history "
+        "truncation, and restores fresh-build planning. Layout-only: "
+        "query results are byte-identical before/after. Output: the "
+        "three invariants as booleans (planned_churned > fresh, "
+        "planned_maintained <= fresh, results equal) plus the "
+        "post-maintenance result row count — inequality booleans "
+        "rather than raw file counts so the check is invariant to "
+        "shuffle-partition layout.",
+    bench=False,  # times temp-warehouse build + DML, not a scan
+)
+def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..operators import ann_index as ai
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_annmnt_"))
+    emb = table(spark, sf_dir, "embeddings")
+    snap.append_versioned(wh, "db", "emb", emb)
+    ai.build_ann_index(wh, "db", "emb", "emb_idx", n_files=8)
+
+    def files_planned(cells):
+        vs = snap.versions(wh, "db", "emb_idx")
+        m = snap._manifest(wh, "db", "emb_idx", vs[-1])
+        return len(
+            snap._plan_files(wh, "db", "emb_idx", m, None, ("cid", cells))
+        )
+
+    meta = ai._load_meta(wh, "db", "emb_idx")
+    probe = [int(c) for c in meta["cent_ids"][:4]]
+    fresh = files_planned(probe)
+    for i in range(3):
+        snap.delete_where(
+            wh, "db", "emb",
+            (F.col("vec_id") % 13 == i) & (F.col("vec_id") < 1_000_000),
+        )
+        snap.append_versioned(
+            wh, "db", "emb",
+            emb.filter(F.col("vec_id") % 17 == i).select(
+                (F.col("vec_id") + (i + 1) * 1_000_000).alias("vec_id"),
+                "embedding",
+                "label",
+            ),
+        )
+        ai.refresh_ann_index(wh, "db", "emb_idx")
+    churned = files_planned(probe)
+    q = snap.read_snapshot(wh, "db", "emb").filter(F.col("vec_id") < 10)
+    before = sorted(
+        map(str, ai.query_ann_index(wh, "db", "emb_idx", q, k=5).collect())
+    )
+    ai.maintain_ann_index(wh, "db", "emb_idx")
+    after_rows = ai.query_ann_index(wh, "db", "emb_idx", q, k=5).collect()
+    return spark.createDataFrame(
+        [
+            (
+                churned > fresh,
+                files_planned(probe) <= fresh,
+                sorted(map(str, after_rows)) == before,
+                len(after_rows),
+            )
+        ],
+        "churn_smears_cells boolean, maintain_restores_pruning boolean, "
+        "results_unchanged boolean, result_rows long",
+    )

@@ -1761,3 +1761,141 @@ def warehouse_stat_widening_prune(
         )
     finally:
         snap._SHARD_THRESHOLD, snap._SHARD_SIZE = old
+
+
+@register(
+    "warehouse_delete_keys",
+    """
+    SELECT * FROM (VALUES
+      (CAST(300 AS BIGINT), CAST(700 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(1000 AS BIGINT), CAST(300 AS BIGINT), 'mass-takedown'))
+      t(n_deleted, rows_after, keyed_rows_left, old_version_rows,
+        cdc_deletes, operation)
+    """,
+    doc="Keys-frame COW DELETE (snapshots.delete_keys, new r8 — the "
+        "mass-takedown primitive): the delete set is a DataFrame "
+        "end-to-end — affected files tag via semi-join, survivors "
+        "rewrite via anti-join (AQE broadcasts small key sets) — so "
+        "a GDPR/opt-out takedown of 10^6 ids plans as a join, never "
+        "a driver-materialized Catalyst IN-list literal. Same "
+        "contract as delete_where: old versions still see the rows "
+        "(time travel = audit trail), exact delete preimages land in "
+        "the CDC feed, and summary provenance surfaces in DESCRIBE "
+        "HISTORY. Output: deleted count, survivors, remaining keyed "
+        "rows (0), pre-delete time-travel count, CDC delete count, "
+        "and the history operation label.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_delkeys_"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.range(1000).select(
+            F.col("id").alias("__row_id"),
+            (F.col("id") % 9).alias("grp"),
+        ),
+    )
+    keys = spark.range(100, 400).select(F.col("id").alias("__row_id"))
+    v2, n_deleted = snap.delete_keys(
+        wh, "db", "t", keys, "__row_id",
+        summary={"operation": "mass-takedown"},
+    )
+    latest = snap.read_snapshot(wh, "db", "t")
+    op = {
+        r["version"]: r["operation"]
+        for r in snap.history(wh, "db", "t").collect()
+    }[v2]
+    return spark.createDataFrame(
+        [
+            (
+                n_deleted,
+                latest.count(),
+                latest.filter(
+                    (F.col("__row_id") >= 100) & (F.col("__row_id") < 400)
+                ).count(),
+                snap.read_snapshot(wh, "db", "t", version=v1).count(),
+                snap.read_changes(wh, "db", "t", v1, v2)
+                .filter(F.col("_change_type") == "delete")
+                .count(),
+                op,
+            )
+        ],
+        "n_deleted long, rows_after long, keyed_rows_left long, "
+        "old_version_rows long, cdc_deletes long, operation string",
+    )
+
+
+@register(
+    "warehouse_overwrite_atomic",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+       CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'rebuild'))
+      t(versions_added, rows_after, old_version_rows,
+        cdc_deletes, cdc_inserts, operation)
+    """,
+    doc="Atomic INSERT OVERWRITE (snapshots.overwrite_versioned, new "
+        "r8): the table's entire content swaps in ONE manifest PUT — "
+        "exactly one version appears (a delete-all-then-append "
+        "sequence would interpose an empty-table window a concurrent "
+        "reader could observe), time travel still serves the old "
+        "content, batch CDC reconstructs the full delete+insert "
+        "transition, and the summary lands in history. This is the "
+        "commit primitive that makes derived-table rebuilds (e.g. "
+        "the persistent ANN index) safe to run against live readers. "
+        "Output: versions added (1), new row count, time-travel row "
+        "count, CDC delete/insert counts across the transition, and "
+        "the history operation label.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_overwrite_atomic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_ow_"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "__row_id long, tag string"
+        ),
+    )
+    v_old = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(3, "c")], "__row_id long, tag string"),
+    )
+    n_before = len(snap.versions(wh, "db", "t"))
+    v_new = snap.overwrite_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(10, "x"), (11, "y")], "__row_id long, tag string"
+        ),
+        summary={"operation": "rebuild"},
+    )
+    ch = snap.read_changes(wh, "db", "t", v_old, v_new)
+    op = {
+        r["version"]: r["operation"]
+        for r in snap.history(wh, "db", "t").collect()
+    }[v_new]
+    return spark.createDataFrame(
+        [
+            (
+                len(snap.versions(wh, "db", "t")) - n_before,
+                snap.read_snapshot(wh, "db", "t").count(),
+                snap.read_snapshot(wh, "db", "t", version=v_old).count(),
+                ch.filter(F.col("_change_type") == "delete").count(),
+                ch.filter(F.col("_change_type") == "insert").count(),
+                op,
+            )
+        ],
+        "versions_added long, rows_after long, old_version_rows long, "
+        "cdc_deletes long, cdc_inserts long, operation string",
+    )
