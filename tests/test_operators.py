@@ -1975,3 +1975,46 @@ def test_ann_index_query_exclude_self_flag(spark, sf_dir, tmp_path):
         assert nid == qid and abs(cs - 1.0) < 1e-6
     excl = ai.query_ann_index(wh, "db", "emb_idx", q, k=3).collect()
     assert all(r["neighbor_id"] != r["query_id"] for r in excl)
+
+
+def test_ivfpq_recall_floor_at_nprobe4(spark, sf_dir):
+    """The recall-vs-cost contract a user tunes (PERF.md round-8
+    table): at nprobe=4 (25% of the 16 default coarse cells) and the
+    default re-rank budget, IVFADC recall@10 vs brute force must
+    hold >= 0.7 on the fixture corpus (measured 0.73 at both
+    driver-checked sfs). The persisted index at the same settings
+    must match the in-memory pipeline EXACTLY — same deterministic
+    quantizer rule, same frozen-codebook encode — so serving through
+    the index never costs recall."""
+    import tempfile
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import ann_index as ai
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from scratchdb_spark.tables import Warehouse, table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    mem = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, q, k=10, overfetch=4, nprobe=4).collect()
+    }
+    assert len(mem & exact) / len(exact) >= 0.7
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_recall_"))
+    snap.append_versioned(wh, "db", "emb", emb)
+    ai.build_ann_index(wh, "db", "emb", "emb_idx")
+    idx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ai.query_ann_index(
+            wh, "db", "emb_idx", q, k=10, nprobe=4
+        ).collect()
+    }
+    assert idx == mem
