@@ -19,6 +19,7 @@ on a cluster.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -35,7 +36,23 @@ def _fs(spark: SparkSession, path: str):
 
 def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """(path, bytes) for every data file directly under `path`,
-    skipping _SUCCESS / hidden files."""
+    skipping _SUCCESS / hidden files. Local paths use os.scandir
+    (DirEntry.stat is cached on Linux — no extra syscall per file);
+    the JVM walk's py4j round trips are ~0.3 ms/entry, which
+    maintenance cannot afford at 100k files (fs.py module docstring)."""
+    from .. import fs as hfs
+
+    lp = hfs._local_path(path)
+    if lp is not None:
+        try:
+            with os.scandir(lp) as it:
+                return [
+                    (f"{lp.rstrip('/')}/{e.name}", e.stat().st_size)
+                    for e in it
+                    if e.is_file() and not e.name.startswith(("_", "."))
+                ]
+        except FileNotFoundError:
+            return []
     fs, hpath, _ = _fs(spark, path)
     out = []
     for st in fs.listStatus(hpath):

@@ -2183,3 +2183,52 @@ def test_overwrite_versioned_cdc_false_manifest_diff_still_exact(
         wh, "db", "t", m, None, ("cell", 0)
     )
     assert len(planned) < len(all_files)
+
+
+def test_fs_list_names_local_fast_path_matches_jvm(spark, tmp_path):
+    """fs.list_names local os.scandir fast path (new r8: the JVM walk
+    costs ~0.3 ms of py4j per entry — 30 s per commit at 100k files,
+    measured in the metadata rehearsal) must return exactly what the
+    Hadoop walk returns, for files+dirs, dirs_only, missing paths,
+    file:/file:// spellings, and listStatus-on-a-file."""
+    import scratchdb_spark.fs as hfs
+
+    d = tmp_path / "lst"
+    d.mkdir()
+    (d / "a.parquet").write_text("x")
+    (d / "_SUCCESS").write_text("")
+    (d / ".hidden").write_text("")
+    (d / "sub").mkdir()
+
+    def jvm_list(path, dirs_only=False):
+        fs, hpath, _ = hfs._jfs(spark, str(path))
+        if not fs.exists(hpath):
+            return []
+        out = []
+        for st in fs.listStatus(hpath):
+            if dirs_only and not st.isDirectory():
+                continue
+            out.append(st.getPath().getName())
+        return out
+
+    for p in (str(d), f"file:{d}", f"file://{d}"):
+        assert sorted(hfs.list_names(spark, p)) == sorted(
+            jvm_list(d)
+        ), p
+        assert sorted(hfs.list_names(spark, p, dirs_only=True)) == (
+            sorted(jvm_list(d, dirs_only=True))
+        ), p
+    # missing path -> [] on both
+    assert hfs.list_names(spark, str(d / "nope")) == jvm_list(d / "nope")
+    # listing a FILE: Hadoop yields that file's own status
+    assert hfs.list_names(spark, str(d / "a.parquet")) == jvm_list(
+        d / "a.parquet"
+    )
+    # list_data_files parity (name, size) on the same dir
+    from scratchdb_spark.operators.compaction import list_data_files
+
+    got = sorted(
+        (p.rsplit("/", 1)[-1], sz)
+        for p, sz in list_data_files(spark, str(d))
+    )
+    assert got == [("a.parquet", 1)]
