@@ -66,8 +66,7 @@ def main() -> None:
 
     # ---- produce the NDJSON backlog up front (producer never the
     # bottleneck: the stream's maxFilesPerTrigger=16 paces intake)
-    t0 = time.time()
-    for fi in range(N_FILES):
+    def write_file(fi: int) -> None:
         with open(f"{landing}/db/ev/batch-{fi:05d}.ndjson", "w") as f:
             base = fi * ROWS_PER_FILE
             f.write(
@@ -77,11 +76,39 @@ def main() -> None:
                     for i in range(ROWS_PER_FILE)
                 )
             )
-    t_produce = time.time() - t0
+
     total_rows = N_FILES * ROWS_PER_FILE
 
-    # ---- stage 1+2: ingest stream with per-micro-batch commits
+    # ---- stage 1+2: ingest stream with per-micro-batch commits.
+    # Priming pass on file 0 alone: the scratch_cdc source resolves
+    # its schema from the table's latest manifest, so the table needs
+    # one committed version carrying the full ingested schema before
+    # the CDC consumer starts (its bootstrap then emits v1's state as
+    # inserts and FOLLOWS the remaining 39 files' commits live — the
+    # steady-state the latency numbers are about).
+    t0 = time.time()
+    for fi in range(N_FILES):
+        write_file(fi)
+    t_produce = time.time() - t0
+    # hide file 1..39 from the priming pass, reveal after
+    hidden = f"{root}/pending"
+    os.makedirs(hidden, exist_ok=True)
+    for fi in range(1, N_FILES):
+        os.rename(
+            f"{landing}/db/ev/batch-{fi:05d}.ndjson",
+            f"{hidden}/batch-{fi:05d}.ndjson",
+        )
     t_ingest0 = time.time()
+    start_ingest_stream(
+        spark, wh, landing, "db", "ev",
+        checkpoint_dir=f"{root}/ckpt_ingest",
+        available_now=True, versioned=True,
+    ).awaitTermination()
+    for fi in range(1, N_FILES):
+        os.rename(
+            f"{hidden}/batch-{fi:05d}.ndjson",
+            f"{landing}/db/ev/batch-{fi:05d}.ndjson",
+        )
     q_ingest = start_ingest_stream(
         spark, wh, landing, "db", "ev",
         checkpoint_dir=f"{root}/ckpt_ingest",
