@@ -75,7 +75,17 @@ def list_names(
             with _os.scandir(lp) as it:
                 if dirs_only:
                     return [e.name for e in it if e.is_dir()]
-                return [e.name for e in it]
+                # Hadoop's local FS is ChecksumFileSystem: its
+                # listStatus HIDES the ``.<name>.crc`` sidecars that
+                # Hadoop-path writes create — mirror that, or callers
+                # (orphan audits, shard GC) see phantom entries
+                return [
+                    e.name
+                    for e in it
+                    if not (
+                        e.name.startswith(".") and e.name.endswith(".crc")
+                    )
+                ]
         except FileNotFoundError:
             return []
         except NotADirectoryError:

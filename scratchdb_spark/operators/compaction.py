@@ -46,6 +46,8 @@ def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     if lp is not None:
         try:
             with os.scandir(lp) as it:
+                # startswith((_, .)) already hides Hadoop's
+                # .<name>.crc checksum sidecars along with _SUCCESS
                 return [
                     (f"{lp.rstrip('/')}/{e.name}", e.stat().st_size)
                     for e in it

@@ -2199,6 +2199,11 @@ def test_fs_list_names_local_fast_path_matches_jvm(spark, tmp_path):
     (d / "_SUCCESS").write_text("")
     (d / ".hidden").write_text("")
     (d / "sub").mkdir()
+    # a Hadoop-path write creates a .b.json.crc checksum sidecar,
+    # which ChecksumFileSystem HIDES from listStatus — the fast path
+    # must hide it too (caught live by the orphan-audit test)
+    hfs.write_text(spark, str(d / "b.json"), "{}")
+    assert (d / ".b.json.crc").exists()  # the sidecar is really there
 
     def jvm_list(path, dirs_only=False):
         fs, hpath, _ = hfs._jfs(spark, str(path))
@@ -2231,4 +2236,4 @@ def test_fs_list_names_local_fast_path_matches_jvm(spark, tmp_path):
         (p.rsplit("/", 1)[-1], sz)
         for p, sz in list_data_files(spark, str(d))
     )
-    assert got == [("a.parquet", 1)]
+    assert got == [("a.parquet", 1), ("b.json", 2)]
