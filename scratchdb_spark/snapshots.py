@@ -671,11 +671,13 @@ def overwrite_versioned(
 
     ``cdc=False`` skips writing change files (delete preimages of
     every old row + insert postimages of every new row — table-sized,
-    like the overwrite itself). Use it ONLY for derived tables with
-    no CDC consumers: batch read_changes still diffs correctly from
-    the manifests alone, but a STREAMING cursor crossing the version
-    gets the loud removed-files-without-change-files error instead of
-    a silent wrong feed."""
+    like the overwrite itself) and OMITS the manifest's changes key.
+    Use it ONLY for derived tables with no CDC consumers: batch
+    read_changes still diffs correctly from the manifests alone, but
+    a STREAMING cursor crossing the version gets the loud
+    removed-files-without-change-files error instead of a silent
+    wrong feed (pytest-pinned; recording an empty change list here
+    would read as "content-preserving" and silently emit nothing)."""
     from pyspark.sql import functions as F
 
     vs = versions(wh, database, table)
@@ -705,10 +707,14 @@ def overwrite_versioned(
         ]
     )
     prev_files = _manifest_files(wh, database, table, prev)
-    changes: list[str] = []
-    if cdc and prev_files:
-        old = wh.spark.read.schema(schema).parquet(
-            *[f"{base}/{n}" for n in prev_files]
+    changes: list[str] | None
+    if cdc:
+        old = (
+            wh.spark.read.schema(schema).parquet(
+                *[f"{base}/{n}" for n in prev_files]
+            )
+            if prev_files
+            else wh.spark.createDataFrame([], schema)
         )
         changes = _write_changes(
             wh,
@@ -718,6 +724,14 @@ def overwrite_versioned(
                 aligned.withColumn("_change_type", F.lit("insert"))
             ),
         )
+    else:
+        # cdc=False: OMIT the changes key (None) rather than record []
+        # — [] means "content-preserving, emit nothing" to the
+        # streaming planner, which would silently swallow the
+        # transition; an absent key makes a streaming cursor crossing
+        # this version fail loudly instead (batch read_changes stays
+        # exact either way: it diffs manifests, not change files)
+        changes = None
     rewritten = _cow_rewrite(wh, base, aligned, prefix="ow")
     if stat_cols is not None and set(stat_cols) != set(
         prev.get("stat_cols", [])
@@ -1076,14 +1090,24 @@ def _cow_commit(
     prev: dict,
     affected,
     rewritten: list[str],
-    changes: list[str],
+    changes: list[str] | None,
     summary: dict | None = None,
 ) -> int:
     """Commit a COW file swap (``affected`` out, ``rewritten`` in) as
     the next version — the single atomic manifest PUT shared by
     DELETE/MERGE/OVERWRITE. Untouched files carry over with their
     stats; replaced files join the cumulative ``retired`` set so
-    commit_snapshot never re-adopts them."""
+    commit_snapshot never re-adopts them.
+
+    ``changes`` semantics for the streaming CDC planner: a LIST (even
+    empty) records "this commit's change rows are exactly these files"
+    — [] is the compaction contract, content-preserving, emit
+    nothing. ``None`` OMITS the key: "changes were not captured" —
+    the planner then file-diffs, and a version that removed files
+    raises its loud out-of-band error instead of silently emitting
+    nothing (the cdc=False overwrite path; caught by
+    test_cdc_stream_errs_loudly_on_cdc_false_overwrite, where the
+    [] spelling produced a silent wrong feed)."""
     from pyspark.sql import types as T
 
     base = wh._path(database, table)
@@ -1101,7 +1125,6 @@ def _cow_commit(
         # commit_snapshot must never re-adopt them
         "retired": sorted(set(prev.get("retired", [])) | affected),
         "schema": prev["schema"],
-        "changes": changes,
         **_assemble_manifest_entry(
             wh, database, table, prev, new_files,
             added=rewritten, removed=affected,
@@ -1113,6 +1136,8 @@ def _cow_commit(
             cols=cols,
         ),
     }
+    if changes is not None:
+        manifest["changes"] = changes
     if summary:
         manifest["summary"] = dict(summary)
     _put_manifest(wh, database, table, manifest)

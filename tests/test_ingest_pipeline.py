@@ -2173,7 +2173,11 @@ def test_overwrite_versioned_cdc_false_manifest_diff_still_exact(
         cdc=False,
     )
     m = snap._manifest(wh, "db", "t", v2)
-    assert m.get("changes") == []
+    # the changes key must be ABSENT (not []): [] means
+    # "content-preserving" to the streaming planner, which would
+    # silently emit nothing for a content-REPLACING commit; absence
+    # makes a streaming cursor err loudly (test_sources pins it)
+    assert "changes" not in m
     ch = snap.read_changes(wh, "db", "t", v1, v2)
     assert ch.filter(F.col("_change_type") == "delete").count() == 100
     assert ch.filter(F.col("_change_type") == "insert").count() == 60

@@ -666,3 +666,84 @@ def test_cdc_filesystem_pickle_rejects_non_filesystem():
          "filesystemPickle": good}
     )
     assert isinstance(fs, pafs.FileSystem) and base == "/tmp/x/db/t"
+
+
+def test_cdc_stream_errs_loudly_on_cdc_false_overwrite(spark, tmp_path):
+    """overwrite_versioned(cdc=False) (derived tables, new r8) writes
+    no change files while removing every previous file — a streaming
+    cursor crossing that version must get the documented loud
+    removed-files-without-change-files error, never a silently wrong
+    feed (batch read_changes remains exact via the manifest diff;
+    that path is pinned in test_ingest_pipeline)."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(1, 10)], "__row_id long, amount long"),
+    )
+
+    def start():
+        return (
+            spark.readStream.format("scratch_cdc")
+            .option("path", str(tmp_path / "wh"))
+            .option("database", "db")
+            .option("table", "t")
+            .load()
+            .writeStream.foreachBatch(lambda df, _bid: df.count())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()  # cursor now at v1
+    finally:
+        q.stop()
+
+    snap.overwrite_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(9, 90)], "__row_id long, amount long"),
+        cdc=False,
+    )
+    q = start()
+    try:
+        with _pytest.raises(
+            StreamingQueryException, match="change files"
+        ):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the cdc=True default DOES stream the transition: delete+insert
+    snap.overwrite_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(7, 70)], "__row_id long, amount long"),
+    )
+    seen = []
+    q = (
+        spark.readStream.format("scratch_cdc")
+        .option("path", str(tmp_path / "wh"))
+        .option("database", "db")
+        .option("table", "t")
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, _bid: seen.extend(
+                (r["__row_id"], r["_change_type"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # fresh checkpoint: bootstrap of the current state (one insert)
+    assert sorted(seen) == [(7, "insert")]
