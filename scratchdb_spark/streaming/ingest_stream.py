@@ -29,14 +29,20 @@ def start_ingest_stream(
     trigger_seconds: float | None = None,
     available_now: bool = False,
     versioned: bool = False,
+    max_files_per_trigger: int = 16,
 ):
     """Stream NDJSON files from ``landing_dir/{database}/{table}`` into
     the managed table. Returns the StreamingQuery.
 
-    Scale notes: ``maxFilesPerTrigger`` bounds micro-batch size the way
-    the reference's rotation thresholds bounded file size; the text is
-    read as whole lines (schema applied inside foreachBatch so the
-    type-vote semantics stay identical to the batch path).
+    Scale notes: ``max_files_per_trigger`` bounds micro-batch size the
+    way the reference's rotation thresholds bounded file size; the text
+    is read as whole lines (schema applied inside foreachBatch so the
+    type-vote semantics stay identical to the batch path). The trigger
+    size is the latency/throughput dial: each micro-batch pays one
+    vote+append (+ optional commit), so larger triggers amortize that
+    fixed cost toward the batch path's rate while stretching
+    commit-to-visibility latency — measured in PERF.md round 8
+    (16-file triggers: ~33k rows/s; the batch path: ~195k rows/s).
     """
     # Hadoop FS path handling: the landing dir is a URI on a cluster
     # (s3a://bucket/landing/closed) and a plain local dir in tests —
@@ -47,7 +53,7 @@ def start_ingest_stream(
 
     raw = (
         spark.readStream.format("text")
-        .option("maxFilesPerTrigger", "16")
+        .option("maxFilesPerTrigger", str(int(max_files_per_trigger)))
         .load(src_dir)
     )
 
