@@ -125,9 +125,11 @@ def _put_manifest(
     the loser gets CommitConflictError. commit_snapshot retries with a
     fresh version (its manifest is recomputed from the directory, so
     the retry adopts the winner's files too); copy-on-write DML
-    (delete_where / merge_upsert) does NOT retry — its manifest is
-    derived from a specific parent version, so the conflict surfaces
-    to the caller, who re-runs against the new state. ``overwrite``
+    (delete_where / delete_keys / merge_upsert / overwrite_versioned)
+    retries via _retry_dml with a FULL recompute against the fresh
+    snapshot — its manifest is derived from a specific parent
+    version, so only a from-scratch attempt is serializable after
+    the winner. ``overwrite``
     is reserved for same-version metadata rewrites that are not
     commits (maintain_table's retired-set drain)."""
     v = manifest["version"]
@@ -562,10 +564,24 @@ def commit_snapshot(
         # (maintenance deletes them) so the set stays bounded by live
         # dead files, and never grows for the lifetime of the table
         retired &= set(disk)
-        files = sorted(f for f in disk if f not in retired)
         schema = wh.schema(database, table)
         prev_files = (
             set(_manifest_files(wh, database, table, prev)) if vs else set()
+        )
+        # adoption guard (new r8, caught live by the DML-retry race
+        # test): COW rewrites rename their survivor files into the
+        # table dir BEFORE their own manifest PUT — if a concurrent
+        # append's listing adopted those not-yet-committed files, the
+        # survivors would double-count the moment the DML's CAS lost.
+        # A cow/ow/pack/compact-prefixed file therefore only enters a
+        # listing-derived manifest by CARRY-OVER from the previous
+        # manifest (i.e. once its own commit won); uncommitted ones
+        # stay invisible debris until maintenance reclaims them.
+        files = sorted(
+            f
+            for f in disk
+            if f not in retired
+            and (f in prev_files or not f.startswith(_COW_PREFIXES))
         )
         added = [f for f in files if f not in prev_files]
         removed = prev_files - set(files)
@@ -644,7 +660,7 @@ def append_versioned(
     return commit_snapshot(wh, database, table, stat_cols=stat_cols)
 
 
-def overwrite_versioned(
+def _overwrite_versioned_once(
     wh: Warehouse,
     database: str,
     table: str,
@@ -653,7 +669,8 @@ def overwrite_versioned(
     summary: dict | None = None,
     cdc: bool = True,
 ) -> int:
-    """INSERT OVERWRITE as ONE atomic commit: ``batch`` replaces the
+    """One optimistic attempt of overwrite_versioned (public wrapper
+    below adds conflict retry). INSERT OVERWRITE as ONE atomic commit: ``batch`` replaces the
     table's ENTIRE content, and the single manifest PUT is the only
     visibility point — a concurrent reader sees the old complete
     snapshot or the new one, never an empty table and never a mix
@@ -1054,6 +1071,13 @@ def expire_snapshots(
     return expired
 
 
+#: file-name prefixes used by COW rewrites (_cow_rewrite callers).
+#: commit_snapshot refuses to ADOPT new files with these prefixes from
+#: a directory listing — they become visible only through their own
+#: DML commit's manifest (see the adoption guard in commit_snapshot).
+_COW_PREFIXES = ("cow-", "ow-", "pack-", "compact-")
+
+
 def _cow_rewrite(wh: Warehouse, base: str, df: DataFrame,
                  prefix: str = "cow") -> list[str]:
     """COW rewrite helper shared by DELETE/MERGE/OVERWRITE/compaction:
@@ -1144,14 +1168,15 @@ def _cow_commit(
     return next_v
 
 
-def delete_where(
+def _delete_where_once(
     wh: Warehouse,
     database: str,
     table: str,
     predicate,
     summary: dict | None = None,
 ) -> tuple[int, int]:
-    """Row-level DELETE via copy-on-write, the takedown primitive a
+    """One optimistic attempt of delete_where (public wrapper below
+    adds conflict retry). Row-level DELETE via copy-on-write, the takedown primitive a
     training-data pipeline needs (opt-outs, contamination, PII): files
     containing matching rows are rewritten WITHOUT them; untouched
     files are carried into the new manifest as-is. Returns
@@ -1243,7 +1268,7 @@ def delete_where(
     return next_v, n_deleted
 
 
-def delete_keys(
+def _delete_keys_once(
     wh: Warehouse,
     database: str,
     table: str,
@@ -1251,7 +1276,8 @@ def delete_keys(
     key_col: str,
     summary: dict | None = None,
 ) -> tuple[int, int]:
-    """Row-level DELETE by KEY SET via copy-on-write: every row whose
+    """One optimistic attempt of delete_keys (public wrapper below
+    adds conflict retry). Row-level DELETE by KEY SET via copy-on-write: every row whose
     ``key_col`` appears in ``keys`` is removed. Returns
     (new_version, rows_deleted).
 
@@ -1337,7 +1363,7 @@ def delete_keys(
     return next_v, n_deleted
 
 
-def merge_upsert(
+def _merge_upsert_once(
     wh: Warehouse,
     database: str,
     table: str,
@@ -1345,7 +1371,8 @@ def merge_upsert(
     key_col: str,
     summary: dict | None = None,
 ) -> tuple[int, int, int]:
-    """MERGE (latest-wins upsert) via copy-on-write: rows whose
+    """One optimistic attempt of merge_upsert (public wrapper below
+    adds conflict retry). MERGE (latest-wins upsert) via copy-on-write: rows whose
     ``key_col`` matches an update are REPLACED, unmatched update rows
     INSERT, files without any matching key carry over untouched.
     Returns (new_version, n_updated, n_inserted) — the dimension-table
@@ -1432,6 +1459,110 @@ def merge_upsert(
         summary=summary,
     )
     return next_v, n_updated, n_inserted
+
+
+def overwrite_versioned(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    batch: DataFrame,
+    stat_cols: list[str] | None = None,
+    summary: dict | None = None,
+    cdc: bool = True,
+) -> int:
+    """INSERT OVERWRITE as ONE atomic commit — see
+    _overwrite_versioned_once for semantics (single-PUT visibility,
+    CDC delete+insert capture, cdc=False for derived tables).
+    Conflict-retries with full recompute (_retry_dml): INSERT
+    OVERWRITE's contract is 'replace whatever is there', so a retry
+    against the winner's state — including re-deriving the delete
+    preimages from it — is exactly the right semantics."""
+    return _retry_dml(
+        lambda: _overwrite_versioned_once(
+            wh, database, table, batch,
+            stat_cols=stat_cols, summary=summary, cdc=cdc,
+        )
+    )
+
+
+def _retry_dml(attempt, attempts: int = 5):
+    """Serializable-after-the-winner retry for copy-on-write DML (new
+    r8): a CommitConflictError means a concurrent writer (typically
+    the ingest stream's per-batch commit) took this commit's version
+    number — the whole attempt RECOMPUTES against the fresh snapshot
+    (re-tag affected files, re-rewrite, re-diff changes), so the
+    retried DML applies to the winner's state exactly as if it had
+    started after it. The failed attempt's rewrite/change files are
+    unreferenced debris inside maintain_table's reclaim grace window,
+    same as any CAS loser. Five consecutive conflicts (a commit storm)
+    surface the last error to the caller."""
+    last: CommitConflictError | None = None
+    for _ in range(attempts):
+        try:
+            return attempt()
+        except CommitConflictError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def delete_where(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    predicate,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """Row-level DELETE via copy-on-write — see _delete_where_once
+    for semantics (Delta DELETE NULL handling, CDC preimages,
+    time-travel audit trail). This wrapper retries on commit
+    conflicts with a FULL recompute against the fresh snapshot
+    (_retry_dml), so a takedown racing the ingest stream's appends
+    lands serializably after them instead of erroring out."""
+    return _retry_dml(
+        lambda: _delete_where_once(
+            wh, database, table, predicate, summary=summary
+        )
+    )
+
+
+def delete_keys(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    keys: DataFrame,
+    key_col: str,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """Row-level DELETE by KEY SET via copy-on-write — see
+    _delete_keys_once for semantics (keys-frame anti-join, never a
+    driver IN-list). Conflict-retries with full recompute
+    (_retry_dml): the mass-takedown case is exactly the one that
+    runs concurrently with live ingest."""
+    return _retry_dml(
+        lambda: _delete_keys_once(
+            wh, database, table, keys, key_col, summary=summary
+        )
+    )
+
+
+def merge_upsert(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    updates: DataFrame,
+    key_col: str,
+    summary: dict | None = None,
+) -> tuple[int, int, int]:
+    """MERGE (latest-wins upsert) via copy-on-write — see
+    _merge_upsert_once for semantics. Conflict-retries with full
+    recompute (_retry_dml); latest-wins semantics are unchanged by
+    a retry because the update set is re-applied against whatever
+    state the winning commit left."""
+    return _retry_dml(
+        lambda: _merge_upsert_once(
+            wh, database, table, updates, key_col, summary=summary
+        )
+    )
 
 
 # --- write-audit-publish staging (Iceberg's WAP pattern, public) -----

@@ -2241,3 +2241,62 @@ def test_fs_list_names_local_fast_path_matches_jvm(spark, tmp_path):
         for p, sz in list_data_files(spark, str(d))
     )
     assert got == [("a.parquet", 1), ("b.json", 2)]
+
+
+def test_dml_retries_serializably_after_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """DML conflict retry (snapshots._retry_dml, new r8): a
+    copy-on-write DELETE whose manifest PUT loses the version-number
+    CAS to a concurrent append must RECOMPUTE against the winner's
+    state and land serializably after it — the takedown-racing-the-
+    ingest-stream case. The race is injected deterministically: the
+    delete's first _put_manifest first lets an append commit (taking
+    the version number), then attempts the original PUT, which
+    CAS-fails; the retry must see the appended row too."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i % 5) for i in range(100)], "__row_id long, grp long"
+        ),
+    )
+
+    orig = snap._put_manifest
+    state = {"raced": 0}
+
+    def racing_put(wh_, db_, t_, manifest, overwrite=False):
+        if not state["raced"] and not overwrite and "changes" in manifest:
+            state["raced"] = 1
+            # the concurrent writer lands first — note grp=2: the
+            # appended row MATCHES the delete predicate, so only a
+            # true recompute (not a blind version-bump re-PUT of the
+            # stale manifest) removes it
+            snap.append_versioned(
+                wh_, db_, t_,
+                spark.createDataFrame(
+                    [(777, 2)], "__row_id long, grp long"
+                ),
+            )
+        return orig(wh_, db_, t_, manifest, overwrite)
+
+    monkeypatch.setattr(snap, "_put_manifest", racing_put)
+    v, n = snap.delete_where(wh, "db", "t", F.col("grp") == 2)
+    monkeypatch.setattr(snap, "_put_manifest", orig)
+
+    assert state["raced"] == 1  # the race really fired
+    assert n == 21  # 20 original grp=2 rows + the racer's row
+    live = snap.read_snapshot(wh, "db", "t")
+    assert live.count() == 80
+    assert live.filter(F.col("grp") == 2).count() == 0
+    assert live.filter(F.col("__row_id") == 777).count() == 0
+    # history: append and delete are BOTH versions, in that order
+    vs = snap.versions(wh, "db", "t")
+    assert v == vs[-1] and len(vs) == 3
+    # the CDC feed across the delete carries all 21 preimages
+    ch = snap.read_changes(wh, "db", "t", vs[-2], v)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 21
