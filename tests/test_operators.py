@@ -2018,3 +2018,77 @@ def test_ivfpq_recall_floor_at_nprobe4(spark, sf_dir):
         ).collect()
     }
     assert idx == mem
+
+
+def test_ann_index_refresh_crash_before_stamp_replays_idempotently(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """refresh_ann_index's stamp-last protocol (module docstring): a
+    crash AFTER the DML commits but BEFORE the sidecar stamp leaves
+    the recorded src_version at the old value; the next refresh
+    replays the same CDC window, and because the keys-frame delete
+    and frozen-codebook MERGE are idempotent, the index converges to
+    exactly the frozen-quantizer re-encode of the source — no
+    double-apply, no loss. Crash injected by failing the first
+    stamp commit."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import ann_index as ai
+    from scratchdb_spark.operators.similarity import _assign_encode_df
+    from scratchdb_spark.tables import Warehouse, table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    emb = table(spark, sf_dir, "embeddings")
+    snap.append_versioned(wh, "db", "emb", emb)
+    ai.build_ann_index(wh, "db", "emb", "emb_idx")
+    meta0 = ai._load_meta(wh, "db", "emb_idx")
+
+    snap.delete_where(wh, "db", "emb", F.col("vec_id") % 7 == 3)
+    snap.append_versioned(
+        wh, "db", "emb",
+        emb.filter(F.col("vec_id") % 11 == 5).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "embedding", "label",
+        ),
+    )
+
+    orig = snap.commit_snapshot
+
+    def crashing_stamp(wh_, db_, t_, stat_cols=None, summary=None):
+        if summary and summary.get("operation") == "ann-refresh":
+            raise RuntimeError("injected crash before sidecar stamp")
+        return orig(wh_, db_, t_, stat_cols=stat_cols, summary=summary)
+
+    monkeypatch.setattr(snap, "commit_snapshot", crashing_stamp)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ai.refresh_ann_index(wh, "db", "emb_idx")
+    monkeypatch.setattr(snap, "commit_snapshot", orig)
+
+    # crash window: DML landed, stamp didn't -> recorded src_version
+    # must still be the OLD one (that is what makes replay possible)
+    assert (
+        ai._load_meta(wh, "db", "emb_idx")["src_version"]
+        == meta0["src_version"]
+    )
+
+    # the replay refresh re-applies the SAME window on top of the
+    # half-applied state and must converge exactly
+    st = ai.refresh_ann_index(wh, "db", "emb_idx")
+    assert st["src_version"] > meta0["src_version"]
+    meta = ai._load_meta(wh, "db", "emb_idx")
+    want = {
+        (r["vec_id"], r["cid"], tuple(r["code"]))
+        for r in _assign_encode_df(
+            snap.read_snapshot(wh, "db", "emb"),
+            meta["books"], meta["cent_ids"], meta["centroids"],
+            "vec_id", "embedding",
+        ).collect()
+    }
+    got = {
+        (r["__row_id"], r["cid"], tuple(r["code"]))
+        for r in snap.read_snapshot(wh, "db", "emb_idx").collect()
+    }
+    assert got == want
