@@ -651,13 +651,18 @@ def append_versioned(
     table: str,
     batch: DataFrame,
     stat_cols: list[str] | None = None,
+    summary: dict | None = None,
 ) -> int:
     """append_aligned + snapshot commit: the batch's files become
     visible to snapshot readers atomically, at the manifest PUT.
     ``stat_cols`` opts the table into per-file min/max zone maps
-    (see commit_snapshot; later appends inherit them)."""
+    (see commit_snapshot; later appends inherit them); ``summary``
+    records commit provenance surfaced by DESCRIBE HISTORY, same as
+    every other commit path."""
     wh.append_aligned(database, table, batch)
-    return commit_snapshot(wh, database, table, stat_cols=stat_cols)
+    return commit_snapshot(
+        wh, database, table, stat_cols=stat_cols, summary=summary
+    )
 
 
 def _overwrite_versioned_once(
