@@ -2300,3 +2300,140 @@ def test_dml_retries_serializably_after_concurrent_append(
     # the CDC feed across the delete carries all 21 preimages
     ch = snap.read_changes(wh, "db", "t", vs[-2], v)
     assert ch.filter(F.col("_change_type") == "delete").count() == 21
+
+
+def test_dml_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based DML check (new r8): seeded random sequences of
+    append / delete_where / delete_keys / merge_upsert /
+    overwrite_versioned against a plain-dict model {__row_id: val}.
+    After every op the live snapshot must equal the model; pinned
+    versions must time-travel to their historical model states; and
+    the CDC net effect between consecutive versions must equal the
+    model diff (inserts - deletes = state delta). Deterministic seeds
+    keep it fast and reproducible — this is the cross-operator
+    interaction coverage the per-operator tests can't give."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    def run_sequence(seed: int, n_ops: int = 8) -> None:
+        rng = random.Random(seed)
+        wh = Warehouse(spark, str(tmp_path / f"wh{seed}"))
+        model: dict[int, int] = {i: i * 10 for i in range(60)}
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                sorted(model.items()), "__row_id long, val long"
+            ),
+        )
+        history = [(snap.versions(wh, "db", "t")[-1], dict(model))]
+
+        for _ in range(n_ops):
+            op = rng.choice(
+                ["append", "del_where", "del_keys", "merge", "overwrite"]
+            )
+            if op == "append":
+                base = rng.randrange(1000, 100_000)
+                rows = {base + i: rng.randrange(1000) for i in range(7)}
+                rows = {k: v for k, v in rows.items() if k not in model}
+                snap.append_versioned(
+                    wh, "db", "t",
+                    spark.createDataFrame(
+                        sorted(rows.items()), "__row_id long, val long"
+                    ),
+                )
+                model.update(rows)
+            elif op == "del_where":
+                m = rng.choice([3, 5, 7])
+                r = rng.randrange(m)
+                snap.delete_where(
+                    wh, "db", "t", F.col("val") % m == r
+                )
+                model = {
+                    k: v for k, v in model.items() if v % m != r
+                }
+            elif op == "del_keys":
+                if model:
+                    ks = rng.sample(
+                        sorted(model), k=min(9, len(model))
+                    ) + [999_999_999]  # plus a no-match key
+                    snap.delete_keys(
+                        wh, "db", "t",
+                        spark.createDataFrame(
+                            [(k,) for k in ks], "__row_id long"
+                        ),
+                        "__row_id",
+                    )
+                    for k in ks:
+                        model.pop(k, None)
+            elif op == "merge":
+                upd = {}
+                if model:
+                    for k in rng.sample(
+                        sorted(model), k=min(5, len(model))
+                    ):
+                        upd[k] = rng.randrange(1000)
+                for i in range(3):
+                    upd[rng.randrange(500_000, 600_000)] = rng.randrange(
+                        1000
+                    )
+                snap.merge_upsert(
+                    wh, "db", "t",
+                    spark.createDataFrame(
+                        sorted(upd.items()), "__row_id long, val long"
+                    ),
+                    "__row_id",
+                )
+                model.update(upd)
+            else:  # overwrite
+                new = {
+                    rng.randrange(10_000): rng.randrange(1000)
+                    for _ in range(12)
+                }
+                snap.overwrite_versioned(
+                    wh, "db", "t",
+                    spark.createDataFrame(
+                        sorted(new.items()), "__row_id long, val long"
+                    ),
+                )
+                model = dict(new)
+
+            got = {
+                r["__row_id"]: r["val"]
+                for r in snap.read_snapshot(wh, "db", "t").collect()
+            }
+            assert got == model, f"seed={seed} after {op}"
+            history.append(
+                (snap.versions(wh, "db", "t")[-1], dict(model))
+            )
+
+        # time travel: pinned versions still read their states
+        for v, state in [history[0], history[len(history) // 2]]:
+            got = {
+                r["__row_id"]: r["val"]
+                for r in snap.read_snapshot(
+                    wh, "db", "t", version=v
+                ).collect()
+            }
+            assert got == state, f"seed={seed} time travel v{v}"
+
+        # CDC: net effect between consecutive RECORDED versions equals
+        # the model diff (consecutive ops may be several commits apart
+        # when DML retried or refreshed — use the recorded pins)
+        for (v_a, st_a), (v_b, st_b) in zip(history, history[1:]):
+            ch = snap.read_changes(wh, "db", "t", v_a, v_b).collect()
+            after = dict(st_a)
+            for r in ch:
+                if r["_change_type"] == "delete":
+                    # a delete preimage removes the exact (k, v) pair
+                    if after.get(r["__row_id"]) == r["val"]:
+                        after.pop(r["__row_id"], None)
+            for r in ch:
+                if r["_change_type"] == "insert":
+                    after[r["__row_id"]] = r["val"]
+            assert after == st_b, f"seed={seed} CDC {v_a}->{v_b}"
+
+    for seed in (11, 23, 37):
+        run_sequence(seed)
