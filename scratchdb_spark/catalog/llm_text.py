@@ -301,6 +301,49 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_semdedup_prune",
+    """
+    WITH cent AS (
+      SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT 16),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    assign AS (
+      SELECT vec_id, ccid AS cid FROM (
+        SELECT corpus.vec_id, cent.ccid,
+               row_number() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY round(list_cosine_similarity(v, cv), 6) DESC,
+                          ccid
+               ) AS rn
+        FROM corpus CROSS JOIN cent) a
+      WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a
+      JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN corpus ca ON ca.vec_id = a.vec_id
+      JOIN corpus cb ON cb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ca.v, cb.v), 6) >= 0.4)
+    SELECT assign.vec_id, assign.cid,
+           dropped.vec_id IS NULL AS kept
+    FROM assign LEFT JOIN dropped ON assign.vec_id = dropped.vec_id
+    """,
+    doc="SemDedup semantic dedup (operators/similarity.py::"
+        "semdedup_prune, Abbas et al. 2023): coarse-cluster the "
+        "embeddings, drop within-cell cosine near-dups keeping the "
+        "smallest id. The linear scale path whose guarded quadratic "
+        "oracle is emb_near_dup_pairs; deterministic cells make it "
+        "hash-checkable end to end.",
+)
+def emb_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semdedup_prune
+
+    return semdedup_prune(table(spark, sf_dir, "embeddings"), tau=0.4,
+                          n_cells=16)
+
+
+@register(
     "text_langid",
     """
     WITH t AS (SELECT doc_id, {toks} AS w FROM documents),

@@ -1378,3 +1378,96 @@ def ivfpq_residual_topk(
         k * overfetch, corpus.sparkSession,
     )
     return _exact_refine(cand_ids, corpus, queries, k, id_col, vec_col)
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    tau: float,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_rows: int | None = 20_000,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    drop near-duplicates WITHIN each cluster only — the linear-cost
+    scale path for which ``cosine_pairs_above`` is the guarded
+    quadratic oracle.
+
+    Keep rule (deterministic, single-pass, non-cascading): a vector
+    is dropped iff some SAME-CELL vector with a SMALLER id has
+    round(cosine, 6) >= tau against it — smaller ids win outright,
+    and a vector's own dropped/kept status never changes what it
+    suppresses. That makes the operator order-independent and fully
+    SQL-expressible, so the oracle is a hash-checked DuckDB query,
+    not a snapshot.
+
+    Cells come from the same deterministic coarse quantizer as
+    ivf_topk / ivfpq_topk (``_coarse_centroids``: the n_cells
+    smallest-id corpus vectors, unit-normalized; a k-means refinement
+    drops in by swapping only that function). Assignment is
+    argmax(round(cos, 6)) with ties to the smallest cell id —
+    byte-identical to the ann_ivf_topk oracle convention.
+
+    Scale shape: one vectorized assignment pass (per-batch GEMM,
+    centroid matrix closure-broadcast), then ONE shuffle grouping by
+    cell id; each cell is scored by a row-chunked GEMM kernel
+    (chunk_rows x |cell| working set, never |cell|^2 at once). The
+    within-cell work is quadratic in CELL size by SemDedup's
+    contract, so the scale knob is n_cells ~ N / target_cell_size;
+    ``refuse_hot_groups`` rejects cells above ``max_cell_rows`` with
+    a pointer to raising n_cells. No cross product ever forms: the
+    only join is the implicit groupBy(cid).
+    """
+    from .guards import refuse_hot_groups
+
+    cent_ids, C = _coarse_centroids(corpus, n_cells, id_col, vec_col)
+
+    n = _norm(F.col(vec_col))
+    normed = corpus.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
+    )
+
+    @pandas_udf("long")
+    def assign_centroid(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        S = np.round(V @ C.T, 6)  # rows already unit-normalized
+        # argmax takes the FIRST max -> smallest cell id on ties
+        return pd.Series(cent_ids[np.argmax(S, axis=1)])
+
+    assigned = normed.withColumn("cid", assign_centroid("v"))
+    refuse_hot_groups(
+        assigned, ["cid"], max_cell_rows, "semdedup_prune",
+        "a larger n_cells (cells ~ N / target_cell_size)",
+    )
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.array(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"].to_numpy()[order]]
+        )
+        m = len(ids)
+        kept = np.ones(m, dtype=bool)
+        col = np.arange(m)[None, :]
+        for start in range(0, m, chunk_rows):
+            chunk = V[start : start + chunk_rows]
+            S = np.round(chunk @ V.T, 6)
+            row = (start + np.arange(len(chunk)))[:, None]
+            # dropped iff any smaller-id (== earlier-index) same-cell
+            # vector scores >= tau; ids are sorted so index order is
+            # id order, and duplicate suppression never cascades
+            hit = (S >= tau) & (col < row)
+            kept[start : start + len(chunk)] = ~hit.any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cid": pdf["cid"].iloc[0], "kept": kept}
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        cell_kernel, "vec_id long, cid long, kept boolean"
+    )

@@ -2092,3 +2092,53 @@ def test_ann_index_refresh_crash_before_stamp_replays_idempotently(
         for r in snap.read_snapshot(wh, "db", "emb_idx").collect()
     }
     assert got == want
+
+
+def test_semdedup_prune_semantics_and_invariance(spark):
+    """semdedup_prune's keep rule, pinned on a constructed corpus:
+    dropped iff some SAME-CELL smaller id has round(cos,6) >= tau —
+    including the non-cascading case (a~b, b~c, a!~c: c is dropped by
+    b even though b itself is dropped), plus chunk-boundary and
+    partition invariance and the hot-cell guard."""
+    import math
+
+    from scratchdb_spark.operators.guards import HotGroupError
+    from scratchdb_spark.operators.similarity import semdedup_prune
+
+    def d(phi_deg, i, j, dim=4):
+        v = [0.0] * dim
+        r = math.radians(phi_deg)
+        v[i], v[j] = math.cos(r), math.sin(r)
+        return v
+
+    rows = [
+        (0, d(0, 0, 2)),     # centroid/cell A = e1, kept
+        (1, d(0, 1, 3)),     # centroid/cell B = e2, kept
+        (10, d(0, 0, 2)),    # exact dup of id0 -> dropped
+        (11, d(0, 1, 3)),    # exact dup of id1 -> dropped
+        (12, d(10, 0, 2)),   # cos(10deg)=0.985 vs id0 -> dropped
+        (20, d(40, 0, 2)),   # kept: cos vs all smaller-id A < 0.95
+        (21, d(58, 0, 2)),   # dropped via id20 (cos18=0.951)
+        (22, d(76, 0, 2)),   # dropped via id21 EVEN THOUGH 21 was
+                             # itself dropped (cos36 vs 20 = 0.809)
+        (13, d(40, 1, 3)),   # kept in B (cos40=0.766 vs both)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_prune(emb, tau=0.95, n_cells=2).collect()
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    cells = {r["vec_id"]: r["cid"] for r in out}
+    assert cells == {0: 0, 10: 0, 12: 0, 20: 0, 21: 0, 22: 0,
+                     1: 1, 11: 1, 13: 1}
+    assert kept == {0: True, 1: True, 10: False, 11: False, 12: False,
+                    20: True, 21: False, 22: False, 13: True}
+
+    # chunk-boundary + partition invariance: tiny chunks and a
+    # different input layout change nothing
+    alt = semdedup_prune(
+        emb.repartition(7), tau=0.95, n_cells=2, chunk_rows=2
+    ).collect()
+    assert sorted(map(str, alt)) == sorted(map(str, out))
+
+    # hot-cell guard: cell A has 6 rows
+    with pytest.raises(HotGroupError):
+        semdedup_prune(emb, tau=0.95, n_cells=2, max_cell_rows=4)
