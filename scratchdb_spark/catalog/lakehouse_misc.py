@@ -1899,3 +1899,100 @@ def warehouse_overwrite_atomic(
         "versions_added long, rows_after long, old_version_rows long, "
         "cdc_deletes long, cdc_inserts long, operation string",
     )
+
+
+@register(
+    "warehouse_bloom_point_lookup",
+    """
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(0 AS BIGINT), true, true, true, true))
+      t(rows_found, miss_rows, hit_skips_files, misses_mostly_zero,
+        inherited, unicode_roundtrip)
+    """,
+    doc="Per-file BLOOM-filter data skipping (snapshots.py "
+        "bloom_cols=, new r8): equality point lookups on a HIGH-"
+        "cardinality unclustered column, where the capped dictionary "
+        "saturates and min/max ranges cover every file. The manifest "
+        "records a 4096-bit sha256-derived bloom per file (Parquet "
+        "column-index blooms / ClickHouse bloom_filter skip index, "
+        "lifted to manifest level); the DRIVER replays the hash in "
+        "pure Python at plan time, so a 100 TB point lookup opens "
+        "only the files the key can live in — no footer reads, no "
+        "scan. Outputs are layout-independent invariants: the "
+        "present key is found through the pruned plan, a definite "
+        "miss reads nothing, a hit plans strictly fewer files than "
+        "the table holds, >= 15 of 20 absent probes plan ZERO files, "
+        "bloom_cols inherit across commits, and a non-ASCII key "
+        "round-trips both hash sides.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_bloom_point_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_bloom_"))
+    df = spark.range(2000).select(
+        F.col("id").alias("__row_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("k"),
+        (F.col("id") % 8).alias("part"),
+    ).repartition(8, "part")
+    v1 = snap.append_versioned(
+        wh, "db", "t", df, stat_cols=["k"], bloom_cols=["k"]
+    )
+    m1 = snap._manifest(wh, "db", "t", v1)
+    total = len(snap._plan_files(wh, "db", "t", m1, None, None))
+    key = hashlib.sha256(b"1234").hexdigest()
+    hit_files = snap._plan_files(wh, "db", "t", m1, None, ("k", key))
+    rows_found = (
+        snap.read_snapshot(wh, "db", "t", prune_eq=("k", key))
+        .filter(F.col("k") == key)
+        .count()
+    )
+    miss_rows = (
+        snap.read_snapshot(
+            wh, "db", "t", prune_eq=("k", "zz-not-a-digest")
+        )
+        .filter(F.col("k") == "zz-not-a-digest")
+        .count()
+    )
+    miss_counts = [
+        len(snap._plan_files(wh, "db", "t", m1, None, ("k", f"miss-{i}")))
+        for i in range(20)
+    ]
+    # inheritance + unicode parity: plain append, then probe a
+    # non-ASCII key through both the Spark-side and Python-side hash
+    v2 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(9001, "klüç-ünïcode", 0)],
+            "__row_id long, k string, part long",
+        ).coalesce(1),
+    )
+    m2 = snap._manifest(wh, "db", "t", v2)
+    uni = (
+        snap.read_snapshot(
+            wh, "db", "t", prune_eq=("k", "klüç-ünïcode")
+        )
+        .filter(F.col("k") == "klüç-ünïcode")
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                rows_found,
+                miss_rows,
+                bool(1 <= len(hit_files) < total),
+                bool(sum(1 for c in miss_counts if c == 0) >= 15),
+                m2.get("bloom_cols") == ["k"],
+                uni == 1,
+            )
+        ],
+        "rows_found long, miss_rows long, hit_skips_files boolean, "
+        "misses_mostly_zero boolean, inherited boolean, "
+        "unicode_roundtrip boolean",
+    )

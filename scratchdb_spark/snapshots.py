@@ -164,17 +164,91 @@ def _put_manifest(
 _DICT_CAP = 64
 
 
+_BLOOM_M = 4096  # bits per file-level bloom bitmap (512 B raw)
+_BLOOM_K = 3  # probe positions per value (sha256-derived words)
+_BLOOM_POS_CAP = 3072  # distinct positions above which the bloom is
+#                        recorded as null: "computed but saturated" —
+#                        distinct from a missing key ("never computed",
+#                        which forces a backfill scan on stat widening)
+
+
+def _bloom_positions(v, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    """Probe positions for one value: the first k 32-bit words of
+    sha256(str(v)) mod m. MUST stay byte-identical to the Spark-side
+    expression in _file_stats (sha2(cast(col as string), 256) hex →
+    conv(substring, 16, 10) % m): Python str() and Spark's
+    cast-to-string agree for string and integral types, which is why
+    bloom columns are restricted to exactly those."""
+    import hashlib
+
+    h = hashlib.sha256(str(v).encode("utf-8")).hexdigest()
+    return [int(h[8 * i : 8 * i + 8], 16) % m for i in range(k)]
+
+
+def _bloom_test(bl: dict, vals) -> bool:
+    """True iff SOME value in ``vals`` may be present per the bloom
+    record ({"m","k","b"(base64)}). All-k-bits-set semantics: false
+    positives possible (file scanned needlessly), false negatives
+    impossible (pruning never drops rows)."""
+    import base64
+
+    bits = base64.b64decode(bl["b"])
+    return any(
+        all(
+            (bits[p >> 3] >> (p & 7)) & 1
+            for p in _bloom_positions(v, bl["m"], bl["k"])
+        )
+        for v in vals
+    )
+
+
+def _bloom_merge(bls: list[dict]) -> dict | None:
+    """OR-union of member blooms (set-union membership, so shard-level
+    skipping keeps the no-false-negative guarantee); None when any
+    member is saturated (null) or parameters disagree."""
+    import base64
+
+    if any(b is None for b in bls):
+        return None
+    m, k = bls[0]["m"], bls[0]["k"]
+    if any(b["m"] != m or b["k"] != k for b in bls):
+        return None
+    acc = bytearray(m // 8)
+    for b in bls:
+        for i, byte in enumerate(base64.b64decode(b["b"])):
+            acc[i] |= byte
+    return {"m": m, "k": k, "b": base64.b64encode(bytes(acc)).decode()}
+
+
+_BLOOMABLE_TYPES = ("bigint", "int", "smallint", "tinyint", "string")
+
+
 def _file_stats(
-    wh: Warehouse, base: str, names: list[str], schema, stat_cols: list[str]
+    wh: Warehouse, base: str, names: list[str], schema,
+    stat_cols: list[str], bloom_cols: list[str] = (),
 ) -> dict:
     """Per-file min/max for ``stat_cols`` over exactly ``names`` — the
     zone-map half of the manifest (Iceberg data-file stats / Delta
     file skipping, public designs). ONE aggregation job over only the
     named files (commit path passes just the new batch's files, so
     stats cost is proportional to churn, not table size); map-side
-    combine makes the shuffle k-rows-per-file."""
-    if not names or not stat_cols:
+    combine makes the shuffle k-rows-per-file.
+
+    ``bloom_cols`` additionally records a per-file BLOOM FILTER
+    (``col__bloom``) for equality skipping on HIGH-cardinality
+    columns, where the capped dictionary saturates and min/max ranges
+    are useless unless the table happens to be clustered on the
+    column (Parquet column-index bloom filters / ClickHouse
+    bloom_filter skip indexes, public designs, lifted to manifest
+    level so the DRIVER skips whole files without opening footers).
+    The k probe positions are sha256-derived JVM-side and replayed in
+    pure Python at plan time — see _bloom_positions. A file whose
+    distinct-position count exceeds _BLOOM_POS_CAP records null
+    (saturated: must-scan, but still "covered" for stat widening)."""
+    if not names or not (stat_cols or bloom_cols):
         return {}
+    import base64
+
     from pyspark.sql import functions as F
 
     for c in stat_cols:
@@ -189,6 +263,17 @@ def _file_stats(
             raise ValueError(
                 f"stat column {c!r} has non-JSON-portable type {kind}; "
                 "use a numeric/string column"
+            )
+    for c in bloom_cols:
+        f = next((f for f in schema.fields if f.name == c), None)
+        if f is None:
+            raise ValueError(f"bloom column {c!r} not in table schema")
+        kind = f.dataType.simpleString()
+        if kind not in _BLOOMABLE_TYPES:
+            raise ValueError(
+                f"bloom column {c!r} has type {kind}; bloom skipping "
+                "needs a string or integral column (str()/cast-to-"
+                "string must agree across engines)"
             )
     df = wh.spark.read.schema(schema).parquet(
         *[f"{base}/{n}" for n in names]
@@ -209,6 +294,24 @@ def _file_stats(
                 F.sort_array(F.collect_set(F.col(c))), 1, _DICT_CAP + 1
             ).alias(f"dc_{c}"),
         ]
+    for c in bloom_cols:
+        digest = F.sha2(F.col(c).cast("string"), 256)
+        for i in range(_BLOOM_K):
+            pos = F.pmod(
+                F.conv(
+                    F.substring(digest, 1 + 8 * i, 8), 16, 10
+                ).cast("long"),
+                F.lit(_BLOOM_M),
+            )
+            # slice() caps what crosses the wire at CAP+1 positions
+            # per file/word — a set that large means the bloom is
+            # saturated and gets recorded as null anyway
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_set(pos)),
+                    1, _BLOOM_POS_CAP + 1,
+                ).alias(f"bp{i}_{c}")
+            )
     rows = (
         df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
     )
@@ -220,6 +323,20 @@ def _file_stats(
             vals = r[f"dc_{c}"]
             if vals is not None and len(vals) <= _DICT_CAP:
                 rec[f"{c}__dict"] = list(vals)
+        for c in bloom_cols:
+            sets = [r[f"bp{i}_{c}"] or [] for i in range(_BLOOM_K)]
+            if any(len(s) > _BLOOM_POS_CAP for s in sets):
+                rec[f"{c}__bloom"] = None  # saturated: must-scan
+            else:
+                bits = bytearray(_BLOOM_M // 8)
+                for s in sets:
+                    for p in s:
+                        bits[p >> 3] |= 1 << (p & 7)
+                rec[f"{c}__bloom"] = {
+                    "m": _BLOOM_M,
+                    "k": _BLOOM_K,
+                    "b": base64.b64encode(bytes(bits)).decode(),
+                }
         out[r["__f"].rsplit("/", 1)[-1]] = rec
     # a file with no rows produces no aggregation row: record it as
     # [None, None] (distinct from "no stats recorded") so range
@@ -231,6 +348,18 @@ def _file_stats(
             {
                 **{c: [None, None] for c in stat_cols},
                 **{f"{c}__dict": [] for c in stat_cols},
+                # all-zero bloom: every probe misses -> file skipped,
+                # correct for a file with no (non-null) values
+                **{
+                    f"{c}__bloom": {
+                        "m": _BLOOM_M,
+                        "k": _BLOOM_K,
+                        "b": base64.b64encode(
+                            bytes(_BLOOM_M // 8)
+                        ).decode(),
+                    }
+                    for c in bloom_cols
+                },
             },
         )
     return out
@@ -271,7 +400,10 @@ def _read_shard(wh: Warehouse, database: str, table: str, name: str) -> dict:
     )
 
 
-def _shard_agg(stats: dict, names: list[str], cols: list[str]) -> dict:
+def _shard_agg(
+    stats: dict, names: list[str], cols: list[str],
+    blooms: list[str] = (),
+) -> dict:
     """Rolled-up stats for a shard record: per-column [min,max] over
     the member files' zone maps and a capped union dictionary —
     exactly the per-file record shape, lifted one level, so the same
@@ -295,6 +427,16 @@ def _shard_agg(stats: dict, names: list[str], cols: list[str]) -> dict:
             union |= set(d)
         if have_all and len(union) <= _DICT_CAP:
             rec[f"{c}__dict"] = sorted(union)
+    for c in blooms:
+        # key present in the agg == every member was bloom-computed
+        # (the stat-widening force-open proxy); value None == some
+        # member saturated, so the shard itself can't bloom-skip but
+        # its members may still skip individually
+        if any(f"{c}__bloom" not in stats.get(n, {}) for n in names):
+            continue
+        rec[f"{c}__bloom"] = _bloom_merge(
+            [stats[n][f"{c}__bloom"] for n in names]
+        )
     return rec
 
 
@@ -305,6 +447,7 @@ def _write_shard(
     names: list[str],
     stats: dict,
     cols: list[str],
+    blooms: list[str] = (),
 ) -> dict:
     """Write one immutable shard file and return its manifest record.
     uuid names never collide; visibility gates on the manifest PUT."""
@@ -327,8 +470,8 @@ def _write_shard(
         "first": names[0],
         "last": names[-1],
     }
-    if cols:
-        rec["agg"] = _shard_agg(body["stats"], names, cols)
+    if cols or blooms:
+        rec["agg"] = _shard_agg(body["stats"], names, cols, blooms)
     return rec
 
 
@@ -406,6 +549,7 @@ def _assemble_manifest_entry(
     removed: set,
     fresh_stats: dict,
     cols: list[str],
+    blooms: list[str] = (),
 ) -> dict:
     """The files/stats portion of a new manifest for ``files``:
     inline below _SHARD_THRESHOLD, sharded above. ``added`` are names
@@ -422,7 +566,7 @@ def _assemble_manifest_entry(
         # inline (small table, or a sharded table that shrank well
         # below the threshold — hysteresis avoids flapping)
         entry: dict = {"files": files}
-        if cols:
+        if cols or blooms:
             carried = (
                 _manifest_stats(
                     wh, database, table, prev,
@@ -431,7 +575,10 @@ def _assemble_manifest_entry(
                 if prev
                 else {}
             )
-            entry["stat_cols"] = cols
+            if cols:
+                entry["stat_cols"] = cols
+            if blooms:
+                entry["bloom_cols"] = list(blooms)
             entry["stats"] = {
                 **carried,
                 **{n: fresh_stats[n] for n in files if n in fresh_stats},
@@ -457,9 +604,13 @@ def _assemble_manifest_entry(
             # force-open the freshly computed stats would be DISCARDED
             # for kept shards and the next commit's covering shortcut
             # would assume coverage that never happened.
-            stale_stats = bool(cols) and (
+            stale_stats = bool(cols or blooms) and (
                 "agg" not in rec
                 or any(c not in rec.get("agg", {}) for c in cols)
+                or any(
+                    f"{b}__bloom" not in rec.get("agg", {})
+                    for b in blooms
+                )
             )
             if touched or stale_stats:
                 sh = _read_shard(wh, database, table, rec["name"])
@@ -488,7 +639,8 @@ def _assemble_manifest_entry(
         chunk = remainder[i : i + _SHARD_SIZE]
         shards.append(
             _write_shard(
-                wh, database, table, chunk, remainder_stats, cols
+                wh, database, table, chunk, remainder_stats, cols,
+                blooms,
             )
         )
     entry = {
@@ -497,6 +649,8 @@ def _assemble_manifest_entry(
     }
     if cols:
         entry["stat_cols"] = cols
+    if blooms:
+        entry["bloom_cols"] = list(blooms)
     return entry
 
 
@@ -530,6 +684,7 @@ def commit_snapshot(
     table: str,
     stat_cols: list[str] | None = None,
     summary: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Record the table's CURRENT data-file set as the next version.
     Returns the committed version number. The commit is one small
@@ -595,12 +750,18 @@ def commit_snapshot(
             if stat_cols is not None
             else (prev.get("stat_cols", []) if vs else [])
         )
+        blooms = (
+            list(bloom_cols)
+            if bloom_cols is not None
+            else (prev.get("bloom_cols", []) if vs else [])
+        )
         fresh = {}
-        if cols:
+        if cols or blooms:
             if (
                 vs
                 and "shards" in prev
                 and set(prev.get("stat_cols", [])) >= set(cols)
+                and set(prev.get("bloom_cols", [])) >= set(blooms)
             ):
                 # sharded prev with covering stat columns: carried
                 # stats STAY in their shards (never materialized on
@@ -615,12 +776,14 @@ def commit_snapshot(
                         [f for f in files if f in prev_files],
                     ).items()
                     if set(rec) >= set(cols)
+                    and all(f"{b}__bloom" in rec for b in blooms)
                 }
                 fresh_names = [f for f in files if f not in carried_ok]
             else:
                 fresh_names = files
             fresh = _file_stats(
-                wh, wh._path(database, table), fresh_names, schema, cols
+                wh, wh._path(database, table), fresh_names, schema,
+                cols, blooms,
             )
         manifest = {
             "version": next_v,
@@ -628,7 +791,7 @@ def commit_snapshot(
             "schema": schema.json(),
             **_assemble_manifest_entry(
                 wh, database, table, prev if vs else None,
-                files, added, removed, fresh, cols,
+                files, added, removed, fresh, cols, blooms,
             ),
         }
         if summary:
@@ -652,16 +815,19 @@ def append_versioned(
     batch: DataFrame,
     stat_cols: list[str] | None = None,
     summary: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """append_aligned + snapshot commit: the batch's files become
     visible to snapshot readers atomically, at the manifest PUT.
     ``stat_cols`` opts the table into per-file min/max zone maps
-    (see commit_snapshot; later appends inherit them); ``summary``
-    records commit provenance surfaced by DESCRIBE HISTORY, same as
-    every other commit path."""
+    (see commit_snapshot; later appends inherit them); ``bloom_cols``
+    opts into per-file bloom filters for high-cardinality equality
+    skipping (also inherited); ``summary`` records commit provenance
+    surfaced by DESCRIBE HISTORY, same as every other commit path."""
     wh.append_aligned(database, table, batch)
     return commit_snapshot(
-        wh, database, table, stat_cols=stat_cols, summary=summary
+        wh, database, table, stat_cols=stat_cols, summary=summary,
+        bloom_cols=bloom_cols,
     )
 
 
@@ -673,6 +839,7 @@ def _overwrite_versioned_once(
     stat_cols: list[str] | None = None,
     summary: dict | None = None,
     cdc: bool = True,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """One optimistic attempt of overwrite_versioned (public wrapper
     below adds conflict retry). INSERT OVERWRITE as ONE atomic commit: ``batch`` replaces the
@@ -706,7 +873,8 @@ def _overwrite_versioned_once(
     if not vs:
         wh.append_aligned(database, table, batch)
         return commit_snapshot(
-            wh, database, table, stat_cols=stat_cols, summary=summary
+            wh, database, table, stat_cols=stat_cols, summary=summary,
+            bloom_cols=bloom_cols,
         )
     base = wh._path(database, table)
     prev = _manifest(wh, database, table, vs[-1])
@@ -762,6 +930,11 @@ def _overwrite_versioned_once(
         # so recording the new columns costs nothing extra
         prev = dict(prev)
         prev["stat_cols"] = list(stat_cols)
+    if bloom_cols is not None and set(bloom_cols) != set(
+        prev.get("bloom_cols", [])
+    ):
+        prev = dict(prev)
+        prev["bloom_cols"] = list(bloom_cols)
     next_v = _cow_commit(
         wh, database, table, prev, prev_files, rewritten, changes,
         summary=summary,
@@ -806,6 +979,9 @@ def _eq_survives(rec: dict, col: str, val) -> bool:
     vals = rec.get(f"{col}__dict")
     if vals is not None:
         return any(v in vals for v in vs)
+    bl = rec.get(f"{col}__bloom")
+    if bl is not None and not _bloom_test(bl, vs):
+        return False  # definite miss; else fall through to range
     rng = rec.get(col)
     if rng is None:
         return True  # no stats recorded -> must scan
@@ -947,7 +1123,9 @@ def rollback_table(
     }
     # identical file list -> the target's files/stats entry (inline or
     # shard references — shards are immutable, sharing them is free)
-    for k in ("files", "stats", "stat_cols", "shards", "n_files"):
+    for k in (
+        "files", "stats", "stat_cols", "bloom_cols", "shards", "n_files"
+    ):
         if k in target:
             manifest[k] = target[k]
     _put_manifest(wh, database, table, manifest)
@@ -984,7 +1162,14 @@ def read_snapshot(
     value, falling back to the min/max range when no dict exists —
     the move that makes point lookups on categorical/clustered
     columns touch only their files, where a range check alone is
-    useless (every file spans the whole categorical 'range')."""
+    useless (every file spans the whole categorical 'range').
+    For HIGH-cardinality columns (ids, keys) where the dict saturates
+    AND the table isn't clustered on the column, a per-file BLOOM
+    filter (opt in via ``bloom_cols=`` on the commit path) makes the
+    same equality skip probabilistic-but-sound: a bloom miss proves
+    the value absent (file skipped); a hit or a saturated/absent
+    bloom falls through to the range check. ``prune_eq=(col, [v1,
+    v2, ...])`` probes all values in one manifest pass."""
     vs = versions(wh, database, table)
     if not vs:
         raise ValueError(
@@ -1148,6 +1333,7 @@ def _cow_commit(
     )
     next_v = _next_version(wh, database, table)
     cols = prev.get("stat_cols", [])
+    blooms = prev.get("bloom_cols", [])
     manifest = {
         "version": next_v,
         # replaced files stay on disk for older versions;
@@ -1158,11 +1344,14 @@ def _cow_commit(
             wh, database, table, prev, new_files,
             added=rewritten, removed=affected,
             fresh_stats=(
-                _file_stats(wh, base, rewritten, schema, cols)
-                if cols
+                _file_stats(
+                    wh, base, rewritten, schema, cols, blooms
+                )
+                if (cols or blooms)
                 else {}
             ),
             cols=cols,
+            blooms=blooms,
         ),
     }
     if changes is not None:
@@ -1474,6 +1663,7 @@ def overwrite_versioned(
     stat_cols: list[str] | None = None,
     summary: dict | None = None,
     cdc: bool = True,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """INSERT OVERWRITE as ONE atomic commit — see
     _overwrite_versioned_once for semantics (single-PUT visibility,
@@ -1486,6 +1676,7 @@ def overwrite_versioned(
         lambda: _overwrite_versioned_once(
             wh, database, table, batch,
             stat_cols=stat_cols, summary=summary, cdc=cdc,
+            bloom_cols=bloom_cols,
         )
     )
 
@@ -1894,12 +2085,14 @@ def maintain_table(
     from pyspark.sql import types as T
 
     cols = prev.get("stat_cols", [])
+    blooms = prev.get("bloom_cols", [])
     stats = (
         _file_stats(
             wh, base, sorted(rewritten),
             T.StructType.fromJson(json.loads(prev["schema"])), cols,
+            blooms,
         )
-        if cols
+        if (cols or blooms)
         else {}
     )
     new_manifest = {
@@ -1920,7 +2113,7 @@ def maintain_table(
         **_assemble_manifest_entry(
             wh, database, table, None, sorted(rewritten),
             added=sorted(rewritten), removed=set(),
-            fresh_stats=stats, cols=cols,
+            fresh_stats=stats, cols=cols, blooms=blooms,
         ),
     }
     if summary:

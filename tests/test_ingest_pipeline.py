@@ -2437,3 +2437,217 @@ def test_dml_random_op_sequences_match_model(spark, tmp_path):
 
     for seed in (11, 23, 37):
         run_sequence(seed)
+
+
+def test_bloom_file_skipping_point_lookup(spark, tmp_path):
+    """Per-file bloom filters (bloom_cols=): equality skipping on a
+    HIGH-cardinality unclustered column where dicts saturate and
+    min/max ranges cover everything. Pins (a) completeness — every
+    present key's file is always planned (bloom misses are sound),
+    (b) a definite miss plans ZERO files, (c) inheritance on later
+    commits, (d) multi-point IN-list probing, (e) cross-engine hash
+    parity incl. non-ASCII keys (Python probe vs Spark-side sha2)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # keys = sha256 strings (cardinality >> _DICT_CAP), spread across
+    # files by an unrelated partition column — zone maps are useless
+    df = spark.range(2000).select(
+        F.col("id").alias("__row_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("k"),
+        (F.col("id") % 8).alias("part"),
+    ).repartition(8, "part")
+    v1 = snap.append_versioned(
+        wh, "db", "t", df, stat_cols=["k"], bloom_cols=["k"]
+    )
+    m1 = snap._manifest(wh, "db", "t", v1)
+    assert m1.get("bloom_cols") == ["k"]
+    total = len(snap._plan_files(wh, "db", "t", m1, None, None))
+    assert total > 1
+
+    # (a) completeness over a sample of present keys — and the read
+    # path returns exactly the right row through the pruned plan
+    for i in (0, 7, 99, 1234, 1999):
+        key = hashlib.sha256(str(i).encode()).hexdigest()
+        got = (
+            snap.read_snapshot(wh, "db", "t", prune_eq=("k", key))
+            .filter(F.col("k") == key)
+            .collect()
+        )
+        assert [r["__row_id"] for r in got] == [i]
+
+    # (b) absent keys plan (almost) nothing — blooms permit false
+    # positives, so pin the aggregate: over 20 absent probes, at
+    # least 15 plan ZERO files and the total planned stays far below
+    # 20 * total (a sound-but-useless bloom would plan everything)
+    miss_counts = [
+        len(snap._plan_files(wh, "db", "t", m1, None, ("k", f"miss-{i}")))
+        for i in range(20)
+    ]
+    assert sum(1 for c in miss_counts if c == 0) >= 15
+    assert sum(miss_counts) <= total * 2
+    keys = [
+        hashlib.sha256(str(i).encode()).hexdigest() for i in (3, 888)
+    ]
+    multi = snap._plan_files(wh, "db", "t", m1, None, ("k", keys))
+    assert 1 <= len(multi) < total
+
+    # (c) a plain append inherits bloom_cols and stays current
+    v2 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(9001, "klüç-ünïcode", 0)], "__row_id long, k string, part long"
+        ).coalesce(1),
+    )
+    m2 = snap._manifest(wh, "db", "t", v2)
+    assert m2.get("bloom_cols") == ["k"]
+    # (e) non-ASCII key round-trips through both hash sides
+    got = (
+        snap.read_snapshot(wh, "db", "t", prune_eq=("k", "klüç-ünïcode"))
+        .filter(F.col("k") == "klüç-ünïcode")
+        .collect()
+    )
+    assert [r["__row_id"] for r in got] == [9001]
+    hit = snap._plan_files(
+        wh, "db", "t", m2, None, ("k", "klüç-ünïcode")
+    )
+    assert len(hit) < len(snap._plan_files(wh, "db", "t", m2, None, None))
+
+    # type guard: bloom on a double column is refused loudly
+    import pytest as _pytest
+
+    df_bad = spark.range(5).select(
+        F.col("id").alias("__row_id"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    with _pytest.raises(ValueError, match="bloom column"):
+        snap.append_versioned(
+            wh, "db", "t2", df_bad, bloom_cols=["x"]
+        )
+
+
+def test_bloom_sharded_saturation_and_widening(
+    spark, tmp_path, monkeypatch
+):
+    """Bloom skipping across the sharded-manifest path: (a) shard
+    aggs carry OR-merged blooms so whole shards skip UNOPENED, (b) a
+    saturated per-file bloom records null (must-scan, still counts as
+    covered — no recompute churn), (c) enabling bloom_cols on an
+    EXISTING table backfills every file that round (widening), (d)
+    results through the pruned plan stay exact after COW deletes."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    monkeypatch.setattr(snap, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(snap, "_SHARD_SIZE", 4)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(80).select(
+        F.col("id").alias("__row_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("k"),
+    )
+    # (c) start WITHOUT blooms, then widen
+    v1 = snap.append_versioned(
+        wh, "db", "t", df.repartitionByRange(8, "__row_id"),
+        stat_cols=["k"],
+    )
+    m1 = snap._manifest(wh, "db", "t", v1)
+    assert "shards" in m1 and "bloom_cols" not in m1
+    v2 = snap.commit_snapshot(
+        wh, "db", "t", bloom_cols=["k"]
+    )  # widening commit: backfills blooms for every live file
+    m2 = snap._manifest(wh, "db", "t", v2)
+    assert m2.get("bloom_cols") == ["k"]
+    # (a) every shard agg carries a merged bloom, and a probe for one
+    # key survives only a strict subset of shards
+    aggs = [r.get("agg", {}) for r in m2["shards"]]
+    assert all("k__bloom" in a for a in aggs)
+    key = hashlib.sha256(b"42").hexdigest()
+    surviving = [
+        a for a in aggs if snap._file_survives(a, None, ("k", key))
+    ]
+    assert 1 <= len(surviving) < len(aggs)
+    planned = snap._plan_files(wh, "db", "t", m2, None, ("k", key))
+    assert 1 <= len(planned) < snap._manifest_n_files(m2)
+    got = (
+        snap.read_snapshot(wh, "db", "t", prune_eq=("k", key))
+        .filter(F.col("k") == key)
+        .collect()
+    )
+    assert [r["__row_id"] for r in got] == [42]
+
+    # (d) COW delete keeps blooms current on the rewritten shard
+    v3, n_del = snap.delete_where(
+        wh, "db", "t",
+        F.col("k") == hashlib.sha256(b"7").hexdigest(),
+    )
+    assert n_del == 1
+    m3 = snap._manifest(wh, "db", "t", v3)
+    gone = snap._plan_files(
+        wh, "db", "t", m3, None,
+        ("k", hashlib.sha256(b"7").hexdigest()),
+    )
+    # deleted key may still bloom-hit its old (rewritten) file's
+    # successor — completeness only promises no false negatives; the
+    # read itself must find nothing
+    assert (
+        snap.read_snapshot(wh, "db", "t", version=v3)
+        .filter(F.col("k") == hashlib.sha256(b"7").hexdigest())
+        .count()
+        == 0
+    )
+    assert len(gone) <= snap._manifest_n_files(m3)
+
+    # (b) saturation: with a tiny position cap every file records a
+    # null bloom — covered (no recompute) but never skipped
+    monkeypatch.setattr(snap, "_BLOOM_POS_CAP", 2)
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    v = snap.append_versioned(
+        wh2, "db", "t",
+        # > _DICT_CAP distinct per file so the exact dictionary is
+        # out of play and the null bloom is the deciding record
+        spark.range(500).select(
+            F.col("id").alias("__row_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("k"),
+        ).coalesce(2),
+        stat_cols=["k"], bloom_cols=["k"],
+    )
+    m = snap._manifest(wh2, "db", "t", v)
+    recs = m["stats"]
+    # files WITH rows saturate to null (must-scan); a rowless file
+    # (e.g. the table-create artifact) gets an all-zero bloom and is
+    # legitimately skipped — distinguish by the [min,max] stat
+    data_files = {
+        n for n, r in recs.items() if r.get("k", [None, None])[0] is not None
+    }
+    assert data_files and all(
+        recs[n].get("k__bloom") is None for n in data_files
+    )
+    # probe inside the lexical [min,max] of the hex keys (so the
+    # range check can't skip either): null blooms must fall back to
+    # scanning every data file — saturated is never wrong, just slow
+    assert set(
+        snap._plan_files(wh2, "db", "t", m, None, ("k", "a" * 64))
+    ) == data_files
+    # and a follow-up commit does NOT recompute (covered): manifest
+    # still carries null blooms rather than dropping the key
+    v_next = snap.append_versioned(
+        wh2, "db", "t",
+        spark.createDataFrame([(99, "x")], "__row_id long, k string"),
+    )
+    m_next = snap._manifest(wh2, "db", "t", v_next)
+    carried = {
+        n: r for n, r in m_next["stats"].items() if n in data_files
+    }
+    assert set(carried) == data_files and all(
+        "k__bloom" in r and r["k__bloom"] is None
+        for r in carried.values()
+    )
