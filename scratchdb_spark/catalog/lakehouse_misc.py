@@ -1996,3 +1996,107 @@ def warehouse_bloom_point_lookup(
         "misses_mostly_zero boolean, inherited boolean, "
         "unicode_roundtrip boolean",
     )
+
+
+@register(
+    "warehouse_constraints_gate",
+    """
+    SELECT * FROM (VALUES
+      (true, CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+       'lang_known,score_range', CAST(2 AS BIGINT), true))
+      t(fail_rejected_atomically, rows_committed, rows_after,
+        multi_violation_labels, quarantined, survives_rollback)
+    """,
+    doc="Write-time constraints (snapshots.set_constraints, new r8 — "
+        "Delta CHECK constraints + DLT expectations, public designs): "
+        "'fail' mode rejects a violating batch BEFORE any file lands "
+        "(no version, no rows, no debris); 'drop' mode diverts "
+        "violators to <table>__quarantine with comma-joined labels "
+        "of every constraint each row failed and commits only clean "
+        "rows, recording per-constraint counts in the commit summary. "
+        "NULL follows SQL CHECK semantics (only FALSE violates). "
+        "Enforcement is ONE map-only aggregation over the incoming "
+        "batch plus the split writes — O(batch), never O(table) — so "
+        "the gate holds at 100 TB ingest rates. Constraints are "
+        "table config: inherited by every commit path and preserved "
+        "across rollback.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_constraints_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_cons_"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10.0, "en", 0.5), (2, 5.0, "de", 0.9)],
+            "__row_id long, price double, lang string, score double",
+        ),
+    )
+    snap.set_constraints(wh, "db", "t", {
+        "price_pos": "price IS NOT NULL AND price > 0",
+        "lang_known": {
+            "expr": "lang IN ('en','de','fr')", "on_violation": "drop"
+        },
+        "score_range": {
+            "expr": "score BETWEEN 0 AND 1", "on_violation": "drop"
+        },
+    })
+    n_vs = len(snap.versions(wh, "db", "t"))
+    try:
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(3, -1.0, "en", 0.5)],
+                "__row_id long, price double, lang string, score double",
+            ),
+        )
+        fail_atomic = False
+    except snap.ConstraintViolationError:
+        fail_atomic = (
+            len(snap.versions(wh, "db", "t")) == n_vs
+            and snap.read_snapshot(wh, "db", "t").count() == 2
+        )
+    v3 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [
+                (4, 2.0, "xx", 0.5),   # drops: lang
+                (5, 3.0, "fr", 0.7),   # clean
+                (6, 4.0, "yy", 7.0),   # drops: lang + score
+                (7, 5.0, "en", None),  # clean: NULL passes SQL CHECK
+            ],
+            "__row_id long, price double, lang string, score double",
+        ),
+    )
+    rows_committed = (
+        snap.read_changes(wh, "db", "t", v3 - 1, v3)
+        .filter(F.col("_change_type") == "insert")
+        .count()
+    )
+    labels = {
+        r["__row_id"]: r["__violated"]
+        for r in wh.read("db", "t__quarantine").collect()
+    }
+    snap.rollback_table(wh, "db", "t", v3)
+    return spark.createDataFrame(
+        [
+            (
+                fail_atomic,
+                rows_committed,
+                snap.read_snapshot(wh, "db", "t").count(),
+                labels.get(6, "missing"),
+                len(labels),
+                set(snap.table_constraints(wh, "db", "t"))
+                == {"price_pos", "lang_known", "score_range"},
+            )
+        ],
+        "fail_rejected_atomically boolean, rows_committed long, "
+        "rows_after long, multi_violation_labels string, "
+        "quarantined long, survives_rollback boolean",
+    )

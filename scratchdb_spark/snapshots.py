@@ -36,8 +36,12 @@ Commits are optimistically concurrent: the manifest PUT is a
 create-if-absent CAS; commit_snapshot retries with a recomputed
 manifest, COW DML surfaces the conflict. Manifests also carry
 optional per-file min/max zone maps and small value dictionaries
-(``stat_cols``) that ``read_snapshot(prune=/prune_eq=)`` uses for
-plan-time file skipping.
+(``stat_cols``), plus per-file bloom filters (``bloom_cols``) for
+high-cardinality equality skipping, all consumed by
+``read_snapshot(prune=/prune_eq=)`` for plan-time file skipping.
+Tables can also carry write-time quality constraints
+(``set_constraints``: Delta CHECK + DLT expectations) enforced by
+the append/overwrite paths before any data lands.
 """
 
 from __future__ import annotations
@@ -104,6 +108,12 @@ def _next_version(wh: Warehouse, database: str, table: str) -> int:
         except (ValueError, KeyError):
             pass
     return hi + 1
+
+
+class ConstraintViolationError(ValueError):
+    """A batch violated a table constraint whose on_violation mode is
+    'fail' — nothing was written (the check runs BEFORE any data
+    lands, so a rejected batch leaves no debris to reclaim)."""
 
 
 class CommitConflictError(RuntimeError):
@@ -685,6 +695,7 @@ def commit_snapshot(
     stat_cols: list[str] | None = None,
     summary: dict | None = None,
     bloom_cols: list[str] | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Record the table's CURRENT data-file set as the next version.
     Returns the committed version number. The commit is one small
@@ -799,6 +810,13 @@ def commit_snapshot(
             # design): small operation metadata — e.g. the WAP staging
             # id — surfaced by history() for auditability
             manifest["summary"] = dict(summary)
+        cons = (
+            dict(constraints)
+            if constraints is not None
+            else (prev.get("constraints", {}) if vs else {})
+        )
+        if cons:
+            manifest["constraints"] = cons
         try:
             _put_manifest(wh, database, table, manifest)
             return next_v
@@ -823,12 +841,179 @@ def append_versioned(
     (see commit_snapshot; later appends inherit them); ``bloom_cols``
     opts into per-file bloom filters for high-cardinality equality
     skipping (also inherited); ``summary`` records commit provenance
-    surfaced by DESCRIBE HISTORY, same as every other commit path."""
+    surfaced by DESCRIBE HISTORY, same as every other commit path.
+
+    Tables with ``set_constraints`` run their quality gate FIRST:
+    a 'fail' violation raises before any file lands; 'drop'
+    violations divert to ``<table>__quarantine`` and only the clean
+    rows commit (per-constraint violation counts ride the summary)."""
+    batch, quarantined, viol = _enforce_constraints(
+        wh, database, table, batch
+    )
+    if quarantined is not None:
+        wh.append_aligned(database, f"{table}__quarantine", quarantined)
+    if viol:
+        summary = {**(summary or {}), "violations": viol}
     wh.append_aligned(database, table, batch)
     return commit_snapshot(
         wh, database, table, stat_cols=stat_cols, summary=summary,
         bloom_cols=bloom_cols,
     )
+
+
+def set_constraints(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    constraints: dict,
+    summary: dict | None = None,
+) -> int:
+    """Persist table-level CHECK constraints / expectations (Delta
+    CHECK constraints + Delta Live Tables expectations, public
+    designs) as a new commit; every later ``append_versioned`` /
+    ``overwrite_versioned`` enforces them BEFORE data lands.
+
+    ``constraints`` maps name -> SQL boolean expression, or name ->
+    {"expr": ..., "on_violation": "fail" | "drop"}:
+
+    - ``fail`` (default, Delta CHECK): any violating row rejects the
+      WHOLE batch with ConstraintViolationError; nothing is written.
+    - ``drop`` (DLT expect_or_drop): violating rows divert to the
+      plain table ``<table>__quarantine`` — original columns plus
+      ``__violated`` (comma-joined names of the constraints the row
+      failed) — and only clean rows commit. Per-constraint counts
+      land in the commit summary for observability.
+
+    NULL semantics follow SQL CHECK: a constraint is violated only
+    when its expression is FALSE (NULL passes) — write
+    ``x IS NOT NULL AND x > 0`` to reject NULLs explicitly.
+
+    Expressions are validated against the CURRENT schema here (parse
+    + resolve on an empty frame), so a typo fails at declaration, not
+    on the next ingest. Constraints are table CONFIG: they inherit
+    across every commit path, survive rollback (data un-does, the
+    gate stays), and pass {} to clear. Scale: enforcement is one
+    map-only aggregation over the incoming batch (violation counts),
+    plus the quarantine/clean split writes — O(batch), never
+    O(table)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if not versions(wh, database, table):
+        raise ValueError(
+            f"{database}.{table} has no snapshots — constraints "
+            "attach to snapshot tables (append_versioned first)"
+        )
+    norm: dict = {}
+    for name, spec in constraints.items():
+        if isinstance(spec, str):
+            spec = {"expr": spec}
+        mode = spec.get("on_violation", "fail")
+        if mode not in ("fail", "drop"):
+            raise ValueError(
+                f"constraint {name!r}: on_violation must be 'fail' or "
+                f"'drop', got {mode!r}"
+            )
+        norm[name] = {"expr": spec["expr"], "on_violation": mode}
+    # validate: every expression must parse AND resolve as boolean
+    # against the table's current schema
+    schema = T.StructType.fromJson(
+        json.loads(
+            _manifest(
+                wh, database, table,
+                versions(wh, database, table)[-1],
+            )["schema"]
+        )
+    )
+    probe = wh.spark.createDataFrame([], schema)
+    for name, spec in norm.items():
+        try:
+            kind = probe.select(
+                F.expr(spec["expr"]).cast("boolean").alias("x")
+            ).schema[0].dataType.simpleString()
+        except Exception as e:
+            raise ValueError(
+                f"constraint {name!r} does not resolve against "
+                f"{database}.{table}'s schema: {e}"
+            ) from e
+        assert kind == "boolean"
+    return commit_snapshot(
+        wh, database, table, constraints=norm,
+        summary={**(summary or {}), "operation": "set-constraints"},
+    )
+
+
+def table_constraints(wh: Warehouse, database: str, table: str) -> dict:
+    """The table's active constraints (empty dict when none)."""
+    vs = versions(wh, database, table)
+    if not vs:
+        return {}
+    return _manifest(wh, database, table, vs[-1]).get("constraints", {})
+
+
+def _enforce_constraints(
+    wh: Warehouse, database: str, table: str, batch: DataFrame
+):
+    """Quality gate for the snapshot write paths: returns
+    (clean_batch, quarantined_or_None, violation_counts). ONE
+    map-only aggregation computes every constraint's violation count
+    up front — 'fail' rejects before a single file is written; 'drop'
+    then splits the batch (violators carry ``__violated``)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    vs = versions(wh, database, table)
+    cons = (
+        _manifest(wh, database, table, vs[-1]).get("constraints", {})
+        if vs
+        else {}
+    )
+    if not cons:
+        return batch, None, {}
+    # SQL CHECK semantics: violated iff the expression is FALSE
+    viol = {
+        n: ~F.coalesce(
+            F.expr(c["expr"]).cast("boolean"), F.lit(True)
+        )
+        for n, c in cons.items()
+    }
+    counts = batch.select(
+        *[
+            F.coalesce(F.sum(v.cast("long")), F.lit(0)).alias(n)
+            for n, v in viol.items()
+        ]
+    ).first()
+    violated = {n: counts[n] for n in cons if counts[n]}
+    failed = sorted(
+        n for n in violated if cons[n]["on_violation"] == "fail"
+    )
+    if failed:
+        detail = ", ".join(
+            f"{n} ({violated[n]} rows, expr: {cons[n]['expr']!r})"
+            for n in failed
+        )
+        raise ConstraintViolationError(
+            f"batch rejected by {database}.{table} constraints: "
+            f"{detail}; nothing was written"
+        )
+    dropped = [
+        n for n in violated if cons[n]["on_violation"] == "drop"
+    ]
+    if not dropped:
+        return batch, None, {}
+    pred = reduce(lambda a, b: a | b, [viol[n] for n in dropped])
+    quarantined = batch.filter(pred).withColumn(
+        "__violated",
+        F.concat_ws(
+            ",",
+            *[
+                F.when(viol[n], F.lit(n))
+                for n in sorted(dropped)
+            ],
+        ),
+    )
+    return batch.filter(~pred), quarantined, violated
 
 
 def _overwrite_versioned_once(
@@ -876,6 +1061,13 @@ def _overwrite_versioned_once(
             wh, database, table, stat_cols=stat_cols, summary=summary,
             bloom_cols=bloom_cols,
         )
+    batch, quarantined, viol = _enforce_constraints(
+        wh, database, table, batch
+    )
+    if quarantined is not None:
+        wh.append_aligned(database, f"{table}__quarantine", quarantined)
+    if viol:
+        summary = {**(summary or {}), "violations": viol}
     base = wh._path(database, table)
     prev = _manifest(wh, database, table, vs[-1])
     schema = wh.schema(database, table)
@@ -1128,6 +1320,10 @@ def rollback_table(
     ):
         if k in target:
             manifest[k] = target[k]
+    # constraints are table CONFIG, not version content: a rollback
+    # undoes data, not the quality gate added since
+    if latest.get("constraints"):
+        manifest["constraints"] = latest["constraints"]
     _put_manifest(wh, database, table, manifest)
     return next_v
 
@@ -1358,6 +1554,8 @@ def _cow_commit(
         manifest["changes"] = changes
     if summary:
         manifest["summary"] = dict(summary)
+    if prev.get("constraints"):
+        manifest["constraints"] = prev["constraints"]
     _put_manifest(wh, database, table, manifest)
     return next_v
 
@@ -2122,6 +2320,8 @@ def maintain_table(
         # e.g. the ANN index's quantizer-sidecar pointer — history
         # before this version is gone, so the pointer must ride HERE)
         new_manifest["summary"] = dict(summary)
+    if prev.get("constraints"):
+        new_manifest["constraints"] = prev["constraints"]
     _put_manifest(wh, database, table, new_manifest)
     # capture the change-dir / shard references of every manifest
     # ABOUT TO BE expired: those are definitively dead the moment

@@ -2651,3 +2651,120 @@ def test_bloom_sharded_saturation_and_widening(
         "k__bloom" in r and r["k__bloom"] is None
         for r in carried.values()
     )
+
+
+def test_table_constraints_gate_and_quarantine(spark, tmp_path):
+    """Write-time constraints (snapshots.set_constraints — Delta
+    CHECK + DLT expectations): 'fail' rejects the whole batch before
+    anything lands, 'drop' diverts violators to <table>__quarantine
+    with per-constraint labels and commits only clean rows, NULL
+    follows SQL CHECK (passes unless the expr says otherwise),
+    declaration validates against the schema, config survives DML +
+    rollback, {} clears, and overwrite_versioned enforces too."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10.0, "en", 0.5), (2, 5.0, "de", 0.9)],
+            "__row_id long, price double, lang string, score double",
+        ),
+    )
+    snap.set_constraints(wh, "db", "t", {
+        "price_pos": "price IS NOT NULL AND price > 0",
+        "lang_known": {
+            "expr": "lang IN ('en','de','fr')", "on_violation": "drop"
+        },
+        "score_range": {
+            "expr": "score BETWEEN 0 AND 1", "on_violation": "drop"
+        },
+    })
+
+    # fail mode: batch rejected atomically — no version, no rows
+    n_vs = len(snap.versions(wh, "db", "t"))
+    with _pytest.raises(snap.ConstraintViolationError, match="price_pos"):
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(3, -1.0, "en", 0.5)],
+                "__row_id long, price double, lang string, score double",
+            ),
+        )
+    assert len(snap.versions(wh, "db", "t")) == n_vs
+    assert snap.read_snapshot(wh, "db", "t").count() == 2
+
+    # drop mode: row 4 fails one constraint, row 6 fails BOTH, row 7's
+    # NULL score PASSES score_range (SQL CHECK: only FALSE violates)
+    v3 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [
+                (4, 2.0, "xx", 0.5),
+                (5, 3.0, "fr", 0.7),
+                (6, 4.0, "yy", 7.0),
+                (7, 5.0, "en", None),
+            ],
+            "__row_id long, price double, lang string, score double",
+        ),
+    )
+    assert sorted(
+        r["__row_id"]
+        for r in snap.read_snapshot(wh, "db", "t").collect()
+    ) == [1, 2, 5, 7]
+    q = {
+        r["__row_id"]: r["__violated"]
+        for r in wh.read("db", "t__quarantine").collect()
+    }
+    assert q == {4: "lang_known", 6: "lang_known,score_range"}
+    # per-constraint counts ride the commit summary
+    viol = snap._manifest(wh, "db", "t", v3)["summary"]["violations"]
+    assert viol == {"lang_known": 2, "score_range": 1}
+
+    # declaration-time validation
+    with _pytest.raises(ValueError, match="does not resolve"):
+        snap.set_constraints(wh, "db", "t", {"broken": "nope > 0"})
+    with _pytest.raises(ValueError, match="on_violation"):
+        snap.set_constraints(
+            wh, "db", "t",
+            {"m": {"expr": "price > 0", "on_violation": "explode"}},
+        )
+
+    # config survives COW DML and rollback (data un-does, gate stays)
+    snap.delete_where(wh, "db", "t", F.col("__row_id") == 1)
+    assert set(snap.table_constraints(wh, "db", "t")) == {
+        "price_pos", "lang_known", "score_range"
+    }
+    snap.rollback_table(wh, "db", "t", v3)
+    assert set(snap.table_constraints(wh, "db", "t")) == {
+        "price_pos", "lang_known", "score_range"
+    }
+
+    # overwrite enforces the same gate
+    with _pytest.raises(snap.ConstraintViolationError):
+        snap.overwrite_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(8, -2.0, "en", 0.1)],
+                "__row_id long, price double, lang string, score double",
+            ),
+        )
+
+    # {} clears: the bad batch now commits
+    snap.set_constraints(wh, "db", "t", {})
+    assert snap.table_constraints(wh, "db", "t") == {}
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(9, -1.0, "zz", 9.0)],
+            "__row_id long, price double, lang string, score double",
+        ),
+    )
+    assert 9 in {
+        r["__row_id"]
+        for r in snap.read_snapshot(wh, "db", "t").collect()
+    }
