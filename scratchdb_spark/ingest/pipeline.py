@@ -168,6 +168,27 @@ class IngestPipeline:
         batch = self.spark.read.schema(schema).json(
             self.spark.sparkContext.parallelize(lines, n_slices)
         )
+        self._gated_append(database, table, batch)
+
+    def _gated_append(
+        self, database: str, table: str, batch: DataFrame
+    ) -> None:
+        """append_aligned behind the table's write-time constraints
+        (snapshots.set_constraints): the SAME quality gate the
+        batch snapshot path enforces also guards NDJSON ingest —
+        including the streaming insert executor, whose foreachBatch
+        funnels here — so DLT-style expectations hold at every entry
+        point. Tables without constraints (or not snapshot-managed)
+        pay one manifest read, nothing else."""
+        from .. import snapshots as snap
+
+        batch, quarantined, _viol = snap._enforce_constraints(
+            self.warehouse, database, table, batch
+        )
+        if quarantined is not None:
+            self.warehouse.append_aligned(
+                database, f"{table}__quarantine", quarantined
+            )
         self.warehouse.append_aligned(database, table, batch)
 
     def _voted_read_schema(
@@ -244,4 +265,4 @@ class IngestPipeline:
         batch = lines.select(
             F.from_json("value", schema).alias("r")
         ).select("r.*")
-        self.warehouse.append_aligned(database, table, batch)
+        self._gated_append(database, table, batch)

@@ -962,15 +962,33 @@ def _enforce_constraints(
     from functools import reduce
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     vs = versions(wh, database, table)
-    cons = (
-        _manifest(wh, database, table, vs[-1]).get("constraints", {})
-        if vs
-        else {}
-    )
+    if not vs:
+        return batch, None, {}
+    m = _manifest(wh, database, table, vs[-1])
+    cons = m.get("constraints", {})
     if not cons:
         return batch, None, {}
+    # pad table-schema columns the batch lacks with typed NULLs so a
+    # constraint on a column absent from THIS batch (schema-evolving
+    # ingest) evaluates under the same semantics the table will read
+    # it back with (NULL) instead of failing analysis — the padded
+    # columns are real table columns, so downstream alignment treats
+    # them exactly as it would have
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    missing = [
+        f for f in schema.fields if f.name not in batch.columns
+    ]
+    if missing:
+        batch = batch.select(
+            "*",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in missing
+            ],
+        )
     # SQL CHECK semantics: violated iff the expression is FALSE
     viol = {
         n: ~F.coalesce(

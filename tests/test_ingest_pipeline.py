@@ -2768,3 +2768,72 @@ def test_table_constraints_gate_and_quarantine(spark, tmp_path):
         r["__row_id"]
         for r in snap.read_snapshot(wh, "db", "t").collect()
     }
+
+
+def test_constraints_guard_ndjson_ingest_paths(spark, tmp_path, monkeypatch):
+    """The quality gate holds at EVERY write entry point: both NDJSON
+    ingest paths (driver-vote and distributed-vote — the streaming
+    insert executor funnels through the latter) enforce the table's
+    constraints, quarantining drop-mode violators and rejecting
+    fail-mode batches. A constraint on a column ABSENT from the
+    incoming batch evaluates as NULL (SQL CHECK: passes) instead of
+    failing analysis."""
+    import pytest as _pytest
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.ingest import pipeline as pl
+    from scratchdb_spark.ingest.pipeline import IngestPipeline
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pipe = IngestPipeline(spark, wh)
+    pipe.append_ndjson_lines(
+        "db", "t", ['{"price": 1.5, "lang": "en"}']
+    )
+    snap.commit_snapshot(wh, "db", "t")
+    snap.set_constraints(wh, "db", "t", {
+        "price_pos": "price IS NOT NULL AND price > 0",
+        "lang_known": {
+            "expr": "lang IN ('en','de','fr')", "on_violation": "drop"
+        },
+    })
+
+    # driver-vote path: drop-mode quarantines, clean rows land
+    pipe.append_ndjson_lines(
+        "db", "t",
+        ['{"price": 2.0, "lang": "xx"}', '{"price": 3.0, "lang": "de"}'],
+    )
+    assert sorted(
+        r["lang"] for r in wh.read("db", "t").collect()
+    ) == ["de", "en"]
+    q = wh.read("db", "t__quarantine").collect()
+    assert [(r["lang"], r["__violated"]) for r in q] == [("xx", "lang_known")]
+
+    # fail-mode rejects the batch (both rows, atomically)
+    with _pytest.raises(snap.ConstraintViolationError):
+        pipe.append_ndjson_lines(
+            "db", "t",
+            ['{"price": -9.0, "lang": "en"}', '{"price": 4.0, "lang": "en"}'],
+        )
+    assert wh.read("db", "t").count() == 2
+
+    # distributed-vote path (what streaming foreachBatch runs):
+    # force the threshold down so two lines take the mapInPandas path
+    monkeypatch.setattr(pl, "DISTRIBUTED_ROWS_THRESHOLD", 1)
+    pipe.append_ndjson_lines(
+        "db", "t",
+        ['{"price": 5.0, "lang": "zz"}', '{"price": 6.0, "lang": "fr"}'],
+    )
+    assert sorted(
+        r["lang"] for r in wh.read("db", "t").collect()
+    ) == ["de", "en", "fr"]
+    assert sorted(
+        r["lang"] for r in wh.read("db", "t__quarantine").collect()
+    ) == ["xx", "zz"]
+
+    # batch missing a constrained column: price absent -> NULL ->
+    # price_pos (IS NOT NULL...) FAILS it; a score-less constraint
+    # on a brand-new column would pass. Verify the documented
+    # semantics rather than an analysis crash:
+    with _pytest.raises(snap.ConstraintViolationError, match="price_pos"):
+        pipe.append_ndjson_lines("db", "t", ['{"lang": "en"}'])
