@@ -2100,3 +2100,284 @@ def warehouse_constraints_gate(
         "rows_after long, multi_violation_labels string, "
         "quarantined long, survives_rollback boolean",
     )
+
+
+@register(
+    "warehouse_stats_only_agg",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS row_count,
+           min(l_quantity) AS min_l_quantity,
+           max(l_quantity) AS max_l_quantity,
+           CAST(count(*) - count(l_quantity) AS BIGINT)
+             AS null_count_l_quantity,
+           min(disc) AS min_disc,
+           max(disc) AS max_disc,
+           CAST(count(*) - count(disc) AS BIGINT) AS null_count_disc
+    FROM (SELECT l_quantity,
+                 CASE WHEN l_linenumber = 7 THEN NULL
+                      ELSE l_discount END AS disc
+          FROM lineitem)
+    """,
+    doc="METADATA-ONLY aggregates (snapshots.stats_agg, new r8): "
+        "COUNT(*)/MIN/MAX/null-counts answered from the manifest's "
+        "per-file statistics with ZERO data-file reads — Iceberg's "
+        "record_count/value-counts rollup, Delta's metadata-only "
+        "query path (public designs). The commit's existing per-file "
+        "stats job additionally records row and null counts (free: "
+        "same aggregation), shard records carry additive rollups so "
+        "even a 100k-file sharded table answers from the manifest "
+        "alone, and allow_scan=False in this query PROVES the "
+        "zero-IO property — it raises rather than touch a data "
+        "file. At 100 TB: 'how many rows, what's the time range' is "
+        "a driver-side JSON fold, not a 1000-executor scan. Checked "
+        "exact against the DuckDB aggregate over the same rows, "
+        "including a column with NULLs and SQL min/max-ignore-NULL "
+        "semantics.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_stats_only_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_statsagg_"))
+    li = table(spark, sf_dir, "lineitem").select(
+        F.monotonically_increasing_id().alias("__row_id"),
+        F.col("l_quantity"),
+        F.when(F.col("l_linenumber") == 7, None)
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+    )
+    snap.append_versioned(
+        wh, "db", "li", li, stat_cols=["l_quantity", "disc"]
+    )
+    return snap.stats_agg(wh, "db", "li", allow_scan=False)
+
+
+@register(
+    "warehouse_token_search",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS matched_rows,
+           true AS hit_skips_files,
+           true AS miss_plans_zero,
+           true AS and_semantics_zero
+    FROM documents WHERE doc_id % 97 = 0
+    """,
+    doc="TOKEN-BLOOM full-text file skipping (snapshots.py "
+        "bloom_cols=['<col>:tokens'], new r8 — ClickHouse tokenbf_v1 "
+        "skip index lifted to manifest level, public design): each "
+        "file records one 128Ki-bit bloom over its DISTINCT lowercased "
+        "ASCII tokens, built JVM-side as per-64-bit-word bit_or masks "
+        "(<= 2048 rows/file cross the wire, never one row per token) "
+        "and OR-merged into shard rollups. A word search plans only "
+        "files whose bloom may contain EVERY query token — at 100 TB "
+        "'which documents mention X' touches the files that can "
+        "match, not the corpus. The plan is a superset; the real "
+        "text predicate still runs. Here a rare marker token is "
+        "injected into doc_id %% 97 == 0 rows partitioned across "
+        "files by doc_id range; the pruned search must find exactly "
+        "those rows (hash-checked vs DuckDB), plan fewer files than "
+        "the table holds, plan ZERO files for an absent token, and "
+        "honor AND semantics (marker + absent token -> zero files).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_token_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_toksearch_"))
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("__row_id"),
+        F.col("doc_id"),
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(F.col("text"), F.lit(" zq77marker")),
+        )
+        .otherwise(F.col("text"))
+        .alias("body"),
+    ).repartitionByRange(8, "doc_id")
+    v = snap.append_versioned(
+        wh, "db", "docs", docs, bloom_cols=["body:tokens"]
+    )
+    m = snap._manifest(wh, "db", "docs", v)
+    total = len(snap._plan_files(wh, "db", "docs", m, None, None))
+    hit = len(
+        snap._plan_files(
+            wh, "db", "docs", m, None, None, ("body", ["zq77marker"])
+        )
+    )
+    miss = len(
+        snap._plan_files(
+            wh, "db", "docs", m, None, None, ("body", ["zq99absent"])
+        )
+    )
+    both = len(
+        snap._plan_files(
+            wh, "db", "docs", m, None, None,
+            ("body", ["zq77marker", "zq99absent"]),
+        )
+    )
+    matched = (
+        snap.read_snapshot(
+            wh, "db", "docs", prune_tokens=("body", "ZQ77MARKER")
+        )
+        .filter(
+            F.array_contains(
+                F.split(F.lower("body"), "[^a-z0-9]+"), "zq77marker"
+            )
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(matched, bool(1 <= hit < total), miss == 0, both == 0)],
+        "matched_rows long, hit_skips_files boolean, "
+        "miss_plans_zero boolean, and_semantics_zero boolean",
+    )
+
+
+@register(
+    "events_sequence_match",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'signup' THEN 's'
+                                        WHEN 'view' THEN 'v'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        ELSE 'e' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (regexp_matches(seq, 'v.*c.*p'))
+                AS BIGINT) AS n_view_click_purchase,
+           CAST(count(*) FILTER (regexp_matches(seq, '^s.*p'))
+                AS BIGINT) AS n_signup_then_purchase,
+           CAST(count(*) FILTER (regexp_matches(seq, '^[^e]*p'))
+                AS BIGINT) AS n_purchase_before_any_error,
+           CAST(count(*) FILTER (regexp_matches(seq, 'vvv'))
+                AS BIGINT) AS n_three_views_in_a_row
+    FROM seqs
+    """,
+    doc="ClickHouse sequenceMatch()/sequenceCount() parity (the "
+        "reference's ClickHouse backend exposes event-sequence "
+        "pattern predicates; public dialect): each user's event "
+        "stream becomes one ordered code string (array_sort over "
+        "(ts, event_id, code) structs -> deterministic even on "
+        "timestamp ties), and the patterns are plain regexes over "
+        "it — matched JVM-side with rlike, zero UDFs. One shuffle "
+        "keyed on the high-cardinality user_id; per-user sequences "
+        "are session-scale (bounded), so the concat state stays "
+        "small. The MATCH_RECOGNIZE-lite shape of product analytics "
+        "(did view->click->purchase happen in order; did a purchase "
+        "precede the first error).",
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", code.alias("c")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["c"]
+                ),
+            ).alias("seq")
+        )
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("seq").rlike("v.*c.*p").cast("long")).alias(
+            "n_view_click_purchase"
+        ),
+        F.sum(F.col("seq").rlike("^s.*p").cast("long")).alias(
+            "n_signup_then_purchase"
+        ),
+        F.sum(F.col("seq").rlike("^[^e]*p").cast("long")).alias(
+            "n_purchase_before_any_error"
+        ),
+        F.sum(F.col("seq").rlike("vvv").cast("long")).alias(
+            "n_three_views_in_a_row"
+        ),
+    )
+
+
+@register(
+    "warehouse_tag_read",
+    """
+    SELECT CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT)
+             AS tagged_rows,
+           CAST(count(*) AS BIGINT) AS latest_rows,
+           true AS tag_survives_maintenance,
+           true AS expiry_stops_at_tag
+    FROM orders
+    """,
+    doc="Snapshot TAGS (snapshots.tag_snapshot, new r8 — Iceberg "
+        "tags, public design): a named, atomic, immutable-by-default "
+        "pointer to a version, resolved by read_snapshot(tag=...), "
+        "that is also a RETENTION BARRIER — expire_snapshots stops "
+        "its contiguous-prefix expiry at the first tagged version "
+        "(no CDC holes) and maintain_table keeps the tagged files "
+        "readable across compaction, reclaiming them only after the "
+        "tag is deleted. At 100 TB a tag pins 'the dataset the model "
+        "was trained on' at zero copy cost: file references, not "
+        "file copies. Here version 1 (the 'F'-status orders) is "
+        "tagged, the rest of the table lands after, maintenance "
+        "compacts — and the tag must still read exactly version 1 "
+        "while the latest reads everything (both hash-checked vs "
+        "DuckDB).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_tag_"))
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("__row_id"),
+        "o_orderkey", "o_orderstatus",
+    )
+    snap.append_versioned(
+        wh, "db", "o", orders.filter(F.col("o_orderstatus") == "F")
+    )
+    tv = snap.tag_snapshot(wh, "db", "o", "train-cut")
+    snap.append_versioned(
+        wh, "db", "o", orders.filter(F.col("o_orderstatus") != "F")
+    )
+    exp = snap.expire_snapshots(wh, "db", "o", keep_last=1)
+    snap.maintain_table(wh, "db", "o")
+    tagged_rows = snap.read_snapshot(
+        wh, "db", "o", tag="train-cut"
+    ).count()
+    latest_rows = snap.read_snapshot(wh, "db", "o").count()
+    return spark.createDataFrame(
+        [
+            (
+                tagged_rows,
+                latest_rows,
+                tv in snap.versions(wh, "db", "o"),
+                exp == [],  # v1 is tagged: nothing before it to drop
+            )
+        ],
+        "tagged_rows long, latest_rows long, "
+        "tag_survives_maintenance boolean, expiry_stops_at_tag boolean",
+    )

@@ -232,6 +232,42 @@ def _bloom_merge(bls: list[dict]) -> dict | None:
 
 _BLOOMABLE_TYPES = ("bigint", "int", "smallint", "tinyint", "string")
 
+#: token-bloom variant (ClickHouse tokenbf_v1 skip index, public
+#: design, lifted to manifest level): a ``bloom_cols`` entry
+#: ``"<col>:tokens"`` records a per-file bloom over the column's
+#: DISTINCT TOKENS instead of its values, enabling plan-time file
+#: skipping for full-word search ("which files can contain token X")
+#: on free-text columns where neither ranges, dictionaries, nor
+#: value blooms help. Tokens are lowercased ASCII [a-z0-9] runs —
+#: byte-identical between the Spark write side and the Python probe
+#: side by construction (non-ASCII characters are separators on
+#: both). Sized larger than value blooms (token sets run to
+#: thousands per file): 128 Ki bits = 16 KB bitmap per file/col,
+#: ~1% false-positive rate at 7k distinct tokens, recorded null
+#: (must-scan) above ~50% bit density.
+_TOKEN_MARKER = ":tokens"
+_TOK_M = 131072
+_TOK_K = 4
+
+
+def _tokenize(s: str) -> list[str]:
+    """Lowercased ASCII alnum runs — the probe-side twin of the
+    Spark-side ``split(lower(col), '[^a-z0-9]+')`` in _file_stats.
+    MUST stay byte-identical to it."""
+    return re.findall("[a-z0-9]+", s.lower())
+
+
+def _tok_survives(rec: dict, col: str, tokens: list[str]) -> bool:
+    """True iff the file (or shard rollup) may contain EVERY probed
+    token — AND semantics, because a conjunctive text search needs
+    all of them in the same file for a row to match. Missing or
+    saturated (null) bloom -> must scan; a definite miss on any
+    token proves no row in the file can match (no false negatives)."""
+    bl = rec.get(f"{col}{_TOKEN_MARKER}__bloom", "absent")
+    if bl == "absent" or bl is None:
+        return True
+    return all(_bloom_test(bl, [t]) for t in tokens)
+
 
 def _file_stats(
     wh: Warehouse, base: str, names: list[str], schema,
@@ -274,7 +310,9 @@ def _file_stats(
                 f"stat column {c!r} has non-JSON-portable type {kind}; "
                 "use a numeric/string column"
             )
-    for c in bloom_cols:
+    val_blooms = [c for c in bloom_cols if not c.endswith(_TOKEN_MARKER)]
+    tok_blooms = [c for c in bloom_cols if c.endswith(_TOKEN_MARKER)]
+    for c in val_blooms:
         f = next((f for f in schema.fields if f.name == c), None)
         if f is None:
             raise ValueError(f"bloom column {c!r} not in table schema")
@@ -285,14 +323,32 @@ def _file_stats(
                 "needs a string or integral column (str()/cast-to-"
                 "string must agree across engines)"
             )
+    for c in tok_blooms:
+        src = c[: -len(_TOKEN_MARKER)]
+        f = next((f for f in schema.fields if f.name == src), None)
+        if f is None:
+            raise ValueError(
+                f"token bloom column {src!r} not in table schema"
+            )
+        if f.dataType.simpleString() != "string":
+            raise ValueError(
+                f"token bloom column {src!r} must be string, is "
+                f"{f.dataType.simpleString()}"
+            )
     df = wh.spark.read.schema(schema).parquet(
         *[f"{base}/{n}" for n in names]
     )
-    aggs = []
+    # row count and per-column null counts ride the same per-file
+    # aggregation for free — they are what lets stats_agg answer
+    # COUNT(*)/COUNT(c)/MIN/MAX from the manifest alone (Iceberg
+    # record_count / null_value_counts, public design), with zero
+    # data-file IO at query time
+    aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stat_cols:
         aggs += [
             F.min(c).alias(f"mn_{c}"),
             F.max(c).alias(f"mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nc_{c}"),
             # low-cardinality dictionary: the distinct value set when
             # it is small (<= _DICT_CAP) — slice() bounds what crosses
             # the wire to CAP+1 values per file/col; a full set of
@@ -304,7 +360,7 @@ def _file_stats(
                 F.sort_array(F.collect_set(F.col(c))), 1, _DICT_CAP + 1
             ).alias(f"dc_{c}"),
         ]
-    for c in bloom_cols:
+    for c in val_blooms:
         digest = F.sha2(F.col(c).cast("string"), 256)
         for i in range(_BLOOM_K):
             pos = F.pmod(
@@ -327,13 +383,14 @@ def _file_stats(
     )
     out = {}
     for r in rows:
-        rec = {}
+        rec = {"__rows": r["__rows"]}
         for c in stat_cols:
             rec[c] = [r[f"mn_{c}"], r[f"mx_{c}"]]
+            rec[f"{c}__nulls"] = r[f"nc_{c}"]
             vals = r[f"dc_{c}"]
             if vals is not None and len(vals) <= _DICT_CAP:
                 rec[f"{c}__dict"] = list(vals)
-        for c in bloom_cols:
+        for c in val_blooms:
             sets = [r[f"bp{i}_{c}"] or [] for i in range(_BLOOM_K)]
             if any(len(s) > _BLOOM_POS_CAP for s in sets):
                 rec[f"{c}__bloom"] = None  # saturated: must-scan
@@ -348,6 +405,69 @@ def _file_stats(
                     "b": base64.b64encode(bytes(bits)).decode(),
                 }
         out[r["__f"].rsplit("/", 1)[-1]] = rec
+    # token blooms need token granularity (explode), so they ride a
+    # second aggregation per column over ONLY the text column + file
+    # name of the same fresh files — still O(churn). The bitmap is
+    # built JVM-side as per-(file, 64-bit-word) bit_or masks (at most
+    # m/64 = 2048 words/file cross the wire, NOT one position per
+    # distinct token), and assembled into bytes on the driver.
+    for c in tok_blooms:
+        src = c[: -len(_TOKEN_MARKER)]
+        toks = (
+            df.select(
+                F.input_file_name().alias("__f"),
+                F.explode(
+                    F.split(F.lower(F.col(src)), "[^a-z0-9]+")
+                ).alias("t"),
+            )
+            .filter(F.col("t") != "")
+        )
+        digest = F.sha2(F.col("t"), 256)
+        pos = [
+            F.pmod(
+                F.conv(
+                    F.substring(digest, 1 + 8 * i, 8), 16, 10
+                ).cast("long"),
+                F.lit(_TOK_M),
+            )
+            for i in range(_TOK_K)
+        ]
+        words = (
+            toks.select("__f", F.explode(F.array(*pos)).alias("p"))
+            .groupBy(
+                "__f", F.expr("CAST(p DIV 64 AS INT)").alias("w")
+            )
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, CAST(p % 64 AS INT)))"
+                ).alias("bits")
+            )
+            .collect()
+        )
+        maps: dict = {}
+        for r in words:
+            n = r["__f"].rsplit("/", 1)[-1]
+            bm = maps.setdefault(n, bytearray(_TOK_M // 8))
+            bits = r["bits"] & 0xFFFFFFFFFFFFFFFF
+            base_i = 8 * r["w"]
+            for j in range(8):
+                bm[base_i + j] |= (bits >> (8 * j)) & 0xFF
+        for n, rec in out.items():
+            bm = maps.get(n)
+            if bm is None:
+                # no tokens in the file: all-zero bloom, every probe
+                # misses -> file skipped, which is correct
+                bm = bytearray(_TOK_M // 8)
+            dens = sum(bin(b).count("1") for b in bm) / _TOK_M
+            rec[f"{c}__bloom"] = (
+                None  # saturated: must-scan (false-positive floor)
+                if dens > 0.5
+                else {
+                    "m": _TOK_M,
+                    "k": _TOK_K,
+                    "b": base64.b64encode(bytes(bm)).decode(),
+                }
+            )
     # a file with no rows produces no aggregation row: record it as
     # [None, None] (distinct from "no stats recorded") so range
     # pruning can skip it — same as an all-null file, no value in it
@@ -356,16 +476,33 @@ def _file_stats(
         out.setdefault(
             n,
             {
+                "__rows": 0,
                 **{c: [None, None] for c in stat_cols},
+                **{f"{c}__nulls": 0 for c in stat_cols},
                 **{f"{c}__dict": [] for c in stat_cols},
                 # all-zero bloom: every probe misses -> file skipped,
                 # correct for a file with no (non-null) values
                 **{
                     f"{c}__bloom": {
-                        "m": _BLOOM_M,
-                        "k": _BLOOM_K,
+                        "m": (
+                            _TOK_M
+                            if c.endswith(_TOKEN_MARKER)
+                            else _BLOOM_M
+                        ),
+                        "k": (
+                            _TOK_K
+                            if c.endswith(_TOKEN_MARKER)
+                            else _BLOOM_K
+                        ),
                         "b": base64.b64encode(
-                            bytes(_BLOOM_M // 8)
+                            bytes(
+                                (
+                                    _TOK_M
+                                    if c.endswith(_TOKEN_MARKER)
+                                    else _BLOOM_M
+                                )
+                                // 8
+                            )
                         ).decode(),
                     }
                     for c in bloom_cols
@@ -421,12 +558,26 @@ def _shard_agg(
     any member lacks stats for is omitted (the shard must then always
     be opened: pruning never drops rows)."""
     rec: dict = {}
+    # additive rollups (rows / null counts): summed when every member
+    # carries them, omitted otherwise — lets stats_agg answer
+    # COUNT(*) for a sharded table from the shard records alone,
+    # without opening any shard file
+    if all(
+        n in stats and stats[n].get("__rows") is not None for n in names
+    ):
+        rec["__rows"] = sum(stats[n]["__rows"] for n in names)
     for c in cols:
         if any(n not in stats or c not in stats[n] for n in names):
             continue
         mns = [stats[n][c][0] for n in names if stats[n][c][0] is not None]
         mxs = [stats[n][c][1] for n in names if stats[n][c][1] is not None]
         rec[c] = [min(mns) if mns else None, max(mxs) if mxs else None]
+        if all(
+            stats[n].get(f"{c}__nulls") is not None for n in names
+        ):
+            rec[f"{c}__nulls"] = sum(
+                stats[n][f"{c}__nulls"] for n in names
+            )
         union: set = set()
         have_all = True
         for n in names:
@@ -1203,15 +1354,22 @@ def _eq_survives(rec: dict, col: str, val) -> bool:
     return any(mn <= v <= mx for v in vs)
 
 
-def _file_survives(rec: dict, prune, prune_eq) -> bool:
+def _file_survives(
+    rec: dict, prune, prune_eq, prune_tokens=None
+) -> bool:
     """Combined skip decision for one file's (or one shard's rolled-up)
-    stat record against the optional range and equality prunes."""
+    stat record against the optional range, equality, and token
+    prunes."""
     if prune_eq is not None and not _eq_survives(rec, *prune_eq):
         return False
     if prune is not None:
         col, lo, hi = prune
         if not _range_survives(rec.get(col), lo, hi):
             return False
+    if prune_tokens is not None and not _tok_survives(
+        rec, *prune_tokens
+    ):
+        return False
     return True
 
 
@@ -1222,6 +1380,7 @@ def _plan_files(
     m: dict,
     prune,
     prune_eq,
+    prune_tokens=None,
 ) -> list[str]:
     """The version's surviving file names under the prunes. Sharded
     manifests prune WHOLE SHARDS by their rolled-up [min,max]/dict
@@ -1234,13 +1393,15 @@ def _plan_files(
         return [
             n
             for n in m["files"]
-            if _file_survives(stats.get(n, {}), prune, prune_eq)
+            if _file_survives(
+                stats.get(n, {}), prune, prune_eq, prune_tokens
+            )
         ]
     surviving = [
         rec
         for rec in m["shards"]
         if rec.get("agg") is None
-        or _file_survives(rec["agg"], prune, prune_eq)
+        or _file_survives(rec["agg"], prune, prune_eq, prune_tokens)
     ]  # other shards are skipped UNOPENED
     names: list[str] = []
     for sh in _read_shards(
@@ -1250,7 +1411,9 @@ def _plan_files(
         names += [
             n
             for n in sh["files"]
-            if _file_survives(stats.get(n, {}), prune, prune_eq)
+            if _file_survives(
+                stats.get(n, {}), prune, prune_eq, prune_tokens
+            )
         ]
     return sorted(names)
 
@@ -1354,6 +1517,8 @@ def read_snapshot(
     prune: tuple | None = None,
     prune_eq: tuple | None = None,
     as_of_timestamp: float | None = None,
+    prune_tokens: tuple | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Plan over the exact file list of ``version`` (latest when
     None). The schema comes from the manifest — so a snapshot taken
@@ -1391,6 +1556,18 @@ def read_snapshot(
             "append_versioned/commit_snapshot (plain reads: "
             "Warehouse.read)"
         )
+    if tag is not None:
+        if version is not None or as_of_timestamp is not None:
+            raise ValueError(
+                "pass exactly one of tag / version / as_of_timestamp"
+            )
+        tags = list_tags(wh, database, table)
+        if tag not in tags:
+            raise ValueError(
+                f"no tag {tag!r} on {database}.{table} "
+                f"(tags: {sorted(tags)})"
+            )
+        version = tags[tag]
     if as_of_timestamp is not None:
         if version is not None:
             raise ValueError(
@@ -1407,11 +1584,155 @@ def read_snapshot(
 
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     base = wh._path(database, table)
-    names = _plan_files(wh, database, table, manifest, prune, prune_eq)
+    if prune_tokens is not None:
+        tcol, q = prune_tokens
+        toks = _tokenize(q) if isinstance(q, str) else [
+            t for s_ in q for t in _tokenize(s_)
+        ]
+        prune_tokens = (tcol, toks) if toks else None
+    names = _plan_files(
+        wh, database, table, manifest, prune, prune_eq, prune_tokens
+    )
     paths = [f"{base}/{name}" for name in names]
     if not paths:
         return wh.spark.createDataFrame([], schema)
     return wh.spark.read.schema(schema).parquet(*paths)
+
+
+def stats_agg(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    cols: list[str] | None = None,
+    version: int | None = None,
+    allow_scan: bool = True,
+) -> DataFrame:
+    """METADATA-ONLY aggregates: answer ``COUNT(*)`` plus per-column
+    ``MIN``/``MAX``/``COUNT(c)``-via-null-counts from the manifest's
+    per-file statistics, opening ZERO data files (Iceberg's
+    record_count / value-counts manifest aggregation, Delta's
+    metadata-only query path — public designs). At 100 TB this is
+    the difference between a driver-side JSON fold and a full-table
+    scan schedule: ``SELECT count(*), min(ts), max(ts)`` on a
+    thousand-file table costs one manifest read, and on a SHARDED
+    manifest the additive rollups (``__rows``/``__nulls`` summed
+    into each shard record) answer it without opening any shard
+    file either.
+
+    ``cols`` must be a subset of the table's recorded ``stat_cols``
+    (min/max of an untracked column genuinely requires reading it —
+    use a real query for that); default = every stat column. The
+    per-file stats are EXACT (computed from the data at commit
+    time), so the result is exact, not approximate.
+
+    Files committed before row/null counts were recorded (or whose
+    stats predate a widening) are back-filled by ONE aggregation
+    over just those files when ``allow_scan=True`` — churn-bounded,
+    read-only, and never needed for tables whose every commit
+    carried the current stat set. ``allow_scan=False`` raises
+    instead, which is also the test hook proving the zero-IO claim:
+    with data files physically gone, stats_agg still answers.
+
+    Returns a ONE-ROW DataFrame: ``row_count`` plus
+    ``min_<c>``/``max_<c>``/``null_count_<c>`` per column, typed by
+    the table schema. NULL min/max means the column is all-NULL (or
+    the table is empty) — SQL aggregate semantics."""
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(f"{database}.{table} has no snapshots")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(
+            f"version {v} not in {database}.{table} snapshots {vs}"
+        )
+    m = _manifest(wh, database, table, v)
+    stat_cols = m.get("stat_cols", [])
+    cols = list(stat_cols) if cols is None else list(cols)
+    missing_cols = [c for c in cols if c not in stat_cols]
+    if missing_cols:
+        raise ValueError(
+            f"columns {missing_cols} are not stat columns "
+            f"{stat_cols} of {database}.{table}; metadata-only "
+            "min/max needs recorded zone maps — widen stat_cols on "
+            "the next commit, or run a real query"
+        )
+
+    def _complete(rec: dict) -> bool:
+        return rec.get("__rows") is not None and all(
+            c in rec and rec.get(f"{c}__nulls") is not None
+            for c in cols
+        )
+
+    rows_total = 0
+    mins: dict = {c: None for c in cols}
+    maxs: dict = {c: None for c in cols}
+    nulls: dict = {c: 0 for c in cols}
+
+    def _fold(rec: dict) -> None:
+        nonlocal rows_total
+        rows_total += rec["__rows"]
+        for c in cols:
+            lo, hi = rec[c][0], rec[c][1]
+            if lo is not None and (mins[c] is None or lo < mins[c]):
+                mins[c] = lo
+            if hi is not None and (maxs[c] is None or hi > maxs[c]):
+                maxs[c] = hi
+            nulls[c] += rec[f"{c}__nulls"]
+
+    gaps: list[str] = []
+    if "shards" in m:
+        for rec in m["shards"]:
+            agg = rec.get("agg", {})
+            if _complete(agg):
+                _fold(agg)
+            else:
+                sh = _read_shard(wh, database, table, rec["name"])
+                st = sh.get("stats", {})
+                for n in sh["files"]:
+                    r = st.get(n, {})
+                    if _complete(r):
+                        _fold(r)
+                    else:
+                        gaps.append(n)
+    else:
+        st = m.get("stats", {})
+        for n in m["files"]:
+            r = st.get(n, {})
+            if _complete(r):
+                _fold(r)
+            else:
+                gaps.append(n)
+    if gaps:
+        if not allow_scan:
+            raise ValueError(
+                f"{len(gaps)} file(s) lack row/null-count stats "
+                "(committed before they were recorded); "
+                "allow_scan=True back-fills them with one bounded "
+                "aggregation"
+            )
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        fresh = _file_stats(
+            wh, wh._path(database, table), gaps, schema, cols
+        )
+        for n in gaps:
+            _fold(fresh[n])
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    by_name = {f.name: f.dataType for f in schema.fields}
+    fields = [T.StructField("row_count", T.LongType(), False)]
+    vals: list = [rows_total]
+    for c in cols:
+        fields += [
+            T.StructField(f"min_{c}", by_name[c], True),
+            T.StructField(f"max_{c}", by_name[c], True),
+            T.StructField(f"null_count_{c}", T.LongType(), False),
+        ]
+        vals += [mins[c], maxs[c], nulls[c]]
+    return wh.spark.createDataFrame([tuple(vals)], T.StructType(fields))
 
 
 def expire_snapshots(
@@ -1453,10 +1774,21 @@ def expire_snapshots(
     then expires with ``keep_last=1`` and reclaims the dead files, so
     a valid manifest exists at every instant."""
     vs = versions(wh, database, table)
-    expired = vs[:-keep_last] if keep_last > 0 else vs
-    if older_than is not None:
-        import itertools
+    import itertools
 
+    expired = vs[:-keep_last] if keep_last > 0 else vs
+    # TAGS are retention barriers (Iceberg tag retention, public
+    # design): expiry stops at the FIRST tagged version — same
+    # contiguous-prefix contract as older_than, so a protected middle
+    # version can never become a hole the CDC planner would silently
+    # merge across. Versions newer than a tag ride out retention with
+    # it; delete the tag to release them.
+    tagged = set(list_tags(wh, database, table).values())
+    if tagged:
+        expired = list(
+            itertools.takewhile(lambda v: v not in tagged, expired)
+        )
+    if older_than is not None:
         expired = list(
             itertools.takewhile(
                 lambda v: _manifest(wh, database, table, v).get(
@@ -1473,6 +1805,86 @@ def expire_snapshots(
             recursive=False,
         )
     return expired
+
+
+_TAGS_DIR = "tags"
+_TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def tag_snapshot(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    name: str,
+    version: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Name a snapshot version (Iceberg tags, public design): a tag
+    is a durable pointer (``_snapshots/tags/<name>.json``) that (a)
+    resolves in ``read_snapshot(tag=...)`` — 'the q3-audit dataset'
+    instead of a version number — and (b) acts as a RETENTION
+    BARRIER: expire_snapshots and maintain_table never expire a
+    tagged version or reclaim its data files, so a tagged snapshot
+    of a 100 TB table stays readable (and rollback-able) across
+    arbitrarily many maintenance cycles at zero copy cost — the tag
+    pins file references, not file copies. Tags are immutable by
+    default (``replace=True`` moves one); the PUT is atomic, so a
+    tag never exists half-written. Returns the tagged version."""
+    if not _TAG_RE.match(name):
+        raise ValueError(
+            f"invalid tag name {name!r} (want [A-Za-z0-9][A-Za-z0-9._-]*,"
+            " max 64 chars)"
+        )
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(f"{database}.{table} has no snapshots to tag")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(
+            f"version {v} not in {database}.{table} snapshots {vs}"
+        )
+    path = f"{_snap_dir(wh, database, table)}/{_TAGS_DIR}/{name}.json"
+    ok = hfs.put_text_atomic(
+        wh.spark,
+        path,
+        json.dumps({"version": v, "created_at": time.time()}),
+        overwrite=replace,
+    )
+    if not ok:
+        raise ValueError(
+            f"tag {name!r} already exists on {database}.{table} "
+            "(replace=True to move it)"
+        )
+    return v
+
+
+def list_tags(wh: Warehouse, database: str, table: str) -> dict:
+    """name -> tagged version, empty when the table has no tags."""
+    d = f"{_snap_dir(wh, database, table)}/{_TAGS_DIR}"
+    try:
+        names = hfs.list_names(wh.spark, d)
+    except Exception:
+        return {}
+    out = {}
+    for n in names:
+        if n.endswith(".json"):
+            out[n[:-5]] = json.loads(
+                hfs.read_text(wh.spark, f"{d}/{n}")
+            )["version"]
+    return out
+
+
+def delete_tag(
+    wh: Warehouse, database: str, table: str, name: str
+) -> bool:
+    """Remove a tag (releasing its retention barrier — the next
+    maintenance reclaims whatever only the tag kept alive). Returns
+    False when the tag didn't exist."""
+    return hfs.delete(
+        wh.spark,
+        f"{_snap_dir(wh, database, table)}/{_TAGS_DIR}/{name}.json",
+        recursive=False,
+    )
 
 
 #: file-name prefixes used by COW rewrites (_cow_rewrite callers).
@@ -2355,9 +2767,22 @@ def maintain_table(
             dead_dirs.add(rel.split("/")[1])
         for rec in m.get("shards", []):
             dead_shards.add(rec["name"])
-    # post-commit cleanup: drop old manifests, then old data files
+    # post-commit cleanup: drop old manifests, then old data files —
+    # MINUS any file a retained manifest still references (tags are
+    # retention barriers: a tag-protected version's files must stay
+    # readable across maintenance; they reclaim on the first
+    # maintenance after the tag is deleted, via the retired set)
     expired = expire_snapshots(wh, database, table, keep_last=1)
-    for name in sorted(prev_files | retired):
+    protected: set = set()
+    for v_keep in versions(wh, database, table):
+        if v_keep != next_v:
+            protected |= set(
+                _manifest_files(
+                    wh, database, table,
+                    _manifest(wh, database, table, v_keep),
+                )
+            )
+    for name in sorted((prev_files | retired) - protected):
         hfs.delete(wh.spark, f"{base}/{name}", recursive=False)
     # reclaim change-file dirs no retained manifest references — the
     # expired versions' CDF parquet, plus CAS-loser debris. Kept
@@ -2452,7 +2877,9 @@ def maintain_table(
         ),
         "target_files": n_target,
         "expired_versions": expired,
-        "reclaimed_files": len((prev_files | retired) - set(rewritten)),
+        "reclaimed_files": len(
+            (prev_files | retired) - set(rewritten) - protected
+        ),
         "version": next_v,
     }
 

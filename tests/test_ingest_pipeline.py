@@ -2837,3 +2837,332 @@ def test_constraints_guard_ndjson_ingest_paths(spark, tmp_path, monkeypatch):
     # semantics rather than an analysis crash:
     with _pytest.raises(snap.ConstraintViolationError, match="price_pos"):
         pipe.append_ndjson_lines("db", "t", ['{"lang": "en"}'])
+
+
+def test_stats_agg_metadata_only(spark, tmp_path, monkeypatch):
+    """stats_agg answers COUNT(*)/MIN/MAX/null-counts from the
+    manifest alone (Iceberg record_count / value-counts rollup):
+    exact vs a real query, zero data-file IO (proved by answering
+    after the parquet files are GONE), shard-rollup answers without
+    opening shard files, legacy manifests back-fill with one bounded
+    scan, and non-stat columns are refused."""
+    import json as _json
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import fs as hfs
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(500).select(
+        F.col("id").alias("__row_id"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id") * 3)
+        .alias("v"),
+        F.lit(None).cast("string").alias("allnull"),
+    ).repartition(4)
+    snap.append_versioned(
+        wh, "db", "t", df, stat_cols=["v", "allnull"]
+    )
+    truth = (
+        snap.read_snapshot(wh, "db", "t")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.sum(F.col("v").isNull().cast("long")).alias("nc"),
+        )
+        .collect()[0]
+    )
+    r = snap.stats_agg(wh, "db", "t").collect()[0]
+    assert r["row_count"] == truth["rc"] == 500
+    assert r["min_v"] == truth["mn"] and r["max_v"] == truth["mx"]
+    assert r["null_count_v"] == truth["nc"] == 100
+    # all-NULL column: SQL aggregate semantics
+    assert r["min_allnull"] is None and r["max_allnull"] is None
+    assert r["null_count_allnull"] == 500
+    with _pytest.raises(ValueError, match="not stat columns"):
+        snap.stats_agg(wh, "db", "t", cols=["__row_id"])
+
+    # ZERO-IO proof: physically remove every data file — the
+    # metadata-only path still answers; a real read cannot
+    base = wh._path("db", "t")
+    moved = tmp_path / "moved"
+    moved.mkdir()
+    import os
+
+    for n in os.listdir(base):
+        if n.endswith(".parquet"):
+            shutil.move(os.path.join(base, n), str(moved / n))
+    r2 = snap.stats_agg(wh, "db", "t", allow_scan=False).collect()[0]
+    assert r2["row_count"] == 500 and r2["max_v"] == r["max_v"]
+    for n in os.listdir(moved):
+        shutil.move(str(moved / n), os.path.join(base, n))
+
+    # SHARDED table: additive rollups answer from the shard RECORDS
+    # (proved by hiding the shard files themselves)
+    monkeypatch.setattr(snap, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(snap, "_SHARD_SIZE", 4)
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    big = spark.range(100).select(
+        F.col("id").alias("__row_id"), F.col("id").alias("k")
+    )
+    snap.append_versioned(
+        wh2, "db", "s", big.repartitionByRange(10, "k"),
+        stat_cols=["k"],
+    )
+    m = snap._manifest(wh2, "db", "s", snap.versions(wh2, "db", "s")[-1])
+    assert "shards" in m
+    sh_dir = f"{wh2._path('db', 's')}/_snapshots/shards"
+    shutil.move(sh_dir, str(tmp_path / "shards_hidden"))
+    rs = snap.stats_agg(wh2, "db", "s", allow_scan=False).collect()[0]
+    assert rs["row_count"] == 100
+    assert rs["min_k"] == 0 and rs["max_k"] == 99
+    shutil.move(str(tmp_path / "shards_hidden"), sh_dir)
+
+    # LEGACY manifest (pre-row-count stats): strip the new keys from
+    # the inline stats — allow_scan=False refuses loudly,
+    # allow_scan=True back-fills with one bounded aggregation
+    vs = snap.versions(wh, "db", "t")
+    mp = f"{snap._snap_dir(wh, 'db', 't')}/v{vs[-1]:012d}.json"
+    man = _json.loads(hfs.read_text(spark, mp))
+    for rec in man["stats"].values():
+        rec.pop("__rows", None)
+        rec.pop("v__nulls", None)
+        rec.pop("allnull__nulls", None)
+    hfs.put_text_atomic(spark, mp, _json.dumps(man), overwrite=True)
+    with _pytest.raises(ValueError, match="lack row/null-count"):
+        snap.stats_agg(wh, "db", "t", allow_scan=False)
+    r3 = snap.stats_agg(wh, "db", "t").collect()[0]
+    assert r3["row_count"] == 500 and r3["null_count_v"] == 100
+
+
+def test_token_bloom_file_skipping(spark, tmp_path, monkeypatch):
+    """Token blooms (bloom_cols=["<col>:tokens"], ClickHouse
+    tokenbf_v1 lifted to manifest level): full-word search plans
+    only the files that can contain ALL probed tokens, with no
+    false negatives; non-ASCII splits identically on the write
+    (Spark) and probe (Python) sides; shard rollups OR-merge so
+    whole shards skip; inheritance keeps blooms current on later
+    commits."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = []
+    for fpart in range(8):
+        for i in range(40):
+            rows.append(
+                (
+                    fpart * 100 + i,
+                    fpart,
+                    f"common filler plus marker{fpart} "
+                    f"MixedCase{fpart} Ünïcode-tail{fpart}",
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "__row_id long, part long, body string"
+    ).repartitionByRange(8, "part")
+    v1 = snap.append_versioned(
+        wh, "db", "t", df, bloom_cols=["body:tokens"]
+    )
+    m1 = snap._manifest(wh, "db", "t", v1)
+    total = len(snap._plan_files(wh, "db", "t", m1, None, None))
+    assert total >= 8  # range partitioner may add an empty file
+
+    # exact-marker probes: 1 file; absent token: 0; common: all
+    for probe, want in [
+        (["marker3"], 1),
+        (["mixedcase5"], 1),  # write side lowercases
+        (["zebra-not-there"], 0),
+        (["common"], 8),  # empty files' all-zero blooms skip
+        (["marker3", "zebraxyz"], 0),  # AND semantics
+        (["marker2", "common"], 1),
+    ]:
+        got = len(
+            snap._plan_files(
+                wh, "db", "t", m1, None, None, ("body", probe)
+            )
+        )
+        assert got == want, (probe, got, want)
+
+    # NO FALSE NEGATIVES: every token of every row's body must plan
+    # the file holding that row — including the non-ASCII-split
+    # tails ("tail3" from "Ünïcode-tail3")
+    for fpart in (0, 5):
+        for tok in snap._tokenize(
+            f"common marker{fpart} mixedcase{fpart} tail{fpart}"
+        ):
+            hits = snap._plan_files(
+                wh, "db", "t", m1, None, None, ("body", [tok])
+            )
+            found = (
+                snap.read_snapshot(
+                    wh, "db", "t", prune_tokens=("body", [tok])
+                )
+                .filter(
+                    F.array_contains(
+                        F.split(F.lower("body"), "[^a-z0-9]+"), tok
+                    )
+                )
+                .count()
+            )
+            assert found >= 40, (fpart, tok, len(hits))
+
+    # read_snapshot tokenizes a query STRING with the same rule
+    n = (
+        snap.read_snapshot(
+            wh, "db", "t", prune_tokens=("body", "MARKER3 Common")
+        )
+        .filter(F.col("body").contains("marker3"))
+        .count()
+    )
+    assert n == 40
+
+    # inheritance: a later append keeps token blooms current
+    v2 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(9000, 99, "freshword only here")],
+            "__row_id long, part long, body string",
+        ).coalesce(1),
+    )
+    m2 = snap._manifest(wh, "db", "t", v2)
+    assert m2["bloom_cols"] == ["body:tokens"]
+    got = snap._plan_files(
+        wh, "db", "t", m2, None, None, ("body", ["freshword"])
+    )
+    assert len(got) == 1
+
+    # sharded manifests: rolled-up token blooms skip WHOLE shards
+    monkeypatch.setattr(snap, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(snap, "_SHARD_SIZE", 4)
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    big = spark.createDataFrame(
+        [
+            (i, i % 10, f"shardtok{i % 10} base")
+            for i in range(200)
+        ],
+        "__row_id long, part long, body string",
+    ).repartitionByRange(10, "part")
+    v = snap.append_versioned(
+        wh2, "db", "s", big, bloom_cols=["body:tokens"]
+    )
+    ms = snap._manifest(wh2, "db", "s", v)
+    assert "shards" in ms
+    assert all(
+        "body:tokens__bloom" in rec["agg"] for rec in ms["shards"]
+    )
+    hit = snap._plan_files(
+        wh2, "db", "s", ms, None, None, ("body", ["shardtok7"])
+    )
+    assert len(hit) == 1
+    assert (
+        snap.read_snapshot(
+            wh2, "db", "s", prune_tokens=("body", ["shardtok7"])
+        ).count()
+        == 20
+    )
+
+    # saturation: a file whose token set drives bit density past the
+    # cap records null (must-scan, never wrong)
+    wh3 = Warehouse(spark, str(tmp_path / "wh3"))
+    import random
+
+    rnd = random.Random(7)
+    blob = " ".join(
+        "".join(rnd.choices("abcdefghijklmnop", k=8))
+        for _ in range(30000)
+    )
+    v = snap.append_versioned(
+        wh3, "db", "big",
+        spark.createDataFrame(
+            [(0, blob)], "__row_id long, body string"
+        ).coalesce(1),
+        bloom_cols=["body:tokens"],
+    )
+    mb = snap._manifest(wh3, "db", "big", v)
+    rec = next(iter(snap._manifest_stats(wh3, "db", "big", mb).values()))
+    assert rec["body:tokens__bloom"] is None  # saturated
+    # and a probe still scans the file (no false skip)
+    assert (
+        len(
+            snap._plan_files(
+                wh3, "db", "big", mb, None, None,
+                ("body", ["anything"]),
+            )
+        )
+        == 1
+    )
+
+
+def test_snapshot_tags_retention_barrier(spark, tmp_path):
+    """Tags (Iceberg's public design): named pointers resolved by
+    read_snapshot(tag=...), immutable unless replace=True, and a
+    RETENTION BARRIER — expire_snapshots stops its contiguous prefix
+    at the first tagged version, maintain_table keeps the tagged
+    version's files readable across compaction, and deleting the
+    tag releases everything on the next maintenance."""
+    import pytest as _pytest
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def add(batch):
+        return snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(batch * 100 + i, batch) for i in range(10)],
+                "__row_id long, batch long",
+            ).coalesce(1),
+        )
+
+    v1, v2, v3 = add(1), add(2), add(3)
+    with _pytest.raises(ValueError, match="invalid tag name"):
+        snap.tag_snapshot(wh, "db", "t", "../escape")
+    assert snap.tag_snapshot(wh, "db", "t", "audit", version=v2) == v2
+    with _pytest.raises(ValueError, match="already exists"):
+        snap.tag_snapshot(wh, "db", "t", "audit", version=v1)
+    # replace=True moves it; move it back
+    snap.tag_snapshot(wh, "db", "t", "audit", version=v3, replace=True)
+    snap.tag_snapshot(wh, "db", "t", "audit", version=v2, replace=True)
+    assert snap.list_tags(wh, "db", "t") == {"audit": v2}
+    assert snap.read_snapshot(wh, "db", "t", tag="audit").count() == 20
+    with _pytest.raises(ValueError, match="exactly one of"):
+        snap.read_snapshot(wh, "db", "t", tag="audit", version=v1)
+    with _pytest.raises(ValueError, match="no tag"):
+        snap.read_snapshot(wh, "db", "t", tag="nope")
+
+    # expiry: contiguous prefix STOPS at the tagged version
+    assert snap.expire_snapshots(wh, "db", "t", keep_last=1) == [v1]
+    assert snap.versions(wh, "db", "t") == [v2, v3]
+
+    # maintenance keeps the tagged version and its files; the
+    # compacted latest still reads fully
+    add(4)
+    res = snap.maintain_table(wh, "db", "t")
+    assert v2 in snap.versions(wh, "db", "t")
+    assert snap.read_snapshot(wh, "db", "t", tag="audit").count() == 20
+    assert snap.read_snapshot(wh, "db", "t").count() == 40
+    assert res["expired_versions"] == []
+
+    # rollback to the tagged version works ACROSS maintenance —
+    # its files were protected, so the manifest swap succeeds
+    rb = snap.rollback_table(wh, "db", "t", v2)
+    assert snap.read_snapshot(wh, "db", "t").count() == 20
+    snap.rollback_table(wh, "db", "t", snap.versions(wh, "db", "t")[-2])
+
+    # deleting the tag releases the barrier: the next maintenance
+    # truncates history and reclaims the old files
+    assert snap.delete_tag(wh, "db", "t", "audit")
+    assert not snap.delete_tag(wh, "db", "t", "audit")
+    snap.maintain_table(wh, "db", "t")
+    assert len(snap.versions(wh, "db", "t")) == 1
+    assert snap.read_snapshot(wh, "db", "t").count() == 40
