@@ -2381,3 +2381,112 @@ def warehouse_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tagged_rows long, latest_rows long, "
         "tag_survives_maintenance boolean, expiry_stops_at_tag boolean",
     )
+
+
+@register(
+    "warehouse_files_table",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           true AS files_positive,
+           true AS sizes_positive,
+           true AS minmax_rendered
+    FROM lineitem
+    """,
+    doc="The `files` METADATA TABLE (snapshots.files_table, new r8 — "
+        "Iceberg files table / DESCRIBE DETAIL, public designs): one "
+        "row per live data file with size, row count, and per-stat-"
+        "column min/max/null-count, read from manifests (and shard "
+        "JSONs) only — never a data file. The layout-debugging view: "
+        "file-size skew before binpack, clustering quality before "
+        "z-order. Checked: per-file `rows` sums exactly to the "
+        "table's COUNT(*) (hash-checked vs DuckDB), every live file "
+        "has a positive size, and min/max render non-null for a "
+        "fully-populated stat column.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_files_"))
+    li = table(spark, sf_dir, "lineitem").select(
+        F.monotonically_increasing_id().alias("__row_id"),
+        "l_orderkey", "l_quantity",
+    ).repartition(6)
+    snap.append_versioned(
+        wh, "db", "li", li, stat_cols=["l_quantity"]
+    )
+    ft = snap.files_table(wh, "db", "li")
+    agg = ft.agg(
+        F.sum("rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_files"),
+        F.min("size_bytes").alias("min_sz"),
+        F.sum(
+            (
+                F.col("min_l_quantity").isNotNull()
+                & F.col("max_l_quantity").isNotNull()
+                & (F.col("null_count_l_quantity") == 0)
+            ).cast("long")
+        ).alias("rendered"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                agg["total_rows"],
+                agg["n_files"] >= 1,
+                (agg["min_sz"] or 0) > 0,
+                agg["rendered"] == agg["n_files"],
+            )
+        ],
+        "total_rows long, files_positive boolean, "
+        "sizes_positive boolean, minmax_rendered boolean",
+    )
+
+
+@register(
+    "events_retention_flags",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             bool_or(event_type = 'signup') AS c1,
+             bool_or(event_type = 'view') AS c2,
+             bool_or(event_type = 'purchase') AS c3
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (c1) AS BIGINT) AS r_signup,
+           CAST(count(*) FILTER (c1 AND c2) AS BIGINT)
+             AS r_signup_view,
+           CAST(count(*) FILTER (c1 AND c3) AS BIGINT)
+             AS r_signup_purchase
+    FROM per_user
+    """,
+    doc="ClickHouse retention() parity (the reference's ClickHouse "
+        "backend exposes retention(cond1..condN); public dialect): "
+        "per-user boolean condition flags where every later flag is "
+        "gated on the FIRST condition (the cohort anchor), summed "
+        "into cohort counts. One partial-aggregated shuffle on "
+        "user_id; conditions are JVM boolean aggregations (bool_or "
+        "via max of cast), zero UDFs. The cohort-retention shape of "
+        "product analytics dashboards.",
+)
+def events_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("int")).alias("c1"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("c2"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "c3"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c1").cast("long").alias("r_signup"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias(
+            "r_signup_view"
+        ),
+        F.sum(F.col("c1") * F.col("c3")).cast("long").alias(
+            "r_signup_purchase"
+        ),
+    )

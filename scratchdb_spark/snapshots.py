@@ -3088,3 +3088,72 @@ def history(wh: Warehouse, database: str, table: str) -> DataFrame:
         "n_retired long, has_stats boolean, operation string, "
         "staging_id string",
     )
+
+
+def files_table(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame:
+    """The ``files`` METADATA TABLE (Iceberg's files/data_files
+    table, Delta's DESCRIBE DETAIL per-file form — public designs):
+    one row per live data file of the version, with size, row count,
+    and per-stat-column min/max/null-count from the manifest. A
+    metadata read only — manifests and (for sharded tables) shard
+    JSONs, never a data file — so at 100 TB it stays a driver-side
+    fold. The operational view for layout debugging: file-size
+    skew before a binpack, clustering quality before a z-order,
+    row-count drift after heavy churn. Files committed before
+    row-count stats were recorded show null rows (back-fill by
+    touching them with any stats-carrying commit, or use
+    stats_agg(allow_scan=True) for the aggregate view).
+
+    Columns: file, size_bytes, rows, plus min_<c>/max_<c>/
+    null_count_<c> (STRING-rendered min/max — one stable schema
+    across arbitrary stat-column types) for each stat column."""
+    from pyspark.sql import types as T
+
+    from .operators.compaction import list_data_files
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(f"{database}.{table} has no snapshots")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(
+            f"version {v} not in {database}.{table} snapshots {vs}"
+        )
+    m = _manifest(wh, database, table, v)
+    stat_cols = m.get("stat_cols", [])
+    names = _manifest_files(wh, database, table, m)
+    stats = _manifest_stats(wh, database, table, m)
+    base = wh._path(database, table)
+    sizes = {
+        p.rsplit("/", 1)[-1]: sz
+        for p, sz in list_data_files(wh.spark, base)
+    }
+    fields = [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("rows", T.LongType(), True),
+    ]
+    for c in stat_cols:
+        fields += [
+            T.StructField(f"min_{c}", T.StringType(), True),
+            T.StructField(f"max_{c}", T.StringType(), True),
+            T.StructField(f"null_count_{c}", T.LongType(), True),
+        ]
+    rows = []
+    for n in names:
+        rec = stats.get(n, {})
+        row: list = [n, sizes.get(n), rec.get("__rows")]
+        for c in stat_cols:
+            rng = rec.get(c, [None, None])
+            row += [
+                None if rng[0] is None else str(rng[0]),
+                None if rng[1] is None else str(rng[1]),
+                rec.get(f"{c}__nulls"),
+            ]
+        rows.append(tuple(row))
+    return wh.spark.createDataFrame(rows, T.StructType(fields))

@@ -3166,3 +3166,72 @@ def test_snapshot_tags_retention_barrier(spark, tmp_path):
     snap.maintain_table(wh, "db", "t")
     assert len(snap.versions(wh, "db", "t")) == 1
     assert snap.read_snapshot(wh, "db", "t").count() == 40
+
+
+def test_files_table_metadata_view(spark, tmp_path, monkeypatch):
+    """files_table: one row per live file with size/rows/min-max from
+    manifests only; sharded tables resolve through shard JSONs; a
+    legacy file without row-count stats shows null rows rather than
+    lying; retired (COW-replaced) files never appear."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import fs as hfs
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(300).select(
+        F.col("id").alias("__row_id"), (F.col("id") % 3).alias("k")
+    ).repartition(3)
+    snap.append_versioned(wh, "db", "t", df, stat_cols=["k"])
+    ft = snap.files_table(wh, "db", "t")
+    rows = {r["file"]: r for r in ft.collect()}
+    assert sum(r["rows"] for r in rows.values()) == 300
+    assert all(r["size_bytes"] > 0 for r in rows.values())
+    # empty writer partitions produce 0-row files: null min/max
+    # (all-null semantics), never a lie
+    assert all(
+        (
+            r["min_k"] == "0"
+            and r["max_k"] == "2"
+            and r["null_count_k"] == 0
+        )
+        if r["rows"]
+        else (r["min_k"] is None and r["max_k"] is None)
+        for r in rows.values()
+    )
+
+    # COW delete: replaced files drop out, survivors' rows shrink
+    snap.delete_where(wh, "db", "t", F.col("k") == 1)
+    ft2 = snap.files_table(wh, "db", "t")
+    assert ft2.agg(F.sum("rows")).collect()[0][0] == 200
+    assert snap.read_snapshot(wh, "db", "t").count() == 200
+
+    # legacy manifest: strip __rows from one file -> null rows
+    vs = snap.versions(wh, "db", "t")
+    mp = f"{snap._snap_dir(wh, 'db', 't')}/v{vs[-1]:012d}.json"
+    man = _json.loads(hfs.read_text(spark, mp))
+    first = sorted(man["stats"])[0]
+    man["stats"][first].pop("__rows", None)
+    hfs.put_text_atomic(spark, mp, _json.dumps(man), overwrite=True)
+    ft3 = snap.files_table(wh, "db", "t")
+    got = {r["file"]: r["rows"] for r in ft3.collect()}
+    assert got[first] is None
+    assert sum(v for v in got.values() if v is not None) > 0
+
+    # sharded: per-file rows resolve through shard JSONs
+    monkeypatch.setattr(snap, "_SHARD_THRESHOLD", 6)
+    monkeypatch.setattr(snap, "_SHARD_SIZE", 4)
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    snap.append_versioned(
+        wh2, "db", "s",
+        spark.range(100).select(
+            F.col("id").alias("__row_id"), F.col("id").alias("k")
+        ).repartitionByRange(10, "k"),
+        stat_cols=["k"],
+    )
+    fts = snap.files_table(wh2, "db", "s")
+    assert fts.count() >= 7
+    assert fts.agg(F.sum("rows")).collect()[0][0] == 100
