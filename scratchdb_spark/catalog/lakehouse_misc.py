@@ -2490,3 +2490,70 @@ def events_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_signup_purchase"
         ),
     )
+
+
+@register(
+    "warehouse_incremental_minmax_mv",
+    """
+    SELECT * FROM (VALUES
+      ('a', CAST(2 AS BIGINT), CAST(9 AS BIGINT), CAST(2 AS BIGINT)),
+      ('b', CAST(1 AS BIGINT), CAST(8 AS BIGINT), CAST(2 AS BIGINT)),
+      ('d', CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT)))
+      t(k, value_min, value_max, n_rows)
+    """,
+    doc="MIN/MAX materialized-view maintenance with bounded delete "
+        "rescan (operators/incremental.py::maintain_minmax_mv, new "
+        "r8): min/max are NOT self-maintainable under deletes "
+        "(Gupta-Mumick IVM taxonomy, public literature) — deleting a "
+        "boundary-carrying row leaves the new boundary unknown, and "
+        "the MV cannot know the boundary's multiplicity. The exact "
+        "rule: inserts and interior deletes maintain algebraically "
+        "from the change rows; only groups whose boundary a delete "
+        "touched rescan, via a broadcast semi-join that prunes the "
+        "base scan to those groups' files. This history exercises "
+        "all paths: an insert extending a min, a new group, a "
+        "duplicate-boundary delete (both min=5 rows of 'a' — the "
+        "case a non-rescanning rule gets wrong), an interior delete "
+        "('b', no rescan), and a full-group delete ('c', drops).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_incremental_minmax_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..operators.incremental import maintain_minmax_mv, minmax_mv_of
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_mmv_"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [
+                (1, "a", 5), (2, "a", 5), (3, "a", 9),
+                (4, "b", 1), (5, "b", 8), (9, "b", 4),
+                (6, "c", 7),
+            ],
+            "__row_id long, k string, amount long",
+        ),
+    )
+    mv1 = minmax_mv_of(
+        snap.read_snapshot(wh, "db", "t", version=v1), ["k"], "amount"
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(7, "a", 2), (8, "d", 4)],
+            "__row_id long, k string, amount long",
+        ),
+    )
+    snap.delete_where(wh, "db", "t", F.col("amount") == 5)
+    snap.delete_where(
+        wh, "db", "t", (F.col("k") == "b") & (F.col("amount") == 4)
+    )
+    snap.delete_where(wh, "db", "t", F.col("k") == "c")
+    changes = snap.read_changes(wh, "db", "t", from_version=v1)
+    return maintain_minmax_mv(
+        mv1, changes, snap.read_snapshot(wh, "db", "t"), ["k"], "amount"
+    )

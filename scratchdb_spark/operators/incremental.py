@@ -178,3 +178,133 @@ def sum_mv_of(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
         F.sum(value_col).alias("value_sum"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def minmax_delta_plan(
+    mv: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+    min_col: str = "value_min",
+    max_col: str = "value_max",
+    n_col: str = "n_rows",
+) -> tuple[DataFrame, DataFrame]:
+    """The planning half of MIN/MAX view maintenance: split affected
+    groups into (a) groups maintainable ALGEBRAICALLY from the change
+    rows alone and (b) groups that must rescan.
+
+    Unlike sum/count, MIN/MAX are not self-maintainable under
+    deletes (classic IVM result — Gupta & Mumick's taxonomy, public
+    literature): deleting a row that CARRIES the current boundary
+    leaves the new boundary unknown without the base table (the MV
+    doesn't track the boundary's multiplicity — deleting one of two
+    rows that both hold min=5 changes nothing, but the MV can't know
+    there were two). The conservative, exact rule implemented here:
+
+    - inserts only           -> min=least(old,ins), max=greatest —
+                                O(changes), no rescan;
+    - deletes strictly INSIDE the open interval (del_min > cur_min
+      AND del_max < cur_max) -> boundaries untouched, counts adjust;
+    - deletes touching a boundary (del_min <= cur_min or
+      del_max >= cur_max)   -> group goes to the RESCAN set;
+    - net count reaching 0   -> group dropped, no rescan needed.
+
+    Returns (maintained, rescan_keys): ``maintained`` is the new MV
+    content for every group NOT in the rescan set (schema: keys +
+    [min_col, max_col, n_col]); ``rescan_keys`` is the churn-bounded
+    key frame whose groups need recomputation from the base table."""
+    sign = F.when(
+        F.col("_change_type") == "insert", F.lit(1)
+    ).otherwise(F.lit(-1))
+    ins = F.when(F.col("_change_type") == "insert", F.col(value_col))
+    dele = F.when(F.col("_change_type") == "delete", F.col(value_col))
+    delta = changes.groupBy(*keys).agg(
+        F.min(ins).alias("__ins_min"),
+        F.max(ins).alias("__ins_max"),
+        F.min(dele).alias("__del_min"),
+        F.max(dele).alias("__del_max"),
+        F.sum(sign).alias("__d_n"),
+    )
+    j = mv.join(delta, keys, "full_outer")
+    n_new = (
+        F.coalesce(F.col(n_col), F.lit(0))
+        + F.coalesce(F.col("__d_n"), F.lit(0))
+    ).cast("long")
+    # a boundary-touching delete on a surviving, pre-existing group
+    boundary_hit = (
+        F.col(n_col).isNotNull()
+        & (
+            (F.col("__del_min") <= F.col(min_col))
+            | (F.col("__del_max") >= F.col(max_col))
+        )
+    )
+    needs_rescan = F.coalesce(boundary_hit, F.lit(False)) & (n_new > 0)
+    rescan_keys = j.filter(needs_rescan).select(*keys)
+    maintained = (
+        j.filter(~needs_rescan)
+        .filter(n_new > 0)
+        .select(
+            *keys,
+            F.least(
+                *(
+                    [F.col(min_col), F.col("__ins_min")]
+                )
+            ).alias(min_col),
+            F.greatest(F.col(max_col), F.col("__ins_max")).alias(
+                max_col
+            ),
+            n_new.alias(n_col),
+        )
+    )
+    return maintained, rescan_keys
+
+
+def maintain_minmax_mv(
+    mv: DataFrame,
+    changes: DataFrame,
+    base: DataFrame,
+    keys: list[str],
+    value_col: str,
+    min_col: str = "value_min",
+    max_col: str = "value_max",
+    n_col: str = "n_rows",
+) -> DataFrame:
+    """Apply a CDC feed to a keyed MIN/MAX/count MATERIALIZED VIEW,
+    rescanning the base table ONLY for groups whose boundary a delete
+    touched (see minmax_delta_plan). ``base`` is the post-change
+    snapshot of the base table (e.g. ``read_snapshot(...)`` at the
+    feed's end version).
+
+    Cost at 100 TB: one churn-sized aggregation over the change rows,
+    one MV-sized join, and a base scan FILTERED to the rescan groups
+    — a broadcast semi-join when churn is small (the normal case), so
+    the scan prunes to the affected groups' files wherever the base
+    layout clusters on the keys; never a full recompute. A
+    merge_upsert's update flows through as its delete/insert pair.
+    Exactness includes the duplicate-boundary case (deleting one of
+    two min-carrying rows): such groups rescan by rule, so the MV
+    always equals minmax_mv_of(base)."""
+    maintained, rescan_keys = minmax_delta_plan(
+        mv, changes, keys, value_col, min_col, max_col, n_col
+    )
+    rescanned = (
+        base.join(F.broadcast(rescan_keys), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.min(value_col).alias(min_col),
+            F.max(value_col).alias(max_col),
+            F.count(F.lit(1)).alias(n_col),
+        )
+    )
+    return maintained.unionByName(rescanned)
+
+
+def minmax_mv_of(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """The full-recompute definition the incremental path must match."""
+    return df.groupBy(*keys).agg(
+        F.min(value_col).alias("value_min"),
+        F.max(value_col).alias("value_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

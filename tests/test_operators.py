@@ -2142,3 +2142,110 @@ def test_semdedup_prune_semantics_and_invariance(spark):
     # hot-cell guard: cell A has 6 rows
     with pytest.raises(HotGroupError):
         semdedup_prune(emb, tau=0.95, n_cells=2, max_cell_rows=4)
+
+
+def test_minmax_mv_maintenance_exact(spark, tmp_path):
+    """MIN/MAX IVM (maintain_minmax_mv): algebraic maintenance for
+    inserts and interior deletes, rescan ONLY for boundary-touching
+    deletes — including the duplicate-boundary case a non-rescanning
+    rule gets wrong — always equal to the full recompute. The rescan
+    set is pinned exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators.incremental import (
+        maintain_minmax_mv,
+        minmax_delta_plan,
+        minmax_mv_of,
+    )
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [
+                (1, "a", 5), (2, "a", 5), (3, "a", 9),
+                (4, "b", 1), (5, "b", 8), (6, "b", 4),
+                (7, "c", 7),
+            ],
+            "__row_id long, k string, amount long",
+        ),
+    )
+    mv1 = minmax_mv_of(
+        snap.read_snapshot(wh, "db", "t", version=v1), ["k"], "amount"
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(8, "a", 2), (9, "d", 4)],
+            "__row_id long, k string, amount long",
+        ),
+    )
+    snap.delete_where(wh, "db", "t", F.col("amount") == 5)  # dup mins
+    snap.delete_where(
+        wh, "db", "t", (F.col("k") == "b") & (F.col("amount") == 4)
+    )  # interior: no rescan
+    snap.delete_where(wh, "db", "t", F.col("k") == "c")  # group drop
+    changes = snap.read_changes(wh, "db", "t", from_version=v1)
+
+    # rescan set is EXACTLY the boundary-touched surviving group 'a':
+    # b's delete (4) is strictly inside (1, 8); c nets to zero; d is
+    # insert-only
+    _, rescan = minmax_delta_plan(mv1, changes, ["k"], "amount")
+    assert {r["k"] for r in rescan.collect()} == {"a"}
+
+    base = snap.read_snapshot(wh, "db", "t")
+    got = maintain_minmax_mv(mv1, changes, base, ["k"], "amount")
+    want = minmax_mv_of(base, ["k"], "amount")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # randomized DML histories: maintained == recompute, always
+    rnd = random.Random(11)
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    rows = [
+        (i, rnd.choice("pqrs"), rnd.randrange(20)) for i in range(40)
+    ]
+    v1 = snap.append_versioned(
+        wh2, "db", "t",
+        spark.createDataFrame(rows, "__row_id long, k string, amount long"),
+    )
+    mv = minmax_mv_of(
+        snap.read_snapshot(wh2, "db", "t", version=v1), ["k"], "amount"
+    )
+    nxt = 100
+    last = v1
+    for step in range(4):
+        op = rnd.choice(["append", "delete", "delete_val"])
+        if op == "append":
+            batch = [
+                (nxt + i, rnd.choice("pqrst"), rnd.randrange(20))
+                for i in range(5)
+            ]
+            nxt += 5
+            snap.append_versioned(
+                wh2, "db", "t",
+                spark.createDataFrame(
+                    batch, "__row_id long, k string, amount long"
+                ),
+            )
+        elif op == "delete":
+            snap.delete_where(
+                wh2, "db", "t", F.col("k") == rnd.choice("pqrs")
+            )
+        else:
+            snap.delete_where(
+                wh2, "db", "t", F.col("amount") == rnd.randrange(20)
+            )
+        changes = snap.read_changes(wh2, "db", "t", from_version=last)
+        last = snap.versions(wh2, "db", "t")[-1]
+        base = snap.read_snapshot(wh2, "db", "t")
+        mv = maintain_minmax_mv(mv, changes, base, ["k"], "amount")
+        want = minmax_mv_of(base, ["k"], "amount")
+        assert sorted(map(tuple, mv.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"step {step} ({op})"
