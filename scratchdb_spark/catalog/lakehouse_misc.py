@@ -2557,3 +2557,158 @@ def warehouse_incremental_minmax_mv(
     return maintain_minmax_mv(
         mv1, changes, snap.read_snapshot(wh, "db", "t"), ["k"], "amount"
     )
+
+
+@register(
+    "events_window_funnel",
+    """
+    WITH v AS (SELECT user_id, ts AS t0 FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT v.user_id, v.t0, min(e.ts) AS t1
+          FROM v LEFT JOIN events e
+            ON e.user_id = v.user_id AND e.event_type = 'click'
+           AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 24 HOUR
+          GROUP BY v.user_id, v.t0),
+    p AS (SELECT c.user_id, c.t0, c.t1, min(e.ts) AS t2
+          FROM c LEFT JOIN events e
+            ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           AND c.t1 IS NOT NULL AND e.ts > c.t1
+           AND e.ts <= c.t0 + INTERVAL 24 HOUR
+          GROUP BY c.user_id, c.t0, c.t1),
+    lv AS (SELECT user_id,
+                  max(1 + CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+                        + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS level
+           FROM p GROUP BY user_id)
+    SELECT level, CAST(count(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY level
+    """,
+    doc="ClickHouse windowFunnel(window)(ts, cond...) parity (public "
+        "dialect), anchor-chain semantics: for every stage-1 event "
+        "(view) the chain takes the EARLIEST qualifying next stage "
+        "(click, then purchase after that click), all within 24h of "
+        "the anchor; a user's level is the best chain over all "
+        "anchors. Both sides implement the identical definition — "
+        "the Spark side as two user-keyed equi-joins with range "
+        "residuals (SortMergeJoin on user_id; the time window rides "
+        "as a join residual, no post-join explosion survives the "
+        "min() collapse), the oracle as the same LEFT JOIN chain. "
+        "The time-bounded-conversion shape ClickHouse serves on "
+        "event logs.",
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("t0")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("tc")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("tp")
+    )
+    w = F.expr("INTERVAL 24 HOURS")
+    c = (
+        v.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("tc") > F.col("t0"))
+            & (F.col("tc") <= F.col("t0") + w),
+            "left",
+        )
+        .groupBy("user_id", "t0")
+        .agg(F.min("tc").alias("t1"))
+    )
+    p = (
+        c.join(
+            purchases,
+            (F.col("pu") == F.col("user_id"))
+            & F.col("t1").isNotNull()
+            & (F.col("tp") > F.col("t1"))
+            & (F.col("tp") <= F.col("t0") + w),
+            "left",
+        )
+        .groupBy("user_id", "t0", "t1")
+        .agg(F.min("tp").alias("t2"))
+    )
+    lv = p.groupBy("user_id").agg(
+        F.max(
+            F.lit(1)
+            + F.col("t1").isNotNull().cast("int")
+            + F.col("t2").isNotNull().cast("int")
+        ).alias("level")
+    )
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "warehouse_incremental_distinct_mv",
+    """
+    SELECT * FROM (VALUES
+      ('a', CAST(2 AS BIGINT)),
+      ('b', CAST(1 AS BIGINT)),
+      ('d', CAST(1 AS BIGINT)))
+      t(k, n_distinct)
+    """,
+    doc="EXACT COUNT(DISTINCT) view maintenance via the support "
+        "multiset (operators/incremental.py::"
+        "maintain_distinct_support, new r8 — counting-algorithm IVM, "
+        "Gupta-Mumick, public literature): distinct-count is not "
+        "distributive, but per-(group,value) multiplicities ARE — "
+        "inserts raise them, deletes lower them, a value leaves the "
+        "distinct set exactly when its multiplicity hits zero, and "
+        "the base table is NEVER rescanned (unlike min/max, no "
+        "rescan case exists). The history pins the trap cases: "
+        "deleting one of two duplicate values must NOT shrink the "
+        "distinct count ('a' keeps 5 after one (a,5) row dies), "
+        "deleting the last copy must ('b' loses 4), and a group "
+        "nets to zero ('c' drops).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_incremental_distinct_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..operators.incremental import (
+        distinct_counts_of,
+        distinct_support_of,
+        maintain_distinct_support,
+    )
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_dmv_"))
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [
+                (1, "a", 5), (2, "a", 5), (3, "a", 9),
+                (4, "b", 4), (5, "b", 4), (6, "c", 7),
+            ],
+            "__row_id long, k string, amount long",
+        ),
+    )
+    sup = distinct_support_of(
+        snap.read_snapshot(wh, "db", "t", version=v1), ["k"], "amount"
+    )
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(7, "d", 1)], "__row_id long, k string, amount long"
+        ),
+    )
+    # one of the two (a,5) rows and BOTH (b,4) rows and all of c
+    snap.delete_where(wh, "db", "t", F.col("__row_id").isin(1, 6))
+    snap.delete_where(wh, "db", "t", F.col("k") == "b")
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(8, "b", 4)], "__row_id long, k string, amount long"
+        ),
+    )
+    changes = snap.read_changes(wh, "db", "t", from_version=v1)
+    sup = maintain_distinct_support(sup, changes, ["k"], "amount")
+    return distinct_counts_of(sup, ["k"])

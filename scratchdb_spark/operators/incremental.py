@@ -308,3 +308,61 @@ def minmax_mv_of(
         F.max(value_col).alias("value_max"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def distinct_support_of(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """The SUPPORT MULTISET for exact distinct-count maintenance:
+    one row per (group, value) with its multiplicity. This is the
+    auxiliary state that makes COUNT(DISTINCT) — a non-distributive
+    aggregate — fully self-maintainable under inserts AND deletes
+    (counting-algorithm IVM, Gupta-Mumick, public literature): a
+    value leaves the distinct set exactly when its multiplicity hits
+    zero, which the multiset knows and the bare count cannot.
+    Schema: keys + [value_col, mult]."""
+    return df.groupBy(*keys, value_col).agg(
+        F.count(F.lit(1)).alias("mult")
+    )
+
+
+def maintain_distinct_support(
+    support: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Apply a CDC feed to the support multiset — pure algebra, no
+    rescan ever: inserts raise multiplicities, deletes lower them,
+    zero rows drop. Cost is churn-sized + support-sized; the support
+    itself is bounded by the number of DISTINCT (group, value) pairs
+    — the honest state cost of EXACT distinct counting at 100 TB
+    (the O(1)-state alternative is the HLL partial path,
+    append_distinct_partials, which cannot handle deletes)."""
+    sign = F.when(
+        F.col("_change_type") == "insert", F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = changes.groupBy(*keys, value_col).agg(
+        F.sum(sign).alias("__d")
+    )
+    return (
+        support.join(delta, [*keys, value_col], "full_outer")
+        .select(
+            *keys,
+            value_col,
+            (
+                F.coalesce(F.col("mult"), F.lit(0))
+                + F.coalesce(F.col("__d"), F.lit(0))
+            ).cast("long").alias("mult"),
+        )
+        .filter(F.col("mult") > 0)
+    )
+
+
+def distinct_counts_of(support: DataFrame, keys: list[str]) -> DataFrame:
+    """Serve per-group exact distinct counts from the support
+    multiset (one grouped count over support rows — never the base
+    table)."""
+    return support.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )

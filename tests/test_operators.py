@@ -2249,3 +2249,71 @@ def test_minmax_mv_maintenance_exact(spark, tmp_path):
         assert sorted(map(tuple, mv.collect())) == sorted(
             map(tuple, want.collect())
         ), f"step {step} ({op})"
+
+
+def test_distinct_support_mv_exact(spark, tmp_path):
+    """Exact COUNT(DISTINCT) IVM via the support multiset: never
+    rescans, equals the full recompute across randomized DML
+    histories, and handles the duplicate-value traps (deleting one
+    of two copies keeps the value; deleting the last copy drops
+    it)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators.incremental import (
+        distinct_counts_of,
+        distinct_support_of,
+        maintain_distinct_support,
+    )
+    from scratchdb_spark.tables import Warehouse
+
+    rnd = random.Random(23)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [
+        (i, rnd.choice("pqr"), rnd.randrange(6)) for i in range(30)
+    ]
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            rows, "__row_id long, k string, amount long"
+        ),
+    )
+    sup = distinct_support_of(
+        snap.read_snapshot(wh, "db", "t", version=v1), ["k"], "amount"
+    )
+    nxt, last = 100, v1
+    for step in range(4):
+        if rnd.random() < 0.5:
+            batch = [
+                (nxt + i, rnd.choice("pqrs"), rnd.randrange(6))
+                for i in range(4)
+            ]
+            nxt += 4
+            snap.append_versioned(
+                wh, "db", "t",
+                spark.createDataFrame(
+                    batch, "__row_id long, k string, amount long"
+                ),
+            )
+        else:
+            snap.delete_where(
+                wh, "db", "t", F.col("amount") == rnd.randrange(6)
+            )
+        changes = snap.read_changes(wh, "db", "t", from_version=last)
+        last = snap.versions(wh, "db", "t")[-1]
+        sup = maintain_distinct_support(sup, changes, ["k"], "amount")
+        base = snap.read_snapshot(wh, "db", "t")
+        want = base.groupBy("k").agg(
+            F.countDistinct("amount").alias("n_distinct")
+        )
+        got = distinct_counts_of(sup, ["k"])
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"step {step}"
+        # support multiplicities equal the base's value counts
+        want_sup = base.groupBy("k", "amount").count()
+        assert sorted(map(tuple, sup.collect())) == sorted(
+            map(tuple, want_sup.collect())
+        )
