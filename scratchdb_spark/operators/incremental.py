@@ -268,6 +268,7 @@ def maintain_minmax_mv(
     min_col: str = "value_min",
     max_col: str = "value_max",
     n_col: str = "n_rows",
+    base_for_keys=None,
 ) -> DataFrame:
     """Apply a CDC feed to a keyed MIN/MAX/count MATERIALIZED VIEW,
     rescanning the base table ONLY for groups whose boundary a delete
@@ -277,18 +278,31 @@ def maintain_minmax_mv(
 
     Cost at 100 TB: one churn-sized aggregation over the change rows,
     one MV-sized join, and a base scan FILTERED to the rescan groups
-    — a broadcast semi-join when churn is small (the normal case), so
-    the scan prunes to the affected groups' files wherever the base
-    layout clusters on the keys; never a full recompute. A
-    merge_upsert's update flows through as its delete/insert pair.
+    — a broadcast semi-join when churn is small (the normal case).
+    The semi-join alone still SCHEDULES a full base scan (row-level
+    filtering, not file-level); to also skip FILES, pass
+    ``base_for_keys``: a callable receiving the collected rescan-key
+    rows (churn-bounded, so the collect is safe) and returning the
+    pruned base frame — e.g.
+    ``lambda ks: read_snapshot(wh, db, t, prune_eq=("k", [k for
+    (k,) in ks]))`` on a table with stat_cols on the group key, where
+    the manifest dictionary/zone-map skips every file holding none
+    of the rescanned groups (measured: tools/ivm_rehearsal.py).
+    A merge_upsert's update flows through as its delete/insert pair.
     Exactness includes the duplicate-boundary case (deleting one of
     two min-carrying rows): such groups rescan by rule, so the MV
     always equals minmax_mv_of(base)."""
     maintained, rescan_keys = minmax_delta_plan(
         mv, changes, keys, value_col, min_col, max_col, n_col
     )
+    src = base
+    if base_for_keys is not None:
+        key_rows = [tuple(r) for r in rescan_keys.collect()]
+        src = base_for_keys(key_rows) if key_rows else None
+        if src is None:
+            return maintained
     rescanned = (
-        base.join(F.broadcast(rescan_keys), keys, "left_semi")
+        src.join(F.broadcast(rescan_keys), keys, "left_semi")
         .groupBy(*keys)
         .agg(
             F.min(value_col).alias(min_col),

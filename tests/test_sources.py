@@ -747,3 +747,104 @@ def test_cdc_stream_errs_loudly_on_cdc_false_overwrite(spark, tmp_path):
         q.stop()
     # fresh checkpoint: bootstrap of the current state (one insert)
     assert sorted(seen) == [(7, "insert")]
+
+
+def test_cdc_stream_drives_minmax_and_distinct_mvs(spark, tmp_path):
+    """The CDC stream also drives the NON-distributive MV shapes
+    (new r8): foreachBatch maintain_minmax_mv (boundary deletes
+    trigger the bounded rescan against the batch-end snapshot) and
+    maintain_distinct_support (pure algebra, never rescans) — both
+    equal to full recomputes after a history with a duplicate-
+    boundary delete. Base/feed alignment: the rescan reads the
+    snapshot the feed has advanced to (here, batches are drained
+    between DML rounds, so latest == feed end — the contract the
+    operator docstring states)."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators.incremental import (
+        distinct_counts_of,
+        distinct_support_of,
+        maintain_distinct_support,
+        maintain_minmax_mv,
+        minmax_mv_of,
+    )
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 5), (3, "a", 9), (4, "b", 1)],
+            "__row_id long, k string, amount long",
+        ),
+    )
+
+    state = {
+        "mv": spark.createDataFrame(
+            [], "k string, value_min long, value_max long, n_rows long"
+        ),
+        "sup": spark.createDataFrame(
+            [], "k string, amount long, mult long"
+        ),
+    }
+
+    def advance(batch_df, _batch_id):
+        base = snap.read_snapshot(wh, "db", "t")
+        mv = maintain_minmax_mv(
+            state["mv"], batch_df, base, ["k"], "amount"
+        )
+        state["mv"] = spark.createDataFrame(
+            mv.collect(),
+            "k string, value_min long, value_max long, n_rows long",
+        )
+        sup = maintain_distinct_support(
+            state["sup"], batch_df, ["k"], "amount"
+        )
+        state["sup"] = spark.createDataFrame(
+            sup.collect(), "k string, amount long, mult long"
+        )
+
+    q = (
+        spark.readStream.format("scratch_cdc")
+        .option("path", str(tmp_path / "wh"))
+        .option("database", "db")
+        .option("table", "t")
+        .load()
+        .writeStream.foreachBatch(advance)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate-boundary delete: one of the two (a,5) rows via a
+        # keys-frame delete -> minmax must RESCAN group a, distinct
+        # support must KEEP value 5
+        snap.delete_keys(
+            wh, "db", "t",
+            spark.createDataFrame([(1,)], "__row_id long"),
+            key_col="__row_id",
+        )
+        q.processAllAvailable()
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(5, "b", 7)], "__row_id long, k string, amount long"
+            ),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    base = snap.read_snapshot(wh, "db", "t")
+    assert sorted(map(tuple, state["mv"].collect())) == sorted(
+        map(tuple, minmax_mv_of(base, ["k"], "amount").collect())
+    ) == [("a", 5, 9, 2), ("b", 1, 7, 2)]
+    assert sorted(map(tuple, state["sup"].collect())) == sorted(
+        map(tuple, distinct_support_of(base, ["k"], "amount").collect())
+    )
+    assert sorted(
+        map(tuple, distinct_counts_of(state["sup"], ["k"]).collect())
+    ) == [("a", 2), ("b", 2)]
