@@ -3235,3 +3235,62 @@ def test_files_table_metadata_view(spark, tmp_path, monkeypatch):
     fts = snap.files_table(wh2, "db", "s")
     assert fts.count() >= 7
     assert fts.agg(F.sum("rows")).collect()[0][0] == 100
+
+
+def test_stats_agg_ndv_metadata_only(spark, tmp_path):
+    """Per-file HLL sketches (bloom_cols=['<col>:ndv']) union into
+    metadata-only approximate distinct counts: within HLL error of
+    exact, tracking appends AND COW deletes (rewritten files carry
+    fresh sketches), answering with the data files gone, inheriting
+    across commits, and refusing unsketched columns."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(50000).select(
+        F.col("id").alias("__row_id"),
+        (F.col("id") % 4321).alias("u"),
+    ).repartition(6)
+    snap.append_versioned(wh, "db", "t", df, bloom_cols=["u:ndv"])
+    est = snap.stats_agg_ndv(
+        wh, "db", "t", allow_scan=False
+    ).collect()[0]["approx_ndv_u"]
+    assert abs(est - 4321) / 4321 < 0.05
+    with _pytest.raises(ValueError, match="no NDV sketches"):
+        snap.stats_agg_ndv(wh, "db", "t", cols=["__row_id"])
+
+    # inheritance: plain append keeps sketches current; new
+    # distincts show up
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.range(2000).select(
+            (F.col("id") + 100000).alias("__row_id"),
+            (F.col("id") + 10000).alias("u"),
+        ).coalesce(1),
+    )
+    est2 = snap.stats_agg_ndv(
+        wh, "db", "t", allow_scan=False
+    ).collect()[0]["approx_ndv_u"]
+    assert abs(est2 - 6321) / 6321 < 0.05
+
+    # COW delete: rewritten files re-sketch, estimate shrinks back
+    snap.delete_where(wh, "db", "t", F.col("u") >= 10000)
+    est3 = snap.stats_agg_ndv(
+        wh, "db", "t", allow_scan=False
+    ).collect()[0]["approx_ndv_u"]
+    assert abs(est3 - 4321) / 4321 < 0.05
+
+    # zero-IO proof: data files physically gone, estimate unchanged
+    base = wh._path("db", "t")
+    for n in os.listdir(base):
+        if n.endswith(".parquet"):
+            os.rename(f"{base}/{n}", str(tmp_path / n))
+    est4 = snap.stats_agg_ndv(
+        wh, "db", "t", allow_scan=False
+    ).collect()[0]["approx_ndv_u"]
+    assert est4 == est3
