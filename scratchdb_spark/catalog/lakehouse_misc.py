@@ -2762,3 +2762,65 @@ def warehouse_ndv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_custkey_ndv long, ndv_within_2pct boolean, "
         "zero_data_io boolean",
     )
+
+
+@register(
+    "warehouse_ttl_expiry",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS rows_kept,
+           CAST((SELECT count(*) FROM events) - count(*) AS BIGINT)
+             AS rows_expired,
+           true AS cdc_saw_deletes,
+           true AS noop_cycle_commits_nothing
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 15 DAY
+    """,
+    doc="Row-level TTL (snapshots.set_ttl/apply_ttl, new r8 — "
+        "ClickHouse MergeTree TTL semantics on the snapshot "
+        "warehouse): a rolling keep-window on a timestamp column, "
+        "applied as an ordinary COW DELETE commit — atomic, "
+        "time-travel auditable, and CDC-VISIBLE (downstream "
+        "incremental MVs see expired rows as deletes; a silent file "
+        "drop would desynchronize them, which is why TTL composes "
+        "with the DML layer instead of bypassing it). A cycle with "
+        "nothing to expire commits nothing. Here events older than "
+        "15 days before the corpus max land in the expiry; the kept "
+        "count is hash-checked vs DuckDB's interval arithmetic.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_ttl_"))
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("__row_id"), "ts"
+    )
+    total = ev.count()
+    snap.append_versioned(wh, "db", "ev", ev)
+    snap.set_ttl(wh, "db", "ev", "ts", 15 * 86400.0)
+    now_dt = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    res = snap.apply_ttl(wh, "db", "ev", now=now_dt)
+    kept = snap.read_snapshot(wh, "db", "ev").count()
+    dels = (
+        snap.read_changes(wh, "db", "ev", from_version=1)
+        .filter(F.col("_change_type") == "delete")
+        .count()
+    )
+    vs = snap.versions(wh, "db", "ev")
+    noop = snap.apply_ttl(wh, "db", "ev", now=now_dt)
+    return spark.createDataFrame(
+        [
+            (
+                kept,
+                total - kept,
+                dels == res["rows_expired"] == total - kept,
+                noop["version"] is None
+                and snap.versions(wh, "db", "ev") == vs,
+            )
+        ],
+        "rows_kept long, rows_expired long, cdc_saw_deletes boolean, "
+        "noop_cycle_commits_nothing boolean",
+    )

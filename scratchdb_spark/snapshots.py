@@ -3305,3 +3305,151 @@ def files_table(
             ]
         rows.append(tuple(row))
     return wh.spark.createDataFrame(rows, T.StructType(fields))
+
+
+_TTL_FILE = "ttl.json"
+
+
+def set_ttl(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    ts_col: str,
+    keep_seconds: float,
+) -> None:
+    """Row-level TTL policy (ClickHouse MergeTree ``TTL ts +
+    INTERVAL``, Delta-style retention DELETEs — public designs):
+    rows whose ``ts_col`` falls behind the rolling window become
+    deletable by ``apply_ttl``. Stored as TABLE CONFIG in a sidecar
+    (``_snapshots/ttl.json``, atomic PUT) — like constraints it is
+    policy, not version content: it survives rollback and
+    maintenance, and ``clear_ttl`` removes it.
+
+    Expiry itself is an ordinary copy-on-write DELETE commit, so it
+    is atomic, time-travel-auditable, CDC-visible (downstream MVs
+    see the expired rows as deletes and stay consistent — the reason
+    TTL must NOT be a silent file drop). On a time-clustered layout
+    (the normal case for event tables) the COW delete's survivor
+    rewrite is bounded by parquet row-group stats: expiry rewrites
+    only files the cutoff actually crosses, and fully-expired files
+    drop from the manifest without a rewrite."""
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} has no snapshots — TTL attaches to "
+            "snapshot tables"
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(
+        json.loads(_manifest(wh, database, table, vs[-1])["schema"])
+    )
+    f = next((f for f in schema.fields if f.name == ts_col), None)
+    if f is None:
+        raise ValueError(f"TTL column {ts_col!r} not in table schema")
+    kind = f.dataType.simpleString()
+    if not (kind.startswith("timestamp") or kind == "date"):
+        raise ValueError(
+            f"TTL column {ts_col!r} must be timestamp/date, is {kind}"
+        )
+    if keep_seconds <= 0:
+        raise ValueError("keep_seconds must be positive")
+    hfs.put_text_atomic(
+        wh.spark,
+        f"{_snap_dir(wh, database, table)}/{_TTL_FILE}",
+        json.dumps({"col": ts_col, "keep_seconds": keep_seconds}),
+    )
+
+
+def table_ttl(wh: Warehouse, database: str, table: str) -> dict | None:
+    """The table's TTL policy, or None."""
+    try:
+        return json.loads(
+            hfs.read_text(
+                wh.spark,
+                f"{_snap_dir(wh, database, table)}/{_TTL_FILE}",
+            )
+        )
+    except Exception:
+        return None
+
+
+def clear_ttl(wh: Warehouse, database: str, table: str) -> bool:
+    """Remove the TTL policy (no further expiry; data already
+    expired stays expired). Returns False when none was set."""
+    return hfs.delete(
+        wh.spark,
+        f"{_snap_dir(wh, database, table)}/{_TTL_FILE}",
+        recursive=False,
+    )
+
+
+def apply_ttl(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    now: float | None = None,
+) -> dict:
+    """Expire rows per the table's TTL policy: one COW DELETE of
+    ``ts_col < now - keep_seconds``, committed with an
+    ``operation: ttl-expiry`` summary. ``now`` is epoch seconds or
+    a datetime in the column's wall clock (defaults to the driver
+    clock; pass an explicit instant for deterministic/backfill runs
+    — and note the same clock-source caveat as the maintenance
+    reclaim window). Run it from the
+    maintenance cadence, before compaction, so expired rows never
+    compact back into fresh files. Returns {version, rows_expired,
+    cutoff} (version None when nothing expired — TTL is a no-op
+    commit-wise then, keeping history churn proportional to actual
+    expiry)."""
+    cfg = table_ttl(wh, database, table)
+    if cfg is None:
+        raise ValueError(
+            f"{database}.{table} has no TTL policy (set_ttl first)"
+        )
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    vs = versions(wh, database, table)
+    schema = T.StructType.fromJson(
+        json.loads(_manifest(wh, database, table, vs[-1])["schema"])
+    )
+    kind = next(
+        f.dataType.simpleString()
+        for f in schema.fields
+        if f.name == cfg["col"]
+    )
+    # the cutoff literal is built IN THE COLUMN'S TYPE: tz-aware
+    # timestamps compare on the instant; ntz/date columns compare on
+    # wall time (``now`` as a datetime is taken as the same wall
+    # clock the column holds; an epoch ``now`` round-trips through
+    # the session timezone, which is an identity on the wall time)
+    if isinstance(now, _dt.datetime):
+        cut_lit = F.lit(
+            now - _dt.timedelta(seconds=cfg["keep_seconds"])
+        )
+        cutoff = None
+    else:
+        cutoff = (
+            time.time() if now is None else now
+        ) - cfg["keep_seconds"]
+        cut_lit = F.timestamp_seconds(F.lit(cutoff))
+    if kind in ("timestamp_ntz", "date"):
+        cut_lit = cut_lit.cast(kind)
+    pred = F.col(cfg["col"]) < cut_lit
+    # cheap existence probe first (parquet row-group stats short-
+    # circuit the limit-1 scan): a no-expiry cycle commits nothing,
+    # so running apply_ttl on a cadence costs history churn only
+    # when rows actually expire
+    if read_snapshot(wh, database, table).filter(pred).limit(1).count() == 0:
+        return {"version": None, "rows_expired": 0, "cutoff": cutoff}
+    v, n = delete_where(
+        wh, database, table, pred,
+        summary={
+            "operation": "ttl-expiry",
+            "cutoff": cutoff if cutoff is not None else str(now),
+        },
+    )
+    return {"version": v, "rows_expired": n, "cutoff": cutoff}

@@ -3294,3 +3294,61 @@ def test_stats_agg_ndv_metadata_only(spark, tmp_path):
         wh, "db", "t", allow_scan=False
     ).collect()[0]["approx_ndv_u"]
     assert est4 == est3
+
+
+def test_ttl_policy_expiry(spark, tmp_path):
+    """Row-level TTL (set_ttl/apply_ttl): expiry is an ordinary COW
+    DELETE — atomic, CDC-visible, auditable; a no-expiry cycle
+    commits NOTHING (cadence-safe); config survives rollback and
+    maintenance and validates its column; clear_ttl stops expiry."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t0 = 1_700_000_000
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.range(100).select(
+            F.col("id").alias("__row_id"),
+            F.timestamp_seconds(
+                F.lit(t0) + F.col("id") * 86400
+            ).alias("ts"),
+        ),
+    )
+    with _pytest.raises(ValueError, match="not in table schema"):
+        snap.set_ttl(wh, "db", "t", "nope", 10.0)
+    with _pytest.raises(ValueError, match="must be timestamp"):
+        snap.set_ttl(wh, "db", "t", "__row_id", 10.0)
+    snap.set_ttl(wh, "db", "t", "ts", 30 * 86400.0)
+
+    now = t0 + 100 * 86400
+    res = snap.apply_ttl(wh, "db", "t", now=now)
+    assert res["rows_expired"] == 70
+    assert snap.read_snapshot(wh, "db", "t").count() == 30
+
+    # CDC: downstream consumers see the expiry as deletes
+    ch = snap.read_changes(wh, "db", "t", from_version=1)
+    assert (
+        ch.filter(F.col("_change_type") == "delete").count() == 70
+    )
+
+    # no-op cycle: no commit
+    vs = snap.versions(wh, "db", "t")
+    assert snap.apply_ttl(wh, "db", "t", now=now)["version"] is None
+    assert snap.versions(wh, "db", "t") == vs
+
+    # config survives rollback and maintenance
+    snap.rollback_table(wh, "db", "t", vs[0])
+    assert snap.table_ttl(wh, "db", "t") is not None
+    snap.maintain_table(wh, "db", "t")
+    assert snap.table_ttl(wh, "db", "t") is not None
+    # after rollback the old rows are back; expiry reapplies
+    res2 = snap.apply_ttl(wh, "db", "t", now=now)
+    assert res2["rows_expired"] == 70
+
+    assert snap.clear_ttl(wh, "db", "t")
+    with _pytest.raises(ValueError, match="no TTL policy"):
+        snap.apply_ttl(wh, "db", "t", now=now)
