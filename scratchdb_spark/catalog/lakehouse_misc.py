@@ -2824,3 +2824,64 @@ def warehouse_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_kept long, rows_expired long, cdc_saw_deletes boolean, "
         "noop_cycle_commits_nothing boolean",
     )
+
+
+@register(
+    "warehouse_savepoint_cut",
+    """
+    SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)
+             AS docs_at_cut,
+           CAST((SELECT count(*) FROM embeddings) AS BIGINT)
+             AS emb_at_cut,
+           true AS latest_advanced,
+           true AS survives_maintenance
+    """,
+    doc="Cross-table SAVEPOINTS (snapshots.create_savepoint, new r8): "
+        "one named cut pinning a version of every member table — the "
+        "'this exact documents+embeddings state trained the model' "
+        "freeze. Tag-backed, so the cut inherits the retention "
+        "barrier (maintenance on any member cannot reclaim its "
+        "files); per-table snapshot isolation at capture, honestly "
+        "documented as not a cross-table transaction. Here both "
+        "corpus tables are pinned, both then take appends AND a "
+        "maintenance cycle — and the savepoint still reads exactly "
+        "the pinned counts (hash-checked vs DuckDB) while the "
+        "latest reads the advanced state.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_savepoint_cut(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_sp_"))
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("__row_id"), "doc_id", "lang"
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("__row_id"), "vec_id"
+    )
+    snap.append_versioned(wh, "db", "docs", docs)
+    snap.append_versioned(wh, "db", "emb", emb)
+    snap.create_savepoint(
+        wh, "train-cut", [("db", "docs"), ("db", "emb")]
+    )
+    for t in ("docs", "emb"):
+        snap.append_versioned(
+            wh, "db", t,
+            snap.read_snapshot(wh, "db", t).limit(5).withColumn(
+                "__row_id", F.col("__row_id") + 10_000_000
+            ),
+        )
+        snap.maintain_table(wh, "db", t)
+    d_cut = snap.read_savepoint(wh, "train-cut", "db", "docs").count()
+    e_cut = snap.read_savepoint(wh, "train-cut", "db", "emb").count()
+    d_now = snap.read_snapshot(wh, "db", "docs").count()
+    return spark.createDataFrame(
+        [(d_cut, e_cut, d_now == d_cut + 5, True)],
+        "docs_at_cut long, emb_at_cut long, latest_advanced boolean, "
+        "survives_maintenance boolean",
+    )

@@ -3453,3 +3453,124 @@ def apply_ttl(
         },
     )
     return {"version": v, "rows_expired": n, "cutoff": cutoff}
+
+
+_SAVEPOINTS_DIR = "_savepoints"
+
+
+def create_savepoint(
+    wh: Warehouse,
+    name: str,
+    tables: list,
+) -> dict:
+    """A CROSS-TABLE SAVEPOINT: one named cut pinning a version of
+    EVERY listed table (the multi-table form of a tag — what a
+    training run freezes: "documents v41 + embeddings v17 + events
+    v102, together"). Written as one atomic JSON under
+    ``<warehouse>/_savepoints/``, and each member version is also
+    TAGGED (``sp-<name>``) so the savepoint inherits the tags'
+    retention barrier: maintenance can never reclaim any member's
+    files while the savepoint exists.
+
+    Consistency contract, stated honestly: each member is pinned at
+    its latest committed version AT CAPTURE TIME — per-table
+    snapshot isolation (no torn reads within any table), not a
+    cross-table transaction (a commit landing between two captures
+    is visible in one table and not the other; quiesce writers or
+    re-create the savepoint if that matters). ``tables`` is a list
+    of (database, table) pairs. Returns {\"<db>.<table>\": version}."""
+    if not _TAG_RE.match(name):
+        raise ValueError(
+            f"invalid savepoint name {name!r} "
+            "(want [A-Za-z0-9][A-Za-z0-9._-]*, max 64 chars)"
+        )
+    pinned: dict = {}
+    tagged: list = []
+    try:
+        for database, table in tables:
+            vs = versions(wh, database, table)
+            if not vs:
+                raise ValueError(
+                    f"{database}.{table} has no snapshots to pin"
+                )
+            v = tag_snapshot(
+                wh, database, table, f"sp-{name}", version=vs[-1]
+            )
+            tagged.append((database, table))
+            pinned[f"{database}.{table}"] = v
+    except Exception:
+        for database, table in tagged:
+            delete_tag(wh, database, table, f"sp-{name}")
+        raise
+    path = f"{wh.root}/{_SAVEPOINTS_DIR}/{name}.json"
+    ok = hfs.put_text_atomic(
+        wh.spark,
+        path,
+        json.dumps({"tables": pinned, "created_at": time.time()}),
+        overwrite=False,
+    )
+    if not ok:
+        for database, table in tagged:
+            delete_tag(wh, database, table, f"sp-{name}")
+        raise ValueError(f"savepoint {name!r} already exists")
+    return pinned
+
+
+def savepoint(wh: Warehouse, name: str) -> dict:
+    """The savepoint's pinned versions {\"db.table\": version}."""
+    try:
+        return json.loads(
+            hfs.read_text(
+                wh.spark, f"{wh.root}/{_SAVEPOINTS_DIR}/{name}.json"
+            )
+        )["tables"]
+    except ValueError:
+        raise
+    except Exception:
+        raise ValueError(f"no savepoint {name!r}")
+
+
+def list_savepoints(wh: Warehouse) -> list:
+    """Names of existing savepoints."""
+    try:
+        return sorted(
+            n[:-5]
+            for n in hfs.list_names(
+                wh.spark, f"{wh.root}/{_SAVEPOINTS_DIR}"
+            )
+            if n.endswith(".json")
+        )
+    except Exception:
+        return []
+
+
+def read_savepoint(
+    wh: Warehouse, name: str, database: str, table: str
+) -> DataFrame:
+    """Read one member table AS OF the savepoint's pinned version."""
+    pinned = savepoint(wh, name)
+    key = f"{database}.{table}"
+    if key not in pinned:
+        raise ValueError(
+            f"savepoint {name!r} does not pin {key} "
+            f"(pins: {sorted(pinned)})"
+        )
+    return read_snapshot(wh, database, table, version=pinned[key])
+
+
+def delete_savepoint(wh: Warehouse, name: str) -> bool:
+    """Drop the savepoint and release every member tag (the next
+    maintenance on each table reclaims whatever only the savepoint
+    kept alive). Returns False when it didn't exist."""
+    try:
+        pinned = savepoint(wh, name)
+    except ValueError:
+        return False
+    for key in pinned:
+        database, table = key.split(".", 1)
+        delete_tag(wh, database, table, f"sp-{name}")
+    return hfs.delete(
+        wh.spark,
+        f"{wh.root}/{_SAVEPOINTS_DIR}/{name}.json",
+        recursive=False,
+    )

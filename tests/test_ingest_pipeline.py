@@ -3352,3 +3352,60 @@ def test_ttl_policy_expiry(spark, tmp_path):
     assert snap.clear_ttl(wh, "db", "t")
     with _pytest.raises(ValueError, match="no TTL policy"):
         snap.apply_ttl(wh, "db", "t", now=now)
+
+
+def test_savepoints_cross_table_cut(spark, tmp_path):
+    """Savepoints: one named cut pinning versions across tables,
+    tag-backed (retention barrier: maintenance cannot reclaim any
+    member), readable per member, atomic create (partial failure
+    rolls back the tags), released on delete."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for t, n in (("docs", 10), ("emb", 20)):
+        snap.append_versioned(
+            wh, "db", t,
+            spark.range(n).select(
+                F.col("id").alias("__row_id"), F.col("id").alias("v")
+            ),
+        )
+    pins = snap.create_savepoint(
+        wh, "cut1", [("db", "docs"), ("db", "emb")]
+    )
+    assert pins == {"db.docs": 1, "db.emb": 1}
+    assert snap.list_tags(wh, "db", "docs") == {"sp-cut1": 1}
+
+    # atomic create: a member without snapshots fails the WHOLE
+    # savepoint and rolls back the tags already taken
+    with _pytest.raises(ValueError, match="no snapshots"):
+        snap.create_savepoint(
+            wh, "cut2", [("db", "docs"), ("db", "ghost")]
+        )
+    assert "sp-cut2" not in snap.list_tags(wh, "db", "docs")
+    with _pytest.raises(ValueError, match="already exists"):
+        snap.create_savepoint(wh, "cut1", [("db", "docs")])
+
+    # advance + maintain both tables: the cut still reads exactly
+    for t in ("docs", "emb"):
+        snap.append_versioned(
+            wh, "db", t,
+            spark.createDataFrame([(999, 999)], "__row_id long, v long"),
+        )
+        snap.maintain_table(wh, "db", t)
+    assert snap.read_savepoint(wh, "cut1", "db", "docs").count() == 10
+    assert snap.read_savepoint(wh, "cut1", "db", "emb").count() == 20
+    assert snap.read_snapshot(wh, "db", "docs").count() == 11
+    with _pytest.raises(ValueError, match="does not pin"):
+        snap.read_savepoint(wh, "cut1", "db", "ghost")
+
+    # release: tags drop, the next maintenance reclaims history
+    assert snap.delete_savepoint(wh, "cut1")
+    assert not snap.delete_savepoint(wh, "cut1")
+    for t in ("docs", "emb"):
+        assert snap.list_tags(wh, "db", t) == {}
+        snap.maintain_table(wh, "db", t)
+        assert len(snap.versions(wh, "db", t)) == 1
