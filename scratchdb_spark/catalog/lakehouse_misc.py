@@ -2423,9 +2423,14 @@ def warehouse_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rows").alias("total_rows"),
         F.count(F.lit(1)).alias("n_files"),
         F.min("size_bytes").alias("min_sz"),
+        # empty writer partitions can land 0-row files whose min/max
+        # are legitimately NULL — the render invariant covers the
+        # populated files
+        F.sum((F.col("rows") > 0).cast("long")).alias("n_nonempty"),
         F.sum(
             (
-                F.col("min_l_quantity").isNotNull()
+                (F.col("rows") > 0)
+                & F.col("min_l_quantity").isNotNull()
                 & F.col("max_l_quantity").isNotNull()
                 & (F.col("null_count_l_quantity") == 0)
             ).cast("long")
@@ -2437,7 +2442,7 @@ def warehouse_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 agg["total_rows"],
                 agg["n_files"] >= 1,
                 (agg["min_sz"] or 0) > 0,
-                agg["rendered"] == agg["n_files"],
+                agg["rendered"] == agg["n_nonempty"],
             )
         ],
         "total_rows long, files_positive boolean, "
