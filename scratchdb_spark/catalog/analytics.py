@@ -288,6 +288,38 @@ def text_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_topk_heavy_hitters",
+    """
+    SELECT CAST(l_partkey AS VARCHAR) AS item,
+           count(*)            AS est_n,
+           CAST(0 AS BIGINT)   AS err
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY est_n DESC, item LIMIT 20
+    """,
+    doc="ClickHouse topK() parity (Filtered Space-Saving per the CH "
+        "docs) as a MERGEABLE Misra-Gries summary "
+        "(operators/sketch.py::topk_sketch, Metwally et al. 2005 / "
+        "Agarwal et al. PODS 2012): bounded per-partition counter "
+        "tables, partials merge by count addition, and the summed "
+        "prune decrements give a uniform additive bound "
+        "est_n <= true <= est_n + err with err <= N/(capacity+1). The "
+        "raw item stream is never shuffled — only <= capacity+1 "
+        "partial rows per partition. With capacity >= per-partition "
+        "NDV (here: 8192 >= ~2k part keys) no prune fires and the "
+        "result is EXACT with err = 0, which this hash-checked entry "
+        "pins against the plain GROUP BY oracle; the approximate "
+        "regime's guarantees (bounds hold, every item with true count "
+        "> err surfaces) are pinned by pytest under adversarial "
+        "repartitioning.",
+)
+def sketch_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import topk_sketch
+
+    li = table(spark, sf_dir, "lineitem")
+    return topk_sketch(li, "l_partkey", k=20, capacity=8192)
+
+
+@register(
     "agg_string_concat_nations",
     """
     SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations

@@ -259,3 +259,106 @@ def kmv_merge_pair(sketches: DataFrame, key_a, key_b, k: int = 256):
             "est_intersect"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries / SpaceSaving top-k heavy hitters
+# ---------------------------------------------------------------------------
+#
+# ClickHouse's topK()/topKWeighted() (the reference's backend dialect;
+# CH docs describe it as Filtered Space-Saving, Metwally et al. 2005)
+# re-expressed as the MERGEABLE Misra-Gries summary (Agarwal et al.,
+# "Mergeable Summaries", PODS 2012): each partition keeps at most
+# `capacity` bounded counters, pruning by subtracting the
+# (capacity+1)-th largest count whenever the table overflows; partials
+# MERGE by per-item count addition, and the summed prune decrements
+# give a single additive error bound `err` valid for EVERY item:
+#
+#     est_n <= true count <= est_n + err,       err <= N / (capacity+1)
+#
+# so any item whose true count exceeds `err` is guaranteed present in
+# the merged summary — the classic frequent-items guarantee.
+#
+# Scale shape: one narrow scan; the raw item stream is never shuffled.
+# Partials are <= capacity+1 rows per partition (KBs), the only
+# shuffle is the groupBy over <= capacity * P partial rows, and the
+# global decrement total rides a 1-row aggregate broadcast. With
+# capacity >= the per-partition distinct count the summary never
+# prunes and the result is EXACT with err = 0 — the regime the
+# hash-checked catalog query pins; the approximate regime's bounds are
+# pinned by pytest under adversarial repartitioning.
+
+
+def _mg_prune(cnt: dict, capacity: int) -> int:
+    """Misra-Gries overflow step: subtract the (capacity+1)-th largest
+    count from every counter, drop the non-positive ones. Returns the
+    decrement applied (0 when the table already fits)."""
+    if len(cnt) <= capacity:
+        return 0
+    counts = sorted(cnt.values(), reverse=True)
+    cstar = counts[capacity]
+    for item in [i for i, c in cnt.items() if c <= cstar]:
+        del cnt[item]
+    for item in cnt:
+        cnt[item] -= cstar
+    return cstar
+
+
+def topk_sketch(
+    items: DataFrame,
+    item_col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Top-k heavy hitters of `items[item_col]` (one row per
+    occurrence) with deterministic per-item error bounds.
+
+    Output: (item string, est_n long, err long), the k largest by
+    est_n (ties broken on the item) — est_n is a LOWER bound on the
+    true count and est_n + err an upper bound, with `err` shared by
+    all items (sum of every partition's prune decrements).
+
+    Memory is bounded DURING accumulation, not just at emit: the
+    per-partition counter table prunes whenever it exceeds 4x
+    capacity, so a partition with unbounded distinct items holds at
+    most 4 * capacity counters at any instant.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    src = items.select(F.col(item_col).cast("string").alias("item"))
+
+    def partials(batches):
+        cnt: dict = {}
+        dec = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vc = pdf["item"].dropna().value_counts()
+            for item, c in vc.items():
+                cnt[item] = cnt.get(item, 0) + int(c)
+            if len(cnt) > 4 * capacity:
+                dec += _mg_prune(cnt, capacity)
+        dec += _mg_prune(cnt, capacity)
+        yield pd.DataFrame(
+            {
+                "item": list(cnt.keys()) + [None],
+                "est": list(cnt.values()) + [0],
+                "dec": [0] * len(cnt) + [dec],
+            }
+        )
+
+    pt = src.mapInPandas(partials, "item string, est long, dec long")
+    merged = (
+        pt.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est").alias("est_n"))
+    )
+    total_dec = pt.agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("err")
+    )
+    return (
+        merged.crossJoin(total_dec)  # 1-row global error bound
+        .orderBy(F.desc("est_n"), F.asc("item"))
+        .limit(k)
+        .select("item", "est_n", "err")
+    )

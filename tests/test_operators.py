@@ -2317,3 +2317,67 @@ def test_distinct_support_mv_exact(spark, tmp_path):
         assert sorted(map(tuple, sup.collect())) == sorted(
             map(tuple, want_sup.collect())
         )
+
+
+def test_topk_sketch_exact_and_bounded(spark, sf_dir):
+    """Misra-Gries top-k: exact (err=0) when capacity >= NDV; in the
+    approximate regime est_n <= true <= est_n + err with
+    err <= N/(capacity+1), bounds hold under adversarial
+    repartitioning, and every item with true count > err surfaces."""
+    from scratchdb_spark.operators.sketch import topk_sketch
+    from scratchdb_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem")
+    exact_rows = li.groupBy("l_suppkey").count().collect()
+    exact = {str(r["l_suppkey"]): r["count"] for r in exact_rows}
+    stream_len = sum(exact.values())
+
+    # exact regime: capacity dwarfs NDV, no prune ever fires
+    wide = {
+        r["item"]: (r["est_n"], r["err"])
+        for r in topk_sketch(li, "l_suppkey", k=5, capacity=100_000).collect()
+    }
+    top5 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert wide == {i: (c, 0) for i, c in top5}
+
+    # approximate regime: capacity far below NDV forces prunes
+    capacity = 8
+    for parts in (3, 17):
+        rows = topk_sketch(
+            li.repartition(parts), "l_suppkey", k=50, capacity=capacity
+        ).collect()
+        assert rows, "summary must not be empty"
+        err = rows[0]["err"]
+        assert err > 0, "capacity << NDV must prune"
+        assert all(r["err"] == err for r in rows), "err is global"
+        # MG mass bound: sum of prune decrements <= N/(capacity+1),
+        # but summed over P partitions each pruning independently
+        assert err <= parts * stream_len // (capacity + 1) + parts
+        for r in rows:
+            true_n = exact.get(r["item"], 0)
+            assert r["est_n"] <= true_n <= r["est_n"] + err, r
+        # frequent-items guarantee: true count > err => present
+        present = {r["item"] for r in rows}
+        guaranteed = {i for i, c in exact.items() if c > err}
+        assert guaranteed <= present | {
+            i for i, _ in sorted(
+                exact.items(), key=lambda kv: (-kv[1], kv[0])
+            )[50:]
+        }, "an item above the error bound fell out of the summary"
+
+
+def test_topk_sketch_streaming_prune_bound(spark):
+    """A single hot partition with unbounded NDV stays within the 4x
+    capacity working-set bound and still surfaces the heavy hitter."""
+    from scratchdb_spark.operators.sketch import topk_sketch
+
+    n_noise, hot = 5_000, 800
+    df = spark.range(n_noise).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k")
+    ).union(
+        spark.range(hot).select(F.lit("HOT").alias("k"))
+    ).coalesce(1)
+    rows = topk_sketch(df, "k", k=3, capacity=64).collect()
+    assert rows[0]["item"] == "HOT"
+    err = rows[0]["err"]
+    assert rows[0]["est_n"] <= hot <= rows[0]["est_n"] + err
