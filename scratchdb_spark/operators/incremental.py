@@ -380,3 +380,126 @@ def distinct_counts_of(support: DataFrame, keys: list[str]) -> DataFrame:
     return support.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-STATE materialized views (ClickHouse AggregatingMergeTree's
+# -State/-Merge combinator pattern, public design; the reference's
+# primary backend serves this via `uniqState`/`uniqMerge` columns).
+# The MV row stores the aggregate's mergeable PARTIAL STATE, not its
+# final value: maintenance merges the new batch's state into the
+# stored state (churn-sized work), and reads finalize the state into
+# an estimate. We use our deterministic KMV distinct sketch
+# (operators/sketch.py) as the state type because, unlike HLL binary
+# sketches, its state is a plain sorted array<long> — portable,
+# hash-comparable, and set-algebra capable (intersection estimates).
+
+
+def kmv_state_of(
+    df: DataFrame, keys: list[str], value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV distinct-sketch STATE: the <= k smallest
+    xxhash64 values of the group's distinct `value_col` hashes.
+
+    Schema: keys + [kmv array<long> (sorted ascending), n_mins long].
+    While a group has seen fewer than k distinct hashes the state IS
+    the full distinct hash set (exact regime); beyond k it is the
+    k-minimum-values summary with the standard (k-1)/theta estimator.
+    Deterministic (seed-fixed xxhash64, order-independent set of
+    minima) -> partition- and merge-order-invariant, so an
+    incrementally maintained state is BYTE-EQUAL to a rebuilt one.
+
+    Cost shape at 100 TB: one map-side-combined distinct on
+    (keys, hash) — the only data-sized shuffle — then a bounded
+    per-group top-k fold; state per group is <= k longs (2 KB at
+    k=256) regardless of cardinality.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    distinct = (
+        df.select(*keys, F.xxhash64(F.col(value_col)).alias("__h"))
+        .distinct()
+    )
+    return (
+        distinct.groupBy(*keys)
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("__h")), 1, k
+            ).alias("kmv")
+        )
+        .withColumn("n_mins", F.size("kmv").cast("long"))
+    )
+
+
+def maintain_kmv_state(
+    state: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 256,
+    allow_delete_rows: bool = False,
+) -> DataFrame:
+    """Merge a CDC batch into the stored KMV states WITHOUT touching
+    the base table: the k smallest of (stored minima UNION batch
+    minima) equals the k smallest of the full union — KMV merge is
+    lossless with respect to the final state, so maintained ==
+    rebuilt exactly (pinned in tests/test_incremental.py).
+
+    INSERT-ONLY by contract, like every sketch state (ClickHouse
+    AggregatingMergeTree has the same limitation): a hash cannot be
+    removed from the minima without knowing the next-larger survivor.
+    Raises ValueError if the feed carries deletes (one churn-sized
+    isEmpty probe) unless ``allow_delete_rows=True``, in which case
+    delete rows are ignored and the state remains an UPPER summary of
+    distinct-ever (the honest semantics; for delete-correct distinct
+    counts use maintain_distinct_support).
+    """
+    if "_change_type" in changes.columns:
+        if not allow_delete_rows:
+            dels = changes.filter(F.col("_change_type") == "delete")
+            if not dels.isEmpty():
+                raise ValueError(
+                    "KMV sketch state is insert-only; the feed "
+                    "contains delete rows. Pass "
+                    "allow_delete_rows=True to ignore them "
+                    "(distinct-ever semantics) or use "
+                    "maintain_distinct_support for delete-exact "
+                    "counts."
+                )
+        changes = changes.filter(F.col("_change_type") == "insert")
+    delta = kmv_state_of(changes, keys, value_col, k).select(
+        *keys,
+        F.col("kmv").alias("__d_kmv"),
+    )
+    empty = F.array().cast("array<long>")
+    merged_kmv = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("kmv"), empty),
+                    F.coalesce(F.col("__d_kmv"), empty),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return (
+        state.join(delta, keys, "full_outer")
+        .select(*keys, merged_kmv.alias("kmv"))
+        .withColumn("n_mins", F.size("kmv").cast("long"))
+    )
+
+
+def kmv_estimates_of(state: DataFrame, k: int = 256) -> DataFrame:
+    """Finalize KMV states into per-group distinct-count estimates
+    (the -Merge half of the combinator pair): exact below k, else
+    (k-1)/theta with theta = the k-th minimum normalized to (0, 1]."""
+    from .sketch import _estimate
+
+    return state.select(
+        *[c for c in state.columns if c not in ("kmv", "n_mins")],
+        _estimate(F.col("kmv"), F.col("n_mins"), k).alias(
+            "est_distinct"
+        ),
+    )

@@ -2381,3 +2381,174 @@ def test_topk_sketch_streaming_prune_bound(spark):
     assert rows[0]["item"] == "HOT"
     err = rows[0]["err"]
     assert rows[0]["est_n"] <= hot <= rows[0]["est_n"] + err
+
+
+def test_kmv_state_mv_maintenance(spark, tmp_path):
+    """KMV sketch-state MV (AggregatingMergeTree -State/-Merge
+    pattern): insert-maintained state is BYTE-EQUAL to a rebuilt one
+    across multi-batch histories (KMV merge is lossless wrt the
+    final state), the exact regime holds below k, truncation holds
+    at k, estimates stay within the theoretical band, delete rows
+    raise unless explicitly ignored, and the state is
+    partition-invariant."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators.incremental import (
+        kmv_estimates_of,
+        kmv_state_of,
+        maintain_kmv_state,
+    )
+    from scratchdb_spark.tables import Warehouse
+
+    rnd = random.Random(7)
+    k = 16
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [
+        (i, rnd.choice("ab"), rnd.randrange(200)) for i in range(60)
+    ]
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            rows, "__row_id long, k string, v long"
+        ),
+    )
+    state = kmv_state_of(
+        snap.read_snapshot(wh, "db", "t", version=v1), ["k"], "v", k
+    )
+    nxt, last = 100, v1
+    for step in range(3):
+        batch = [
+            (nxt + i, rnd.choice("abc"), rnd.randrange(200))
+            for i in range(25)
+        ]
+        nxt += 25
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                batch, "__row_id long, k string, v long"
+            ),
+        )
+        changes = snap.read_changes(wh, "db", "t", from_version=last)
+        last = snap.versions(wh, "db", "t")[-1]
+        state = maintain_kmv_state(state, changes, ["k"], "v", k)
+        base = snap.read_snapshot(wh, "db", "t")
+        rebuilt = kmv_state_of(base, ["k"], "v", k)
+        got = {
+            r["k"]: (tuple(r["kmv"]), r["n_mins"])
+            for r in state.collect()
+        }
+        want = {
+            r["k"]: (tuple(r["kmv"]), r["n_mins"])
+            for r in rebuilt.collect()
+        }
+        assert got == want, f"step {step}"
+    # truncation + estimate band: groups saw ~100 distinct >> k=16
+    exact = {
+        r["k"]: r["e"]
+        for r in base.groupBy("k")
+        .agg(F.countDistinct("v").alias("e"))
+        .collect()
+    }
+    for r in kmv_estimates_of(state, k).collect():
+        assert len(got[r["k"]][0]) == min(k, exact[r["k"]])
+        if exact[r["k"]] >= k:
+            # KMV relative error std ~ 1/sqrt(k-2); allow 4 sigma
+            assert abs(r["est_distinct"] - exact[r["k"]]) <= (
+                4.0 / (k - 2) ** 0.5
+            ) * exact[r["k"]]
+        else:
+            assert r["est_distinct"] == float(exact[r["k"]])
+    # exact regime: tiny group below k is the full hash set
+    small = kmv_state_of(
+        spark.createDataFrame(
+            [(1, "z", 1), (2, "z", 2), (3, "z", 2)],
+            "__row_id long, k string, v long",
+        ),
+        ["k"], "v", k,
+    ).collect()[0]
+    assert small["n_mins"] == 2
+    est = kmv_estimates_of(
+        kmv_state_of(
+            spark.createDataFrame(
+                [(1, "z", 1), (2, "z", 2), (3, "z", 2)],
+                "__row_id long, k string, v long",
+            ),
+            ["k"], "v", k,
+        ),
+        k,
+    ).collect()[0]["est_distinct"]
+    assert est == 2.0
+    # delete rows raise unless explicitly ignored
+    snap.delete_where(wh, "db", "t", F.col("__row_id") == 0)
+    changes = snap.read_changes(wh, "db", "t", from_version=last)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="insert-only"):
+        maintain_kmv_state(state, changes, ["k"], "v", k)
+    ignored = maintain_kmv_state(
+        state, changes, ["k"], "v", k, allow_delete_rows=True
+    )
+    assert {
+        r["k"]: tuple(r["kmv"]) for r in ignored.collect()
+    } == {r: t[0] for r, t in got.items()}
+    # partition invariance
+    repart = kmv_state_of(base.repartition(13), ["k"], "v", k)
+    assert {
+        r["k"]: (tuple(r["kmv"]), r["n_mins"])
+        for r in repart.collect()
+    } == want
+
+
+def test_triangle_counts_exact(spark):
+    """Degree-oriented triangle counting: exact per-node counts vs a
+    brute-force itertools oracle on a random graph, K4/star/chain
+    shape cases, duplicate+reversed edge robustness, and partition
+    invariance."""
+    import itertools
+    import random
+
+    from scratchdb_spark.operators.graph import triangle_counts
+
+    def run(edges, parts=1):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        if parts > 1:
+            df = df.repartition(parts)
+        return {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()
+        }
+
+    # K4: every node is in C(3,2) = 3 triangles
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    assert run(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # star (hub + leaves): no triangles at all
+    assert run([(0, i) for i in range(1, 8)]) == {}
+    # chain: no triangles
+    assert run([(i, i + 1) for i in range(6)]) == {}
+    # duplicates, reversed duplicates, self-loops are ignored
+    assert run([(0, 1), (1, 0), (1, 2), (2, 0), (0, 0), (2, 0)]) == {
+        0: 1, 1: 1, 2: 1
+    }
+    # random graph vs brute force, adversarially repartitioned
+    rnd = random.Random(11)
+    nodes = list(range(24))
+    edges = [
+        (u, v)
+        for u, v in itertools.combinations(nodes, 2)
+        if rnd.random() < 0.25
+    ]
+    eset = {frozenset(e) for e in edges}
+    want: dict = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            frozenset((a, b)) in eset
+            and frozenset((b, c)) in eset
+            and frozenset((a, c)) in eset
+        ):
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert run(edges) == want
+    assert run(edges, parts=7) == want

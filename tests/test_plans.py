@@ -61,6 +61,11 @@ ALLOWED_NESTED_LOOP = {
         "1x1 join of two single-sketch rows (<= k longs each); the "
         "set algebra runs on constant-size arrays"
     ),
+    "sketch_topk_heavy_hitters": (
+        "1-row global error-bound aggregate joined onto the <= k "
+        "surviving heavy-hitter rows (topk_sketch's crossJoin of the "
+        "summed prune decrements)"
+    ),
 }
 
 
