@@ -1540,3 +1540,85 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "churn_smears_cells boolean, maintain_restores_pruning boolean, "
         "results_unchanged boolean, result_rows long",
     )
+
+
+@register(
+    "ts_ewma_user_value",
+    """
+    SELECT user_id,
+           list_reduce(list(value ORDER BY event_id),
+                       (acc, x) -> acc * 0.75 + x * 0.25) AS ewma,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="Per-user exponential moving average of event values "
+        "(ClickHouse exponentialMovingAverage / "
+        "exponentialTimeDecayedAvg family) as a pure JVM-side fold: "
+        "collect_list per user sorted by the event sequence number, "
+        "then the higher-order `aggregate` lambda folds "
+        "acc*(1-a) + x*a left-to-right inside whole-stage codegen — "
+        "zero Python UDFs, one grouped shuffle. The recurrence is "
+        "order-dependent so no window frame expresses it; the fold "
+        "is THE distributed shape: per-key state is the key's own "
+        "event list (bounded by per-user activity; a key with "
+        "millions of events would chunk the fold over pre-reduced "
+        "spans). DuckDB's list_reduce evaluates the identical IEEE "
+        "double sequence, so the oracle hash-matches bit-for-bit. "
+        "Ordering is by event_id (the stable sequence number): the "
+        "ns->us timestamp conversion truncates parquet ns "
+        "timestamps, so ts-based tie order would diverge across "
+        "engines (found and pinned here).",
+)
+def ts_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("event_id", "value"))
+            ).alias("arr"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("vals", F.expr("transform(arr, a -> a.value)"))
+        .withColumn(
+            "ewma",
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1), "
+                "element_at(vals, 1), "
+                "(acc, x) -> acc * 0.75d + x * 0.25d)"
+            ),
+        )
+        .select("user_id", "ewma", "n_events")
+    )
+
+
+@register(
+    "sketch_topk_weighted",
+    """
+    SELECT CAST(l_partkey AS VARCHAR) AS item,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS est_w,
+           CAST(0 AS BIGINT) AS err
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY est_w DESC, item LIMIT 20
+    """,
+    doc="ClickHouse topKWeighted() parity (operators/sketch.py::"
+        "topk_weighted_sketch, new r8): heavy hitters by SUM of an "
+        "integer weight (here: total quantity per part) via the "
+        "weighted Misra-Gries/Space-Saving summary — bounded "
+        "per-partition counter tables with weight-sized increments, "
+        "partials merged by integer addition, summed prune "
+        "decrements as the uniform additive bound "
+        "est_w <= true <= est_w + err. With capacity >= per-"
+        "partition NDV no prune fires and the result is EXACT with "
+        "err = 0 — the regime this hash-checked entry pins against "
+        "the plain GROUP BY SUM oracle; the approximate regime's "
+        "bounds are pinned by pytest under adversarial "
+        "repartitioning.",
+)
+def sketch_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import topk_weighted_sketch
+
+    li = table(spark, sf_dir, "lineitem")
+    return topk_weighted_sketch(
+        li, "l_partkey", "l_quantity", k=20, capacity=8192
+    )

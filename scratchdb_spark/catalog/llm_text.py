@@ -754,3 +754,66 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("source", "doc_id", "weight")
     )
+
+
+@register(
+    "emb_pca_project",
+    _fixture_oracle(
+        "emb_pca_project", ["vec_id", "pc1", "pc2", "pc3", "pc4"]
+    ),
+    doc="Distributed PCA (operators/pca.py, new r8 — the FAISS "
+        "PCAMatrix training split, public design): ONE pass "
+        "accumulates exact scaled-integer (sum_x, sum_xx^T) partials "
+        "(at most partitions x d^2 tiny rows shuffle — never the "
+        "corpus), the d x d eigensolve runs on the driver (KBs for "
+        "any embedding width), and projection is a second map-only "
+        "pass with ZERO shuffle. Integer accumulation makes the "
+        "covariance bit-identical under ANY partitioning (pytest "
+        "pins fit invariance + a numpy oracle); eigenvector sign is "
+        "fixed deterministically -> golden-fixture oracle. The "
+        "dim-reduction step before ANN indexing/clustering in a "
+        "training-data pipeline at 100 TB.",
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, _evr = pca_fit(emb, 4)
+    return pca_project(emb, mean, comps)
+
+
+@register(
+    "text_phrase_search",
+    f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents),
+    tok AS (SELECT doc_id, ws[i] AS tok, i AS pos
+            FROM w, LATERAL (SELECT unnest(
+                     generate_series(1, len(ws))) AS i)),
+    m AS (SELECT a.doc_id FROM tok a
+          JOIN tok b ON a.doc_id = b.doc_id
+                    AND b.pos = a.pos + 1 AND b.tok = 'hash'
+          WHERE a.tok = 'table')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM m GROUP BY doc_id
+    """,
+    doc="Exact phrase search ('table hash') over a POSITIONAL "
+        "inverted index (operators/text.py::positional_postings / "
+        "phrase_search, new r8 — the Lucene/ClickHouse inverted-"
+        "index shape, public design): one posting row per token "
+        "occurrence, phrase adjacency answered by equi-joins on "
+        "(doc_id, pos - offset) whose build sides are ONLY the "
+        "phrase tokens' posting lists — text is never rescanned and "
+        "no position window materializes. At 100 TB the posting "
+        "table persists range-clustered on tok so term lookups "
+        "manifest-prune to the token's file range (complement of "
+        "the token-bloom BASE-table skipping in "
+        "warehouse_token_search, which cannot verify adjacency — "
+        "blooms prune files by token PRESENCE; phrase semantics "
+        "need positions).",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import phrase_search, positional_postings
+
+    docs = table(spark, sf_dir, "documents")
+    postings = positional_postings(docs)
+    return phrase_search(postings, ["table", "hash"])

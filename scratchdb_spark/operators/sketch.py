@@ -362,3 +362,78 @@ def topk_sketch(
         .limit(k)
         .select("item", "est_n", "err")
     )
+
+
+def topk_weighted_sketch(
+    items: DataFrame,
+    item_col: str,
+    weight_col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Weighted top-k heavy hitters (ClickHouse topKWeighted parity):
+    items ranked by SUM of an integer weight column instead of row
+    count — same mergeable Misra-Gries summary as `topk_sketch`, with
+    counter increments of `weight` and the overflow prune subtracting
+    the (capacity+1)-th largest weighted count (the weighted
+    Space-Saving generalization, Metwally et al. 2005, public
+    literature).
+
+    Output: (item string, est_w long, err long) — est_w is a LOWER
+    bound on the true weighted count, est_w + err an upper bound,
+    `err` = the summed prune decrements (<= W/(capacity+1) for total
+    weight W). Weights are cast to BIGINT JVM-side before the kernel:
+    integer accumulation keeps partials exact and merge-order
+    invariant (float weights would drift under repartitioning).
+    Negative weights are rejected (they would break the lower-bound
+    invariant). Memory stays bounded during accumulation exactly as
+    in topk_sketch (prune at 4x capacity).
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    src = items.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+
+    def partials(batches):
+        cnt: dict = {}
+        dec = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.dropna()
+            if (pdf["w"] < 0).any():
+                raise ValueError(
+                    "topk_weighted_sketch: negative weights break "
+                    "the Misra-Gries lower-bound invariant"
+                )
+            ws = pdf.groupby("item")["w"].sum()
+            for item, w in ws.items():
+                cnt[item] = cnt.get(item, 0) + int(w)
+            if len(cnt) > 4 * capacity:
+                dec += _mg_prune(cnt, capacity)
+        dec += _mg_prune(cnt, capacity)
+        yield pd.DataFrame(
+            {
+                "item": list(cnt.keys()) + [None],
+                "est": list(cnt.values()) + [0],
+                "dec": [0] * len(cnt) + [dec],
+            }
+        )
+
+    pt = src.mapInPandas(partials, "item string, est long, dec long")
+    merged = (
+        pt.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est").alias("est_w"))
+    )
+    total_dec = pt.agg(
+        F.coalesce(F.sum("dec"), F.lit(0)).alias("err")
+    )
+    return (
+        merged.crossJoin(total_dec)  # 1-row global error bound
+        .orderBy(F.desc("est_w"), F.asc("item"))
+        .limit(k)
+        .select("item", "est_w", "err")
+    )

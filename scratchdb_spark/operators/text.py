@@ -487,3 +487,56 @@ def token_entropy(
             ),
         )
     )
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index postings: one row per token
+    OCCURRENCE — (tok string, doc_id, pos int, 0-based). The posting
+    table is the classic full-text secondary index (Lucene/CH
+    inverted index, public design): at 100 TB it persists as a
+    snapshot table range-clustered on `tok`, so a term lookup
+    manifest-prunes to the files holding that token range (the
+    complementary structure to the token-bloom per-file skipping in
+    snapshots.bloom_cols, which prunes the BASE table). Built with
+    one posexplode over the shared normalize_text tokenization —
+    all JVM expressions."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"),
+    ).select("tok", "doc_id", "pos")
+
+
+def phrase_search(
+    postings: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase search over positional postings: (doc_id,
+    n_hits) for documents containing the token sequence contiguously,
+    with the number of occurrences.
+
+    Plan shape: one equi-join per phrase token on (doc_id, pos -
+    offset) — each join's build side is ONLY that token's posting
+    list (rare-token postings make the probe tiny; Catalyst orders
+    the ANDed join keys into a single hash join per step). Nothing
+    ever scans text again, and no position window is materialized —
+    the adjacency predicate is the join key itself."""
+    if not phrase:
+        raise ValueError("phrase must have >= 1 token")
+    anchor = postings.filter(F.col("tok") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    cur = anchor
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = postings.filter(F.col("tok") == t).select(
+            F.col("doc_id").alias("d_i"),
+            (F.col("pos") - i).alias("p_i"),
+        )
+        cur = cur.join(
+            nxt,
+            (F.col("doc_id") == F.col("d_i"))
+            & (F.col("p0") == F.col("p_i")),
+        ).select("doc_id", "p0")
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )

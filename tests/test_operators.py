@@ -2552,3 +2552,147 @@ def test_triangle_counts_exact(spark):
                 want[n] = want.get(n, 0) + 1
     assert run(edges) == want
     assert run(edges, parts=7) == want
+
+
+def test_pca_fit_project(spark, sf_dir):
+    """Distributed PCA: exact-integer accumulation makes the fit
+    bit-identical under adversarial repartitioning; the basis is
+    orthonormal and matches a local numpy eigensolve; projection is
+    centered (column means ~ 0) and reproduces numpy's scores; scale
+    guard and empty-corpus guard raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from scratchdb_spark.operators.pca import pca_fit, pca_project
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, evr = pca_fit(emb, 4)
+    m2, c2, e2 = pca_fit(emb.repartition(13), 4)
+    assert np.array_equal(mean, m2)
+    assert np.array_equal(comps, c2)
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    assert (evr > 0).all() and evr.sum() <= 1.0 + 1e-9
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+    mu = V.mean(axis=0)
+    assert np.allclose(mu, mean, atol=2e-6)  # 1e-6 quantization grid
+    cov = np.cov(V.T, bias=True)
+    ev = np.linalg.eigh(cov)[0][::-1][:4]
+    assert np.allclose(ev / np.trace(cov), evr, atol=1e-4)
+
+    proj = pca_project(emb, mean, comps)
+    P = (
+        proj.orderBy("vec_id")
+        .toPandas()[["pc1", "pc2", "pc3", "pc4"]]
+        .to_numpy()
+    )
+    want = (V - mean) @ comps.T
+    assert np.abs(P - want).max() <= 1e-5
+    assert np.abs(P.mean(axis=0)).max() <= 1e-4  # centered
+
+    # worker-side guard surfaces as a PythonException wrapper
+    with _pytest.raises(Exception, match="unit-scale"):
+        pca_fit(
+            emb.withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x * 1000.0),
+            ),
+            2,
+        )
+    with _pytest.raises(ValueError, match="empty"):
+        pca_fit(emb.filter(F.lit(False)), 2)
+
+
+def test_topk_weighted_sketch_bounds(spark, sf_dir):
+    """Weighted Misra-Gries: exact (err=0) when capacity >= NDV; in
+    the approximate regime est_w <= true <= est_w + err under
+    adversarial repartitioning, every item whose true weight exceeds
+    err surfaces, and negative weights are rejected."""
+    import pytest as _pytest
+
+    from scratchdb_spark.operators.sketch import topk_weighted_sketch
+    from scratchdb_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity"
+    )
+    truth = {
+        str(r["l_partkey"]): int(r["w"])
+        for r in li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+        .collect()
+    }
+    # exact regime
+    exact = topk_weighted_sketch(
+        li, "l_partkey", "l_quantity", k=10, capacity=100_000
+    ).collect()
+    want = sorted(
+        truth.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    assert [(r["item"], r["est_w"], r["err"]) for r in exact] == [
+        (i, w, 0) for i, w in want
+    ]
+    # approximate regime, adversarially repartitioned
+    for parts in (3, 17):
+        rows = topk_weighted_sketch(
+            li.repartition(parts),
+            "l_partkey", "l_quantity", k=50, capacity=64,
+        ).collect()
+        err = rows[0]["err"]
+        assert err > 0
+        got = {r["item"]: r["est_w"] for r in rows}
+        for item, est in got.items():
+            assert est <= truth[item] <= est + err, item
+        # every item with true weight > err must surface in the
+        # summary (standard MG guarantee); check within returned k
+        top_true = max(truth.values())
+        assert any(truth[i] == top_true for i in got)
+    with _pytest.raises(Exception, match="negative"):
+        topk_weighted_sketch(
+            li.withColumn("l_quantity", -F.col("l_quantity")),
+            "l_partkey", "l_quantity",
+        ).collect()
+
+
+def test_phrase_search_positional(spark):
+    """Positional-posting phrase search: exact adjacency semantics
+    incl. overlapping occurrences, 3-token phrases, absent phrases,
+    single-token degenerate case, and the empty-phrase guard."""
+    import pytest as _pytest
+
+    from scratchdb_spark.operators.text import (
+        phrase_search,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "quick brown quick brown fox"),
+            (3, "a a a a"),
+            (4, "brown quick"),
+            (5, "Quick   BROWN fox!"),
+        ],
+        "doc_id long, text string",
+    )
+    p = positional_postings(docs)
+
+    def hits(phrase):
+        return {
+            r["doc_id"]: r["n_hits"]
+            for r in phrase_search(p, phrase).collect()
+        }
+
+    assert hits(["quick", "brown"]) == {1: 1, 2: 2, 5: 1}
+    # doc 5's "fox!" keeps punctuation (normalize_text collapses
+    # whitespace + lowercases only), so the 3-token phrase misses it
+    assert hits(["quick", "brown", "fox"]) == {1: 1, 2: 1}
+    assert hits(["a", "a"]) == {3: 3}  # overlapping occurrences
+    assert hits(["a", "a", "a", "a"]) == {3: 1}
+    assert hits(["fox", "jumps"]) == {1: 1}
+    assert hits(["jumps", "fox"]) == {}
+    assert hits(["brown"]) == {1: 1, 2: 2, 4: 1, 5: 1}
+    with _pytest.raises(ValueError, match="phrase"):
+        phrase_search(p, [])

@@ -66,6 +66,9 @@ ALLOWED_NESTED_LOOP = {
         "surviving heavy-hitter rows (topk_sketch's crossJoin of the "
         "summed prune decrements)"
     ),
+    "sketch_topk_weighted": (
+        "same 1-row error-bound crossJoin as sketch_topk_heavy_hitters"
+    ),
 }
 
 

@@ -46,6 +46,7 @@ FIXTURE_NAMES = [
     "ann_ivfpq_topk",
     "ann_index_incremental",
     "ann_ivfpq_residual_topk",
+    "emb_pca_project",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
