@@ -817,3 +817,100 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     postings = positional_postings(docs)
     return phrase_search(postings, ["table", "hash"])
+
+
+@register(
+    "warehouse_postings_phrase_prune",
+    f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents),
+    tok AS (SELECT doc_id, ws[i] AS tok, i AS pos
+            FROM w, LATERAL (SELECT unnest(
+                     generate_series(1, len(ws))) AS i)),
+    m AS (SELECT a.doc_id FROM tok a
+          JOIN tok b ON a.doc_id = b.doc_id
+                    AND b.pos = a.pos + 1 AND b.tok = 'hash'
+          WHERE a.tok = 'table')
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           true AS term_reads_pruned
+    FROM m GROUP BY doc_id
+    """,
+    doc="The PERSISTED form of text_phrase_search (new r8): the "
+        "positional posting table lives as a snapshot table "
+        "range-clustered on tok (repartitionByRange + "
+        "stat_cols=['tok'] zone maps), so each phrase token's "
+        "posting list is fetched with read_snapshot(prune=(tok, "
+        "term, term)) — planning ONLY the files whose token range "
+        "holds that term, verified in-query from the actual plan "
+        "(term_reads_pruned pins files_planned < files_total for "
+        "BOTH terms). Phrase hits over the pruned reads hash-match "
+        "the full-scan oracle. At 100 TB this is the inverted-index "
+        "serving path: term lookup cost ~ the term's posting range, "
+        "not the corpus.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_postings_phrase_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..operators.text import phrase_search, positional_postings
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_post_"))
+    docs = table(spark, sf_dir, "documents")
+    postings = positional_postings(docs).withColumn(
+        # positions are bounded far below 2^20 by document length
+        "__row_id",
+        F.col("doc_id") * (1 << 20) + F.col("pos"),
+    )
+    snap.append_versioned(
+        wh, "db", "postings",
+        postings.repartitionByRange(6, "tok"),
+        stat_cols=["tok"],
+    )
+    total = len(snap.read_snapshot(wh, "db", "postings").inputFiles())
+    per_term = []
+    for term in ("table", "hash"):
+        pr = snap.read_snapshot(
+            wh, "db", "postings", prune=("tok", term, term)
+        )
+        per_term.append(pr)
+    pruned_ok = all(
+        len(pr.inputFiles()) < total for pr in per_term
+    )
+    both = per_term[0].unionByName(per_term[1]).select(
+        "tok", "doc_id", "pos"
+    )
+    return phrase_search(both, ["table", "hash"]).select(
+        "doc_id",
+        "n_hits",
+        F.lit(bool(pruned_ok)).alias("term_reads_pruned"),
+    )
+
+
+@register(
+    "ann_mmr_rerank",
+    _fixture_oracle(
+        "ann_mmr_rerank",
+        ["query_id", "neighbor_id", "mmr_score", "rank"],
+    ),
+    doc="MMR diversification re-rank (operators/similarity.py::"
+        "mmr_rerank, new r8 — Carbonell & Goldstein SIGIR 1998): "
+        "top-30 exact-cosine candidates per query greedily re-ranked "
+        "to 10 by lam*relevance - (1-lam)*max-sim-to-selected "
+        "(lam=0.7) — the standard fix for near-duplicate result "
+        "lists that a dedup'd training corpus still produces at "
+        "retrieval time. Selection is per-query over a pool x pool "
+        "similarity matrix (KBs) via one applyInPandas — parallel "
+        "across queries, never corpus-quadratic; deterministic "
+        "rounding + tie rules -> golden-fixture oracle. Diversity "
+        "effect is pinned by pytest (selected-set pairwise max-sim "
+        "strictly below the un-reranked top-k's).",
+)
+def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_rerank
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return mmr_rerank(emb, queries_df, k=10, pool=30, lam=0.7)

@@ -1471,3 +1471,88 @@ def semdedup_prune(
     return assigned.groupBy("cid").applyInPandas(
         cell_kernel, "vec_id long, cid long, kept boolean"
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 30,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998, public literature) over an exact top-`pool`
+    candidate set: greedily pick `k` items maximizing
+    lam * rel(q, d) - (1 - lam) * max_{s in S} sim(d, s) — the
+    standard retrieval-stage answer to near-duplicate result lists.
+
+    Output: (query_id, neighbor_id, mmr_score, rank). Distribution
+    shape: candidate generation is the existing linear/blocked ANN
+    path; the greedy selection is per-query over `pool` rows (a
+    pool x pool similarity matrix, KBs), run as one applyInPandas
+    over query_id — embarrassingly parallel across queries, never
+    quadratic in the corpus. Determinism: relevance uses the 6dp
+    cos_sim from the candidate stage, pairwise sims and scores round
+    to 6dp, score ties break toward the higher-relevance then
+    smaller-id candidate -> golden-fixture oracle.
+    """
+    cands = brute_force_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+    )
+    n = _norm(F.col(vec_col))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(vec_col, lambda x: x.cast("double") / n).alias(
+            "n_vec"
+        ),
+    )
+    pool_df = cands.join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id", "cos_sim", "n_vec"
+    )
+
+    def select_diverse(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cos_sim", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.array(
+            [np.asarray(x, dtype=np.float64) for x in pdf["n_vec"]]
+        )
+        S = np.round(V @ V.T, 6)  # unit vectors -> cosine
+        rel = pdf["cos_sim"].to_numpy()
+        ids = pdf["neighbor_id"].to_numpy()
+        chosen: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(len(pdf)))
+        while remaining and len(chosen) < k:
+            if chosen:
+                div = S[np.ix_(remaining, chosen)].max(axis=1)
+            else:
+                div = np.zeros(len(remaining))
+            mmr = np.round(
+                lam * rel[remaining] - (1.0 - lam) * div, 6
+            )
+            # argmax with smaller-neighbor-id tie-break: remaining is
+            # kept sorted by (rel desc, id asc), so the first maximal
+            # entry is the deterministic winner
+            best = int(np.argmax(mmr))
+            scores.append(float(mmr[best]))
+            chosen.append(remaining.pop(best))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": ids[chosen],
+                "mmr_score": scores,
+                "rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            }
+        )
+
+    return (
+        pool_df.groupBy("query_id")
+        .applyInPandas(
+            select_diverse,
+            "query_id long, neighbor_id long, mmr_score double, "
+            "rank int",
+        )
+    )

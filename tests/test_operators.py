@@ -2696,3 +2696,71 @@ def test_phrase_search_positional(spark):
     assert hits(["brown"]) == {1: 1, 2: 2, 4: 1, 5: 1}
     with _pytest.raises(ValueError, match="phrase"):
         phrase_search(p, [])
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    """MMR re-rank: rank 1 is the plain-relevance top-1, the selected
+    set's internal redundancy (mean pairwise max-sim) does not exceed
+    the un-reranked top-k's, lam=1.0 degenerates to pure relevance
+    order, and the output is partition-invariant."""
+    import numpy as np
+
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = mmr_rerank(emb, queries, k=8, pool=25, lam=0.7).collect()
+    plain = brute_force_topk(emb, queries, k=8).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    def redundancy(ids):
+        V = np.array([unit(vecs[i]) for i in ids])
+        S = V @ V.T
+        np.fill_diagonal(S, -np.inf)
+        return S.max(axis=1).mean()
+
+    by_q_mmr: dict = {}
+    for r in got:
+        by_q_mmr.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    by_q_plain: dict = {}
+    for r in plain:
+        by_q_plain.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    assert set(by_q_mmr) == set(by_q_plain)
+    for q in by_q_mmr:
+        mmr_ids = [i for _, i in sorted(by_q_mmr[q])]
+        plain_ids = [i for _, i in sorted(by_q_plain[q])]
+        assert len(mmr_ids) == 8
+        assert mmr_ids[0] == plain_ids[0]  # rank 1 = top relevance
+        assert redundancy(mmr_ids) <= redundancy(plain_ids) + 1e-9
+
+    # lam=1.0 -> pure relevance order == brute-force ranking
+    pure = mmr_rerank(emb, queries, k=8, pool=25, lam=1.0).collect()
+    by_q_pure: dict = {}
+    for r in pure:
+        by_q_pure.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    for q in by_q_pure:
+        assert [i for _, i in sorted(by_q_pure[q])] == [
+            i for _, i in sorted(by_q_plain[q])
+        ]
+
+    # partition invariance
+    got2 = mmr_rerank(
+        emb.repartition(11), queries, k=8, pool=25, lam=0.7
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))

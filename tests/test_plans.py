@@ -69,6 +69,11 @@ ALLOWED_NESTED_LOOP = {
     "sketch_topk_weighted": (
         "same 1-row error-bound crossJoin as sketch_topk_heavy_hitters"
     ),
+    "ann_mmr_rerank": (
+        "exact-cosine candidate stage broadcasts the 10-row query "
+        "batch (brute_force_topk's guarded crossJoin); the MMR "
+        "selection itself is per-query over <= pool rows"
+    ),
 }
 
 

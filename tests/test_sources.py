@@ -848,3 +848,96 @@ def test_cdc_stream_drives_minmax_and_distinct_mvs(spark, tmp_path):
     assert sorted(
         map(tuple, distinct_counts_of(state["sup"], ["k"]).collect())
     ) == [("a", 2), ("b", 2)]
+
+
+def test_cdc_stream_drives_kmv_sketch_mv(spark, tmp_path):
+    """The CDC stream drives the sketch-STATE MV (AggregatingMergeTree
+    -State/-Merge pattern, new r8): foreachBatch merges each batch's
+    KMV delta states into the stored state; after insert-only history
+    the state equals a from-scratch rebuild byte-for-byte, and after
+    a delete (ignored via allow_delete_rows — the documented
+    distinct-EVER semantics) the state still equals the rebuild over
+    everything ever inserted."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators.incremental import (
+        kmv_state_of,
+        maintain_kmv_state,
+    )
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    k = 8
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], i * 7 % 23) for i in range(20)],
+            "__row_id long, k string, v long",
+        ),
+    )
+    state = {
+        "st": spark.createDataFrame(
+            [], "k string, kmv array<long>, n_mins long"
+        )
+    }
+
+    def advance(batch_df, _batch_id):
+        st = maintain_kmv_state(
+            state["st"], batch_df, ["k"], "v", k,
+            allow_delete_rows=True,
+        )
+        state["st"] = spark.createDataFrame(
+            st.collect(), "k string, kmv array<long>, n_mins long"
+        )
+
+    q = (
+        spark.readStream.format("scratch_cdc")
+        .option("path", str(tmp_path / "wh"))
+        .option("database", "db")
+        .option("table", "t")
+        .load()
+        .writeStream.foreachBatch(advance)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    ever = [(i, "ab"[i % 2], i * 7 % 23) for i in range(20)]
+    try:
+        q.processAllAvailable()
+        more = [(100 + i, "abc"[i % 3], i * 5 % 31) for i in range(15)]
+        ever += more
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                more, "__row_id long, k string, v long"
+            ),
+        )
+        q.processAllAvailable()
+        got_mid = {
+            r["k"]: tuple(r["kmv"]) for r in state["st"].collect()
+        }
+        want_mid = {
+            r["k"]: tuple(r["kmv"])
+            for r in kmv_state_of(
+                snap.read_snapshot(wh, "db", "t"), ["k"], "v", k
+            ).collect()
+        }
+        assert got_mid == want_mid
+        # delete flows through the feed; sketch state ignores it and
+        # keeps distinct-EVER semantics
+        snap.delete_where(wh, "db", "t", F.col("k") == "a")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ever_df = spark.createDataFrame(
+        ever, "__row_id long, k string, v long"
+    )
+    want = {
+        r["k"]: tuple(r["kmv"])
+        for r in kmv_state_of(ever_df, ["k"], "v", k).collect()
+    }
+    got = {r["k"]: tuple(r["kmv"]) for r in state["st"].collect()}
+    assert got == want

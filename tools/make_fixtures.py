@@ -47,6 +47,7 @@ FIXTURE_NAMES = [
     "ann_index_incremental",
     "ann_ivfpq_residual_topk",
     "emb_pca_project",
+    "ann_mmr_rerank",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
