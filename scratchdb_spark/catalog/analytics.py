@@ -1622,3 +1622,55 @@ def sketch_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_weighted_sketch(
         li, "l_partkey", "l_quantity", k=20, capacity=8192
     )
+
+
+@register(
+    "agg_uniq_upto",
+    """
+    SELECT event_type,
+           CAST(least(count(DISTINCT user_id), 26) AS BIGINT)
+             AS users_upto_25,
+           CAST(least(count(DISTINCT CAST(json_extract_string(
+                    props, '$.k') AS BIGINT)), 26) AS BIGINT)
+             AS items_upto_25
+    FROM events GROUP BY event_type
+    """,
+    doc="ClickHouse uniqUpTo(N) parity: EXACT distinct count while "
+        "<= N, saturating at N+1 ('more than N') — the bounded-state "
+        "form of count-distinct for 'show exact small counts, cap "
+        "the rest' UI queries. Spark shape: per-group state is "
+        "slice(collect_set, N+1) — at most N+1 values per group "
+        "regardless of cardinality (collect_set partials map-side "
+        "combine; a fully state-bounded variant would cap inside a "
+        "custom accumulator, which the KMV/HLL sketch paths already "
+        "provide). N=25 here so both regimes appear: items (~100 "
+        "NDV) saturate, per-type user counts at sf0.001 (15) stay "
+        "exact.",
+)
+def agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    n = 25
+    item = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.least(
+                F.size(
+                    F.slice(
+                        F.array_sort(F.collect_set("user_id")),
+                        1,
+                        n + 1,
+                    )
+                ).cast("long"),
+                F.lit(n + 1).cast("long"),
+            ).alias("users_upto_25"),
+            F.least(
+                F.size(
+                    F.slice(
+                        F.array_sort(F.collect_set(item)), 1, n + 1
+                    )
+                ).cast("long"),
+                F.lit(n + 1).cast("long"),
+            ).alias("items_upto_25"),
+        )
+    )

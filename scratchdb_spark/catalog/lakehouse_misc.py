@@ -3028,25 +3028,15 @@ def warehouse_incremental_kmv_mv(
         "curation.",
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import triangle_counts
+    from ..operators.graph import cooccurrence_edges, triangle_counts
 
     ev = table(spark, sf_dir, "events")
-    up = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("u"),
-            F.get_json_object("props", "$.k").cast("int").alias("item"),
-            F.date_trunc("DAY", "ts").alias("d"),
-        )
-        .distinct()
+    occ = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.get_json_object("props", "$.k").cast("int").alias("item"),
+        F.date_trunc("DAY", "ts").alias("d"),
     )
-    b = up.select(
-        F.col("u").alias("v"), F.col("item").alias("i2"), F.col("d").alias("d2")
-    )
-    pairs = up.join(
-        b,
-        (F.col("item") == F.col("i2"))
-        & (F.col("d") == F.col("d2"))
-        & (F.col("u") < F.col("v")),
-    ).select("u", "v").distinct()
+    # hot-cell-guarded pair expansion (quadratic PER CELL by
+    # definition — see cooccurrence_edges' rehearsal-measured blowup)
+    pairs = cooccurrence_edges(occ, "u", ["item", "d"])
     return triangle_counts(pairs, "u", "v")

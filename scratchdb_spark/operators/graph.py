@@ -283,3 +283,50 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def cooccurrence_edges(
+    occurrences: DataFrame,
+    node_col: str,
+    cell_cols: list[str],
+    max_cell_nodes: int | None = 10_000,
+) -> DataFrame:
+    """Undirected co-occurrence edges: (u, v) with u < v for every
+    pair of distinct nodes sharing a cell (same values of
+    `cell_cols`) — the standard construction of co-purchase /
+    co-click / co-citation graphs.
+
+    A cell of c nodes emits c*(c-1)/2 pairs — QUADRATIC PER CELL by
+    definition, not by implementation. A single viral cell (one hot
+    item-day) dominates the whole job at scale: the round-8 10x
+    rehearsal measured a 9,400x shuffle blowup when replication
+    accidentally made every cell 10x denser (r8c_rehearsal.json,
+    PERF.md). So the same contract as the dedup family's exact
+    baselines: `refuse_hot_groups` probes the hottest cell (one
+    map-side-combined count, linear) and fails loudly above
+    `max_cell_nodes` — at scale you cap, sample, or TF-IDF-weight
+    hot cells EXPLICITLY instead of discovering them as a 25 GB
+    straggler shuffle. Pass None to opt out.
+    """
+    from .guards import refuse_hot_groups
+
+    occ = occurrences.select(
+        F.col(node_col).alias("__n"), *cell_cols
+    ).distinct()
+    refuse_hot_groups(
+        occ, list(cell_cols), max_cell_nodes,
+        "cooccurrence_edges",
+        "a per-cell cap/sample or TF-IDF cell weighting",
+    )
+    b = occ.select(
+        F.col("__n").alias("__m"),
+        *[F.col(c).alias(f"__c_{c}") for c in cell_cols],
+    )
+    cond = F.col("__n") < F.col("__m")
+    for c in cell_cols:
+        cond = cond & (F.col(c) == F.col(f"__c_{c}"))
+    return (
+        occ.join(b, cond)
+        .select(F.col("__n").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )

@@ -2764,3 +2764,39 @@ def test_mmr_rerank_diversifies(spark, sf_dir):
         emb.repartition(11), queries, k=8, pool=25, lam=0.7
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_cooccurrence_edges_guarded(spark):
+    """Co-occurrence pair expansion: exact undirected pairs per
+    shared cell, and the hot-cell guard fails loudly when one cell
+    exceeds max_cell_nodes (the rehearsal-measured 9,400x-shuffle
+    hazard) while max_cell_nodes=None opts out."""
+    import itertools
+
+    import pytest as _pytest
+
+    from scratchdb_spark.operators.graph import cooccurrence_edges
+    from scratchdb_spark.operators.guards import HotGroupError
+
+    occ = spark.createDataFrame(
+        [(u, "c1") for u in (1, 2, 3)]
+        + [(u, "c2") for u in (3, 4)]
+        + [(5, "c3")]
+        + [(1, "c1")],  # duplicate occurrence must not duplicate edges
+        "node long, cell string",
+    )
+    got = {
+        (r["u"], r["v"])
+        for r in cooccurrence_edges(occ, "node", ["cell"]).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3), (3, 4)}
+
+    hot = spark.createDataFrame(
+        [(u, "viral") for u in range(50)], "node long, cell string"
+    )
+    with _pytest.raises(HotGroupError):
+        cooccurrence_edges(hot, "node", ["cell"], max_cell_nodes=10)
+    n = cooccurrence_edges(
+        hot, "node", ["cell"], max_cell_nodes=None
+    ).count()
+    assert n == len(list(itertools.combinations(range(50), 2)))
