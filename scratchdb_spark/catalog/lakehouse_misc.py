@@ -3040,3 +3040,72 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # definition — see cooccurrence_edges' rehearsal-measured blowup)
     pairs = cooccurrence_edges(occ, "u", ["item", "d"])
     return triangle_counts(pairs, "u", "v")
+
+
+@register(
+    "warehouse_exactly_once_sink",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS id_sum,
+           true AS replay_noop,
+           true AS crash_debris_never_adopted
+    FROM (SELECT o_orderkey FROM orders LIMIT 500) t
+    """,
+    doc="Exactly-once streaming sink semantics "
+        "(snapshots.append_versioned(txn=(app, version)) — Delta "
+        "txnAppId/txnVersion, public design; new r8): the manifest "
+        "carries per-app watermarks so a checkpoint-replayed batch "
+        "no-ops at ZERO writes, and txn batches land under a "
+        "COW-class file prefix so the crash window (files landed, "
+        "manifest PUT lost) leaves debris that listing-based commits "
+        "NEVER adopt — the replay then commits exactly once. Both "
+        "trap cases exercised in-query: a duplicate txn append and "
+        "a simulated crash orphan followed by a plain commit; row "
+        "count + id sum hash-check against the source. Without txn, "
+        "appends are deliberately at-least-once (a crashed append's "
+        "files are adopted by the next commit) — the right default "
+        "for ad-hoc writers, with the stream opting into idempotence "
+        "per batch. Pytest covers the live restart replay "
+        "(test_stream_txn_sink_exactly_once_across_restart).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_exactly_once_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_eos_"))
+    src = (
+        table(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(500)
+        .select(F.col("o_orderkey").alias("__row_id"), "o_orderkey")
+    )
+    b1 = src.filter(F.col("__row_id") % 2 == 0)
+    b2 = src.filter(F.col("__row_id") % 2 == 1)
+    snap.append_versioned(wh, "db", "t", b1, txn=("stream", 1))
+    v_after = snap.append_versioned(
+        wh, "db", "t", b1, txn=("stream", 1)  # replay: must no-op
+    )
+    replay_noop = (
+        v_after == snap.versions(wh, "db", "t")[-1]
+        and snap.read_snapshot(wh, "db", "t").count() == b1.count()
+    )
+    # crash window: batch 2's files land, the manifest PUT never
+    # happens; an unrelated plain commit must not adopt them
+    wh.append_aligned("db", "t", b2, file_prefix="txnappend-")
+    snap.commit_snapshot(wh, "db", "t")
+    no_adopt = (
+        snap.read_snapshot(wh, "db", "t").count() == b1.count()
+    )
+    # the stream restarts and replays batch 2: applied exactly once
+    snap.append_versioned(wh, "db", "t", b2, txn=("stream", 2))
+    return snap.read_snapshot(wh, "db", "t").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("id_sum"),
+        F.lit(bool(replay_noop)).alias("replay_noop"),
+        F.lit(bool(no_adopt)).alias("crash_debris_never_adopted"),
+    )

@@ -116,6 +116,15 @@ class ConstraintViolationError(ValueError):
     lands, so a rejected batch leaves no debris to reclaim)."""
 
 
+class ConcurrentTxnError(RuntimeError):
+    """Two writers committed the same (txn app, version) — the
+    idempotent-append contract is SEQUENTIAL per app id (one logical
+    writer per app, replays only after the predecessor finished, the
+    Delta txnAppId/txnVersion posture). Raised instead of silently
+    skipping because by the time the collision is visible both
+    writers may have landed data files."""
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent writer committed this snapshot version first."""
 
@@ -1017,6 +1026,10 @@ def commit_snapshot(
         )
         if cons:
             manifest["constraints"] = cons
+        # carry the idempotent-append watermarks: dropping them would
+        # let a later stream replay re-apply an already-committed batch
+        if vs and prev.get("txns"):
+            manifest["txns"] = prev["txns"]
         try:
             _put_manifest(wh, database, table, manifest)
             return next_v
@@ -1034,6 +1047,7 @@ def append_versioned(
     stat_cols: list[str] | None = None,
     summary: dict | None = None,
     bloom_cols: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """append_aligned + snapshot commit: the batch's files become
     visible to snapshot readers atomically, at the manifest PUT.
@@ -1046,7 +1060,30 @@ def append_versioned(
     Tables with ``set_constraints`` run their quality gate FIRST:
     a 'fail' violation raises before any file lands; 'drop'
     violations divert to ``<table>__quarantine`` and only the clean
-    rows commit (per-constraint violation counts ride the summary)."""
+    rows commit (per-constraint violation counts ride the summary).
+
+    ``txn=(app_id, version)`` makes the append IDEMPOTENT (exactly-
+    once sink semantics; Delta's txnAppId/txnVersion, public design):
+    the manifest carries per-app high-watermarks, a replay whose
+    version is <= the recorded watermark returns the current snapshot
+    version WITHOUT writing anything, and — the crash-window half —
+    txn batches land under a ``txnappend-`` COW-class prefix, so a
+    batch whose process died BETWEEN data-file landing and manifest
+    PUT is never adopted by a later listing-based commit: the replay
+    re-lands and commits cleanly, the orphan is maintenance debris.
+    (A plain append's crash leaves files the NEXT commit adopts —
+    at-least-once, the right default for ad-hoc writers; streams
+    replaying from checkpoints need this txn form.) Contract:
+    versions are monotonically increasing per app and writers are
+    sequential per app — a concurrent duplicate raises
+    ConcurrentTxnError rather than double-applying."""
+    if txn is not None:
+        app, tv = txn
+        vs0 = versions(wh, database, table)
+        if vs0:
+            prev0 = _manifest(wh, database, table, vs0[-1])
+            if prev0.get("txns", {}).get(app, -(10**18)) >= tv:
+                return vs0[-1]  # replay: already applied, zero writes
     batch, quarantined, viol = _enforce_constraints(
         wh, database, table, batch
     )
@@ -1054,11 +1091,96 @@ def append_versioned(
         wh.append_aligned(database, f"{table}__quarantine", quarantined)
     if viol:
         summary = {**(summary or {}), "violations": viol}
-    wh.append_aligned(database, table, batch)
-    return commit_snapshot(
-        wh, database, table, stat_cols=stat_cols, summary=summary,
-        bloom_cols=bloom_cols,
+    landed = wh.append_aligned(
+        database, table, batch,
+        file_prefix="txnappend-" if txn is not None else "b",
     )
+    if txn is None:
+        return commit_snapshot(
+            wh, database, table, stat_cols=stat_cols, summary=summary,
+            bloom_cols=bloom_cols,
+        )
+    return _txn_commit(
+        wh, database, table, landed, txn,
+        stat_cols=stat_cols, summary=summary, bloom_cols=bloom_cols,
+    )
+
+
+def _txn_commit(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    landed: list[str],
+    txn: tuple[str, int],
+    stat_cols: list[str] | None = None,
+    summary: dict | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """Commit an idempotent append: previous manifest's files + THIS
+    batch's explicitly-named files (never a directory listing — the
+    txnappend- prefix keeps orphans invisible), with the per-app txn
+    watermark advanced in the same atomic PUT. CAS retries re-commit
+    the SAME landed files against the fresh snapshot; a watermark
+    that advanced past us mid-retry means a concurrent same-app
+    writer — loud ConcurrentTxnError, see the class docstring."""
+    app, tv = txn
+    last_err: CommitConflictError | None = None
+    for _attempt in range(5):
+        vs = versions(wh, database, table)
+        next_v = _next_version(wh, database, table)
+        prev = _manifest(wh, database, table, vs[-1]) if vs else None
+        carried_txns = dict(prev.get("txns", {})) if prev else {}
+        if carried_txns.get(app, -(10**18)) >= tv:
+            raise ConcurrentTxnError(
+                f"txn ({app!r}, {tv}) was committed concurrently to "
+                f"{database}.{table}; idempotent appends must be "
+                "sequential per app id"
+            )
+        prev_files = (
+            _manifest_files(wh, database, table, prev) if prev else []
+        )
+        files = sorted(set(prev_files) | set(landed))
+        schema = wh.schema(database, table)
+        cols = (
+            list(stat_cols)
+            if stat_cols is not None
+            else (prev.get("stat_cols", []) if prev else [])
+        )
+        blooms = (
+            list(bloom_cols)
+            if bloom_cols is not None
+            else (prev.get("bloom_cols", []) if prev else [])
+        )
+        fresh = (
+            _file_stats(
+                wh, wh._path(database, table), landed, schema,
+                cols, blooms,
+            )
+            if (cols or blooms)
+            else {}
+        )
+        manifest = {
+            "version": next_v,
+            "retired": sorted(prev.get("retired", [])) if prev else [],
+            "schema": schema.json(),
+            **_assemble_manifest_entry(
+                wh, database, table, prev, files,
+                added=sorted(landed), removed=set(),
+                fresh_stats=fresh, cols=cols, blooms=blooms,
+            ),
+            "txns": {**carried_txns, app: tv},
+        }
+        if summary:
+            manifest["summary"] = dict(summary)
+        if prev and prev.get("constraints"):
+            manifest["constraints"] = prev["constraints"]
+        try:
+            _put_manifest(wh, database, table, manifest)
+            return next_v
+        except CommitConflictError as e:
+            last_err = e
+            continue
+    raise last_err  # type: ignore[misc]
 
 
 def set_constraints(
@@ -2039,7 +2161,7 @@ def delete_tag(
 #: commit_snapshot refuses to ADOPT new files with these prefixes from
 #: a directory listing — they become visible only through their own
 #: DML commit's manifest (see the adoption guard in commit_snapshot).
-_COW_PREFIXES = ("cow-", "ow-", "pack-", "compact-")
+_COW_PREFIXES = ("cow-", "ow-", "pack-", "compact-", "txnappend-")
 
 
 def _cow_rewrite(wh: Warehouse, base: str, df: DataFrame,
@@ -2134,6 +2256,8 @@ def _cow_commit(
         manifest["summary"] = dict(summary)
     if prev.get("constraints"):
         manifest["constraints"] = prev["constraints"]
+    if prev.get("txns"):
+        manifest["txns"] = prev["txns"]
     _put_manifest(wh, database, table, manifest)
     return next_v
 
@@ -2900,6 +3024,9 @@ def maintain_table(
         new_manifest["summary"] = dict(summary)
     if prev.get("constraints"):
         new_manifest["constraints"] = prev["constraints"]
+    if prev.get("txns"):
+        # idempotent-append watermarks survive history truncation
+        new_manifest["txns"] = prev["txns"]
     _put_manifest(wh, database, table, new_manifest)
     # capture the change-dir / shard references of every manifest
     # ABOUT TO BE expired: those are definitively dead the moment

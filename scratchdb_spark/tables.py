@@ -239,7 +239,8 @@ class Warehouse:
         database: str,
         table: str,
         batch: DataFrame,
-    ) -> None:
+        file_prefix: str = "b",
+    ) -> list[str]:
         """N5+N6: evolve schema (add new columns) then append by name.
 
         First-batch-wins typing: a column already in the table keeps its
@@ -299,14 +300,18 @@ class Warehouse:
         path = self._path(database, table)
         stage = f"{path}/.stage-{_uuid.uuid4().hex}"
         aligned.write.mode("overwrite").parquet(stage)
+        landed: list[str] = []
         try:
             for n in hfs.list_names(self.spark, stage):
                 if not n.endswith(".parquet"):
                     continue
-                dst = f"{path}/b{_uuid.uuid4().hex[:12]}-{n}"
+                name = f"{file_prefix}{_uuid.uuid4().hex[:12]}-{n}"
+                dst = f"{path}/{name}"
                 if not hfs.rename(self.spark, f"{stage}/{n}", dst):
                     raise IOError(
                         f"append stage rename failed: {stage}/{n} -> {dst}"
                     )
+                landed.append(name)
         finally:
             hfs.delete(self.spark, stage)
+        return landed

@@ -2800,3 +2800,70 @@ def test_cooccurrence_edges_guarded(spark):
         hot, "node", ["cell"], max_cell_nodes=None
     ).count()
     assert n == len(list(itertools.combinations(range(50), 2)))
+
+
+def test_txn_append_exactly_once(spark, tmp_path):
+    """Idempotent appends (txn=(app, version) — Delta txnAppId/
+    txnVersion semantics): replays no-op at zero writes, watermarks
+    are per-app, the crash window (files landed, manifest PUT never
+    happened) leaves debris that listing-based commits never adopt so
+    the replay commits exactly once, the CDC feed sees single
+    inserts, and watermarks survive unrelated commits, COW deletes,
+    and maintenance."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.snapshots import ConcurrentTxnError
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def df(rows):
+        return spark.createDataFrame(rows, "__row_id long, v long")
+
+    v1 = snap.append_versioned(wh, "db", "t", df([(1, 10)]), txn=("a", 1))
+    assert snap.append_versioned(
+        wh, "db", "t", df([(1, 10)]), txn=("a", 1)
+    ) == v1  # replay no-ops, returns current version
+    assert snap.read_snapshot(wh, "db", "t").count() == 1
+    # per-app watermarks: app b at version 1 still applies
+    snap.append_versioned(wh, "db", "t", df([(2, 20)]), txn=("b", 1))
+    assert snap.read_snapshot(wh, "db", "t").count() == 2
+    # stale version (<= watermark) no-ops even after other commits
+    snap.append_versioned(wh, "db", "t", df([(3, 30)]))  # plain
+    n0 = snap.read_snapshot(wh, "db", "t").count()
+    snap.append_versioned(wh, "db", "t", df([(99, 0)]), txn=("a", 1))
+    assert snap.read_snapshot(wh, "db", "t").count() == n0
+    # crash window: txn files landed but never committed -> the next
+    # plain commit must NOT adopt them; the replay applies them once
+    wh.append_aligned("db", "t", df([(7, 70)]), file_prefix="txnappend-")
+    snap.append_versioned(wh, "db", "t", df([(4, 40)]))
+    got = sorted(
+        r["__row_id"] for r in snap.read_snapshot(wh, "db", "t").collect()
+    )
+    assert 7 not in got
+    pre = snap.versions(wh, "db", "t")[-1]
+    snap.append_versioned(wh, "db", "t", df([(7, 70)]), txn=("a", 2))
+    got = sorted(
+        r["__row_id"] for r in snap.read_snapshot(wh, "db", "t").collect()
+    )
+    assert got.count(7) == 1
+    ch = snap.read_changes(wh, "db", "t", from_version=pre)
+    assert sorted(
+        (r["__row_id"], r["_change_type"]) for r in ch.collect()
+    ) == [(7, "insert")]
+    # watermark survives COW delete + maintenance (history truncation)
+    snap.delete_where(wh, "db", "t", F.col("__row_id") == 3)
+    snap.maintain_table(wh, "db", "t")
+    n1 = snap.read_snapshot(wh, "db", "t").count()
+    assert snap.append_versioned(
+        wh, "db", "t", df([(7, 70)]), txn=("a", 2)
+    ) == snap.versions(wh, "db", "t")[-1]
+    assert snap.read_snapshot(wh, "db", "t").count() == n1
+    # the sequential-per-app contract's loud failure: _txn_commit
+    # called directly with an already-applied version (the state a
+    # lost CAS against a concurrent same-app writer produces)
+    with _pytest.raises(ConcurrentTxnError):
+        snap._txn_commit(wh, "db", "t", [], ("a", 2))

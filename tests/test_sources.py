@@ -941,3 +941,63 @@ def test_cdc_stream_drives_kmv_sketch_mv(spark, tmp_path):
     }
     got = {r["k"]: tuple(r["kmv"]) for r in state["st"].collect()}
     assert got == want
+
+
+def test_stream_txn_sink_exactly_once_across_restart(spark, tmp_path):
+    """Exactly-once streaming sink: foreachBatch commits with
+    txn=(query_name, batch_id); a crash AFTER the snapshot commit but
+    BEFORE the checkpoint records the batch makes Spark REPLAY that
+    batch on restart — without txn that double-appends (the
+    documented at-least-once posture), with txn the replay no-ops
+    and the table equals the source exactly."""
+    import json as _json
+    import os
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    src_dir = tmp_path / "src"
+    os.makedirs(src_dir)
+    for i in range(2):
+        with open(src_dir / f"f{i}.json", "w") as f:
+            for j in range(5):
+                rid = i * 5 + j
+                f.write(_json.dumps({"__row_id": rid, "v": rid * 10}) + "\n")
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    crashed = {"done": False}
+
+    def sink(batch_df, batch_id):
+        snap.append_versioned(
+            wh, "db", "sink",
+            batch_df, txn=("q1", int(batch_id)),
+        )
+        if not crashed["done"]:
+            crashed["done"] = True
+            # die between the snapshot commit and the checkpoint's
+            # batch commit -> Spark will replay this batch_id
+            raise RuntimeError("injected post-commit crash")
+
+    def start():
+        return (
+            spark.readStream.schema("__row_id long, v long")
+            .json(str(src_dir))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.awaitTermination()
+    except Exception:
+        pass  # the injected crash surfaces here
+    q2 = start()  # restart from the checkpoint: replays the batch
+    q2.awaitTermination()
+
+    got = sorted(
+        (r["__row_id"], r["v"])
+        for r in snap.read_snapshot(wh, "db", "sink").collect()
+    )
+    assert got == [(i, i * 10) for i in range(10)]  # no duplicates
