@@ -171,15 +171,17 @@ class IngestPipeline:
         self._gated_append(database, table, batch)
 
     def _gated_append(
-        self, database: str, table: str, batch: DataFrame
-    ) -> None:
+        self, database: str, table: str, batch: DataFrame,
+        file_prefix: str = "b",
+    ) -> list[str]:
         """append_aligned behind the table's write-time constraints
         (snapshots.set_constraints): the SAME quality gate the
         batch snapshot path enforces also guards NDJSON ingest —
         including the streaming insert executor, whose foreachBatch
         funnels here — so DLT-style expectations hold at every entry
         point. Tables without constraints (or not snapshot-managed)
-        pay one manifest read, nothing else."""
+        pay one manifest read, nothing else. Returns the landed file
+        names (the exactly-once stream commits them explicitly)."""
         from .. import snapshots as snap
 
         batch, quarantined, _viol = snap._enforce_constraints(
@@ -189,7 +191,9 @@ class IngestPipeline:
             self.warehouse.append_aligned(
                 database, f"{table}__quarantine", quarantined
             )
-        self.warehouse.append_aligned(database, table, batch)
+        return self.warehouse.append_aligned(
+            database, table, batch, file_prefix=file_prefix
+        )
 
     def _voted_read_schema(
         self, database: str, table: str, voted: dict[str, str]
@@ -209,8 +213,9 @@ class IngestPipeline:
         )
 
     def append_lines_df(
-        self, database: str, table: str, lines_df: DataFrame
-    ) -> None:
+        self, database: str, table: str, lines_df: DataFrame,
+        file_prefix: str = "b",
+    ) -> list[str]:
         """Worker half over a DISTRIBUTED batch of NDJSON lines (one
         string column). Same N3 vote semantics as the driver path: the
         identical ``json_value_tag`` runs per value inside Arrow-batched
@@ -253,7 +258,7 @@ class IngestPipeline:
             .collect()
         )
         if not tag_counts:
-            return
+            return []
         per_key: dict[str, dict[str, int]] = {}
         for r in tag_counts:
             per_key.setdefault(r["key"], {})[r["tag"]] = r["n"]
@@ -265,4 +270,6 @@ class IngestPipeline:
         batch = lines.select(
             F.from_json("value", schema).alias("r")
         ).select("r.*")
-        self._gated_append(database, table, batch)
+        return self._gated_append(
+            database, table, batch, file_prefix=file_prefix
+        )

@@ -6,7 +6,10 @@ landing dir becomes a file-source stream; each micro-batch runs the
 same infer -> evolve -> aligned-append path as the batch pipeline via
 ``foreachBatch``. Checkpointing makes delivery at-least-once across
 restarts — the property the reference got from its DB queue with
-``FOR UPDATE SKIP LOCKED`` (storage/database/gorm/queue.go:29-63).
+``FOR UPDATE SKIP LOCKED`` (storage/database/gorm/queue.go:29-63) —
+and ``exactly_once=True`` upgrades the versioned sink to idempotent
+per-batch commits (snapshots txn watermarks), which the reference's
+queue could not offer at all.
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ def start_ingest_stream(
     available_now: bool = False,
     versioned: bool = False,
     max_files_per_trigger: int = 16,
+    exactly_once: bool = False,
 ):
     """Stream NDJSON files from ``landing_dir/{database}/{table}`` into
     the managed table. Returns the StreamingQuery.
@@ -47,6 +51,11 @@ def start_ingest_stream(
     # Hadoop FS path handling: the landing dir is a URI on a cluster
     # (s3a://bucket/landing/closed) and a plain local dir in tests —
     # same code path either way (see fs.HadoopLanding.closed_dir).
+    if exactly_once and not versioned:
+        raise ValueError(
+            "exactly_once requires versioned=True (the idempotence "
+            "watermark lives in the snapshot manifest)"
+        )
     src_dir = f"{str(landing_dir).rstrip('/')}/{database}/{table}"
     hfs.mkdirs(spark, src_dir)
     pipe = IngestPipeline(spark, warehouse)
@@ -57,10 +66,36 @@ def start_ingest_stream(
         .load(src_dir)
     )
 
+    txn_app = f"ingest:{database}.{table}"
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # fully distributed worker half: vote tagging runs in Arrow
         # workers, data read is JVM-side from_json — no collect(), so
         # a micro-batch can be arbitrarily large
+        if exactly_once:
+            # idempotent per-batch commit (snapshots.append_versioned
+            # txn semantics): the batch lands under the txnappend-
+            # COW-class prefix (a crash between landing and manifest
+            # PUT leaves non-adoptable debris) and one manifest PUT
+            # commits the files AND the per-app batch-id watermark —
+            # a checkpoint-replayed batch no-ops at zero writes
+            from .. import snapshots as snap
+
+            vs = snap.versions(warehouse, database, table)
+            if vs:
+                prev = snap._manifest(warehouse, database, table, vs[-1])
+                if prev.get("txns", {}).get(
+                    txn_app, -(10**18)
+                ) >= int(batch_id):
+                    return
+            landed = pipe.append_lines_df(
+                database, table, batch_df, file_prefix="txnappend-"
+            )
+            snap._txn_commit(
+                warehouse, database, table, landed,
+                (txn_app, int(batch_id)),
+            )
+            return
         pipe.append_lines_df(database, table, batch_df)
         if versioned:
             # one snapshot per micro-batch: the manifest PUT makes the

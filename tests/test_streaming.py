@@ -403,3 +403,64 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path, sf_dir):
     }
     assert streamed == batch
     assert len(batch) == ev.count()  # left join preserves every event
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path):
+    """exactly_once=True: each micro-batch is one idempotent txn
+    commit. A FULL replay (checkpoint deleted, same landing files ->
+    same batch ids) no-ops on the watermark and the table is
+    byte-identical; snapshot readers see one version per real batch;
+    exactly_once without versioned raises."""
+    import pytest as _pytest
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    landing = str(tmp_path / "landing")
+    src = os.path.join(landing, "db1", "t")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.ndjson"), "w") as f:
+        for i in range(6):
+            f.write(json.dumps({"__row_id": i, "x": i * 10}) + "\n")
+
+    with _pytest.raises(ValueError, match="versioned"):
+        start_ingest_stream(
+            spark, wh, landing, "db1", "t",
+            checkpoint_dir=str(tmp_path / "c0"), exactly_once=True,
+        )
+
+    q = start_ingest_stream(
+        spark, wh, landing, "db1", "t",
+        checkpoint_dir=str(tmp_path / "c1"), available_now=True,
+        versioned=True, exactly_once=True,
+    )
+    assert q.awaitTermination(600)
+    v1 = snap.versions(wh, "db1", "t")
+    got1 = sorted(
+        map(tuple, snap.read_snapshot(wh, "db1", "t").collect())
+    )
+    assert len(got1) == 6
+
+    # checkpoint LOSS (stronger than a restart): the replay re-reads
+    # the same files as the same batch ids; watermarks no-op them
+    q2 = start_ingest_stream(
+        spark, wh, landing, "db1", "t",
+        checkpoint_dir=str(tmp_path / "c2"), available_now=True,
+        versioned=True, exactly_once=True,
+    )
+    assert q2.awaitTermination(600)
+    assert snap.versions(wh, "db1", "t") == v1  # no new commits
+    assert sorted(
+        map(tuple, snap.read_snapshot(wh, "db1", "t").collect())
+    ) == got1
+
+    # new data still flows (next batch id > watermark)
+    with open(os.path.join(src, "b2.ndjson"), "w") as f:
+        f.write(json.dumps({"__row_id": 6, "x": 60}) + "\n")
+    q3 = start_ingest_stream(
+        spark, wh, landing, "db1", "t",
+        checkpoint_dir=str(tmp_path / "c1"), available_now=True,
+        versioned=True, exactly_once=True,
+    )
+    assert q3.awaitTermination(600)
+    assert snap.read_snapshot(wh, "db1", "t").count() == 7
