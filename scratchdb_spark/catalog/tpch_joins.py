@@ -539,3 +539,70 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "asof_tolerance_click_purchase",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             (event_type = 'purchase') AS is_left
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, value, is_left,
+             last_value(CASE WHEN NOT is_left THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, is_left, event_id
+                     ROWS UNBOUNDED PRECEDING) AS asof_value,
+             last_value(CASE WHEN NOT is_left THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, is_left, event_id
+                     ROWS UNBOUNDED PRECEDING) AS asof_ts
+      FROM tagged
+    )
+    SELECT event_id, user_id,
+           round(value, 4) AS purchase_value,
+           round(CASE WHEN asof_ts >= ts - INTERVAL 1 HOUR
+                      THEN asof_value END, 4) AS asof_value,
+           CAST(count(CASE WHEN asof_ts >= ts - INTERVAL 1 HOUR
+                           THEN 1 END)
+                OVER () AS BIGINT) AS n_within
+    FROM w WHERE is_left
+    """,
+    doc="As-of join with TOLERANCE (pandas merge_asof parity, new "
+        "r8): per purchase, the most recent click at-or-before — but "
+        "only if it happened within the last hour; staler matches "
+        "yield NULL (attribution windows, sensor staleness bounds). "
+        "Same one-shuffle union+window plan as the unbounded as-of "
+        "(operators/asof.py tolerance=): the matched right TIME rides "
+        "the existing window and the bound is a per-row predicate — "
+        "no range join, no extra shuffle. n_within pins that the "
+        "tolerance actually bites (some matches are stale) without "
+        "hand-picking row ids.",
+)
+def asof_tolerance_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+        tolerance="1 HOUR",
+    )
+    w = Window.partitionBy()
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("asof_value", 4).alias("asof_value"),
+    ).withColumn(
+        "n_within",
+        F.count("asof_value").over(w).cast("long"),
+    )

@@ -34,6 +34,7 @@ def asof_join(
     value_cols: Sequence[str],
     tiebreak: str | None = None,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the nearest right
     row with the same ``on`` keys: the most recent right row with
@@ -47,6 +48,13 @@ def asof_join(
     '>=' includes equality), and the tiebreak flips so that among
     right rows at the same time the SMALLEST tiebreak wins (mirror of
     backward's largest-wins last-scanned semantics).
+
+    ``tolerance`` (pandas merge_asof parity — e.g. "1 HOUR") bounds
+    how stale a match may be: a carried right row farther than the
+    tolerance from the left row's time yields NULLs instead. Plan
+    cost is unchanged — the matched right TIME rides the same window
+    as the values and the bound is a post-window per-row predicate
+    (no extra shuffle, no range join).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(
@@ -72,6 +80,9 @@ def asof_join(
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in value_cols],
+        F.lit(None)
+        .cast(right.schema[right_time].dataType)
+        .alias("__r_time"),
         F.struct(*left.columns).alias("__row"),
         _tb(left),
     )
@@ -80,6 +91,7 @@ def asof_join(
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_time).alias("__r_time"),
         F.lit(None).cast(lt.schema["__row"].dataType).alias("__row"),
         _tb(right),
     )
@@ -99,13 +111,28 @@ def asof_join(
     carried = lt.unionByName(rt).select(
         "__is_left",
         "__row",
+        "__t",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
             for c in value_cols
         ],
+        F.last("__r_time", ignorenulls=True).over(w).alias("__r_time"),
     )
+    if tolerance is None:
+        within = F.lit(True)
+    else:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        within = (
+            F.col("__r_time") >= F.col("__t") - tol
+            if direction == "backward"
+            else F.col("__r_time") <= F.col("__t") + tol
+        )
     out = carried.filter(F.col("__is_left") == 1).select(
         F.col("__row.*"),
-        *[F.col(f"__r_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[
+            F.when(within, F.col(f"__r_{c}"))
+            .alias(f"asof_{c}")
+            for c in value_cols
+        ],
     )
     return out

@@ -2867,3 +2867,47 @@ def test_txn_append_exactly_once(spark, tmp_path):
     # lost CAS against a concurrent same-app writer produces)
     with _pytest.raises(ConcurrentTxnError):
         snap._txn_commit(wh, "db", "t", [], ("a", 2))
+
+
+def test_asof_join_tolerance(spark):
+    """tolerance= bounds match staleness (merge_asof semantics):
+    within-tolerance matches carry, stale ones NULL, exact-boundary
+    matches count as within, forward direction mirrors, and
+    tolerance=None is the unbounded behavior."""
+    from datetime import datetime
+
+    from scratchdb_spark.operators.asof import asof_join
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(30)), (2, ts(5))],
+        "k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(9), 90.0), (1, ts(20), 200.0), (2, ts(0), 5.0)],
+        "k long, t timestamp, v double",
+    )
+
+    def run(**kw):
+        return {
+            (r["k"], r["t"].minute): r["asof_v"]
+            for r in asof_join(
+                left, right, on=["k"], left_time="t",
+                right_time="t", value_cols=["v"], **kw,
+            ).collect()
+        }
+
+    assert run() == {(1, 10): 90.0, (1, 30): 200.0, (2, 5): 5.0}
+    # 5-minute staleness bound: (1, 30)'s nearest click is 10 min old
+    assert run(tolerance="5 MINUTES") == {
+        (1, 10): 90.0, (1, 30): None, (2, 5): 5.0
+    }
+    # boundary is inclusive: exactly 5 minutes old still matches
+    assert run(tolerance="5 MINUTES")[(2, 5)] == 5.0
+    # forward mirrors: next right at-or-after, bounded ahead
+    fwd = run(direction="forward", tolerance="5 MINUTES")
+    assert fwd == {(1, 10): None, (1, 30): None, (2, 5): None}
+    fwd2 = run(direction="forward", tolerance="15 MINUTES")
+    assert fwd2 == {(1, 10): 200.0, (1, 30): None, (2, 5): None}
