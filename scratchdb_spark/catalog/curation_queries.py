@@ -1059,3 +1059,57 @@ def ts_gapfill_linear_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
     return gapfill_daily_linear(ev)
+
+
+@register(
+    "stream_outer_interval_join",
+    """
+    SELECT c_user AS user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(p_ts) AS BIGINT) AS n_converted,
+           CAST(count(*) - count(p_ts) AS BIGINT) AS n_unmatched
+    FROM (SELECT user_id AS c_user, ts AS c_ts
+            FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id AS p_user, ts AS p_ts
+                 FROM events WHERE event_type = 'purchase') p
+      ON c_user = p_user
+     AND p_ts >= c_ts
+     AND p_ts < c_ts + INTERVAL '5 minutes'
+    GROUP BY 1
+    """,
+    doc="LEFT OUTER stream-stream interval join "
+        "(streaming/ingest_stream.interval_join(how='left_outer'), "
+        "new r8): clicks with their within-5-min purchase OR a NULL "
+        "right side — the 'which impressions did NOT convert' query "
+        "that an inner join cannot answer. In streaming mode Spark "
+        "can only emit an unmatched left row once the watermark "
+        "proves no in-window match can still arrive (watermark + "
+        "gap), which is exactly why outer stream joins REQUIRE the "
+        "watermarks and explicit time bound the operator always "
+        "sets; state stays bounded the same way as the inner form. "
+        "Batch mode runs the identical plan eagerly -> exact SQL "
+        "oracle; a click matching multiple purchases multiplies "
+        "rows in BOTH engines (join semantics, pinned by "
+        "n_clicks >= the distinct click count).",
+)
+def stream_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.ingest_stream import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    j = interval_join(
+        clicks, purchases, ("c_user", "p_user"), "c_ts", "p_ts",
+        "5 minutes", how="left_outer",
+    )
+    return j.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("p_ts").alias("n_converted"),
+        (F.count(F.lit(1)) - F.count("p_ts")).alias("n_unmatched"),
+    )

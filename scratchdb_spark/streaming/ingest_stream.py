@@ -175,10 +175,20 @@ def interval_join(
     right_time: str,
     max_gap: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream (or batch-batch) inner interval join: pairs rows
+    """Stream-stream (or batch-batch) interval join: pairs rows
     with equal keys where ``left_time <= right_time < left_time +
     max_gap``. Column names must be disjoint across the two sides.
+
+    ``how='left_outer'`` keeps unmatched left rows with NULL right
+    columns — in streaming mode Spark emits them once the watermark
+    guarantees no in-window right row can still arrive (watermark +
+    max_gap), which is exactly why the outer form REQUIRES both the
+    watermarks and the explicit time bound this function always sets
+    (an unbounded outer stream join could never declare a row
+    unmatched). Batch mode runs the same plan eagerly, giving the
+    streaming semantics an exact SQL oracle.
 
     This is the idiomatic Structured Streaming form — both sides get
     event-time watermarks and the join condition carries an explicit
@@ -214,7 +224,11 @@ def interval_join(
             < F.col(left_time) + F.expr(f"INTERVAL {max_gap}")
         )
     )
-    return l.join(r, cond, "inner")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how must be 'inner' or 'left_outer', got {how!r}"
+        )
+    return l.join(r, cond, how)
 
 
 def session_window_counts(

@@ -464,3 +464,85 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
     )
     assert q3.awaitTermination(600)
     assert snap.read_snapshot(wh, "db1", "t").count() == 7
+
+
+def test_interval_join_left_outer_streaming(spark, tmp_path, sf_dir):
+    """LEFT OUTER interval join on two live streams: matched pairs
+    equal the batch run, and unmatched left rows EMIT with NULL right
+    side once the watermark proves no in-window match can arrive —
+    forced deterministically by a far-future sentinel row on both
+    sources that pushes the final watermark past all real data."""
+    import datetime
+
+    from scratchdb_spark.streaming.ingest_stream import interval_join
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 120)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    far = datetime.datetime(2030, 1, 1)
+    sentinel_c = spark.createDataFrame(
+        [(10**9, far, 10**9, "click")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    sentinel_p = spark.createDataFrame(
+        [(10**9 + 1, far, 10**9, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    csrc = str(tmp_path / "c_src")
+    psrc = str(tmp_path / "p_src")
+    ev.filter(F.col("event_type") == "click").unionByName(
+        sentinel_c
+    ).coalesce(2).write.json(csrc)
+    ev.filter(F.col("event_type") == "purchase").unionByName(
+        sentinel_p
+    ).coalesce(2).write.json(psrc)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def sides(reader):
+        c = reader(csrc).select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        p = reader(psrc).select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        return interval_join(
+            c, p, ("c_user", "p_user"), "c_ts", "p_ts",
+            "30 minutes", watermark="10 minutes", how="left_outer",
+        ).select("c_id", "p_id")
+
+    batch = {
+        (r["c_id"], r["p_id"])
+        for r in sides(
+            lambda d: spark.read.schema(schema).json(d)
+        ).collect()
+        if r["c_id"] < 10**9
+    }
+    assert any(p is None for _, p in batch)  # outer rows exist
+
+    q = (
+        sides(
+            lambda d: spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+        )
+        .writeStream.format("memory")
+        .queryName("oij_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_oij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "outer stream join did not finish"
+    stream = {
+        (r["c_id"], r["p_id"])
+        for r in spark.sql("SELECT * FROM oij_pairs").collect()
+        if r["c_id"] < 10**9
+    }
+    assert stream == batch
