@@ -2911,3 +2911,47 @@ def test_asof_join_tolerance(spark):
     assert fwd == {(1, 10): None, (1, 30): None, (2, 5): None}
     fwd2 = run(direction="forward", tolerance="15 MINUTES")
     assert fwd2 == {(1, 10): 200.0, (1, 30): None, (2, 5): None}
+
+
+def test_txn_commit_cas_retry(spark, tmp_path, monkeypatch):
+    """A txn commit that loses the manifest CAS to a concurrent plain
+    commit retries against the fresh snapshot and commits the SAME
+    landed files exactly once — carrying the winner's files and
+    advancing the watermark in the retried PUT."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def df(rows):
+        return spark.createDataFrame(rows, "__row_id long, v long")
+
+    snap.append_versioned(wh, "db", "t", df([(1, 10)]))
+
+    real_put = snap._put_manifest
+    state = {"failed": False}
+
+    def racing_put(wh_, database, table, manifest, overwrite=False):
+        if not state["failed"] and manifest.get("txns"):
+            state["failed"] = True
+            # a concurrent plain append wins THIS version number
+            snap.append_versioned(wh_, database, table, df([(2, 20)]))
+            raise snap.CommitConflictError("lost the race (injected)")
+        return real_put(wh_, database, table, manifest, overwrite)
+
+    monkeypatch.setattr(snap, "_put_manifest", racing_put)
+    v = snap.append_versioned(
+        wh, "db", "t", df([(3, 30)]), txn=("a", 1)
+    )
+    monkeypatch.setattr(snap, "_put_manifest", real_put)
+    assert state["failed"]  # the injected conflict actually fired
+    got = sorted(
+        r["__row_id"] for r in snap.read_snapshot(wh, "db", "t").collect()
+    )
+    assert got == [1, 2, 3]  # winner's row carried, txn row exactly once
+    assert v == snap.versions(wh, "db", "t")[-1]
+    # watermark landed with the retried PUT
+    assert snap.append_versioned(
+        wh, "db", "t", df([(3, 30)]), txn=("a", 1)
+    ) == v
+    assert snap.read_snapshot(wh, "db", "t").count() == 3

@@ -40,7 +40,13 @@ ROWS_PER_FILE = 10_000
 
 
 def main() -> None:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    args = sys.argv[1:]
+    # --exactly-once: run the ingest loop with idempotent per-batch
+    # txn commits (snapshots txn watermarks) to measure the
+    # exactly-once tax on the same end-to-end pipeline
+    exactly_once = "--exactly-once" in args
+    args = [a for a in args if not a.startswith("--")]
+    out_path = args[0] if args else None
     from pyspark.sql import functions as F
 
     from scratchdb_spark import snapshots as snap
@@ -102,7 +108,7 @@ def main() -> None:
     start_ingest_stream(
         spark, wh, landing, "db", "ev",
         checkpoint_dir=f"{root}/ckpt_ingest",
-        available_now=True, versioned=True,
+        available_now=True, versioned=True, exactly_once=exactly_once,
     ).awaitTermination()
     for fi in range(1, N_FILES):
         os.rename(
@@ -112,7 +118,7 @@ def main() -> None:
     q_ingest = start_ingest_stream(
         spark, wh, landing, "db", "ev",
         checkpoint_dir=f"{root}/ckpt_ingest",
-        available_now=True, versioned=True,
+        available_now=True, versioned=True, exactly_once=exactly_once,
     )
 
     # ---- stage 3+4: CDC consumer maintaining the (k -> sum, n) MV
