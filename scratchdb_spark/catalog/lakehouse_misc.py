@@ -3109,3 +3109,53 @@ def warehouse_exactly_once_sink(
         F.lit(bool(replay_noop)).alias("replay_noop"),
         F.lit(bool(no_adopt)).alias("crash_debris_never_adopted"),
     )
+
+
+@register(
+    "events_sequence_next_node",
+    """
+    WITH v AS (
+      SELECT user_id, min(event_id) AS v_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    nxt AS (
+      SELECT e.user_id, min(e.event_id) AS n_id
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_id > v.v_id
+      GROUP BY e.user_id
+    )
+    SELECT e.event_type AS next_event, CAST(count(*) AS BIGINT) AS n_users
+    FROM nxt JOIN events e ON e.event_id = nxt.n_id
+    GROUP BY e.event_type
+    """,
+    doc="ClickHouse sequenceNextNode parity: for every user, the "
+        "event that immediately FOLLOWS their first 'view' (head/"
+        "first_match semantics), aggregated into a what-happens-next "
+        "distribution — the exploratory funnel-discovery query "
+        "(windowFunnel checks a KNOWN chain; this finds the chain). "
+        "Plan: two grouped mins + one equi-join back on the event id "
+        "— no window over the full stream, no per-user collect. "
+        "Sequencing is by event_id (the stable sequence number; "
+        "ts tie-order diverges across engines under the ns->us "
+        "conversion, pinned at ts_ewma_user_value).",
+)
+def events_sequence_next_node(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("v_id"))
+    )
+    nxt = (
+        ev.join(v, "user_id")
+        .filter(F.col("event_id") > F.col("v_id"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("n_id"))
+    )
+    return (
+        nxt.join(ev, nxt["n_id"] == ev["event_id"])
+        .groupBy(F.col("event_type").alias("next_event"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
