@@ -914,3 +914,33 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return mmr_rerank(emb, queries_df, k=10, pool=30, lam=0.7)
+
+
+@register(
+    "split_epoch_shuffle",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             md5('3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, source, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM s
+    """,
+    doc="Deterministic epoch-seeded global shuffle "
+        "(operators/split.py::epoch_shuffle, new r8): training-data "
+        "ordering as md5(epoch:id) — a reproducible permutation per "
+        "epoch, identical across engines/partitionings/worker counts "
+        "(the reproducibility torch-style RNG shuffles lose when the "
+        "worker count changes); hash-checked rank-for-rank against "
+        "DuckDB. At scale consumers repartition+sortWithinPartitions "
+        "on the same key instead of materializing the global rank; "
+        "the rank form is the testable contract.",
+)
+def split_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import epoch_shuffle
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_shuffle(docs, epoch=3)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
@@ -116,4 +117,32 @@ def balance_classes(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch-seeded global shuffle for training-data
+    ordering: every row gets `shuffle_rank` (1-based, dense over the
+    corpus) from ordering by md5(epoch || ':' || id) — a different
+    but REPRODUCIBLE permutation per epoch, identical on any cluster,
+    partitioning, or engine (the property torch-style RNG shuffles
+    lose the moment worker counts change). Plan shape at 100 TB: the
+    rank is one global sort — in practice consumers sortWithinPartitions
+    after repartitioning on the same key and never materialize a
+    global rank; this operator exposes the rank form because it is
+    the testable contract (the ordering IS the permutation).
+    """
+    key = F.md5(
+        F.concat(
+            F.lit(str(int(epoch))), F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.orderBy(key, F.col(id_col))
+    return df.withColumn("shuffle_key", key).withColumn(
+        "shuffle_rank", F.row_number().over(w).cast("long")
     )

@@ -2955,3 +2955,29 @@ def test_txn_commit_cas_retry(spark, tmp_path, monkeypatch):
         wh, "db", "t", df([(3, 30)]), txn=("a", 1)
     ) == v
     assert snap.read_snapshot(wh, "db", "t").count() == 3
+
+
+def test_epoch_shuffle_deterministic(spark, sf_dir):
+    """Epoch shuffle: a bijective rank over the corpus, identical
+    under adversarial repartitioning, different (and dissimilar)
+    across epochs, reproducible run-to-run."""
+    from scratchdb_spark.operators.split import epoch_shuffle
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+
+    def perm(epoch, df=docs):
+        return {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in epoch_shuffle(df, epoch).collect()
+        }
+
+    p0 = perm(0)
+    assert sorted(p0.values()) == list(range(1, n + 1))  # bijection
+    assert perm(0) == p0  # run-to-run
+    assert perm(0, docs.repartition(13)) == p0  # layout-invariant
+    p1 = perm(1)
+    assert p1 != p0
+    same = sum(1 for d in p0 if p0[d] == p1[d])
+    assert same < n * 0.05  # epochs give genuinely different orders
