@@ -3049,7 +3049,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(o_orderkey) AS BIGINT) AS id_sum,
            true AS replay_noop,
            true AS crash_debris_never_adopted
-    FROM (SELECT o_orderkey FROM orders LIMIT 500) t
+    FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500) t
     """,
     doc="Exactly-once streaming sink semantics "
         "(snapshots.append_versioned(txn=(app, version)) — Delta "

@@ -930,14 +930,17 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s
     """,
     doc="Deterministic epoch-seeded global shuffle "
-        "(operators/split.py::epoch_shuffle, new r8): training-data "
-        "ordering as md5(epoch:id) — a reproducible permutation per "
-        "epoch, identical across engines/partitionings/worker counts "
-        "(the reproducibility torch-style RNG shuffles lose when the "
-        "worker count changes); hash-checked rank-for-rank against "
-        "DuckDB. At scale consumers repartition+sortWithinPartitions "
-        "on the same key instead of materializing the global rank; "
-        "the rank form is the testable contract.",
+        "(operators/split.py::epoch_shuffle, new r8; scale-safe rank "
+        "r9): training-data ordering as md5(epoch:id) — a "
+        "reproducible permutation per epoch, identical across "
+        "engines/partitionings/worker counts (the reproducibility "
+        "torch-style RNG shuffles lose when the worker count "
+        "changes); hash-checked rank-for-rank against DuckDB. The "
+        "rank is the two-pass prefix-bucket construction (per-bucket "
+        "counts -> cumulative offsets -> PARTITIONED window + "
+        "offset), bit-identical to a global sort with no "
+        "SinglePartition exchange anywhere (pytest-pinned plan) — "
+        "256-way parallel at the default, 16^k-way via prefix_chars.",
 )
 def split_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.split import epoch_shuffle

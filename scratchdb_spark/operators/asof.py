@@ -74,26 +74,33 @@ def asof_join(
             return F.col(tiebreak).alias("__tb")
         return F.lit(0).alias("__tb")
 
-    lt = left.select(
-        *on,
-        F.col(left_time).alias("__t"),
-        F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
-        F.lit(None)
-        .cast(right.schema[right_time].dataType)
-        .alias("__r_time"),
-        F.struct(*left.columns).alias("__row"),
-        _tb(left),
-    )
+    # the right row rides as ONE struct (time + values together):
+    # last(ignorenulls) then always carries time and values from the
+    # SAME right row — per-column carries would let a NULL value in
+    # the nearest row fall back to an older row's value while the
+    # tolerance gate judged the newer row's time (pandas merge_asof
+    # matches the nearest row regardless of value nullness)
     rt = right.select(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(right_time).alias("__r_time"),
-        F.lit(None).cast(lt.schema["__row"].dataType).alias("__row"),
+        F.struct(
+            F.col(right_time).alias("__r_time"),
+            *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        ).alias("__rs"),
+        F.lit(None).alias("__row"),  # retyped below once lt exists
         _tb(right),
+    )
+    lt = left.select(
+        *on,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(rt.schema["__rs"].dataType).alias("__rs"),
+        F.struct(*left.columns).alias("__row"),
+        _tb(left),
+    )
+    rt = rt.withColumn(
+        "__row", F.lit(None).cast(lt.schema["__row"].dataType)
     )
 
     # right rows sort before left rows at equal time -> '<='/'>='
@@ -112,25 +119,21 @@ def asof_join(
         "__is_left",
         "__row",
         "__t",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in value_cols
-        ],
-        F.last("__r_time", ignorenulls=True).over(w).alias("__r_time"),
+        F.last("__rs", ignorenulls=True).over(w).alias("__rs"),
     )
     if tolerance is None:
         within = F.lit(True)
     else:
         tol = F.expr(f"INTERVAL {tolerance}")
         within = (
-            F.col("__r_time") >= F.col("__t") - tol
+            F.col("__rs.__r_time") >= F.col("__t") - tol
             if direction == "backward"
-            else F.col("__r_time") <= F.col("__t") + tol
+            else F.col("__rs.__r_time") <= F.col("__t") + tol
         )
     out = carried.filter(F.col("__is_left") == 1).select(
         F.col("__row.*"),
         *[
-            F.when(within, F.col(f"__r_{c}"))
+            F.when(within, F.col(f"__rs.__r_{c}"))
             .alias(f"asof_{c}")
             for c in value_cols
         ],

@@ -124,17 +124,29 @@ def epoch_shuffle(
     df: DataFrame,
     epoch: int,
     id_col: str = "doc_id",
+    prefix_chars: int = 2,
 ) -> DataFrame:
     """Deterministic epoch-seeded global shuffle for training-data
     ordering: every row gets `shuffle_rank` (1-based, dense over the
     corpus) from ordering by md5(epoch || ':' || id) — a different
     but REPRODUCIBLE permutation per epoch, identical on any cluster,
     partitioning, or engine (the property torch-style RNG shuffles
-    lose the moment worker counts change). Plan shape at 100 TB: the
-    rank is one global sort — in practice consumers sortWithinPartitions
-    after repartitioning on the same key and never materialize a
-    global rank; this operator exposes the rank form because it is
-    the testable contract (the ordering IS the permutation).
+    lose the moment worker counts change).
+
+    Scale shape (r9 — was a partitionless Window, i.e. ONE
+    single-partition sort task at 100 TB): the global rank is now the
+    two-pass prefix-bucket construction. The bucket is the first
+    ``prefix_chars`` hex chars of the shuffle key itself, so global
+    key order == (bucket, key) order BY CONSTRUCTION — no
+    repartitionByRange sampling, no sampled boundaries to reproduce.
+    Pass 1 counts rows per bucket (ONE map-side-combined aggregate;
+    16^prefix_chars rows collected — 256 at the default, bump to 3-4
+    chars for 4k/64k-way parallelism at 100 TB). Pass 2 ranks within
+    each bucket (a PARTITIONED window — 16^prefix_chars concurrent
+    sorts of ~N/buckets rows, md5 uniformity balances them) and adds
+    the bucket's cumulative offset via a literal map lookup (JVM-side,
+    broadcast-free). Output is bit-identical to the global-rank form;
+    the plan contains no SinglePartition exchange (pytest-pinned).
     """
     key = F.md5(
         F.concat(
@@ -142,7 +154,39 @@ def epoch_shuffle(
             F.col(id_col).cast("string"),
         )
     )
-    w = Window.orderBy(key, F.col(id_col))
-    return df.withColumn("shuffle_key", key).withColumn(
-        "shuffle_rank", F.row_number().over(w).cast("long")
+    bucket = F.substring(key, 1, prefix_chars)
+    keyed = df.withColumn("shuffle_key", key).withColumn(
+        "__bkt", bucket
+    )
+    # pass 1: per-bucket counts -> cumulative offsets (bounded
+    # collect: 16^prefix_chars rows, 256 default)
+    counts = {
+        r["__bkt"]: r["cnt"]
+        for r in keyed.groupBy("__bkt").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    if not counts:  # empty input: rank column exists, no rows
+        return keyed.withColumn(
+            "shuffle_rank", F.lit(None).cast("long")
+        ).drop("__bkt")
+    offsets: dict[str, int] = {}
+    cum = 0
+    for b in sorted(counts):
+        offsets[b] = cum
+        cum += counts[b]
+    off_map = F.create_map(
+        *[F.lit(x) for b, o in sorted(offsets.items()) for x in (b, o)]
+    )
+    # pass 2: partitioned rank + offset — no partitionless window
+    w = Window.partitionBy("__bkt").orderBy("shuffle_key", F.col(id_col))
+    return (
+        keyed.withColumn(
+            "shuffle_rank",
+            (
+                F.element_at(off_map, F.col("__bkt"))
+                + F.row_number().over(w)
+            ).cast("long"),
+        )
+        .drop("__bkt")
     )

@@ -1676,6 +1676,13 @@ def rollback_table(
     # undoes data, not the quality gate added since
     if latest.get("constraints"):
         manifest["constraints"] = latest["constraints"]
+    # per-app txn watermarks are config too: a rollback undoes data,
+    # not the record of which stream batches were EVER applied — a
+    # checkpoint replay after rollback must still no-op for batches
+    # whose rows remain in the table (or were deliberately rolled
+    # away; re-appending them silently would break exactly-once)
+    if latest.get("txns"):
+        manifest["txns"] = latest["txns"]
     _put_manifest(wh, database, table, manifest)
     return next_v
 
