@@ -1367,6 +1367,37 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_kmeans_topk",
+    _fixture_oracle(
+        "ann_ivfpq_kmeans_topk",
+        ["query_id", "neighbor_id", "cos_sim", "rank"],
+    ),
+    doc="IVFADC with a k-means coarse quantizer "
+        "(similarity.py::ivfpq_topk(quantizer='kmeans'), new r9): "
+        "cells trained by deterministic spherical k-means — maxmin "
+        "(farthest-point) init over the smallest-id sample, then "
+        "kmeans_fit's exact-integer-sum Lloyd iterations, seedless "
+        "end-to-end, so the permutation is a pure function of the "
+        "corpus (golden-fixture oracle holds; partition-invariance "
+        "pytest-pinned). On clustered ingest-ordered corpora k-means "
+        "balances the cells the smallest-id pick can't: measured "
+        "probe coverage 1.0 vs 0.475 and recall@10 0.89 vs 0.46 at "
+        "nprobe=1 on the 16-cluster sequential-id fixture "
+        "(ann_quality_r9.json); pytest pins kmeans >= smallest-id "
+        "recall there. Same candidate dataflow as ann_ivfpq_topk — "
+        "only the centroid matrix changes.",
+)
+def ann_ivfpq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, overfetch=4,
+        quantizer="kmeans",
+    )
+
+
+@register(
     "ann_index_incremental",
     _fixture_oracle(
         "ann_index_incremental",

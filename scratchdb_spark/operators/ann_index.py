@@ -168,6 +168,8 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_files: int | None = None,
+    quantizer: str = "smallest_id",
+    kmeans_iters: int = 3,
 ) -> int:
     """Build (or REBUILD) the IVFADC index table from the CURRENT
     snapshot of ``src_table``. Returns the index table's committed
@@ -190,7 +192,14 @@ def build_ann_index(
     books = pq_train_codebooks(
         src, m=m, codes=codes, id_col=id_col, vec_col=vec_col
     )
-    cent_ids, C = _coarse_centroids(src, n_centroids, id_col, vec_col)
+    # quantizer choice is BUILD-time only: the sidecar freezes the
+    # centroid matrix, so refresh/maintain/query are agnostic to how
+    # it was trained ('kmeans' balances cells on clustered corpora at
+    # equal nprobe; 'smallest_id' stays the oracle-stable default)
+    cent_ids, C = _coarse_centroids(
+        src, n_centroids, id_col, vec_col,
+        quantizer=quantizer, kmeans_iters=kmeans_iters,
+    )
     index_df = _assign_encode_df(src, books, cent_ids, C, id_col, vec_col)
     nf = n_files if n_files is not None else max(1, min(n_centroids, 32))
     meta = {
@@ -198,6 +207,7 @@ def build_ann_index(
         "m": m,
         "codes": codes,
         "n_centroids": n_centroids,
+        "quantizer": quantizer,
         "books": books.tolist(),
         "cent_ids": cent_ids.tolist(),
         "centroids": C.tolist(),

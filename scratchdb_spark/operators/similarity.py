@@ -475,11 +475,27 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "smallest_id",
+    init_sample: int = 1024,
 ) -> DataFrame:
     """Deterministic spherical k-means (Lloyd) for IVF centroid
     training: init = the ``k`` smallest-id vectors (engine-independent,
     like ``ivf_topk``), assignment = argmax of 6dp-rounded cosine with
     ties to the smallest centroid index, update = per-dimension mean.
+
+    ``init='maxmin'`` (r9) swaps the seed for deterministic
+    farthest-point selection over the ``init_sample`` smallest-id
+    vectors (greedy: start at the smallest id, then repeatedly take
+    the sample vector with the LOWEST max-cosine to the chosen set,
+    6dp-rounded, ties to the smallest id — the derandomized
+    k-means++ a coarse quantizer needs). Lloyd cannot escape a
+    degenerate seed: when ingest order clusters the smallest ids
+    (the common case), all k smallest-id seeds sit in one cluster
+    and the refined centroids stay there; maxmin spreads the seeds
+    across the data's actual modes first. Still a pure function of
+    the corpus — no RNG anywhere — so golden-fixture oracles hold.
+    Driver cost: init_sample x dim floats + k greedy passes over the
+    sample (numpy, ms); the distributed Lloyd loop is unchanged.
 
     Determinism across partitionings is load-bearing (the golden-
     fixture oracle snapshots the output): float sums reorder under
@@ -513,12 +529,35 @@ def kmeans_fit(
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
     ).persist()
 
-    init = sorted(
-        (r["vid"], np.asarray(r["v"], dtype=np.float64))
-        for r in base.orderBy("vid").limit(k).collect()
-    )
-    C = np.array([v for _, v in init])
-    C = np.round(C / np.linalg.norm(C, axis=1, keepdims=True), 6)
+    if init == "maxmin":
+        samp = sorted(
+            (r["vid"], np.asarray(r["v"], dtype=np.float64))
+            for r in base.orderBy("vid").limit(max(init_sample, k)).collect()
+        )
+        S = np.array([v for _, v in samp])
+        S = S / np.linalg.norm(S, axis=1, keepdims=True)
+        chosen = [0]  # smallest id first (samp is id-sorted)
+        # max cosine of each sample vector to the chosen set so far
+        best = np.round(S @ S[0], 6)
+        for _ in range(1, min(k, len(S))):
+            nxt = int(np.argmin(best))  # first min -> smallest id tie
+            chosen.append(nxt)
+            best = np.maximum(best, np.round(S @ S[nxt], 6))
+        C = S[chosen]
+        if len(C) < k:  # corpus smaller than k: pad by repetition
+            C = np.vstack([C, C[: k - len(C)]])
+        C = np.round(C, 6)
+    elif init == "smallest_id":
+        seed = sorted(
+            (r["vid"], np.asarray(r["v"], dtype=np.float64))
+            for r in base.orderBy("vid").limit(k).collect()
+        )
+        C = np.array([v for _, v in seed])
+        C = np.round(C / np.linalg.norm(C, axis=1, keepdims=True), 6)
+    else:
+        raise ValueError(
+            f"unknown init {init!r}; expected 'smallest_id' or 'maxmin'"
+        )
     counts = {i: 0 for i in range(k)}
     SCALE = 10**12
 
@@ -912,15 +951,53 @@ def pq_refine_topk(
     )
 
 
-def _coarse_centroids(corpus, n_centroids, id_col, vec_col):
-    """Deterministic IVF coarse quantizer: the ``n_centroids``
-    corpus vectors with the smallest ids ACTUALLY PRESENT,
-    unit-normalized (same rule as ivf_topk — engine-independent, so
-    results are oracle-checkable; a k-means refinement drops in by
-    replacing only this function). orderBy+limit rather than
-    ``id < n_centroids`` so a corpus with shifted or sparse ids (or
-    one whose low ids were deleted before a rebuild) still yields a
-    full quantizer instead of silently fewer cells."""
+def _coarse_centroids(
+    corpus, n_centroids, id_col, vec_col,
+    quantizer: str = "smallest_id", kmeans_iters: int = 3,
+):
+    """Deterministic IVF coarse quantizer, two flavors:
+
+    - ``quantizer='smallest_id'`` (default): the ``n_centroids``
+      corpus vectors with the smallest ids ACTUALLY PRESENT,
+      unit-normalized (same rule as ivf_topk — engine-independent, so
+      results are oracle-checkable). orderBy+limit rather than
+      ``id < n_centroids`` so a corpus with shifted or sparse ids (or
+      one whose low ids were deleted before a rebuild) still yields a
+      full quantizer instead of silently fewer cells.
+    - ``quantizer='kmeans'`` (r9): Lloyd-refined centroids from
+      ``kmeans_fit`` — smallest-id init then ``kmeans_iters``
+      deterministic iterations (seedless: exact scaled-integer sums,
+      argmax ties to the smallest index — see kmeans_fit), so the
+      result is still a pure function of the corpus and reproducible
+      across partitionings/engines (golden-fixture-oracle safe).
+      On clustered corpora k-means balances the cells the arbitrary
+      smallest-id pick can't, raising probed-cell recall at equal
+      nprobe (pytest-pinned on the clustered fixture; measured in
+      ann_quality_r9.json). Cell labels are the centroid indices
+      0..k-1 (synthetic — k-means centroids are means, not corpus
+      rows); the ivf/pq dataflow only ever equi-joins on the label.
+    """
+    if quantizer == "kmeans":
+        fit = kmeans_fit(
+            corpus, k=n_centroids, iters=kmeans_iters,
+            id_col=id_col, vec_col=vec_col, init="maxmin",
+        ).collect()
+        if not fit:
+            raise ValueError(
+                "IVF coarse quantizer needs a non-empty corpus; got "
+                f"zero rows (id_col={id_col!r}, vec_col={vec_col!r})"
+            )
+        dims = 1 + max(r["dim"] for r in fit)
+        C = np.zeros((n_centroids, dims), dtype=np.float64)
+        for r in fit:
+            C[r["centroid_id"], r["dim"]] = r["c_val"]
+        cent_ids = np.arange(n_centroids, dtype=np.int64)
+        return cent_ids, C
+    if quantizer != "smallest_id":
+        raise ValueError(
+            f"unknown quantizer {quantizer!r}; "
+            "expected 'smallest_id' or 'kmeans'"
+        )
     cent = sorted(
         (r[0], r[1])
         for r in corpus.select(
@@ -1110,6 +1187,8 @@ def ivfpq_topk(
     codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "smallest_id",
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """IVFADC (Jegou et al. 2011; FAISS "IVF<n>,PQ<m>" + refine,
     public designs): the full 100 TB ANN pipeline — an IVF coarse
@@ -1141,7 +1220,10 @@ def ivfpq_topk(
     books = pq_train_codebooks(
         corpus, m=m, codes=codes, id_col=id_col, vec_col=vec_col
     )
-    cent_ids, C = _coarse_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_ids, C = _coarse_centroids(
+        corpus, n_centroids, id_col, vec_col,
+        quantizer=quantizer, kmeans_iters=kmeans_iters,
+    )
     index = _assign_encode_df(corpus, books, cent_ids, C, id_col, vec_col)
     qids, tables, probes = _query_probe_tables(
         queries, books, cent_ids, C, nprobe, id_col, vec_col
@@ -1333,6 +1415,8 @@ def ivfpq_residual_topk(
     codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "smallest_id",
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """IVFADC with residual encoding (by_residual=True — the FAISS
     default): identical dataflow to ivfpq_topk, but codes quantize
@@ -1348,7 +1432,10 @@ def ivfpq_residual_topk(
     testdata: raw 0.72-0.74 vs residual 0.70 recall@5 — see
     pq_train_codebooks_residual for the geometry). Pick per corpus,
     exactly as FAISS exposes by_residual. Exact refine unchanged."""
-    cent_ids, C = _coarse_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_ids, C = _coarse_centroids(
+        corpus, n_centroids, id_col, vec_col,
+        quantizer=quantizer, kmeans_iters=kmeans_iters,
+    )
     books = pq_train_codebooks_residual(
         corpus, cent_ids, C, m=m, codes=codes,
         id_col=id_col, vec_col=vec_col,

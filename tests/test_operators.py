@@ -3083,3 +3083,96 @@ def test_rollback_preserves_txn_watermarks(spark, tmp_path):
         for r in snap.read_snapshot(wh, "db", "t").collect()
     )
     assert rows == [(1, 10)]  # batch 1 exactly once, batch 2 rolled off
+
+
+def test_ivfpq_kmeans_quantizer_beats_smallest_id_on_clustered(spark):
+    """quantizer='kmeans' (r9): on a clustered corpus whose SMALLEST
+    IDS all live in one cluster (sequential ids — the common case for
+    ingest-ordered corpora), smallest-id centroids collapse into that
+    cluster and probing misses everyone else; Lloyd iterations spread
+    the centroids toward the data's actual mass, so kmeans recall at
+    equal (nprobe, overfetch) must be >= smallest-id (and strictly
+    above by a wide margin here). Determinism: two runs and an
+    adversarial repartitioning produce identical rows (the
+    golden-fixture-oracle prerequisite — kmeans_fit's exact
+    integer-sum contract carries through)."""
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for ci in range(8):
+        P = centers[ci] + 0.12 * rng.normal(size=(40, 32))
+        for j in range(40):
+            # SEQUENTIAL ids: cluster ci owns ids [40*ci, 40*ci+40) —
+            # the 8 smallest ids are ALL in cluster 0
+            rows.append((ci * 40 + j, [float(x) for x in P[j]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 40 == 37)  # one query per cluster
+    # overfetch=8: with kmeans cells the probe COVERAGE is 1.0 (vs
+    # 0.75 smallest-id, measured), so the exact re-rank budget — not
+    # the quantizer — caps recall; 8x clears the ADC noise here
+    kw = dict(k=5, overfetch=8, n_centroids=8, nprobe=2, m=4, codes=16)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    sid = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, q, **kw).collect()
+    }
+    km_rows = ivfpq_topk(emb, q, quantizer="kmeans", **kw).collect()
+    km = {(r["query_id"], r["neighbor_id"]) for r in km_rows}
+    recall_sid = len(sid & exact) / len(exact)
+    recall_km = len(km & exact) / len(exact)
+    assert recall_km >= recall_sid, (
+        f"kmeans recall {recall_km} below smallest-id {recall_sid} on "
+        "a clustered corpus with sequential ids — kmeans' home regime"
+    )
+    assert recall_km >= 0.9  # absolute floor (measured 0.975)
+    # determinism + partition invariance
+    again = ivfpq_topk(emb.repartition(7), q, quantizer="kmeans", **kw)
+    assert sorted(map(str, again.collect())) == sorted(map(str, km_rows))
+
+
+def test_ann_index_kmeans_quantizer_matches_in_memory(spark, tmp_path):
+    """build_ann_index(quantizer='kmeans'): the persisted index must
+    return EXACTLY the in-memory ivfpq_topk(quantizer='kmeans') rows
+    at equal settings — the sidecar freezes the kmeans centroids, so
+    index and pipeline can never disagree — and the sidecar records
+    the quantizer choice for auditability."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import ann_index as ai
+    from scratchdb_spark.operators.similarity import ivfpq_topk
+    from scratchdb_spark.tables import Warehouse
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for ci in range(8):
+        P = centers[ci] + 0.12 * rng.normal(size=(40, 32))
+        for j in range(40):
+            rows.append((ci * 40 + j, [float(x) for x in P[j]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 40 == 37)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(wh, "db", "emb", emb)
+    ai.build_ann_index(
+        wh, "db", "emb", "emb_idx",
+        n_centroids=8, quantizer="kmeans",
+    )
+    assert ai._load_meta(wh, "db", "emb_idx")["quantizer"] == "kmeans"
+    mem = ivfpq_topk(
+        emb, q, k=5, overfetch=8, n_centroids=8, nprobe=2,
+        quantizer="kmeans",
+    ).collect()
+    idx = ai.query_ann_index(
+        wh, "db", "emb_idx", q, k=5, nprobe=2, overfetch=8
+    ).collect()
+    assert sorted(map(str, idx)) == sorted(map(str, mem))

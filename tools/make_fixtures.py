@@ -48,6 +48,7 @@ FIXTURE_NAMES = [
     "ann_ivfpq_residual_topk",
     "emb_pca_project",
     "ann_mmr_rerank",
+    "ann_ivfpq_kmeans_topk",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
