@@ -2648,6 +2648,122 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- windowFunnel MODE family (r9): the documented ClickHouse
+# single-pass algorithm (operators/funnel.py) with strict_order /
+# strict_deduplication / strict_increase parity. Each mode's oracle
+# is the SAME fold emitted as DuckDB list_reduce SQL — exact, not a
+# fixture. Stages: view -> click -> purchase, 24 h window.
+from ..operators.funnel import duckdb_funnel_oracle as _funnel_sql  # noqa: E402
+
+_FUNNEL_STAGES_SQL = (
+    "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+    "WHEN 'purchase' THEN 3 ELSE 0 END"
+)
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def _funnel_spark(spark, sf_dir, modes):
+    from ..operators.funnel import window_funnel_levels
+
+    ev = table(spark, sf_dir, "events")
+    lv = window_funnel_levels(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        _FUNNEL_WINDOW_US,
+        modes=modes,
+    )
+    return (
+        lv.filter(F.col("level") >= 1)
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_FUNNEL_DOC = (
+    "windowFunnel mode parity (operators/funnel.py, new r9 — the "
+    "documented ClickHouse AggregateFunctionWindowFunnel single "
+    "pass, public design): per user ONE time-sorted event array and "
+    "an F.aggregate fold over it — per level k the (anchor ts, "
+    "level-k event ts) pair; a stage-1 event re-anchors, a stage-k "
+    "event extends when within window of the anchor, reaching the "
+    "top level ends the pass. Pure JVM expression tree (no UDF, no "
+    "join explosion), one shuffle on user_id. The oracle is the "
+    "IDENTICAL fold emitted as DuckDB list_reduce SQL — exact per "
+    "mode, not a fixture. Mode here: {}"
+)
+
+
+@register(
+    "events_window_funnel_default",
+    _funnel_sql(_FUNNEL_STAGES_SQL, _FUNNEL_WINDOW_US, ()),
+    doc=_FUNNEL_DOC.format(
+        "none (the base algorithm the three strict modes modify; "
+        "re-anchoring latest-stage-1 semantics — deliberately "
+        "distinct from events_window_funnel's all-anchors chain, "
+        "both kept)"
+    ),
+)
+def events_window_funnel_default(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _funnel_spark(spark, sf_dir, ())
+
+
+@register(
+    "events_window_funnel_strict_order",
+    _funnel_sql(_FUNNEL_STAGES_SQL, _FUNNEL_WINDOW_US, ("strict_order",)),
+    doc=_FUNNEL_DOC.format(
+        "strict_order — an event matching NO stage, after the first "
+        "stage-1 event, ends the user's pass (A->B->D->C stops at D "
+        "with level 2); counts change on real logs because filler "
+        "events (signup/error) interleave"
+    ),
+)
+def events_window_funnel_strict_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _funnel_spark(spark, sf_dir, ("strict_order",))
+
+
+@register(
+    "events_window_funnel_strict_dedup",
+    _funnel_sql(
+        _FUNNEL_STAGES_SQL, _FUNNEL_WINDOW_US, ("strict_deduplication",)
+    ),
+    doc=_FUNNEL_DOC.format(
+        "strict_deduplication — a stage-k repeat while level k is "
+        "already reached interrupts the pass and the result IS k "
+        "(ClickHouse's documented interrupt value)"
+    ),
+)
+def events_window_funnel_strict_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _funnel_spark(spark, sf_dir, ("strict_deduplication",))
+
+
+@register(
+    "events_window_funnel_strict_increase",
+    _funnel_sql(
+        _FUNNEL_STAGES_SQL, _FUNNEL_WINDOW_US, ("strict_increase",)
+    ),
+    doc=_FUNNEL_DOC.format(
+        "strict_increase — chain steps require strictly increasing "
+        "timestamps (same-instant click+purchase no longer chains)"
+    ),
+)
+def events_window_funnel_strict_increase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _funnel_spark(spark, sf_dir, ("strict_increase",))
+
+
 @register(
     "warehouse_incremental_distinct_mv",
     """

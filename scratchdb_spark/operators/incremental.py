@@ -269,12 +269,27 @@ def maintain_minmax_mv(
     max_col: str = "value_max",
     n_col: str = "n_rows",
     base_for_keys=None,
+    max_rescan_groups: int | None = None,
 ) -> DataFrame:
     """Apply a CDC feed to a keyed MIN/MAX/count MATERIALIZED VIEW,
     rescanning the base table ONLY for groups whose boundary a delete
     touched (see minmax_delta_plan). ``base`` is the post-change
     snapshot of the base table (e.g. ``read_snapshot(...)`` at the
     feed's end version).
+
+    THE BOUND (r9): the rescan set is bounded by groups that lost an
+    extremum — which a MASS delete makes ALL groups, at which point
+    the maintain path degenerates to a full recompute PLUS the delta
+    plan's overhead (measured crossover: 10M rows, all-groups rescan
+    maintain 2.4 s vs plain recompute 0.81 s — ivm_rehearsal_r8).
+    ``max_rescan_groups`` guards that cliff: when MORE groups than
+    the threshold need rescanning (counted with a bounded
+    limit(threshold+1) probe, never a driver materialization), the
+    function falls back to one full recompute over ``base`` —
+    identical result by the exactness contract, cheaper past the
+    crossover. Pick the threshold ~ the group count where one full
+    scan beats (delta plan + MV join + filtered scan); None keeps
+    the unguarded always-maintain behavior.
 
     Cost at 100 TB: one churn-sized aggregation over the change rows,
     one MV-sized join, and a base scan FILTERED to the rescan groups
@@ -295,6 +310,17 @@ def maintain_minmax_mv(
     maintained, rescan_keys = minmax_delta_plan(
         mv, changes, keys, value_col, min_col, max_col, n_col
     )
+    if max_rescan_groups is not None:
+        over = (
+            rescan_keys.limit(max_rescan_groups + 1).count()
+            > max_rescan_groups
+        )
+        if over:
+            return base.groupBy(*keys).agg(
+                F.min(value_col).alias(min_col),
+                F.max(value_col).alias(max_col),
+                F.count(F.lit(1)).alias(n_col),
+            )
     src = base
     if base_for_keys is not None:
         key_rows = [tuple(r) for r in rescan_keys.collect()]

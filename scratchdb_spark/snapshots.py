@@ -241,6 +241,11 @@ def _bloom_merge(bls: list[dict]) -> dict | None:
 
 _BLOOMABLE_TYPES = ("bigint", "int", "smallint", "tinyint", "string")
 
+#: batch size above which bloom-less local-FS stats take the
+#: executor-side pyarrow fast path (see _file_stats_arrow); below it
+#: the Spark-agg path's fixed job cost is negligible and stays primary
+_ARROW_STATS_MIN_FILES = 512
+
 #: token-bloom variant (ClickHouse tokenbf_v1 skip index, public
 #: design, lifted to manifest level): a ``bloom_cols`` entry
 #: ``"<col>:tokens"`` records a per-file bloom over the column's
@@ -281,16 +286,103 @@ def _tokenize(s: str) -> list[str]:
     return re.findall("[a-z0-9]+", s.lower())
 
 
-def _tok_survives(rec: dict, col: str, tokens: list[str]) -> bool:
+def _tok_survives(
+    rec: dict, col: str, tokens: list[str], resolver=None
+) -> bool:
     """True iff the file (or shard rollup) may contain EVERY probed
     token — AND semantics, because a conjunctive text search needs
     all of them in the same file for a row to match. Missing or
     saturated (null) bloom -> must scan; a definite miss on any
-    token proves no row in the file can match (no false negatives)."""
+    token proves no row in the file can match (no false negatives).
+    Externalized bitmaps ({"sc","k"} references, r9) resolve lazily
+    through ``resolver``; with no resolver they are must-scan."""
     bl = rec.get(f"{col}{_TOKEN_MARKER}__bloom", "absent")
     if bl == "absent" or bl is None:
         return True
+    if isinstance(bl, dict) and "sc" in bl:
+        if resolver is None:
+            return True
+        bl = resolver(bl)
+        if bl is None:
+            return True
     return all(_bloom_test(bl, [t]) for t in tokens)
+
+
+def _file_stats_arrow(
+    wh: Warehouse, base: str, names: list[str], schema,
+    stat_cols: list[str],
+) -> dict:
+    """Per-file stats via executor-side pyarrow (see dispatch site in
+    _file_stats): one row per file crosses back as a JSON record —
+    identical shape and JSON-level value fidelity to the Spark-agg
+    path (pinned by test_file_stats_arrow_fast_path_parity). String
+    order matches (Arrow/Spark compare UTF-8 bytes; Python sorts by
+    code point — the same total order), numeric min/max are exact
+    under any grouping. Local-FS batches only; the kernel reads
+    ``base`` directly on the executor (same shared-FS contract as
+    the landing zone)."""
+    local_base = hfs._local_path(base)
+    cols = list(stat_cols)
+    cap = _DICT_CAP
+
+    def kernel(batches):
+        import json as _json
+        import os as _os
+
+        import pandas as _pd
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_f, out_rec = [], []
+            for n in pdf["f"]:
+                t = _pq.read_table(
+                    _os.path.join(local_base, n), columns=cols
+                )
+                rec: dict = {"__rows": t.num_rows}
+                for c in cols:
+                    col = t[c]
+                    if t.num_rows:
+                        mm = _pc.min_max(col)
+                        rec[c] = [
+                            mm["min"].as_py(), mm["max"].as_py()
+                        ]
+                    else:
+                        rec[c] = [None, None]
+                    rec[f"{c}__nulls"] = col.null_count
+                    uniq = _pc.unique(
+                        col.combine_chunks().drop_null()
+                    ).to_pylist()
+                    if len(uniq) <= cap:
+                        rec[f"{c}__dict"] = sorted(uniq)
+                out_f.append(n)
+                out_rec.append(_json.dumps(rec))
+            yield _pd.DataFrame({"f": out_f, "rec": out_rec})
+
+    import pandas as _pd
+
+    spark = wh.spark
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    # Arrow-backed transfer of the name list (a row-by-row
+    # createDataFrame costs seconds of py4j at 80k names)
+    ndf = spark.createDataFrame(
+        _pd.DataFrame({"f": names})
+    ).repartition(min(max(len(names) // 64, 1), par * 2))
+    rows = ndf.mapInPandas(kernel, "f string, rec string").collect()
+    out = {r["f"]: json.loads(r["rec"]) for r in rows}
+    for n in names:  # parity with the Spark path's empty-file shape
+        out.setdefault(
+            n,
+            {
+                "__rows": 0,
+                **{c: [None, None] for c in cols},
+                **{f"{c}__nulls": 0 for c in cols},
+                **{f"{c}__dict": [] for c in cols},
+            },
+        )
+    return out
 
 
 def _file_stats(
@@ -375,6 +467,23 @@ def _file_stats(
                 f"token bloom column {src!r} must be string, is "
                 f"{f.dataType.simpleString()}"
             )
+    if (
+        not bloom_cols
+        and len(names) >= _ARROW_STATS_MIN_FILES
+        and hfs._local_path(base) is not None
+    ):
+        # Large-batch fast path (r9): the Spark-scan route pays a
+        # distributed path-LISTING job plus per-file FileSourceScan
+        # machinery that dominates at bulk-adopt scale (measured:
+        # 45 s of a 48 s commit at 80k tiny files). Per-file pyarrow
+        # reads of ONLY the stat columns, fanned out over executor
+        # PROCESSES via mapInPandas (driver threads are GIL-bound at
+        # ~1 ms/file; 32 processes cut it to ~wall/32), produce
+        # byte-identical records: values round-trip through JSON,
+        # which is exactly the fidelity the manifest itself has.
+        # Blooms/NDV stay on the Spark path (their kernels are Spark
+        # expressions: sha2 probe positions, DataSketches HLL).
+        return _file_stats_arrow(wh, base, names, schema, stat_cols)
     df = wh.spark.read.schema(schema).parquet(
         *[f"{base}/{n}" for n in names]
     )
@@ -590,6 +699,94 @@ _SHARD_THRESHOLD = 2048  # files; manifests shard above this
 _SHARD_SIZE = 1024  # files per shard
 _SHARDS_DIR = "shards"
 
+# --- oversized-filter sidecars (r9) ----------------------------------
+#
+# Token blooms are 16 KB base64 per file/col (measured 22 KB/file of
+# snapshot JSON at 1000 files, tokbloom_rehearsal_r8.json — ~2.2 GB of
+# driver-parsed metadata extrapolated to 100k files). Any per-file
+# auxiliary filter whose encoded payload exceeds _INLINE_BLOOM_CAP is
+# therefore EXTERNALIZED at commit time: the batch's oversized bitmaps
+# land in ONE content-addressed sidecar JSON under
+# ``_snapshots/blooms/``, and the inline stat record keeps a ~60 B
+# reference ``{"sc": <sidecar>, "k": "<file>|<entry>"}``. Planning
+# stays correct and lazy: manifest/shard parsing never touches the
+# bitmaps; only a probe that actually uses them (prune_tokens) opens
+# the sidecars — and only for files that survived range/eq pruning
+# first. Sidecars are immutable and shared across versions like
+# shards; maintenance reclaims the unreferenced ones.
+_BLOOMS_DIR = "blooms"
+_INLINE_BLOOM_CAP = 2048  # bytes of encoded payload; knob
+
+
+def _bloom_sidecar_path(
+    wh: Warehouse, database: str, table: str, name: str
+) -> str:
+    return f"{_snap_dir(wh, database, table)}/{_BLOOMS_DIR}/{name}"
+
+
+def _externalize_big_blooms(
+    wh: Warehouse, database: str, table: str, fresh_stats: dict
+) -> tuple[dict, str | None]:
+    """Move oversized ``*__bloom`` payloads out of the fresh per-file
+    stat records into one sidecar file for the batch; returns
+    (records-with-references, sidecar name or None when nothing was
+    oversized; input untouched then). Written BEFORE the manifest
+    PUT — unreferenced until the PUT names the stats, so a lost CAS
+    leaves only debris that maintain_table reclaims."""
+    import uuid as _uuid
+
+    body: dict = {}
+    out: dict = {}
+    sc_name = f"tb-{_uuid.uuid4().hex}.json"
+    for fname, rec in fresh_stats.items():
+        moved = None
+        for key, val in rec.items():
+            if (
+                key.endswith("__bloom")
+                and isinstance(val, dict)
+                and "b" in val
+                and len(val["b"]) > _INLINE_BLOOM_CAP
+            ):
+                k = f"{fname}|{key}"
+                body[k] = val
+                if moved is None:
+                    moved = dict(rec)
+                moved[key] = {"sc": sc_name, "k": k}
+        out[fname] = moved if moved is not None else rec
+    if not body:
+        return fresh_stats, None
+    hfs.put_text_atomic(
+        wh.spark,
+        _bloom_sidecar_path(wh, database, table, sc_name),
+        json.dumps(body, separators=(",", ":")),
+    )
+    return out, sc_name
+
+
+def _bloom_resolver(wh: Warehouse, database: str, table: str):
+    """Plan-time lazy resolver for externalized filter references:
+    caches whole sidecars (one read serves every file of the commit
+    batch that wrote it). Unreadable/missing sidecar -> None, which
+    every survive check treats as must-scan (pruning never drops
+    rows on metadata trouble)."""
+    cache: dict = {}
+
+    def resolve(ref: dict):
+        name = ref.get("sc")
+        if name not in cache:
+            try:
+                cache[name] = json.loads(
+                    hfs.read_text(
+                        wh.spark,
+                        _bloom_sidecar_path(wh, database, table, name),
+                    )
+                )
+            except Exception:
+                cache[name] = {}
+        return cache[name].get(ref.get("k"))
+
+    return resolve
+
 
 def _shard_path(wh: Warehouse, database: str, table: str, name: str) -> str:
     return f"{_snap_dir(wh, database, table)}/{_SHARDS_DIR}/{name}"
@@ -653,9 +850,15 @@ def _shard_agg(
         if c.endswith(_NDV_MARKER):
             rec[f"{c}__bloom"] = None  # covered; union happens at read
             continue
-        rec[f"{c}__bloom"] = _bloom_merge(
-            [stats[n][f"{c}__bloom"] for n in names]
-        )
+        members = [stats[n][f"{c}__bloom"] for n in names]
+        if any(isinstance(b, dict) and "sc" in b for b in members):
+            # externalized bitmaps (r9): covered-but-not-merged — the
+            # shard can't skip on this filter itself (a 1000-file OR
+            # union would be saturated anyway); members resolve
+            # individually once the shard is opened
+            rec[f"{c}__bloom"] = None
+            continue
+        rec[f"{c}__bloom"] = _bloom_merge(members)
     return rec
 
 
@@ -776,7 +979,27 @@ def _assemble_manifest_entry(
     ``removed`` are prev names no longer live — the set that decides
     which prev shards must rewrite. Kept shards carry their files AND
     stats by reference; only shards touched by removals are opened,
-    so commit metadata cost is O(churn) in stats and shard IO."""
+    so commit metadata cost is O(churn) in stats and shard IO.
+    Oversized filter bitmaps in ``fresh_stats`` (token blooms at
+    16 KB/file) are externalized to ONE sidecar here, bounding the
+    inline per-file metadata to ~_INLINE_BLOOM_CAP; the manifest
+    carries the referenced sidecar-name list (``bloom_sidecars``) so
+    maintenance can GC unreferenced ones without opening shards (r9).
+    The carried list collapses to just the fresh sidecar whenever
+    every live file's stats are fresh (overwrite/maintenance), else
+    it is prev's list + the fresh one — a conservative superset that
+    over-retains at worst one maintenance cycle."""
+    sidecars: list[str] = []
+    if fresh_stats:
+        fresh_stats, sc_name = _externalize_big_blooms(
+            wh, database, table, fresh_stats
+        )
+        if sc_name is not None:
+            sidecars.append(sc_name)
+    if prev is not None and not all(n in fresh_stats for n in files):
+        sidecars = sorted(
+            set(sidecars) | set(prev.get("bloom_sidecars", []))
+        )
     files = sorted(files)
     file_set = set(files)
     if len(files) <= _SHARD_THRESHOLD and not (
@@ -802,6 +1025,8 @@ def _assemble_manifest_entry(
                 **carried,
                 **{n: fresh_stats[n] for n in files if n in fresh_stats},
             }
+        if sidecars:
+            entry["bloom_sidecars"] = sidecars
         return entry
 
     kept: list[dict] = []
@@ -870,6 +1095,8 @@ def _assemble_manifest_entry(
         entry["stat_cols"] = cols
     if blooms:
         entry["bloom_cols"] = list(blooms)
+    if sidecars:
+        entry["bloom_sidecars"] = sidecars
     return entry
 
 
@@ -1512,6 +1739,8 @@ def _eq_survives(rec: dict, col: str, val) -> bool:
     if vals is not None:
         return any(v in vals for v in vs)
     bl = rec.get(f"{col}__bloom")
+    if isinstance(bl, dict) and "sc" in bl:
+        bl = None  # externalized (r9): range check decides; never drop
     if bl is not None and not _bloom_test(bl, vs):
         return False  # definite miss; else fall through to range
     rng = rec.get(col)
@@ -1526,11 +1755,12 @@ def _eq_survives(rec: dict, col: str, val) -> bool:
 
 
 def _file_survives(
-    rec: dict, prune, prune_eq, prune_tokens=None
+    rec: dict, prune, prune_eq, prune_tokens=None, resolver=None
 ) -> bool:
     """Combined skip decision for one file's (or one shard's rolled-up)
     stat record against the optional range, equality, and token
-    prunes."""
+    prunes. Token prunes run LAST so an externalized bitmap is only
+    ever resolved for files the cheap inline stats could not skip."""
     if prune_eq is not None and not _eq_survives(rec, *prune_eq):
         return False
     if prune is not None:
@@ -1538,7 +1768,7 @@ def _file_survives(
         if not _range_survives(rec.get(col), lo, hi):
             return False
     if prune_tokens is not None and not _tok_survives(
-        rec, *prune_tokens
+        rec, *prune_tokens, resolver=resolver
     ):
         return False
     return True
@@ -1559,20 +1789,28 @@ def _plan_files(
     shards the predicate can live in (Iceberg's manifest-list
     short-circuit), so a selective predicate over a 10^6-file table
     opens a handful of shard JSONs, not one monolithic manifest."""
+    resolver = (
+        _bloom_resolver(wh, database, table)
+        if prune_tokens is not None
+        else None
+    )
     if "shards" not in m:
         stats = m.get("stats", {})
         return [
             n
             for n in m["files"]
             if _file_survives(
-                stats.get(n, {}), prune, prune_eq, prune_tokens
+                stats.get(n, {}), prune, prune_eq, prune_tokens,
+                resolver,
             )
         ]
     surviving = [
         rec
         for rec in m["shards"]
         if rec.get("agg") is None
-        or _file_survives(rec["agg"], prune, prune_eq, prune_tokens)
+        or _file_survives(
+            rec["agg"], prune, prune_eq, prune_tokens, resolver
+        )
     ]  # other shards are skipped UNOPENED
     names: list[str] = []
     for sh in _read_shards(
@@ -1583,7 +1821,8 @@ def _plan_files(
             n
             for n in sh["files"]
             if _file_survives(
-                stats.get(n, {}), prune, prune_eq, prune_tokens
+                stats.get(n, {}), prune, prune_eq, prune_tokens,
+                resolver,
             )
         ]
     return sorted(names)
@@ -1668,7 +1907,8 @@ def rollback_table(
     # identical file list -> the target's files/stats entry (inline or
     # shard references — shards are immutable, sharing them is free)
     for k in (
-        "files", "stats", "stat_cols", "bloom_cols", "shards", "n_files"
+        "files", "stats", "stat_cols", "bloom_cols", "shards",
+        "n_files", "bloom_sidecars",
     ):
         if k in target:
             manifest[k] = target[k]
@@ -3126,6 +3366,21 @@ def maintain_table(
             or hfs.mtime(wh.spark, f"{sh_root}/{n}") <= cutoff_ms
         ):
             hfs.delete(wh.spark, f"{sh_root}/{n}", recursive=False)
+    # and for externalized-filter sidecars (r9): retained manifests
+    # name their sidecars directly (bloom_sidecars), so GC never
+    # opens a shard; unreferenced sidecars past the grace window are
+    # lost-CAS debris or expired-version leftovers
+    bl_root = f"{base}/{_SNAP_DIR}/{_BLOOMS_DIR}"
+    referenced_sidecars: set = set()
+    for v in versions(wh, database, table):
+        referenced_sidecars |= set(
+            _manifest(wh, database, table, v).get("bloom_sidecars", [])
+        )
+    for n in hfs.list_names(wh.spark, bl_root):
+        if n in referenced_sidecars:
+            continue
+        if hfs.mtime(wh.spark, f"{bl_root}/{n}") <= cutoff_ms:
+            hfs.delete(wh.spark, f"{bl_root}/{n}", recursive=False)
     # the dead files are physically gone: drain the retired set (a
     # crash before this re-PUT leaves stale retired names, which the
     # next commit_snapshot prunes against the directory listing).

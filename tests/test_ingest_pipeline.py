@@ -3409,3 +3409,92 @@ def test_savepoints_cross_table_cut(spark, tmp_path):
         assert snap.list_tags(wh, "db", t) == {}
         snap.maintain_table(wh, "db", t)
         assert len(snap.versions(wh, "db", t)) == 1
+
+
+def test_token_bloom_sidecar_externalization(spark, tmp_path):
+    """Oversized filter bitmaps (token blooms, 16 KB/file) must NOT
+    live inline in manifest/shard JSON (r9 — measured 22 KB/file of
+    driver-parsed metadata at 1000 files, ~2.2 GB at 100k): commits
+    externalize them to one sidecar per batch, the inline record
+    keeps a ~60 B reference, token probes resolve lazily and plan the
+    SAME files, rollback carries the sidecar refs, and maintenance
+    GCs unreferenced sidecars without breaking retained versions."""
+    import json as _json
+    import os as _os
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = []
+    for fpart in range(6):
+        for i in range(30):
+            rows.append(
+                (fpart * 100 + i, fpart,
+                 f"common filler plus marker{fpart}")
+            )
+    df = spark.createDataFrame(
+        rows, "__row_id long, part long, body string"
+    ).repartitionByRange(6, "part")
+    v1 = snap.append_versioned(
+        wh, "db", "t", df, bloom_cols=["body:tokens"]
+    )
+    m1 = snap._manifest(wh, "db", "t", v1)
+
+    # inline records hold references, not bitmaps — and the whole
+    # inline stats stay bounded (~hundreds of bytes per file, not
+    # the 22 KB the inline bitmap cost)
+    stats = snap._manifest_stats(wh, "db", "t", m1)
+    refs = [r["body:tokens__bloom"] for r in stats.values()]
+    assert all(isinstance(b, dict) and "sc" in b for b in refs)
+    inline_bytes = len(_json.dumps(stats)) / len(stats)
+    assert inline_bytes < 2048, inline_bytes
+    assert m1.get("bloom_sidecars"), "manifest must name its sidecars"
+
+    # probes still plan exactly the right files through the sidecar
+    for probe, want in [
+        (["marker3"], 1),
+        (["zebra-not-there"], 0),
+        (["common"], 6),
+    ]:
+        got = len(
+            snap._plan_files(wh, "db", "t", m1, None, None,
+                             ("body", probe))
+        )
+        assert got == want, (probe, got, want)
+
+    # rollback keeps the refs resolvable
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(900, 99, "freshword")],
+            "__row_id long, part long, body string",
+        ).coalesce(1),
+    )
+    rb = snap.rollback_table(wh, "db", "t", v1)
+    mrb = snap._manifest(wh, "db", "t", rb)
+    assert mrb.get("bloom_sidecars") == m1["bloom_sidecars"]
+    assert len(
+        snap._plan_files(wh, "db", "t", mrb, None, None,
+                         ("body", ["marker3"]))
+    ) == 1
+
+    # maintenance: rewritten files get fresh sidecars; old ones are
+    # unreferenced after expiry and reclaimed (grace window forced
+    # to zero), and probes still work on the maintained table
+    bl_dir = _os.path.join(
+        snap._snap_dir(wh, "db", "t").replace("file:", ""),
+        snap._BLOOMS_DIR,
+    )
+    before = set(_os.listdir(bl_dir))
+    snap.maintain_table(wh, "db", "t", reclaim_grace_ms=0)
+    after = set(_os.listdir(bl_dir))
+    mfinal = snap._manifest(
+        wh, "db", "t", snap.versions(wh, "db", "t")[-1]
+    )
+    assert set(mfinal.get("bloom_sidecars", [])) <= after
+    assert not (before & after), "expired sidecars must be reclaimed"
+    got = snap.read_snapshot(
+        wh, "db", "t", prune_tokens=("body", ["marker3"])
+    )
+    assert got.filter(got.body.contains("marker3")).count() == 30

@@ -3176,3 +3176,134 @@ def test_ann_index_kmeans_quantizer_matches_in_memory(spark, tmp_path):
         wh, "db", "emb_idx", q, k=5, nprobe=2, overfetch=8
     ).collect()
     assert sorted(map(str, idx)) == sorted(map(str, mem))
+
+
+def test_minmax_mv_mass_delete_guard(spark, tmp_path):
+    """max_rescan_groups (r9): a MASS delete turns the rescan set
+    into ALL groups — past the crossover the maintain path costs
+    MORE than a plain recompute (measured: 2.4 s maintain vs 0.81 s
+    recompute at 10M rows, ivm_rehearsal_r8). The guard must (a)
+    fall back to one full recompute when the probe crosses the
+    threshold, (b) stay on the maintain path below it, and (c)
+    return the exact recompute answer either way."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators.incremental import (
+        maintain_minmax_mv,
+        minmax_delta_plan,
+        minmax_mv_of,
+    )
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [
+        (i, f"g{i % 10}", (i * 7) % 100) for i in range(200)
+    ]
+    v1 = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(rows, "__row_id long, k string, amount long"),
+    )
+    mv1 = minmax_mv_of(
+        snap.read_snapshot(wh, "db", "t", version=v1), ["k"], "amount"
+    )
+    # mass delete: every group loses its max (amount >= 93 hits the
+    # boundary row of each of the 10 groups)
+    snap.delete_where(wh, "db", "t", F.col("amount") >= 80)
+    changes = snap.read_changes(wh, "db", "t", from_version=v1)
+    _, rescan = minmax_delta_plan(mv1, changes, ["k"], "amount")
+    n_rescan = rescan.count()
+    assert n_rescan == 10  # ALL groups — the guarded regime
+
+    base = snap.read_snapshot(wh, "db", "t")
+    want = sorted(
+        map(tuple, minmax_mv_of(base, ["k"], "amount").collect())
+    )
+    # below the threshold -> maintain path; above -> recompute path;
+    # both exact
+    for cap in (3, 100):
+        got = maintain_minmax_mv(
+            mv1, changes, base, ["k"], "amount",
+            max_rescan_groups=cap,
+        )
+        assert sorted(map(tuple, got.collect())) == want, cap
+    # the guard must not consume base_for_keys' pruning path when it
+    # trips (base_for_keys is only for the bounded-rescan regime)
+    calls = []
+
+    def pruned(ks):
+        calls.append(ks)
+        return base
+
+    got = maintain_minmax_mv(
+        mv1, changes, base, ["k"], "amount",
+        base_for_keys=pruned, max_rescan_groups=3,
+    )
+    assert sorted(map(tuple, got.collect())) == want
+    assert calls == []  # recompute fallback never collected keys
+
+
+def test_window_funnel_modes_hand_computed(spark):
+    """windowFunnel mode parity (operators/funnel.py, r9): the
+    documented ClickHouse single-pass semantics pinned on a micro
+    fixture where every mode diverges for a known reason —
+    strict_order stops at a non-matching event (A->B->D->C gives 2),
+    strict_deduplication interrupts on a stage repeat and reports
+    THAT stage (view,click,click,purchase gives 2), strict_increase
+    rejects equal-timestamp chains (view and click at the same
+    instant give 1), and the 24h window bounds every chain from its
+    anchor."""
+    from datetime import datetime, timedelta
+
+    from scratchdb_spark.operators.funnel import window_funnel_levels
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(minutes=0, hours=0):
+        return t0 + timedelta(minutes=minutes, hours=hours)
+
+    rows = [
+        # u1: view, click, ERROR, purchase  (A->B->D->C)
+        (1, ts(0), "view"), (1, ts(10), "click"),
+        (1, ts(15), "error"), (1, ts(20), "purchase"),
+        # u2: view, click, click-REPEAT, purchase
+        (2, ts(0), "view"), (2, ts(10), "click"),
+        (2, ts(15), "click"), (2, ts(20), "purchase"),
+        # u3: view and click at the SAME instant, then purchase
+        (3, ts(0), "view"), (3, ts(0), "click"),
+        (3, ts(10), "purchase"),
+        # u4: click 25h after the only view (outside the window)
+        (4, ts(0), "view"), (4, ts(0, 25), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    W = 24 * 3600 * 1_000_000
+    want = {
+        (): {1: 3, 2: 3, 3: 3, 4: 1},
+        ("strict_order",): {1: 2, 2: 3, 3: 3, 4: 1},
+        ("strict_deduplication",): {1: 3, 2: 2, 3: 3, 4: 1},
+        ("strict_increase",): {1: 3, 2: 3, 3: 1, 4: 1},
+    }
+    for modes, exp in want.items():
+        got = {
+            r["user_id"]: r["level"]
+            for r in window_funnel_levels(
+                ev, "user_id", "ts", conds, W, modes=modes
+            ).collect()
+        }
+        assert got == exp, (modes, got, exp)
+    # partition invariance (oracle prerequisite)
+    got = {
+        r["user_id"]: r["level"]
+        for r in window_funnel_levels(
+            ev.repartition(7), "user_id", "ts", conds, W,
+            modes=("strict_deduplication",),
+        ).collect()
+    }
+    assert got == want[("strict_deduplication",)]

@@ -97,9 +97,17 @@ def main() -> int:
         )
         commit_s = time.time() - t0
         m = snap._manifest(wh, "db", "docs", v)
-        meta_mb = _tree_bytes(
-            snap._snap_dir(wh, "db", "docs").replace("file:", "")
-        ) / 1e6
+        snapd = snap._snap_dir(wh, "db", "docs").replace("file:", "")
+        meta_mb = _tree_bytes(snapd) / 1e6
+        # r9 split: the INLINE metadata (manifest + shards — what the
+        # planner parses on every resolution) vs the lazily-read
+        # bloom sidecars (opened only by token probes)
+        sidecar_mb = _tree_bytes(
+            os.path.join(snapd, snap._BLOOMS_DIR)
+        ) / 1e6 if os.path.isdir(
+            os.path.join(snapd, snap._BLOOMS_DIR)
+        ) else 0.0
+        inline_mb = meta_mb - sidecar_mb
         probes = {}
         for pname, toks in (
             ("marker_present", ["marker00421xq"]),
@@ -126,6 +134,8 @@ def main() -> int:
         results[label] = {
             "commit_s": round(commit_s, 2),
             "snapshots_meta_mb": round(meta_mb, 2),
+            "inline_meta_mb": round(inline_mb, 2),
+            "sidecar_mb": round(sidecar_mb, 2),
             "probes": probes,
             "marker_rows_found": found,
         }
