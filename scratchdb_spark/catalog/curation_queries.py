@@ -1113,3 +1113,58 @@ def stream_outer_interval_join(
         F.count("p_ts").alias("n_converted"),
         (F.count(F.lit(1)) - F.count("p_ts")).alias("n_unmatched"),
     )
+
+
+@register(
+    "curate_mixture_sample",
+    f"""
+    WITH tok AS (
+      SELECT source AS domain, doc_id,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+             CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::UBIGINT % 1000000) AS BIGINT) AS bucket
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+    shares(domain, share_e6) AS (VALUES
+      ('src0', 350000), ('src1', 300000),
+      ('src2', 150000), ('src3', 200000)),
+    tot AS (SELECT domain, sum(n_tok) AS t FROM tok GROUP BY domain),
+    b AS (SELECT min(t * 1000000 // share_e6) AS budget
+          FROM tot JOIN shares USING (domain)),
+    thr AS (SELECT domain,
+                   share_e6 * budget // 1000000 AS target_tokens,
+                   (share_e6 * budget // 1000000) * 1000000 // t
+                     AS thresh
+            FROM tot JOIN shares USING (domain) CROSS JOIN b)
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+           CAST(min(target_tokens) AS BIGINT) AS target_tokens
+    FROM tok JOIN thr USING (domain)
+    WHERE bucket < thresh
+    GROUP BY domain
+    """,
+    doc="Training-mixture SAMPLER (operators/curation.py::"
+        "mixture_sample, new r9 — the materialization half of "
+        "curate_domain_token_budget's weights report): target token "
+        "shares per domain -> the largest feasible total budget "
+        "(min over domains of tokens/share, the binding-domain rule) "
+        "-> per-domain deterministic md5-bucket keep thresholds. ALL "
+        "derived quantities are exact BIGINT arithmetic (shares "
+        "snapped to 1e-6 units, no float division), so the kept set "
+        "is bit-reproducible across engines/runs/layouts and the "
+        "oracle recomputes it from scratch in SQL. Plan: one narrow "
+        "per-domain agg (bounded collect = domain cardinality) + a "
+        "pure-map codegen filter — linear at 100 TB.",
+)
+def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import mixture_sample
+
+    kept = mixture_sample(
+        table(spark, sf_dir, "documents"),
+        {"src0": 0.35, "src1": 0.3, "src2": 0.15, "src3": 0.2},
+    )
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+        F.min("target_tokens").alias("target_tokens"),
+    )

@@ -1237,9 +1237,9 @@ def warehouse_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     "warehouse_history",
     """
     SELECT * FROM (VALUES
-      (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
-      (CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
-      (CAST(3 AS BIGINT), CAST(4 AS BIGINT)))
+      (CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(3 AS BIGINT), CAST(3 AS BIGINT)))
       t(version, n_files)
     """,
     doc="DESCRIBE HISTORY (snapshots.history): one metadata row per "
@@ -3274,4 +3274,85 @@ def events_sequence_next_node(
         nxt.join(ev, nxt["n_id"] == ev["event_id"])
         .groupBy(F.col("event_type").alias("next_event"))
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "events_sequence_count",
+    """
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'signup' THEN 's'
+                                        WHEN 'view' THEN 'v'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        ELSE 'e' END,
+                        '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id),
+    cnts AS (
+      SELECT user_id,
+             CAST(len(regexp_extract_all(seq, 'v.*?c.*?p'))
+                  AS BIGINT) AS n_chains,
+             CAST(len(regexp_extract_all(seq, 'vv*'))
+                  AS BIGINT) AS n_view_runs
+      FROM seqs)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_chains) AS BIGINT) AS total_chains,
+           CAST(count(*) FILTER (n_chains >= 2) AS BIGINT)
+             AS users_with_2plus,
+           CAST(max(n_chains) AS BIGINT) AS max_chains,
+           CAST(sum(n_view_runs) AS BIGINT) AS total_view_runs
+    FROM cnts
+    """,
+    doc="ClickHouse sequenceCount parity (new r9 — the counting twin "
+        "of events_sequence_match's boolean sequenceMatch): per user, "
+        "the number of NON-OVERLAPPING view->click->purchase chains, "
+        "counted as leftmost lazy-regex matches over the same ordered "
+        "code string (array_sort of (ts, event_id, code) structs -> "
+        "concat), plus maximal consecutive-view runs. Non-overlap is "
+        "the regex engine's scan-restart-after-match semantics, "
+        "verified identical between Spark (java.util.regex) and "
+        "DuckDB (RE2) on lazy patterns before pinning. JVM-side "
+        "regexp_count, zero UDFs, one shuffle on user_id.",
+)
+def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", code.alias("c")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["c"]
+                ),
+            ).alias("seq")
+        )
+    )
+    cnts = seqs.select(
+        F.regexp_count("seq", F.lit("v.*?c.*?p"))
+        .cast("long")
+        .alias("n_chains"),
+        F.regexp_count("seq", F.lit("vv*"))
+        .cast("long")
+        .alias("n_view_runs"),
+    )
+    return cnts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_chains").alias("total_chains"),
+        F.sum((F.col("n_chains") >= 2).cast("long")).alias(
+            "users_with_2plus"
+        ),
+        F.max("n_chains").alias("max_chains"),
+        F.sum("n_view_runs").alias("total_view_runs"),
     )

@@ -351,6 +351,85 @@ def domain_token_budget(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    shares: dict[str, float],
+    text_col: str = "text",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Materialize a target training MIXTURE by deterministic
+    hash-sampling (the sampler half of domain_token_budget's report):
+    given target token shares per domain, compute the LARGEST total
+    token budget every listed domain can serve (B = min over domains
+    of tokens_d / share_d — the binding-domain rule every mixture
+    recipe reduces to), then keep each domain's documents whose
+    md5-bucket falls under floor(target_d / tokens_d * grid).
+
+    Exactness contract: shares are snapped to 1e-6 units and ALL
+    derived quantities (budget, per-domain targets, keep thresholds)
+    are pure BIGINT arithmetic over the exact whitespace-token totals
+    — no float division anywhere, so Spark and the SQL oracle agree
+    bit-for-bit, and the kept set is reproducible across engines,
+    runs, and cluster layouts (the same content-addressed property
+    as operators/split.py). Headroom: token totals up to ~9e12 fit
+    the BIGINT intermediate (T * 1e6).
+
+    Plan shape at 100 TB: one narrow agg for per-domain totals (few
+    rows collected — domain cardinality), then a pure-map filter
+    (md5 + literal-threshold CASE, whole-stage codegen). Output: the
+    kept documents as (domain, doc_id, n_tok, target_tokens).
+    Sampling is per-document, so achieved tokens track targets to
+    within one document's tokens per domain.
+    """
+    from .split import hash_bucket
+
+    share_e6 = {d: int(round(s * 1e6)) for d, s in shares.items()}
+    if any(v <= 0 for v in share_e6.values()):
+        raise ValueError(f"non-positive share in {shares}")
+    if sum(share_e6.values()) > 1_000_000:
+        raise ValueError(f"shares sum to > 1: {shares}")
+    toks = df.filter(
+        F.col(domain_col).isin(*share_e6.keys())
+    ).select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tok"),
+        hash_bucket(F.col(id_col), grid).alias("__b"),
+    )
+    totals = {
+        r["domain"]: r["t"]
+        for r in toks.groupBy("domain")
+        .agg(F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    missing = sorted(set(share_e6) - set(totals))
+    if missing:
+        raise ValueError(
+            f"mixture domains absent from the corpus: {missing}"
+        )
+    budget = min(
+        totals[d] * 1_000_000 // share_e6[d] for d in share_e6
+    )
+    target = {d: share_e6[d] * budget // 1_000_000 for d in share_e6}
+    thresh = {d: target[d] * grid // totals[d] for d in share_e6}
+    thr_expr = None
+    for d in sorted(share_e6):
+        cond = (F.col("domain") == d) & (F.col("__b") < thresh[d])
+        thr_expr = cond if thr_expr is None else thr_expr | cond
+    tgt_map = F.create_map(
+        *[F.lit(x) for d in sorted(share_e6) for x in (d, target[d])]
+    )
+    return (
+        toks.filter(thr_expr)
+        .withColumn(
+            "target_tokens", F.element_at(tgt_map, F.col("domain"))
+        )
+        .drop("__b")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 512,

@@ -92,21 +92,59 @@ def _watermark_path(wh: Warehouse, database: str, table: str) -> str:
     return f"{_snap_dir(wh, database, table)}/_last.json"
 
 
-def _next_version(wh: Warehouse, database: str, table: str) -> int:
+def _next_version(
+    wh: Warehouse, database: str, table: str,
+    vs: list[int] | None = None,
+) -> int:
     """Monotonic version numbering: max(manifests on disk, persisted
     high-watermark) + 1. The watermark survives expire_snapshots and
     maintenance, so version numbers are NEVER reused — a CDC consumer
     holding a from_version that history truncation removed gets an
     explicit 'version not in snapshots' error instead of a silently
-    wrong diff against an unrelated reused number."""
-    vs = versions(wh, database, table)
+    wrong diff against an unrelated reused number.
+
+    OCC REQUIREMENT (r9, caught by the concurrent-writer rehearsal):
+    commit paths MUST pass the ``vs`` listing they derived ``prev``
+    from. With a second, fresher listing here, a racer landing
+    between the two claims an intermediate number, this writer PUTs
+    at racer+1 UNCONTESTED with a manifest built from the stale prev
+    — a silent lost update (measured: 4 widened-window writers lost
+    7/16 batches with ZERO CAS conflicts). Numbering from the same
+    snapshot makes both writers claim the same number, so the CAS
+    rejects the loser and its retry re-reads — concurrent appends
+    linearize instead of losing one."""
+    occ = vs is not None
+    if vs is None:
+        vs = versions(wh, database, table)
     hi = vs[-1] if vs else 0
     wm = _watermark_path(wh, database, table)
     if hfs.exists(wh.spark, wm):
         try:
-            hi = max(hi, int(json.loads(hfs.read_text(wh.spark, wm))["last"]))
+            wm_last = int(
+                json.loads(hfs.read_text(wh.spark, wm))["last"]
+            )
         except (ValueError, KeyError):
-            pass
+            wm_last = hi
+        if occ and wm_last > hi:
+            # the watermark is bumped right AFTER each manifest PUT,
+            # so being ahead of the caller's listing means a racer
+            # committed since (its manifest is live — expiry always
+            # keeps the latest). Numbering past it would claim an
+            # UNCONTESTED number with a stale prev — the second half
+            # of the silent-lost-update hole (measured before this
+            # check: widened-window writers leapfrogged via the
+            # fresh watermark read with zero CAS conflicts). Fail
+            # the commit loudly; the caller's retry re-reads.
+            if hfs.exists(
+                wh.spark,
+                f"{_snap_dir(wh, database, table)}/v{wm_last:012d}.json",
+            ):
+                raise CommitConflictError(
+                    f"{database}.{table} advanced to v{wm_last} "
+                    f"past this writer's snapshot v{hi} "
+                    "(concurrent commit)"
+                )
+        hi = max(hi, wm_last)
     return hi + 1
 
 
@@ -1144,7 +1182,11 @@ def commit_snapshot(
     last_err: CommitConflictError | None = None
     for _attempt in range(5):
         vs = versions(wh, database, table)
-        next_v = _next_version(wh, database, table)
+        try:
+            next_v = _next_version(wh, database, table, vs=vs)
+        except CommitConflictError as e:
+            last_err = e  # racer landed since our listing: re-read
+            continue
         # Copy-on-write DELETE/MERGE leave their replaced files on disk
         # (older versions still reference them — that's the audit
         # trail), recording them in the manifest's cumulative "retired"
@@ -1354,7 +1396,11 @@ def _txn_commit(
     last_err: CommitConflictError | None = None
     for _attempt in range(5):
         vs = versions(wh, database, table)
-        next_v = _next_version(wh, database, table)
+        try:
+            next_v = _next_version(wh, database, table, vs=vs)
+        except CommitConflictError as e:
+            last_err = e  # racer landed since our listing: re-read
+            continue
         prev = _manifest(wh, database, table, vs[-1]) if vs else None
         carried_txns = dict(prev.get("txns", {})) if prev else {}
         if carried_txns.get(app, -(10**18)) >= tv:
@@ -1881,7 +1927,7 @@ def rollback_table(
             f"(e.g. {gone[0]}); restore from backup instead"
         )
     latest = _manifest(wh, database, table, vs[-1])
-    next_v = _next_version(wh, database, table)
+    next_v = _next_version(wh, database, table, vs=vs)
     # files ADDED after to_version stay on disk as the newer versions'
     # audit trail; mark them retired so commit_snapshot can't re-adopt
     newer = (
@@ -2474,7 +2520,10 @@ def _cow_commit(
     new_files = sorted(
         [f for f in prev_files if f not in affected] + rewritten
     )
-    next_v = _next_version(wh, database, table)
+    # number from the SAME snapshot `prev` came from (see
+    # _next_version's OCC requirement): a racer past prev makes this
+    # PUT lose the CAS loudly instead of silently dropping its files
+    next_v = _next_version(wh, database, table, vs=[prev["version"]])
     cols = prev.get("stat_cols", [])
     blooms = prev.get("bloom_cols", [])
     manifest = {
@@ -3225,7 +3274,11 @@ def maintain_table(
     # fresh names (invisible to snapshot readers until the PUT)
     rewritten = _cow_rewrite(wh, base, out, prefix="compact")
 
-    next_v = _next_version(wh, database, table)
+    # same-snapshot numbering (see _next_version's OCC requirement):
+    # maintenance is the documented single writer, but a concurrent
+    # APPEND landing mid-rewrite must still fail this CAS loudly
+    # rather than have its files dropped from the compacted manifest
+    next_v = _next_version(wh, database, table, vs=vs)
     # recompute zone maps for the compacted layout: range-clustering on
     # sort_col is exactly what makes per-file min/max maximally
     # selective, so maintenance refreshes rather than drops them

@@ -179,13 +179,33 @@ class Warehouse:
         )
 
     def create_empty_table(self, database: str, table: str) -> None:
-        """N4: auto-create with the single ``__row_id BIGINT`` column."""
+        """N4: auto-create with the single ``__row_id BIGINT`` column.
+
+        Concurrency-hardened (r9, caught by the concurrent-writer txn
+        rehearsal): two first-batch writers racing here both ran the
+        mode("overwrite") write and one died on the other's temporary
+        files. The overwrite is now retried once behind a re-check —
+        whichever racer wins, the table exists with the identical
+        one-column schema (the operation is idempotent by content),
+        so the loser proceeding is correct."""
         if self.exists(database, table):
             return
         schema = T.StructType([T.StructField("__row_id", T.LongType())])
-        empty = self.spark.createDataFrame([], schema)
-        empty.write.mode("overwrite").parquet(self._path(database, table))
-        self._write_schema(database, table, schema)
+        # mkdirs + atomic sidecar PUT — deliberately NOT a
+        # mode("overwrite") empty-frame write: overwrite TRUNCATES the
+        # directory, so a racer still inside create could delete a
+        # faster writer's already-appended batch files (data loss the
+        # txn rehearsal's thread race exposed). mkdirs is idempotent;
+        # the sidecar rename is atomic and both racers write identical
+        # bytes. Readers use the sidecar schema, so an empty dir reads
+        # as an empty one-column table exactly like the old empty
+        # parquet write did.
+        hfs.mkdirs(self.spark, self._path(database, table))
+        # create-IF-ABSENT: a racing creator losing the rename is
+        # fine — the winner wrote the identical one-column schema
+        hfs.create_text(
+            self.spark, self._sidecar(database, table), schema.json()
+        )
 
     def _write_schema(
         self, database: str, table: str, schema: T.StructType

@@ -973,8 +973,10 @@ def test_manifest_zone_maps_prune_files(spark, tmp_path):
             stat_cols=["k"],
         )
     full = snap.read_snapshot(wh, "db", "t")
-    # 4 = the table's initial empty file + three batch files
-    assert len(full.inputFiles()) == 4
+    # three batch files (r9: table creation is mkdirs + schema
+    # sidecar only — no initial empty parquet file to truncate in a
+    # creation race, see create_empty_table)
+    assert len(full.inputFiles()) == 3
 
     pruned = snap.read_snapshot(wh, "db", "t", prune=("k", 100, 109))
     assert len(pruned.inputFiles()) == 1  # only the middle file plans
@@ -999,7 +1001,7 @@ def test_manifest_zone_maps_prune_files(spark, tmp_path):
     v = snap.versions(wh, "db", "t")[-1]
     m = snap._manifest(wh, "db", "t", v)
     assert m["stat_cols"] == ["k"]
-    assert len(m["stats"]) == 5  # carried 4 (incl. empty) + fresh 1
+    assert len(m["stats"]) == 4  # carried 3 + fresh 1
 
     # COW delete rewrites one file; stats carry + refresh
     snap.delete_where(wh, "db", "t", F.col("k") == 105)
@@ -3498,3 +3500,110 @@ def test_token_bloom_sidecar_externalization(spark, tmp_path):
         wh, "db", "t", prune_tokens=("body", ["marker3"])
     )
     assert got.filter(got.body.contains("marker3")).count() == 30
+
+
+def test_concurrent_append_no_lost_update(spark, tmp_path, monkeypatch):
+    """r9 concurrent-writer rehearsal caught a SILENT LOST UPDATE:
+    a writer whose versions() listing was stale could still claim an
+    UNCONTESTED version number through the fresh watermark read
+    (bumped by the racer's PUT) — its manifest, built from the stale
+    prev, dropped the racer's files with zero CAS conflicts
+    (measured: 7/16 batches lost). _next_version(vs=...) must now
+    (a) raise CommitConflictError when the watermark is ahead of the
+    caller's snapshot with a live manifest, and (b) the commit retry
+    loops must absorb it, re-read, and adopt the racer's files."""
+    import pytest as _pytest
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def df(rows):
+        return spark.createDataFrame(rows, "__row_id long, v long")
+
+    snap.append_versioned(wh, "db", "t", df([(1, 10)]))
+
+    # (a) the primitive: a racer committing after our listing makes
+    # same-snapshot numbering refuse, not leapfrog
+    vs_stale = snap.versions(wh, "db", "t")
+    snap.append_versioned(wh, "db", "t", df([(2, 20)]))
+    with _pytest.raises(snap.CommitConflictError, match="advanced"):
+        snap._next_version(wh, "db", "t", vs=vs_stale)
+
+    # (b) end-to-end: inject the race inside the victim's first
+    # versions() read — the racer lands after the listing returns
+    real_versions = snap.versions
+    state = {"fired": False}
+
+    def racing_versions(wh_, database, table):
+        out = real_versions(wh_, database, table)
+        if not state["fired"] and table == "t":
+            state["fired"] = True
+            snap.append_versioned(wh_, database, "t", df([(3, 30)]))
+        return out
+
+    monkeypatch.setattr(snap, "versions", racing_versions)
+    snap.append_versioned(wh, "db", "t", df([(4, 40)]))
+    monkeypatch.setattr(snap, "versions", real_versions)
+    assert state["fired"]
+    got = sorted(
+        r["__row_id"] for r in snap.read_snapshot(wh, "db", "t").collect()
+    )
+    assert got == [1, 2, 3, 4]  # nobody's batch was dropped
+
+
+def test_file_stats_arrow_fast_path_parity(spark, tmp_path, monkeypatch):
+    """_file_stats_arrow (r9) must produce JSON-identical records to
+    the Spark-agg path across the full stat-column type surface
+    (long/double/string/boolean, nulls, all-null files, empty files,
+    over-cap dictionaries) — the fidelity the manifest itself has."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(600).select(
+        F.col("id").alias("__row_id"),
+        (F.col("id") % 7).alias("k"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id") * 1.5)
+        .alias("d"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 100)))
+        .alias("s"),
+        (F.col("id") % 2 == 0).alias("b"),
+        F.col("id").alias("wide"),  # 600 distinct: over the dict cap
+    ).repartition(6)
+    wh.create_empty_table("db", "t")
+    wh.append_aligned("db", "t", df)
+    # one empty + one all-null-column file
+    wh.append_aligned(
+        "db", "t",
+        spark.createDataFrame(
+            [(10_000, None, None, None, None, None)],
+            "__row_id long, k long, d double, s string, b boolean, "
+            "wide long",
+        ).coalesce(1),
+    )
+    base = wh._path("db", "t")
+    import os as _os
+
+    names = sorted(
+        n
+        for n in _os.listdir(base.replace("file:", ""))
+        if n.endswith(".parquet")
+    )
+    schema = wh.schema("db", "t")
+    cols = ["k", "d", "s", "b", "wide"]
+    fast = snap._file_stats_arrow(wh, base, names, schema, cols)
+    monkeypatch.setattr(snap, "_ARROW_STATS_MIN_FILES", 10**9)
+    slow = snap._file_stats(wh, base, names, schema, cols)
+    assert set(fast) == set(slow) == set(names)
+    for n in names:
+        a = _json.dumps(fast[n], sort_keys=True)
+        b = _json.dumps(slow[n], sort_keys=True)
+        assert a == b, (n, a, b)

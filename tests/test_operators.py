@@ -3307,3 +3307,45 @@ def test_window_funnel_modes_hand_computed(spark):
         ).collect()
     }
     assert got == want[("strict_deduplication",)]
+
+
+def test_mixture_sample_contract(spark, sf_dir):
+    """mixture_sample (r9): the binding-domain budget rule, exact
+    integer thresholds, determinism under repartitioning, and loud
+    errors for infeasible recipes."""
+    import pytest as _pytest
+
+    from scratchdb_spark.operators.curation import mixture_sample
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    shares = {"src0": 0.35, "src1": 0.3, "src2": 0.15, "src3": 0.2}
+    kept = mixture_sample(docs, shares)
+    rows = kept.collect()
+    per = {}
+    for r in rows:
+        d = per.setdefault(
+            r["domain"], {"docs": 0, "tok": 0, "tgt": r["target_tokens"]}
+        )
+        d["docs"] += 1
+        d["tok"] += r["n_tok"]
+    assert set(per) == set(shares)  # every domain sampled
+    # kept tokens never exceed the domain target by more than the
+    # sampling granularity allows... they can run OVER or UNDER by
+    # hash luck, but the TARGETS must realize the exact share ratios
+    # of one common budget
+    tgts = {d: per[d]["tgt"] for d in per}
+    budget = sum(tgts.values()) / sum(shares.values())
+    for d, s in shares.items():
+        assert abs(tgts[d] - s * budget) <= 1  # integer-floor slack
+    # deterministic under adversarial repartitioning
+    again = {
+        (r["domain"], r["doc_id"])
+        for r in mixture_sample(docs.repartition(13), shares).collect()
+    }
+    assert again == {(r["domain"], r["doc_id"]) for r in rows}
+    # infeasible recipes fail loudly
+    with _pytest.raises(ValueError, match="absent"):
+        mixture_sample(docs, {"src0": 0.5, "no_such_source": 0.5})
+    with _pytest.raises(ValueError, match="sum"):
+        mixture_sample(docs, {"src0": 0.7, "src1": 0.7})

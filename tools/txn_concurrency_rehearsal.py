@@ -142,8 +142,73 @@ def main() -> int:
     except snap.ConcurrentTxnError:
         loud = True
 
+    # phase 2 — FORCED contention: natural thread interleaving rarely
+    # collides (the versions-read -> PUT window is ~ms while the data
+    # write is ~0.5 s), so widen the window with an injected sleep
+    # and measure the CAS machinery actually retrying. Exactly-once
+    # must hold regardless of the conflict rate.
+    real_versions = snap.versions
+    in_phase2 = threading.Event()
+    in_phase2.set()
+
+    def slow_versions(wh_, database, table):
+        out = real_versions(wh_, database, table)
+        if in_phase2.is_set() and table == "t2":
+            time.sleep(0.15)
+        return out
+
+    snap.versions = slow_versions
+    stats2 = dict(stats)
+    t0 = time.time()
+    threads = []
+
+    def writer2(app: int):
+        for b in range(1, 5):
+            lo = 10_000_000 + app * 1_000_000 + b * 1_000
+            df = spark.createDataFrame(
+                [(lo + i, app, b) for i in range(10)],
+                "__row_id long, app long, batch long",
+            )
+            for attempt in range(10):
+                try:
+                    snap.append_versioned(
+                        wh, "db", "t2", df, txn=(f"app{app}", b)
+                    )
+                    break
+                except snap.CommitConflictError:
+                    with stats_lock:
+                        stats["escalations"] += 1
+                    time.sleep(0.05 * (attempt + 1))
+            else:
+                errors.append((app, b, "gave up (phase2)"))
+
+    threads = [
+        threading.Thread(target=writer2, args=(a,))
+        for a in range(N_WRITERS)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    forced_wall = time.time() - t0
+    in_phase2.clear()
+    snap.versions = real_versions
+    forced = {
+        "cas_conflicts": stats["cas_conflicts"] - stats2["cas_conflicts"],
+        "caller_escalations": (
+            stats["escalations"] - stats2["escalations"]
+        ),
+        "manifest_puts": stats["puts"] - stats2["puts"],
+        "wall_s": round(forced_wall, 2),
+        "rows": snap.read_snapshot(wh, "db", "t2").count(),
+        "rows_expected": N_WRITERS * 4 * 10,
+        "distinct_row_ids": snap.read_snapshot(wh, "db", "t2")
+        .select("__row_id").distinct().count(),
+    }
+
     snap._put_manifest = real_put
     results = {
+        "forced_contention": forced,
         "writers": N_WRITERS,
         "batches_per_writer": BATCHES_PER_WRITER,
         "rows_per_batch": ROWS_PER_BATCH,
@@ -165,6 +230,9 @@ def main() -> int:
         and not errors
         and n_after == n
         and loud
+        and forced["rows"]
+        == forced["rows_expected"]
+        == forced["distinct_row_ids"]
     )
     if ok:
         with open(out_path, "w") as f:
