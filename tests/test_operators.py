@@ -3349,3 +3349,89 @@ def test_mixture_sample_contract(spark, sf_dir):
         mixture_sample(docs, {"src0": 0.5, "no_such_source": 0.5})
     with _pytest.raises(ValueError, match="sum"):
         mixture_sample(docs, {"src0": 0.7, "src1": 0.7})
+
+
+def test_window_funnel_matches_python_reference_all_mode_combos(spark):
+    """The funnel fold vs an independent pure-Python implementation
+    of the documented algorithm, over 200 random users with tie-heavy
+    timestamps, for ALL 8 mode combinations (the micro fixture pins
+    each mode's signature divergence; this pins the full state
+    machine — including mode interactions — across arbitrary
+    streams)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from scratchdb_spark.operators.funnel import window_funnel_levels
+
+    N = 3
+    W_UNITS = 8
+    UNIT_US = 60_000_000  # 1 minute
+    rng = random.Random(99)
+    rows = []
+    per_user: dict = {}
+    t0 = datetime(2024, 1, 1)
+    for u in range(200):
+        evs = []
+        for _ in range(rng.randrange(3, 16)):
+            t = rng.randrange(0, 21)  # ties ARE likely
+            e = rng.choices([0, 1, 2, 3], weights=[2, 3, 3, 2])[0]
+            evs.append((t, e))
+            rows.append(
+                (u, t0 + timedelta(minutes=t),
+                 {0: "error", 1: "view", 2: "click", 3: "purchase"}[e])
+            )
+        per_user[u] = sorted(evs)
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+
+    def ref(evs, strict_order, strict_dedup, strict_increase):
+        ts = [None] * (N + 1)
+        fe = False
+        for t, e in evs:
+            if e == 0:
+                if strict_order and fe:
+                    break
+                continue
+            if e == 1:
+                ts[1] = (t, t)
+                fe = True
+            elif strict_dedup and ts[e] is not None:
+                return e
+            elif ts[e - 1] is not None:
+                first, last = ts[e - 1]
+                ok = t <= first + W_UNITS
+                if strict_increase:
+                    ok = ok and last < t
+                if ok:
+                    ts[e] = (first, t)
+                    if e == N:
+                        return N
+        for k in range(N, 0, -1):
+            if ts[k] is not None:
+                return k
+        return 0
+
+    all_modes = ("strict_order", "strict_deduplication", "strict_increase")
+    for mask in range(8):
+        modes = tuple(m for i, m in enumerate(all_modes) if mask >> i & 1)
+        got = {
+            r["user_id"]: r["level"]
+            for r in window_funnel_levels(
+                ev, "user_id", "ts", conds, W_UNITS * UNIT_US,
+                modes=modes,
+            ).collect()
+        }
+        so, sd, si = (m in modes for m in all_modes)
+        for u, evs in per_user.items():
+            kept = evs if so else [x for x in evs if x[1] > 0]
+            if not kept:
+                assert u not in got, (modes, u)
+                continue
+            want = ref(evs, so, sd, si)
+            assert got.get(u) == want, (modes, u, evs, got.get(u), want)
