@@ -947,3 +947,120 @@ def split_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
     return epoch_shuffle(docs, epoch=3)
+
+
+@register(
+    "text_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id || '@ex'
+                  || (doc_id % 7) || '.org'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' ssn 123-45-' || (1000 + doc_id % 9000)
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' card 4111 1111 1111 1111' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN ' call 415-555-' || (1000 + doc_id % 9000)
+                     ELSE '' END
+             || CASE WHEN doc_id % 6 = 0
+                     THEN ' from 10.0.' || (doc_id % 256) || '.7'
+                     ELSE '' END AS t
+      FROM documents),
+    s1 AS (SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS BIGINT) AS n_email,
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t
+           FROM aug),
+    s2 AS (SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+               AS BIGINT) AS n_ssn,
+             regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+               '<SSN>', 'g') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ssn,
+             CAST(len(regexp_extract_all(t,
+               '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b'))
+               AS BIGINT) AS n_card,
+             regexp_replace(t,
+               '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b',
+               '<CARD>', 'g') AS t
+           FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ssn, n_card,
+             CAST(len(regexp_extract_all(t,
+               '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT)
+               AS n_phone,
+             regexp_replace(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b',
+               '<PHONE>', 'g') AS t
+           FROM s3),
+    s5 AS (SELECT doc_id, n_email, n_ssn, n_card, n_phone,
+             CAST(len(regexp_extract_all(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+               AS BIGINT) AS n_ipv4,
+             regexp_replace(t,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g') AS t
+           FROM s4)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_email) AS BIGINT) AS emails,
+           CAST(sum(n_ssn) AS BIGINT) AS ssns,
+           CAST(sum(n_card) AS BIGINT) AS cards,
+           CAST(sum(n_phone) AS BIGINT) AS phones,
+           CAST(sum(n_ipv4) AS BIGINT) AS ipv4s,
+           CAST(sum(n_email + n_ssn + n_card + n_phone + n_ipv4)
+                AS BIGINT) AS pii_total,
+           CAST(sum(len(t)) AS BIGINT) AS redacted_chars
+    FROM s5
+    """,
+    doc="Rule-based PII scrubbing (operators/text.py::pii_scrub, new "
+        "r9): emails / SSN-shaped / card-shaped / phone-shaped / IPv4 "
+        "spans replaced with typed placeholder tokens, counted per "
+        "category BEFORE each replacement, rules applied in fixed "
+        "most-specific-first order (a card never half-eaten as two "
+        "phones) — the standard pre-training scrub whose counts feed "
+        "the corpus datasheet. Pure regexp_count/regexp_replace "
+        "inside codegen (no UDF, a pure map at 100 TB); patterns "
+        "avoid lookaround/backrefs so java.util.regex and RE2 agree, "
+        "and the oracle replays the identical rule chain stage by "
+        "stage. PII is INJECTED deterministically from doc_id (the "
+        "synthetic corpus has none) — both engines build the same "
+        "augmented text, so counts and redacted-length check exactly.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pii_scrub
+
+    d = F.col("doc_id")
+
+    def opt(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), d.cast("string"),
+        F.lit("@ex"), (d % 7).cast("string"), F.lit(".org"),
+        opt(d % 3 == 0, F.lit(" ssn 123-45-"),
+            (d % 9000 + 1000).cast("string")),
+        opt(d % 5 == 0, F.lit(" card 4111 1111 1111 1111")),
+        opt(d % 4 == 0, F.lit(" call 415-555-"),
+            (d % 9000 + 1000).cast("string")),
+        opt(d % 6 == 0, F.lit(" from 10.0."),
+            (d % 256).cast("string"), F.lit(".7")),
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", aug.alias("text")
+    )
+    out = pii_scrub(docs)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ssn").alias("ssns"),
+        F.sum("n_card").alias("cards"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("n_ipv4").alias("ipv4s"),
+        F.sum("pii_total").alias("pii_total"),
+        F.sum(F.length("redacted")).alias("redacted_chars"),
+    )

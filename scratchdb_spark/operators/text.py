@@ -540,3 +540,58 @@ def phrase_search(
     return cur.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
+
+
+#: PII patterns, applied IN ORDER (most-specific first: an email's
+#: digits must not be half-eaten by the phone rule; a 16-digit card
+#: must outrank the 3-3-4 phone shape). Conservative syntax shared by
+#: java.util.regex (Spark) and RE2 (DuckDB): no lookaround, no
+#: backrefs — the cross-engine-exactness requirement.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based PII redaction for training corpora: replace every
+    email / SSN-shaped / card-shaped / phone-shaped / IPv4 span with a
+    typed placeholder token and count what was redacted per category
+    — the standard pre-training scrub pass (placeholder tokens keep
+    sequence structure for the tokenizer; counts feed the corpus
+    datasheet).
+
+    Order matters and is fixed (PII_RULES): specific shapes outrank
+    general ones so a card number is never half-eaten as two phone
+    numbers; counts are measured BEFORE that category's replacement,
+    on the text as left by the previous rules. Everything is
+    regexp_count/regexp_replace — JVM expressions inside codegen, no
+    UDFs, a pure map at 100 TB — and the patterns avoid lookaround/
+    backreferences so java.util.regex and RE2 agree (the DuckDB
+    oracle replays the same rule chain).
+
+    Output: (id, redacted text, one count column per category,
+    pii_total).
+    """
+    cols = [F.col(id_col)]
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(
+                f"n_{name}"
+            )
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    out = df.select(*cols, cur.alias("redacted"), *counts)
+    total_expr = None
+    for name, _p, _r in PII_RULES:
+        t = F.col(f"n_{name}")
+        total_expr = t if total_expr is None else total_expr + t
+    return out.withColumn("pii_total", total_expr)

@@ -3435,3 +3435,87 @@ def test_window_funnel_matches_python_reference_all_mode_combos(spark):
                 continue
             want = ref(evs, so, sd, si)
             assert got.get(u) == want, (modes, u, evs, got.get(u), want)
+
+
+def test_window_funnel_four_stages(spark):
+    """The fold generator is generic in N (state fields f1..fN are
+    emitted programmatically); guard the N=4 path the 3-stage parity
+    queries never execute: full chain, window-bounded chain, and a
+    strict_deduplication interrupt at stage 4."""
+    from datetime import datetime, timedelta
+
+    from scratchdb_spark.operators.funnel import window_funnel_levels
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + timedelta(minutes=m)
+
+    rows = [
+        # u1: s -> v -> c -> p inside the window: level 4
+        (1, ts(0), "signup"), (1, ts(5), "view"),
+        (1, ts(10), "click"), (1, ts(15), "purchase"),
+        # u2: purchase lands outside the 30-min window of the anchor
+        (2, ts(0), "signup"), (2, ts(5), "view"),
+        (2, ts(10), "click"), (2, ts(45), "purchase"),
+        # u3: second purchase while level 4 already reached -> the
+        # early-return freeze keeps 4 (not a dedup interrupt)
+        (3, ts(0), "signup"), (3, ts(1), "view"), (3, ts(2), "click"),
+        (3, ts(3), "purchase"), (3, ts(4), "purchase"),
+        # u4: dup CLICK before purchase under strict_dedup -> 3
+        (4, ts(0), "signup"), (4, ts(1), "view"), (4, ts(2), "click"),
+        (4, ts(3), "click"), (4, ts(4), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    conds = [
+        F.col("event_type") == "signup",
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    W = 30 * 60 * 1_000_000
+    got = {
+        r["user_id"]: r["level"]
+        for r in window_funnel_levels(
+            ev, "user_id", "ts", conds, W
+        ).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 4, 4: 4}
+    got_dd = {
+        r["user_id"]: r["level"]
+        for r in window_funnel_levels(
+            ev, "user_id", "ts", conds, W,
+            modes=("strict_deduplication",),
+        ).collect()
+    }
+    assert got_dd == {1: 4, 2: 3, 3: 4, 4: 3}
+
+
+def test_pii_scrub_semantics(spark):
+    """pii_scrub (r9): every category redacts to its typed token,
+    counts are per-category and measured before that category's
+    replacement, rule order protects specific shapes (a 16-digit
+    card is ONE card, never two phones), and clean text passes
+    through untouched."""
+    from scratchdb_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail a.b+c@corp.example.org and x@y.io twice"),
+        (2, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+        (3, "call 415-555-1234 from 10.0.0.7 ok"),
+        (4, "clean text with numbers 12345 and words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_email"] == 2
+    assert got[1]["redacted"] == "mail <EMAIL> and <EMAIL> twice"
+    assert (got[2]["n_ssn"], got[2]["n_card"], got[2]["n_phone"]) == (
+        1, 1, 0,  # the card is ONE card, not two phones
+    )
+    assert got[2]["redacted"] == "ssn <SSN> card <CARD>"
+    assert (got[3]["n_phone"], got[3]["n_ipv4"]) == (1, 1)
+    assert got[3]["redacted"] == "call <PHONE> from <IP> ok"
+    assert got[4]["pii_total"] == 0
+    assert got[4]["redacted"] == rows[3][1]
