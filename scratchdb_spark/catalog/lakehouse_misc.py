@@ -3356,3 +3356,113 @@ def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chains").alias("max_chains"),
         F.sum("n_view_runs").alias("total_view_runs"),
     )
+
+
+@register(
+    "stream_funnel_levels_live",
+    _funnel_sql(
+        _FUNNEL_STAGES_SQL,
+        _FUNNEL_WINDOW_US,
+        ("strict_deduplication",),
+        events_table=(
+            "(SELECT user_id, ts, event_type FROM events "
+            "WHERE user_id < 40) ev"
+        ),
+    ),
+    doc="LIVE streaming windowFunnel "
+        "(streaming/stateful.py::streaming_funnel_levels, new r9): "
+        "the first 40 users' events replayed through an actual "
+        "applyInPandasWithState stream in TWO time-split micro-"
+        "batches (per-user in-order by construction: the split is at "
+        "the global time median, and batch mtimes pin source order), "
+        "with the per-user funnel accumulator persisting across the "
+        "batch boundary; the final per-user level distribution is "
+        "hash-checked against the SAME recursive-CTE SQL oracle the "
+        "batch fold uses — a live stateful stream proven equal to "
+        "the declarative definition. State is 2n timestamps + 3 "
+        "flags per user (O(users), never O(events)); "
+        "strict_deduplication exercised live.",
+    bench=False,  # times temp-stream setup, not a scan
+)
+def stream_funnel_levels_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+
+    from ..streaming.stateful import streaming_funnel_levels
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("ts").cast("timestamp"),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            ).alias("ts"),
+            "event_type",
+        )
+    )
+    rows = ev.collect()  # bounded: 40 users' events
+    cut = sorted(r["ts"] for r in rows)[len(rows) // 2]
+    src = tempfile.mkdtemp(prefix="funnel_stream_")
+    with open(os.path.join(src, "a.ndjson"), "w") as f:
+        for r in rows:
+            if r["ts"] <= cut:
+                f.write(
+                    f'{{"user_id": {r["user_id"]}, "ts": '
+                    f'"{r["ts"]}", "event_type": "{r["event_type"]}"}}\n'
+                )
+    with open(os.path.join(src, "b.ndjson"), "w") as f:
+        for r in rows:
+            if r["ts"] > cut:
+                f.write(
+                    f'{{"user_id": {r["user_id"]}, "ts": '
+                    f'"{r["ts"]}", "event_type": "{r["event_type"]}"}}\n'
+                )
+    now = _time.time()
+    os.utime(os.path.join(src, "a.ndjson"), (now - 10, now - 10))
+    os.utime(os.path.join(src, "b.ndjson"), (now, now))
+
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    name = f"funnel_live_{abs(hash(src)) % 10**8}"
+    q = (
+        streaming_funnel_levels(
+            stream, "user_id", "ts", conds, _FUNNEL_WINDOW_US,
+            modes=("strict_deduplication",),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(src, "_ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final level per user = max emitted (monotonic fold; memory-sink
+    # row order is not emission order)
+    return (
+        spark.sql(f"SELECT user_id, level FROM {name}")
+        .groupBy("user_id")
+        .agg(F.max("level").alias("level"))
+        .filter(F.col("level") >= 1)
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

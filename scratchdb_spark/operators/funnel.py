@@ -167,6 +167,67 @@ def window_funnel_levels(
     )
 
 
+def py_funnel_init(n: int) -> tuple:
+    """Flattened fold state: (f1, l1, ..., fn, ln, fe, br, rs) —
+    the exact accumulator the Spark fold carries, as a plain tuple so
+    the STREAMING twin (streaming/stateful.py::streaming_funnel_levels)
+    can persist it in the state store and resume across micro-batches."""
+    return tuple([None] * (2 * n)) + (False, False, 0)
+
+
+def py_funnel_step(
+    state: tuple,
+    t: int,
+    e: int,
+    n: int,
+    window_micros: int,
+    strict_order: bool = False,
+    strict_dedup: bool = False,
+    strict_increase: bool = False,
+) -> tuple:
+    """One event through the documented single-pass algorithm —
+    byte-for-byte the Spark fold's transition (pinned against it by
+    test_window_funnel_matches_python_reference_all_mode_combos via
+    the shared reference, and directly by the streaming parity test)."""
+    fl = list(state[: 2 * n])
+    fe, br, rs = state[2 * n], state[2 * n + 1], state[2 * n + 2]
+    if br or rs > 0:
+        return state
+    if e == 0:
+        if strict_order and fe:
+            return tuple(fl) + (fe, True, rs)
+        return state
+    if e == 1:
+        fl[0] = fl[1] = t
+        return tuple(fl) + (True, br, rs)
+    if strict_dedup and fl[2 * (e - 1)] is not None:
+        return tuple(fl) + (fe, br, e)
+    if fl[2 * (e - 2)] is not None:
+        first, last = fl[2 * (e - 2)], fl[2 * (e - 2) + 1]
+        ok = t <= first + window_micros
+        if strict_increase:
+            ok = ok and last < t
+        if ok:
+            fl[2 * (e - 1)] = first
+            fl[2 * (e - 1) + 1] = t
+            if e == n:
+                rs = n
+            return tuple(fl) + (fe, br, rs)
+    return state
+
+
+def py_funnel_level(state: tuple, n: int) -> int:
+    """Finalize: the interrupt value when set, else the highest
+    reached level."""
+    rs = state[2 * n + 2]
+    if rs > 0:
+        return rs
+    for k in range(n, 0, -1):
+        if state[2 * (k - 1)] is not None:
+            return k
+    return 0
+
+
 def duckdb_funnel_oracle(
     stage_cases: str,
     window_micros: int,

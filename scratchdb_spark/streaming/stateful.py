@@ -112,3 +112,99 @@ def inactivity_sessions(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> Data
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_funnel_levels(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conds,
+    window_micros: int,
+    modes=(),
+) -> DataFrame:
+    """STREAMING windowFunnel: the per-user funnel fold
+    (operators/funnel.py — ClickHouse's documented single-pass
+    algorithm, all strict modes) maintained incrementally across
+    micro-batches. Each batch folds its rows (sorted within the
+    batch) into the persisted accumulator and emits the user's
+    current level — the changelog a live conversion dashboard reads,
+    without ever rescanning the event history.
+
+    State is the fold accumulator itself: 2n timestamps + 3 flags per
+    user (O(distinct users), independent of event count — the
+    batch operator's per-user sorted ARRAY never materializes here).
+    Delivery contract: in-order per user ACROSS batches (within a
+    batch any order — the fold sorts it); late cross-batch events
+    would need a buffer-and-reorder stage in front, the same caveat
+    as every run-once fold over a stream. Exactness vs the batch
+    operator under that contract is pytest-pinned
+    (test_streaming_funnel_matches_batch)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.funnel import (
+        _MODES,
+        py_funnel_init,
+        py_funnel_level,
+        py_funnel_step,
+    )
+
+    for m in modes:
+        if m not in _MODES:
+            raise ValueError(f"unknown funnel mode {m!r}; in {_MODES}")
+    n = len(conds)
+    if n < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    so = "strict_order" in modes
+    sd = "strict_deduplication" in modes
+    si = "strict_increase" in modes
+
+    idx = F.when(conds[0], F.lit(1))
+    for i, c in enumerate(conds[1:], start=2):
+        idx = idx.when(c, F.lit(i))
+    idx = idx.otherwise(F.lit(0))
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        idx.alias("e"),
+    )
+    if not so:
+        ev = ev.filter(F.col("e") > 0)
+
+    state_schema = (
+        ", ".join(
+            f"f{k} long, l{k} long" for k in range(1, n + 1)
+        )
+        + ", fe boolean, br boolean, rs int"
+    )
+
+    def fn(
+        key: Any,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        st = tuple(state.get) if state.exists else py_funnel_init(n)
+        rows: list = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["t"].tolist(), pdf["e"].tolist())
+            )
+        rows.sort()
+        for t, e in rows:
+            st = py_funnel_step(
+                st, int(t), int(e), n, window_micros, so, sd, si
+            )
+        state.update(st)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "level": [py_funnel_level(st, n)],
+            }
+        )
+
+    return ev.groupBy("__u").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, level int",
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -546,3 +546,111 @@ def test_interval_join_left_outer_streaming(spark, tmp_path, sf_dir):
         if r["c_id"] < 10**9
     }
     assert stream == batch
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """streaming_funnel_levels (r9): the funnel fold's accumulator
+    persists across micro-batches (a chain STARTED in batch 1
+    completes in batch 2), strict_deduplication interrupts across the
+    boundary too, and the final per-user level equals the BATCH
+    operator run over the concatenated stream — the exactness
+    contract under in-order per-user delivery."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark.operators.funnel import window_funnel_levels
+    from scratchdb_spark.streaming.stateful import (
+        streaming_funnel_levels,
+    )
+
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+
+    def ev(u, minute, et):
+        return json.dumps(
+            {
+                "user_id": u,
+                "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+                "event_type": et,
+            }
+        )
+
+    # batch 1: u1 view+click; u2 view; u3 view+click
+    with open(os.path.join(src, "a.ndjson"), "w") as f:
+        for line in (
+            ev(1, 0, "view"), ev(1, 5, "click"),
+            ev(2, 0, "view"),
+            ev(3, 0, "view"), ev(3, 1, "click"),
+        ):
+            f.write(line + "\n")
+    # batch 2: u1 purchase (completes the cross-batch chain);
+    # u2 click 50 min later (outside the 30-min window);
+    # u3 duplicate click then purchase (dedup interrupt at 2)
+    with open(os.path.join(src, "b.ndjson"), "w") as f:
+        for line in (
+            ev(1, 10, "purchase"),
+            ev(2, 50, "click"),
+            ev(3, 2, "click"), ev(3, 3, "purchase"),
+        ):
+            f.write(line + "\n")
+    # the file source orders micro-batches by MTIME; same-second
+    # writes tie-break arbitrarily, which would feed batch b first
+    # and violate the operator's in-order delivery contract
+    import time as _time
+
+    now = _time.time()
+    os.utime(os.path.join(src, "a.ndjson"), (now - 10, now - 10))
+    os.utime(os.path.join(src, "b.ndjson"), (now, now))
+
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    W = 30 * 60 * 1_000_000
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        streaming_funnel_levels(
+            stream, "user_id", "ts", conds, W,
+            modes=("strict_deduplication",),
+        )
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM funnel_stream").collect()
+    # final level per user = max emitted (update mode emits one row
+    # per batch the user appeared in; the fold's level is monotonic —
+    # f-slots only fill and the rs interrupt can't undercut a level
+    # already reached — and memory-sink row order is not emission
+    # order, so 'last row wins' would be flaky)
+    final: dict = {}
+    for r in rows:
+        final[r["user_id"]] = max(
+            final.get(r["user_id"], 0), r["level"]
+        )
+    batch = {
+        r["user_id"]: r["level"]
+        for r in window_funnel_levels(
+            spark.read.schema(
+                "user_id long, ts timestamp, event_type string"
+            ).json(src),
+            "user_id", "ts", conds, W,
+            modes=("strict_deduplication",),
+        ).collect()
+    }
+    assert final == batch == {1: 3, 2: 1, 3: 2}
+    # u1's chain really did cross the micro-batch boundary
+    u1_levels = [r["level"] for r in rows if r["user_id"] == 1]
+    assert 2 in u1_levels and 3 in u1_levels
