@@ -1,0 +1,269 @@
+"""Persistent minhash-LSH DEDUP INDEX over snapshot tables — the
+dedup-family counterpart of operators/ann_index.py.
+
+At 100 TB you do not re-minhash the corpus per ingest batch: the
+banded signatures live as their own snapshot table (one row per
+(doc, band): ``__row_id`` = doc_id * bands + band, ``band_hash``),
+range-clustered on ``band_hash`` with zone-map stats so a probe
+batch's band hashes prune index FILES before any scan. New batches
+are checked for near-dups against the indexed corpus with one
+equi-join on (band, band_hash) plus an exact-jaccard verify over only
+the candidate pairs — work scales with the batch and its candidates,
+never the corpus.
+
+Unlike the ANN index there is NO trained state to freeze: band rows
+are a pure function of the text (fixed splitmix salts,
+dedup.minhash_band_hashes), so refresh is delete+recompute for
+exactly the changed ids and a refreshed index is BYTE-EQUAL to a
+fresh rebuild (pytest-pinned). Small params metadata rides the
+manifest summary (``dedup_meta``) — resolved by the same
+walk-back-the-chain rule as the ANN sidecar pointer, without a
+sidecar file.
+
+Reference context: the reference has no dedup at all (SURVEY §0 —
+ingest+pass-through only); this is part of the training-data
+extension surface, with ClickHouse-style operational posture
+(build / CDC refresh / query) borrowed from the lakehouse layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import snapshots as snap
+from ..tables import Warehouse
+from .dedup import hashed_shingles, jaccard, minhash_band_hashes, widen
+
+#: probe band-hash lists up to this size go through manifest
+#: prune_eq (driver IN-list file skipping); larger probes read the
+#: full index and let the join shuffle do the work
+_PRUNE_MAX_HASHES = 4096
+
+
+def _band_rows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(doc_id, band, band_hash, __row_id) for every doc with at
+    least one shingle; __row_id = doc_id * bands + band is unique and
+    stable per (doc, band) — the COW delete key."""
+    base = widen(
+        docs.select(
+            F.col(id_col).cast("long").alias("id"), F.col(text_col)
+        )
+    ).select(
+        "id", hashed_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    return minhash_band_hashes(base, num_hashes, bands).select(
+        (F.col("id") * bands + F.col("band")).alias("__row_id"),
+        F.col("id").alias("doc_id"),
+        "band",
+        "band_hash",
+    )
+
+
+def _load_dedup_meta(
+    wh: Warehouse, database: str, index_table: str
+) -> dict:
+    vs = snap.versions(wh, database, index_table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{index_table} has no snapshots — "
+            "build_dedup_index first"
+        )
+    for v in reversed(vs):
+        summ = snap._manifest(wh, database, index_table, v).get(
+            "summary", {}
+        )
+        if "dedup_meta" in summ:
+            return dict(summ["dedup_meta"])
+    raise ValueError(
+        f"{database}.{index_table} carries no dedup_meta in its "
+        "retained history — not a dedup index table"
+    )
+
+
+def build_dedup_index(
+    wh: Warehouse,
+    database: str,
+    src_table: str,
+    index_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n_files: int | None = None,
+) -> int:
+    """Build (or REBUILD) the band-row index from the CURRENT source
+    snapshot as ONE atomic overwrite commit, range-clustered on
+    band_hash with zone maps (probe hashes file-skip before scanning).
+    Params + the exact source version ride the commit summary."""
+    src_version = snap.versions(wh, database, src_table)[-1]
+    src = snap.read_snapshot(wh, database, src_table, version=src_version)
+    rows = _band_rows(src, text_col, id_col, n, num_hashes, bands)
+    nf = n_files if n_files is not None else 16
+    wh.create_empty_table(database, index_table)
+    return snap.overwrite_versioned(
+        wh,
+        database,
+        index_table,
+        rows.repartitionByRange(nf, "band_hash")
+        .sortWithinPartitions("band_hash", "__row_id"),
+        stat_cols=["band_hash"],
+        summary={
+            "operation": "dedup-build",
+            "dedup_meta": {
+                "src_table": src_table,
+                "src_version": src_version,
+                "text_col": text_col,
+                "id_col": id_col,
+                "n": n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+            },
+        },
+        cdc=False,  # derived table, no CDC consumers
+    )
+
+
+def refresh_dedup_index(
+    wh: Warehouse, database: str, index_table: str
+) -> dict:
+    """Advance the index over the source CDC window — churn-sized:
+    every changed id's band rows are COW-deleted (keys-frame
+    anti-join, never an IN-list) and the live ids' rows recomputed
+    from their CURRENT text and appended. Band rows are a pure
+    function of text, so the result is byte-equal to a rebuild
+    (pytest-pinned); the advanced src_version stamps LAST, so a crash
+    mid-refresh replays the same window idempotently."""
+    meta = _load_dedup_meta(wh, database, index_table)
+    src_table = meta["src_table"]
+    cur = snap.versions(wh, database, src_table)[-1]
+    old = meta["src_version"]
+    if cur == old:
+        return {"n_deleted": 0, "n_inserted": 0, "src_version": cur}
+    ch = snap.read_changes(wh, database, src_table, old, cur)
+    id_col = meta["id_col"]
+    changed = ch.select(
+        F.col(id_col).cast("long").alias("doc_id")
+    ).distinct()
+    _v, n_deleted = snap.delete_keys(
+        wh, database, index_table, changed, "doc_id",
+        summary={"operation": "dedup-refresh-delete"},
+    )
+    live = snap.read_snapshot(
+        wh, database, src_table, version=cur
+    ).join(
+        F.broadcast(changed.withColumnRenamed("doc_id", "__ch_id")),
+        F.col(id_col).cast("long") == F.col("__ch_id"),
+        "left_semi",
+    )
+    fresh = _band_rows(
+        live, meta["text_col"], id_col, meta["n"],
+        meta["num_hashes"], meta["bands"],
+    )
+    n_inserted = 0
+    if fresh.limit(1).count():
+        snap.append_versioned(
+            wh, database, index_table, fresh,
+            summary={"operation": "dedup-refresh-append"},
+        )
+        n_inserted = fresh.count()
+    snap.commit_snapshot(
+        wh, database, index_table,
+        summary={
+            "operation": "dedup-refresh",
+            "dedup_meta": {**meta, "src_version": cur},
+        },
+    )
+    return {
+        "n_deleted": n_deleted,
+        "n_inserted": n_inserted,
+        "src_version": cur,
+    }
+
+
+def query_dedup_index(
+    wh: Warehouse,
+    database: str,
+    index_table: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs between a PROBE batch and the indexed corpus:
+    probe band rows (one fused kernel over the batch) equi-join the
+    index on (band, band_hash) — with manifest file-skipping via the
+    probe's band-hash IN-list when the probe is small
+    (<= _PRUNE_MAX_HASHES hashes; beyond that the join's shuffle is
+    the scale path) — then the candidate pairs verify with EXACT
+    jaccard over hashed shingles, probe text from the batch, corpus
+    text from the source snapshot the index reflects. Output:
+    (probe_id, corpus_id, jaccard_sim >= threshold); corpus-resident
+    probe ids never pair with themselves.
+
+    Same capture math as dedup.minhash_lsh_pairs: at the default
+    64 hashes x 16 bands, j=0.8 pairs are caught w.p. ~0.9998 and
+    the verify stage removes every false positive — so the output
+    equals the exact answer w.h.p. at candidate-linear cost."""
+    meta = _load_dedup_meta(wh, database, index_table)
+    bands = meta["bands"]
+    probe = new_docs.select(
+        F.col(probe_id_col).cast("long").alias("pid"),
+        F.col(probe_text_col).alias("ptext"),
+    ).persist()
+    prows = _band_rows(
+        probe, "ptext", "pid", meta["n"], meta["num_hashes"], bands
+    ).select(
+        F.col("doc_id").alias("pid"), "band", "band_hash"
+    ).persist()
+    hashes = [
+        r["band_hash"]
+        for r in prows.select("band_hash")
+        .distinct()
+        .limit(_PRUNE_MAX_HASHES + 1)
+        .collect()
+    ]
+    if len(hashes) <= _PRUNE_MAX_HASHES:
+        idx = snap.read_snapshot(
+            wh, database, index_table,
+            prune_eq=("band_hash", hashes),
+        )
+    else:
+        idx = snap.read_snapshot(wh, database, index_table)
+    cand = (
+        prows.join(idx, ["band", "band_hash"])
+        .filter(F.col("pid") != F.col("doc_id"))
+        .select("pid", F.col("doc_id").alias("corpus_id"))
+        .dropDuplicates(["pid", "corpus_id"])
+    )
+    src = snap.read_snapshot(
+        wh, database, meta["src_table"], version=meta["src_version"]
+    ).select(
+        F.col(meta["id_col"]).cast("long").alias("corpus_id"),
+        hashed_shingles(
+            F.col(meta["text_col"]), meta["n"]
+        ).alias("sh_c"),
+    )
+    psh = probe.select(
+        "pid", hashed_shingles(F.col("ptext"), meta["n"]).alias("sh_p")
+    )
+    return (
+        cand.join(psh, "pid")
+        .join(src, "corpus_id")
+        .withColumn(
+            "jaccard_sim",
+            F.round(jaccard(F.col("sh_p"), F.col("sh_c")), 4),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select(
+            F.col("pid").alias("probe_id"), "corpus_id", "jaccard_sim"
+        )
+    )

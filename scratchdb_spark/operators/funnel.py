@@ -59,6 +59,15 @@ def window_funnel_levels(
     in range report level 0 only if they have any event at all kept
     by the mode filter — callers aggregating a distribution usually
     filter level >= 1.
+
+    Scale bound: the per-user sorted array is session-scale (bounded
+    by one user's event count — the same bound every collect_list
+    sequence operator here carries, see events_sequence_match). A
+    bot-grade hot user is the skew risk: profile with
+    monitor.key_skew_profile and pre-cap or divert such keys, or use
+    the STREAMING twin (streaming/stateful.py::
+    streaming_funnel_levels), whose state is O(1) per user and never
+    materializes the history.
     """
     for m in modes:
         if m not in _MODES:

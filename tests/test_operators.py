@@ -3519,3 +3519,100 @@ def test_pii_scrub_semantics(spark):
     assert got[3]["redacted"] == "call <PHONE> from <IP> ok"
     assert got[4]["pii_total"] == 0
     assert got[4]["redacted"] == rows[3][1]
+
+
+def test_dedup_index_build_refresh_query(spark, tmp_path, sf_dir):
+    """Persistent minhash-LSH dedup index (operators/dedup_index.py,
+    r9): probe batches find their corpus near-dups through the band
+    table; CDC refresh (appends + COW deletes + text UPDATES) leaves
+    the index BYTE-EQUAL to a fresh rebuild (band rows are a pure
+    function of text); corpus-resident probes never self-pair."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import dedup_index as di
+    from scratchdb_spark.tables import Warehouse, table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    snap.append_versioned(wh, "db", "docs", docs)
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh")
+
+    # probe: exact copies of docs 0..4 under new ids + reversed-text
+    # negatives
+    probe = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 8))
+        .select(
+            (F.col("doc_id") + 2000).alias("doc_id"),
+            F.array_join(
+                F.reverse(F.split(F.col("text"), " ")), " "
+            ).alias("text"),
+        )
+    )
+    pairs = di.query_dedup_index(wh, "db", "docs_lsh", probe).collect()
+    got = {(r["probe_id"], r["corpus_id"]) for r in pairs}
+    # each copy matches its source doc (jaccard 1.0) — plus any other
+    # corpus doc whose text is a near-dup of it, which the exact
+    # verify also reports
+    for i in range(5):
+        assert (1000 + i, i) in got
+    assert all(
+        r["jaccard_sim"] == 1.0
+        for r in pairs
+        if r["corpus_id"] == r["probe_id"] - 1000
+    )
+
+    # churn: append 3 new docs, DELETE 2, UPDATE 1's text via
+    # delete+append under the same id
+    snap.append_versioned(
+        wh, "db", "docs",
+        probe.filter(F.col("doc_id") >= 2000),
+    )
+    snap.delete_where(wh, "db", "docs", F.col("doc_id").isin(3, 4))
+    snap.delete_where(wh, "db", "docs", F.col("doc_id") == 2)
+    snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [(2, "totally new text for doc two rewritten")],
+            "doc_id long, text string",
+        ),
+    )
+    stats = di.refresh_dedup_index(wh, "db", "docs_lsh")
+    assert stats["n_deleted"] > 0 and stats["n_inserted"] > 0
+
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh_rebuild")
+    refreshed = {
+        tuple(r)
+        for r in snap.read_snapshot(wh, "db", "docs_lsh").collect()
+    }
+    rebuilt = {
+        tuple(r)
+        for r in snap.read_snapshot(
+            wh, "db", "docs_lsh_rebuild"
+        ).collect()
+    }
+    assert refreshed == rebuilt  # pure-function-of-text invariant
+
+    # post-refresh: a copy of a REVERSED doc now finds its corpus twin
+    probe2 = probe.filter(F.col("doc_id") == 2005).select(
+        (F.col("doc_id") + 7000).alias("doc_id"), "text"
+    )
+    got2 = {
+        (r["probe_id"], r["corpus_id"])
+        for r in di.query_dedup_index(
+            wh, "db", "docs_lsh", probe2
+        ).collect()
+    }
+    assert (9005, 2005) in got2
+    # deleted docs are gone from the index: a copy of old doc 3 must
+    # not match doc 3 anymore
+    probe3 = docs.filter(F.col("doc_id") == 3).select(
+        F.lit(8003).alias("doc_id"), "text"
+    )
+    got3 = {
+        r["corpus_id"]
+        for r in di.query_dedup_index(
+            wh, "db", "docs_lsh", probe3
+        ).collect()
+    }
+    assert 3 not in got3
