@@ -4,6 +4,8 @@
 - ``rangejoin``  time-window interval join via bucket equi-join
 - ``bucketing``  bucketed (shuffle-free join) + date-partitioned layouts
 - ``dedup``      exact / minhash-LSH / simhash(+hamming bands) / ngram
+- ``dedup_index`` persistent minhash-LSH band index (build / CDC
+                 refresh / probe) over snapshot tables
 - ``graph``      connected components (large-star/small-star) for
                  near-dup cluster resolution
 - ``compaction`` OPTIMIZE-style small-file bin packing (coalesce or
@@ -14,6 +16,9 @@
 - ``text``       langid, quality, tokens, fingerprints, tf-idf, PII redact
 - ``resample``   bucketed grouped-map (applyInPandas) resampling
 - ``multimodal`` binary payload columns, feature/frames kernels (stub decode)
+- ``funnel``     windowFunnel with ClickHouse strict-mode parity
+                 (JVM fold over per-user sorted arrays; recursive-CTE
+                 oracle generator; pure-Python twin for streaming)
 
 All are compositions of built-in DataFrame ops (window, explode, hash
 functions, groupBy) or Arrow-vectorized numpy kernels where the math
