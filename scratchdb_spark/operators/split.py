@@ -175,18 +175,35 @@ def epoch_shuffle(
     for b in sorted(counts):
         offsets[b] = cum
         cum += counts[b]
-    off_map = F.create_map(
-        *[F.lit(x) for b, o in sorted(offsets.items()) for x in (b, o)]
-    )
-    # pass 2: partitioned rank + offset — no partitionless window
+    # pass 2: partitioned rank + offset — no partitionless window.
+    # The offset lookup is a literal map while it stays plan-sized
+    # (256 entries at the default 2-char prefix); at 3-4 chars
+    # (4k/65k buckets) a literal that wide bloats the Catalyst plan,
+    # so the offsets ride a broadcast-joined frame instead — same
+    # values, same partitioned-window shape either way.
     w = Window.partitionBy("__bkt").orderBy("shuffle_key", F.col(id_col))
-    return (
-        keyed.withColumn(
-            "shuffle_rank",
-            (
-                F.element_at(off_map, F.col("__bkt"))
-                + F.row_number().over(w)
-            ).cast("long"),
+    rn = F.row_number().over(w)
+    if len(offsets) <= 1024:
+        off_map = F.create_map(
+            *[
+                F.lit(x)
+                for b, o in sorted(offsets.items())
+                for x in (b, o)
+            ]
         )
-        .drop("__bkt")
-    )
+        out = keyed.withColumn(
+            "shuffle_rank",
+            (F.element_at(off_map, F.col("__bkt")) + rn).cast("long"),
+        )
+    else:
+        off_df = keyed.sparkSession.createDataFrame(
+            sorted(offsets.items()), "__bkt string, __off long"
+        )
+        out = (
+            keyed.join(F.broadcast(off_df), "__bkt")
+            .withColumn(
+                "shuffle_rank", (F.col("__off") + rn).cast("long")
+            )
+            .drop("__off")
+        )
+    return out.drop("__bkt")

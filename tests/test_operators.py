@@ -3616,3 +3616,23 @@ def test_dedup_index_build_refresh_query(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert 3 not in got3
+
+
+def test_epoch_shuffle_wide_prefix_broadcast_offsets(spark, sf_dir):
+    """prefix_chars=3 (4096 buckets) takes the broadcast-offsets path
+    (a 4k-entry literal map would bloat the Catalyst plan): ranks must
+    stay bit-identical to the default 2-char form, and the plan must
+    still contain no SinglePartition exchange."""
+    from scratchdb_spark.operators.split import epoch_shuffle
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    base = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in epoch_shuffle(docs, epoch=3).collect()
+    }
+    wide_df = epoch_shuffle(docs, epoch=3, prefix_chars=3)
+    plan = wide_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    wide = {r["doc_id"]: r["shuffle_rank"] for r in wide_df.collect()}
+    assert wide == base
