@@ -3466,3 +3466,88 @@ def stream_funnel_levels_live(
         .groupBy("level")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_ab_proportions_ztest",
+    """
+    WITH arms AS (
+      SELECT user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              ::UBIGINT % 2) AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value > 200
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS c_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS c_b
+      FROM arms)
+    SELECT n_a, c_a, n_b, c_b,
+           round(c_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+           round(c_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+           round(
+             (c_a / CAST(n_a AS DOUBLE) - c_b / CAST(n_b AS DOUBLE))
+             / sqrt(((c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1 - (c_a + c_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)),
+             6) AS z_score
+    FROM agg
+    """,
+    doc="ClickHouse proportionsZTest parity (new r9 — the pooled "
+        "two-proportion z-test CH ships for A/B conversion analysis): "
+        "arms assigned by md5(user_id) parity (the same "
+        "content-addressed determinism as operators/split.py — "
+        "reproducible assignment is itself the experiment-design "
+        "requirement), conversion = a >200-value purchase (a "
+        "mid-rate event: ever-purchased saturates at 100% on this "
+        "fixture and the pooled variance degenerates), z from exact "
+        "BIGINT counts with one IEEE-double expression both engines "
+        "evaluate identically (sqrt/div are correctly rounded; 6dp "
+        "snap). One grouped-max over users + one tiny agg — two "
+        "map-side-combined shuffles, linear at 100 TB.",
+)
+def events_ab_proportions_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.split import hash_bucket
+
+    ev = table(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 200)
+            ).cast("int")
+        ).alias("converted")
+    ).withColumn("arm", hash_bucket(F.col("user_id"), 2))
+    agg = arms.agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("n_a"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)
+        ).cast("long").alias("c_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("n_b"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)
+        ).cast("long").alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a").cast("double")
+    p_b = F.col("c_b") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+    )
