@@ -3456,12 +3456,16 @@ def stream_funnel_levels_live(
         q.processAllAvailable()
     finally:
         q.stop()
-    # final level per user = max emitted (monotonic fold; memory-sink
-    # row order is not emission order)
+    # final level per user = the LATEST emission (max n_seen — the
+    # operator's strictly-increasing fold counter). max(level) is NOT
+    # safe in general: under strict_deduplication with >= 4 stages an
+    # interrupt at stage k emits k below an already-emitted higher
+    # level (r10 ADVICE fix; memory-sink row order is not emission
+    # order, so 'last row' needs the explicit counter).
     return (
-        spark.sql(f"SELECT user_id, level FROM {name}")
+        spark.sql(f"SELECT user_id, level, n_seen FROM {name}")
         .groupBy("user_id")
-        .agg(F.max("level").alias("level"))
+        .agg(F.max_by("level", "n_seen").alias("level"))
         .filter(F.col("level") >= 1)
         .groupBy("level")
         .agg(F.count(F.lit(1)).alias("n_users"))

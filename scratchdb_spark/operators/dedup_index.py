@@ -219,75 +219,81 @@ def query_dedup_index(
     Same capture math as dedup.minhash_lsh_pairs: at the default
     64 hashes x 16 bands, j=0.8 pairs are caught w.p. ~0.9998 and
     the verify stage removes every false positive — so the output
-    equals the exact answer w.h.p. at candidate-linear cost."""
+    equals the exact answer w.h.p. at candidate-linear cost (the
+    threshold gates the UNROUNDED jaccard; the reported value is
+    rounded to 4dp only in the output projection).
+
+    Cache discipline (r10): persistence is held only across the
+    in-function band-hash collect and released before return — a
+    long-lived session issuing many probe calls accumulates no cached
+    blocks. The returned plan recomputes the probe-batch frames at
+    action time (probe-sized, cheap by contract); the corpus text is
+    joined RAW to the candidate pairs and shingled post-join, so the
+    expensive shingle kernel still runs on candidate rows only and
+    the candidate frame appears exactly once in the plan."""
     meta = _load_dedup_meta(wh, database, index_table)
     bands = meta["bands"]
     probe = new_docs.select(
         F.col(probe_id_col).cast("long").alias("pid"),
         F.col(probe_text_col).alias("ptext"),
-    ).persist()
+    )
     prows = _band_rows(
         probe, "ptext", "pid", meta["n"], meta["num_hashes"], bands
     ).select(
         F.col("doc_id").alias("pid"), "band", "band_hash"
     ).persist()
-    hashes = [
-        r["band_hash"]
-        for r in prows.select("band_hash")
-        .distinct()
-        .limit(_PRUNE_MAX_HASHES + 1)
-        .collect()
-    ]
-    if len(hashes) <= _PRUNE_MAX_HASHES:
-        idx = snap.read_snapshot(
-            wh, database, index_table,
-            prune_eq=("band_hash", hashes),
+    try:
+        hashes = [
+            r["band_hash"]
+            for r in prows.select("band_hash")
+            .distinct()
+            .limit(_PRUNE_MAX_HASHES + 1)
+            .collect()
+        ]
+        if len(hashes) <= _PRUNE_MAX_HASHES:
+            idx = snap.read_snapshot(
+                wh, database, index_table,
+                prune_eq=("band_hash", hashes),
+            )
+        else:
+            idx = snap.read_snapshot(wh, database, index_table)
+        cand = (
+            prows.join(idx, ["band", "band_hash"])
+            .filter(F.col("pid") != F.col("doc_id"))
+            .select("pid", F.col("doc_id").alias("corpus_id"))
+            .dropDuplicates(["pid", "corpus_id"])
         )
-    else:
-        idx = snap.read_snapshot(wh, database, index_table)
-    cand = (
-        prows.join(idx, ["band", "band_hash"])
-        .filter(F.col("pid") != F.col("doc_id"))
-        .select("pid", F.col("doc_id").alias("corpus_id"))
-        .dropDuplicates(["pid", "corpus_id"])
-        .persist()
-    )
-    # verify ONLY candidate corpus rows: semi-join BEFORE shingling —
-    # shingling is the expensive per-row kernel, and without this the
-    # verify stage re-shingles the whole corpus (measured: a 100-doc
-    # probe cost 45 s at 50k docs, corpus-bounded; candidate-bounded
-    # after)
-    src = (
-        snap.read_snapshot(
+        # verify ONLY candidate corpus rows: the corpus joins the
+        # candidate ids BEFORE shingling — shingling is the expensive
+        # per-row kernel, and without candidate-bounding the verify
+        # stage re-shingles the whole corpus (measured: a 100-doc
+        # probe cost 45 s at 50k docs, corpus-bounded; candidate-
+        # bounded after). Joining raw (id, text) and shingling in the
+        # post-join projection keeps that bound with ONE use of cand.
+        src_raw = snap.read_snapshot(
             wh, database, meta["src_table"],
             version=meta["src_version"],
-        )
-        .join(
-            cand.select(
-                F.col("corpus_id").alias("__cid")
-            ).distinct(),
-            F.col(meta["id_col"]).cast("long") == F.col("__cid"),
-            "left_semi",
-        )
-        .select(
+        ).select(
             F.col(meta["id_col"]).cast("long").alias("corpus_id"),
-            hashed_shingles(
-                F.col(meta["text_col"]), meta["n"]
-            ).alias("sh_c"),
+            F.col(meta["text_col"]).alias("__ctext"),
         )
-    )
-    psh = probe.select(
-        "pid", hashed_shingles(F.col("ptext"), meta["n"]).alias("sh_p")
-    )
-    return (
-        cand.join(psh, "pid")
-        .join(src, "corpus_id")
-        .withColumn(
-            "jaccard_sim",
-            F.round(jaccard(F.col("sh_p"), F.col("sh_c")), 4),
+        psh = probe.select(
+            "pid",
+            hashed_shingles(F.col("ptext"), meta["n"]).alias("sh_p"),
         )
-        .filter(F.col("jaccard_sim") >= threshold)
-        .select(
-            F.col("pid").alias("probe_id"), "corpus_id", "jaccard_sim"
+        jac = jaccard(
+            F.col("sh_p"), hashed_shingles(F.col("__ctext"), meta["n"])
         )
-    )
+        return (
+            cand.join(psh, "pid")
+            .join(src_raw, "corpus_id")
+            .withColumn("__jac", jac)
+            .filter(F.col("__jac") >= threshold)
+            .select(
+                F.col("pid").alias("probe_id"),
+                "corpus_id",
+                F.round(F.col("__jac"), 4).alias("jaccard_sim"),
+            )
+        )
+    finally:
+        prows.unpersist()

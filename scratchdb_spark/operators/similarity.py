@@ -544,7 +544,10 @@ def kmeans_fit(
             chosen.append(nxt)
             best = np.maximum(best, np.round(S @ S[nxt], 6))
         C = S[chosen]
-        if len(C) < k:  # corpus smaller than k: pad by repetition
+        while len(C) < k:  # corpus smaller than k: pad by repetition
+            # loop until FULL (a single vstack still under-fills when
+            # the corpus has fewer than k/2 vectors, leaving all-zero
+            # centroid rows downstream)
             C = np.vstack([C, C[: k - len(C)]])
         C = np.round(C, 6)
     elif init == "smallest_id":

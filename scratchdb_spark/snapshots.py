@@ -376,13 +376,26 @@ def _file_stats_arrow(
                 continue
             out_f, out_rec = [], []
             for n in pdf["f"]:
-                t = _pq.read_table(
-                    _os.path.join(local_base, n), columns=cols
-                )
-                rec: dict = {"__rows": t.num_rows}
+                # a file may LACK a stat column (adopted/legacy files
+                # written before stat-col widening — a supported flow):
+                # the Spark path reads with the TABLE schema and yields
+                # nulls there, so this path intersects with the file's
+                # actual schema and emits the same null-fill record
+                # ([None,None] range, all-rows null count, empty dict)
+                pf = _pq.ParquetFile(_os.path.join(local_base, n))
+                nrows = pf.metadata.num_rows
+                names_in = set(pf.schema_arrow.names)
+                present = [c for c in cols if c in names_in]
+                t = pf.read(columns=present) if present else None
+                rec: dict = {"__rows": nrows}
                 for c in cols:
+                    if c not in names_in:
+                        rec[c] = [None, None]
+                        rec[f"{c}__nulls"] = nrows
+                        rec[f"{c}__dict"] = []
+                        continue
                     col = t[c]
-                    if t.num_rows:
+                    if nrows:
                         mm = _pc.min_max(col)
                         rec[c] = [
                             mm["min"].as_py(), mm["max"].as_py()

@@ -130,15 +130,24 @@ def streaming_funnel_levels(
     current level — the changelog a live conversion dashboard reads,
     without ever rescanning the event history.
 
-    State is the fold accumulator itself: 2n timestamps + 3 flags per
-    user (O(distinct users), independent of event count — the
-    batch operator's per-user sorted ARRAY never materializes here).
-    Delivery contract: in-order per user ACROSS batches (within a
-    batch any order — the fold sorts it); late cross-batch events
-    would need a buffer-and-reorder stage in front, the same caveat
-    as every run-once fold over a stream. Exactness vs the batch
-    operator under that contract is pytest-pinned
-    (test_streaming_funnel_matches_batch)."""
+    State is the fold accumulator itself: 2n timestamps + 3 flags + a
+    fold counter per user (O(distinct users), independent of event
+    count — the batch operator's per-user sorted ARRAY never
+    materializes here). Delivery contract: in-order per user ACROSS
+    batches (within a batch any order — the fold sorts it); late
+    cross-batch events would need a buffer-and-reorder stage in
+    front, the same caveat as every run-once fold over a stream.
+    Exactness vs the batch operator under that contract is
+    pytest-pinned (test_streaming_funnel_matches_batch).
+
+    Output carries ``n_seen`` — the cumulative count of events folded
+    for the user, STRICTLY increasing across the batches a user
+    appears in. Sinks that must reduce update-mode rows to the user's
+    CURRENT level select the row with max n_seen (``max_by(level,
+    n_seen)``): the level itself is NOT monotonic in general — under
+    strict_deduplication with >= 4 stages an interrupt at stage k
+    reports k even when a higher level was already reached, so a
+    max(level) reduction would keep the stale higher value."""
     from pyspark.sql import functions as F
 
     from ..operators.funnel import (
@@ -174,7 +183,7 @@ def streaming_funnel_levels(
         ", ".join(
             f"f{k} long, l{k} long" for k in range(1, n + 1)
         )
-        + ", fe boolean, br boolean, rs int"
+        + ", fe boolean, br boolean, rs int, ns long"
     )
 
     def fn(
@@ -182,7 +191,11 @@ def streaming_funnel_levels(
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        st = tuple(state.get) if state.exists else py_funnel_init(n)
+        if state.exists:
+            *acc, ns = state.get
+            st = tuple(acc)
+        else:
+            st, ns = py_funnel_init(n), 0
         rows: list = []
         for pdf in pdfs:
             rows.extend(
@@ -193,17 +206,19 @@ def streaming_funnel_levels(
             st = py_funnel_step(
                 st, int(t), int(e), n, window_micros, so, sd, si
             )
-        state.update(st)
+        ns += len(rows)
+        state.update(st + (ns,))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "level": [py_funnel_level(st, n)],
+                "n_seen": [ns],
             }
         )
 
     return ev.groupBy("__u").applyInPandasWithState(
         fn,
-        outputStructType="user_id long, level int",
+        outputStructType="user_id long, level int, n_seen long",
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

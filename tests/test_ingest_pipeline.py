@@ -3607,3 +3607,56 @@ def test_file_stats_arrow_fast_path_parity(spark, tmp_path, monkeypatch):
         a = _json.dumps(fast[n], sort_keys=True)
         b = _json.dumps(slow[n], sort_keys=True)
         assert a == b, (n, a, b)
+
+
+def test_file_stats_arrow_tolerates_missing_stat_column(
+    spark, tmp_path, monkeypatch
+):
+    """r10 ADVICE fix: a commit batch can contain adopted/legacy files
+    written BEFORE a stat column was added (stat-col widening is a
+    supported flow). The Spark path reads them with the table schema
+    and null-fills; the pyarrow fast path must do the same instead of
+    raising on pq read of an absent column."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.create_empty_table("db", "t")
+    wh.append_aligned(
+        "db", "t",
+        spark.createDataFrame(
+            [(1, 10, "x"), (2, 20, None)],
+            "__row_id long, v long, s string",
+        ).coalesce(1),
+    )
+    base = wh._path("db", "t")
+    local = base.replace("file:", "")
+    # a legacy file lacking BOTH stat columns' younger sibling: write
+    # it with only (__row_id, v) — no "s"
+    pq.write_table(
+        pa.table({"__row_id": [3, 4], "v": [30, 40]}),
+        _os.path.join(local, "legacy-0.parquet"),
+    )
+    names = sorted(
+        n for n in _os.listdir(local) if n.endswith(".parquet")
+    )
+    schema = wh.schema("db", "t")
+    cols = ["v", "s"]
+    fast = snap._file_stats_arrow(wh, base, names, schema, cols)
+    monkeypatch.setattr(snap, "_ARROW_STATS_MIN_FILES", 10**9)
+    slow = snap._file_stats(wh, base, names, schema, cols)
+    assert set(fast) == set(slow) == set(names)
+    for n in names:
+        a = _json.dumps(fast[n], sort_keys=True)
+        b = _json.dumps(slow[n], sort_keys=True)
+        assert a == b, (n, a, b)
+    legacy = fast["legacy-0.parquet"]
+    assert legacy["s"] == [None, None]
+    assert legacy["s__nulls"] == 2
+    assert legacy["s__dict"] == []

@@ -3636,3 +3636,110 @@ def test_epoch_shuffle_wide_prefix_broadcast_offsets(spark, sf_dir):
     assert "SinglePartition" not in plan
     wide = {r["doc_id"]: r["shuffle_rank"] for r in wide_df.collect()}
     assert wide == base
+
+
+def test_dedup_index_threshold_gates_unrounded_jaccard(
+    spark, tmp_path
+):
+    """r10 ADVICE fix: the threshold must gate the UNROUNDED jaccard
+    (matching the exact oracle); 4dp rounding happens only in the
+    output projection. Constructed pair: 30 distinct words with one
+    mid-doc substitution -> 25/31 shared shingles, true j =
+    0.80645... which ROUNDS UP to 0.8065 — at threshold=0.8065 the
+    pair must be excluded (round-before-filter kept it). Also pins
+    the r10 cache discipline: probe calls leave no persisted blocks
+    behind."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import dedup_index as di
+    from scratchdb_spark.operators.dedup import hashed_shingles, jaccard
+    from scratchdb_spark.tables import Warehouse
+
+    words = [f"w{i:02d}" for i in range(30)]
+    corpus_text = " ".join(words)
+    probe_words = list(words)
+    probe_words[15] = "zzz"
+    probe_text = " ".join(probe_words)
+
+    j = (
+        spark.createDataFrame(
+            [(corpus_text, probe_text)], "a string, b string"
+        )
+        .select(
+            jaccard(
+                hashed_shingles(F.col("a"), 3),
+                hashed_shingles(F.col("b"), 3),
+            ).alias("j")
+        )
+        .collect()[0]["j"]
+    )
+    assert abs(j - 25 / 31) < 1e-12
+    assert round(j, 4) > j  # the rounding really does cross upward
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [(1, corpus_text)], "doc_id long, text string"
+        ),
+    )
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh")
+    probe = spark.createDataFrame(
+        [(100, probe_text)], "doc_id long, text string"
+    )
+
+    n_persisted_before = len(
+        spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    )
+    # sanity: the pair IS a band candidate (reported at a lower
+    # threshold, with the rounded display value)
+    low = di.query_dedup_index(
+        wh, "db", "docs_lsh", probe, threshold=0.8
+    ).collect()
+    assert [(r["probe_id"], r["corpus_id"], r["jaccard_sim"])
+            for r in low] == [(100, 1, 0.8065)]
+    # at the rounded value as threshold the unrounded j fails the gate
+    hi = di.query_dedup_index(
+        wh, "db", "docs_lsh", probe, threshold=0.8065
+    ).collect()
+    assert hi == []
+    n_persisted_after = len(
+        spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    )
+    assert n_persisted_after <= n_persisted_before
+
+
+def test_kmeans_maxmin_pad_fills_k_on_tiny_corpus(spark):
+    """r10 ADVICE fix: maxmin init on a corpus with fewer than k/2
+    vectors must still pad to exactly k centroids (the single-vstack
+    pad under-filled, leaving all-zero centroid rows downstream in
+    _coarse_centroids' zeros matrix — cosine 0 to everything)."""
+    import numpy as np
+
+    from scratchdb_spark.operators.similarity import (
+        _coarse_centroids,
+        kmeans_fit,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    k = 8  # 3 < k/2: the old pad produced 6 rows, not 8
+    rows = kmeans_fit(
+        corpus, k=k, iters=1, init="maxmin"
+    ).collect()
+    by_cid: dict = {}
+    for r in rows:
+        by_cid.setdefault(r["centroid_id"], {})[r["dim"]] = r["c_val"]
+    assert set(by_cid) == set(range(k))
+    cent_ids, C = _coarse_centroids(
+        corpus, k, "vec_id", "embedding", quantizer="kmeans",
+        kmeans_iters=1,
+    )
+    assert C.shape[0] == k
+    norms = np.linalg.norm(C, axis=1)
+    assert (norms > 0.5).all(), norms  # no all-zero centroid rows

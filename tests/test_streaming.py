@@ -630,16 +630,17 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     rows = spark.sql("SELECT * FROM funnel_stream").collect()
-    # final level per user = max emitted (update mode emits one row
-    # per batch the user appeared in; the fold's level is monotonic —
-    # f-slots only fill and the rs interrupt can't undercut a level
-    # already reached — and memory-sink row order is not emission
-    # order, so 'last row wins' would be flaky)
-    final: dict = {}
+    # final level per user = the LATEST emission, selected by the
+    # operator's strictly-increasing n_seen counter (memory-sink row
+    # order is not emission order; max(level) is unsafe for >= 4
+    # stages under strict_deduplication — see
+    # test_streaming_funnel_four_stage_interrupt_undercuts_max)
+    latest: dict = {}
     for r in rows:
-        final[r["user_id"]] = max(
-            final.get(r["user_id"], 0), r["level"]
-        )
+        prev = latest.get(r["user_id"])
+        if prev is None or r["n_seen"] > prev[0]:
+            latest[r["user_id"]] = (r["n_seen"], r["level"])
+    final = {u: lv for u, (_, lv) in latest.items()}
     batch = {
         r["user_id"]: r["level"]
         for r in window_funnel_levels(
@@ -654,3 +655,94 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     # u1's chain really did cross the micro-batch boundary
     u1_levels = [r["level"] for r in rows if r["user_id"] == 1]
     assert 2 in u1_levels and 3 in u1_levels
+    # n_seen is strictly increasing across a user's emissions — the
+    # property the latest-row reduction relies on
+    for u in (1, 2, 3):
+        seen = sorted(r["n_seen"] for r in rows if r["user_id"] == u)
+        assert len(set(seen)) == len(seen)
+
+
+def test_streaming_funnel_four_stage_interrupt_undercuts_max(
+    spark, tmp_path
+):
+    """The r10 ADVICE case: 4-stage funnel under strict_deduplication
+    where batch 1 reaches level 3 and batch 2's stage-2 repeat
+    interrupts with result 2 — the CORRECT final level (matches the
+    batch operator) is LOWER than a previously emitted one, so a
+    max(level) sink reduction reports a stale 3 while the n_seen
+    latest-row reduction reports 2."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark.operators.funnel import window_funnel_levels
+    from scratchdb_spark.streaming.stateful import (
+        streaming_funnel_levels,
+    )
+
+    src = str(tmp_path / "funnel4_src")
+    os.makedirs(src)
+
+    def ev(u, minute, et):
+        return json.dumps(
+            {
+                "user_id": u,
+                "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+                "event_type": et,
+            }
+        )
+
+    with open(os.path.join(src, "a.ndjson"), "w") as f:
+        for line in (
+            ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "purchase"),
+        ):
+            f.write(line + "\n")
+    with open(os.path.join(src, "b.ndjson"), "w") as f:
+        f.write(ev(1, 3, "click") + "\n")  # stage-2 repeat: rs = 2
+    import time as _time
+
+    now = _time.time()
+    os.utime(os.path.join(src, "a.ndjson"), (now - 10, now - 10))
+    os.utime(os.path.join(src, "b.ndjson"), (now, now))
+
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "signup",
+    ]
+    W = 30 * 60 * 1_000_000
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        streaming_funnel_levels(
+            stream, "user_id", "ts", conds, W,
+            modes=("strict_deduplication",),
+        )
+        .writeStream.format("memory")
+        .queryName("funnel4_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel4"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM funnel4_stream").collect()
+    u1 = [r for r in rows if r["user_id"] == 1]
+    latest = max(u1, key=lambda r: r["n_seen"])["level"]
+    stale_max = max(r["level"] for r in u1)
+    batch = window_funnel_levels(
+        spark.read.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).json(src),
+        "user_id", "ts", conds, W,
+        modes=("strict_deduplication",),
+    ).collect()[0]["level"]
+    assert batch == 2
+    assert latest == 2  # the n_seen reduction agrees with batch
+    assert stale_max == 3  # ...and max(level) demonstrably does not
