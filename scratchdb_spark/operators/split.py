@@ -95,6 +95,7 @@ def balance_classes(
     label_col: str,
     id_col: str,
     cap: int,
+    salt_chars: int = 2,
 ) -> DataFrame:
     """Class-balanced downsampling: keep at most ``cap`` rows per
     label, chosen by content-addressed order (md5 of the id) — the
@@ -103,20 +104,45 @@ def balance_classes(
 
     Deterministic and engine-portable for the same reason as
     hash_split: md5 order is identical everywhere, unlike
-    ``ORDER BY rand()``. The ranking window partitions by label, so
-    parallelism is per-class; a single giant class is the skew bound
-    (mitigate by pre-filtering or a two-phase salted top-k when one
-    label dominates a 100 TB corpus).
+    ``ORDER BY rand()``.
+
+    Scale shape (r10 — was a per-label global rank, i.e. ONE sort
+    task per label, so a dominant class pushes ~its share of 100 TB
+    through a single task; the same pattern class as epoch_shuffle's
+    r9 fix): two-phase salted top-``cap``. The salt is the first
+    ``salt_chars`` hex chars of the ordering key itself, so phase 1
+    ranks inside PARTITIONED windows on (label, salt) — 16^salt_chars
+    concurrent bounded sorts per label, md5 uniformity balances
+    them — and keeps the ``cap`` key-smallest per (label, salt).
+    Phase 2 ranks the survivors per label: at most cap x 16^salt_chars
+    rows per label regardless of corpus size, so its per-label sort
+    task is CAP-BOUNDED, not data-bounded. Output is bit-identical to
+    the single-window form because md5 order (id tie-break) is total:
+    every row of a label's global top-``cap`` is also in its salt's
+    top-``cap`` (within-salt rank <= global rank), so phase 1 never
+    drops a winner and phase 2 selects exactly the global top-``cap``.
+    No partitionless window anywhere (pytest-pinned:
+    test_balance_classes_plan_windows_partition_on_label_salt).
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(label_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    key = F.md5(F.col(id_col).cast("string"))
+    salt = F.substring(key, 1, salt_chars)
+    w1 = Window.partitionBy(label_col, "__salt").orderBy(
+        "__key", F.col(id_col)
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
+    survivors = (
+        df.withColumn("__key", key)
+        .withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= cap)
-        .drop("__rn")
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(label_col).orderBy("__key", F.col(id_col))
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__key")
     )
 
 

@@ -3743,3 +3743,74 @@ def test_kmeans_maxmin_pad_fills_k_on_tiny_corpus(spark):
     assert C.shape[0] == k
     norms = np.linalg.norm(C, axis=1)
     assert (norms > 0.5).all(), norms  # no all-zero centroid rows
+
+
+def test_balance_classes_salted_two_phase_output_equality(spark):
+    """r10 (the r9 verdict's only weak): balance_classes' salted
+    two-phase top-cap must return exactly the rows of the per-label
+    single-window rank — including on SKEWED data where one label
+    dominates (the case the salting exists for) and on labels smaller
+    than the cap (pass whole)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from scratchdb_spark.operators.split import balance_classes
+
+    # 10_000 'en' rows (dominant), 300 'fr', 12 'is' (below cap)
+    df = (
+        spark.range(10_312)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 10_000, "en")
+            .when(F.col("id") < 10_300, "fr")
+            .otherwise("is")
+            .alias("lang"),
+        )
+        .repartition(16)
+    )
+    cap = 60
+    got = balance_classes(df, "lang", "doc_id", cap=cap).collect()
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    by_lang: dict = {}
+    for r in got:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang == {"en": cap, "fr": cap, "is": 12}
+    # layout-invariance: same rows under a different partitioning
+    got2 = balance_classes(
+        df.repartition(3), "lang", "doc_id", cap=cap
+    ).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want))
+
+
+def test_balance_classes_plan_windows_partition_on_label_salt(
+    spark, sf_dir
+):
+    """Plan shape for the r10 fix: phase 1's rank window partitions on
+    (label, salt) — never label alone over the raw data — so a
+    dominant class spreads over 16^salt_chars concurrent sorts; the
+    phase-2 window (label only) ranks a cap x 16^salt_chars-bounded
+    survivor set. No SinglePartition exchange anywhere."""
+    import re
+
+    from scratchdb_spark.operators.split import balance_classes
+    from scratchdb_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = balance_classes(docs, "lang", "doc_id", cap=60)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # two window operators: the first (innermost) partitions on
+    # (lang, __salt); hashpartitioning keys prove the exchanges
+    assert "__salt" in plan
+    assert len(re.findall(r"\bWindow\b", plan)) >= 2
+    salted = re.findall(r"hashpartitioning\(lang[^)]*__salt", plan)
+    assert salted, plan
