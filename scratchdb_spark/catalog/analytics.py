@@ -1576,11 +1576,24 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_ewma_user_value",
     """
-    SELECT user_id,
-           list_reduce(list(value ORDER BY event_id),
-                       (acc, x) -> acc * 0.75 + x * 0.25) AS ewma,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM events GROUP BY user_id
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS i
+      FROM events),
+    cnt AS (
+      SELECT user_id, max(i) AS mx, count(*) AS n FROM seq
+      GROUP BY user_id),
+    step AS (
+      SELECT user_id, i, value AS acc FROM seq WHERE i = 1
+      UNION ALL
+      SELECT st.user_id, x.i, st.acc * 0.75 + x.value * 0.25
+      FROM step st JOIN seq x
+        ON x.user_id = st.user_id AND x.i = st.i + 1)
+    SELECT st.user_id, st.acc AS ewma,
+           CAST(cnt.n AS BIGINT) AS n_events
+    FROM step st JOIN cnt
+      ON st.user_id = cnt.user_id AND st.i = cnt.mx
     """,
     doc="Per-user exponential moving average of event values "
         "(ClickHouse exponentialMovingAverage / "
@@ -1593,12 +1606,16 @@ def ann_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is THE distributed shape: per-key state is the key's own "
         "event list (bounded by per-user activity; a key with "
         "millions of events would chunk the fold over pre-reduced "
-        "spans). DuckDB's list_reduce evaluates the identical IEEE "
-        "double sequence, so the oracle hash-matches bit-for-bit. "
-        "Ordering is by event_id (the stable sequence number): the "
-        "ns->us timestamp conversion truncates parquet ns "
-        "timestamps, so ts-based tie order would diverge across "
-        "engines (found and pinned here).",
+        "spans). The oracle is a RECURSIVE CTE advancing one event "
+        "per user per iteration — the same left-to-right IEEE double "
+        "sequence, bit-identical. It was a scalar-seed list_reduce "
+        "through r9 (always green — the struct-seed vectorized-"
+        "lambda bug documented in operators/funnel.py never hit "
+        "scalar folds), migrated r10 so NO oracle in the repo "
+        "depends on DuckDB's list_reduce plan shape. Ordering is by "
+        "event_id (the stable sequence number): the ns->us timestamp "
+        "conversion truncates parquet ns timestamps, so ts-based tie "
+        "order would diverge across engines (found and pinned here).",
 )
 def ts_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")

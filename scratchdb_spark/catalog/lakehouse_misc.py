@@ -2651,8 +2651,11 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- windowFunnel MODE family (r9): the documented ClickHouse
 # single-pass algorithm (operators/funnel.py) with strict_order /
 # strict_deduplication / strict_increase parity. Each mode's oracle
-# is the SAME fold emitted as DuckDB list_reduce SQL — exact, not a
-# fixture. Stages: view -> click -> purchase, 24 h window.
+# is the SAME fold emitted as a DuckDB RECURSIVE CTE (one event per
+# user per iteration) — exact, not a fixture, and deliberately NOT
+# list_reduce (plan-shape-dependent for struct-seed folds; see
+# duckdb_funnel_oracle's docstring for the measurement). Stages:
+# view -> click -> purchase, 24 h window.
 from ..operators.funnel import duckdb_funnel_oracle as _funnel_sql  # noqa: E402
 
 _FUNNEL_STAGES_SQL = (
@@ -2694,8 +2697,9 @@ _FUNNEL_DOC = (
     "event extends when within window of the anchor, reaching the "
     "top level ends the pass. Pure JVM expression tree (no UDF, no "
     "join explosion), one shuffle on user_id. The oracle is the "
-    "IDENTICAL fold emitted as DuckDB list_reduce SQL — exact per "
-    "mode, not a fixture. Mode here: {}"
+    "IDENTICAL fold emitted as a DuckDB RECURSIVE CTE — exact per "
+    "mode, not a fixture (list_reduce rejected: plan-shape-dependent "
+    "for struct-seed folds, see duckdb_funnel_oracle). Mode here: {}"
 )
 
 

@@ -23,10 +23,11 @@ Spark shape (100 TB): one shuffle keyed on the user column;
 per-user events become one sorted array (session-scale, bounded) and
 the pass is an ``F.aggregate`` fold over it — a pure JVM expression
 tree, no UDF, no join explosion. The same fold is expressible in
-DuckDB as ``list_reduce`` over the same sorted list, which is what
-makes every mode EXACTLY oracle-checkable (duckdb_funnel_oracle
-emits that SQL); both engines sort by (ts, stage) so ties are
-deterministic.
+DuckDB as a RECURSIVE CTE over the same sorted sequence, which is
+what makes every mode EXACTLY oracle-checkable (duckdb_funnel_oracle
+emits that SQL — NOT list_reduce; see its docstring for the measured
+plan-shape bug that rules the lambda form out); both engines sort by
+(ts, stage) so ties are deterministic.
 
 Reference context: ScratchDB's flagship backend is ClickHouse
 (destinations/clickhouse/query.go pass-through) — windowFunnel modes
