@@ -380,6 +380,7 @@ def query_ann_index(
     nprobe: int = 4,
     overfetch: int = 4,
     exclude_self: bool = True,
+    adaptive_overfetch: bool = False,
 ) -> DataFrame:
     """Top-k through the persisted index: resolve ONE index version,
     load exactly the sidecar that version's chain names (quantizers
@@ -395,7 +396,12 @@ def query_ann_index(
     convention) drops candidates whose vec_id equals the query id.
     External queries use their OWN id space — pass False when those
     ids may coincide with corpus vec_ids, or results silently lose
-    the colliding neighbor."""
+    the colliding neighbor.
+
+    ``adaptive_overfetch=True`` keeps k*overfetch ADC candidates per
+    (query, probed cell) instead of per query — recall monotone
+    non-decreasing in nprobe (see similarity._adc_candidates); the
+    default preserves the fixed-budget fixtures."""
     v = snap.versions(wh, database, index_table)[-1]
     meta = _load_meta(wh, database, index_table, version=v)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -410,6 +416,7 @@ def query_ann_index(
     cand_ids = _adc_candidates(
         index, probes, qids, tables, int(meta["m"]),
         k * overfetch, wh.spark, exclude_self=exclude_self,
+        per_cell=adaptive_overfetch,
     )
     src = snap.read_snapshot(wh, database, meta["src_table"])
     return _exact_refine(cand_ids, src, queries, k, id_col, vec_col)

@@ -1089,12 +1089,25 @@ def _query_probe_tables(queries, books, cent_ids, C, nprobe, id_col, vec_col):
 
 
 def _adc_candidates(index, probes, qids, tables, m, nq, spark,
-                    exclude_self=True):
+                    exclude_self=True, per_cell=False):
     """Probed-list ADC scan: (query, cell) pairs broadcast-equi-join
     the (vec_id, cid, code) index — candidate volume ~ probed list
     sizes — then per-CANDIDATE table lookups score and a local
     top-``nq`` per query bounds rows leaving each partition. Returns
     the global top-``nq`` candidate ids per query.
+
+    ``per_cell=True`` is the ADAPTIVE-OVERFETCH shape (r10): keep the
+    top-``nq`` per (query, PROBED CELL) instead of per query, so the
+    exact-refine pool scales with nprobe (nq x nprobe candidates).
+    This makes final recall provably MONOTONE NON-DECREASING in
+    nprobe: probe lists are prefix-nested (argsort order), each
+    cell's top-``nq`` is independent of the other cells, so the
+    candidate set at nprobe+1 is a superset of nprobe's — and exact
+    re-scoring of a superset can only add true top-k members. The
+    fixed global budget, by contrast, lets impostors from newly
+    probed cells CROWD OUT true neighbors under the approximate ADC
+    order (measured recall DROPPING with nprobe,
+    ann_quality_r9.json; monotone curve: ann_quality_r10.json).
 
     ``exclude_self`` drops candidates whose vec_id EQUALS the query
     id — right for corpus-drawn queries (the family convention:
@@ -1108,6 +1121,7 @@ def _adc_candidates(index, probes, qids, tables, m, nq, spark,
     cand = index.join(F.broadcast(probe_df), "cid")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    keys = ["query_id", "cid"] if per_cell else ["query_id"]
 
     def adc_score(batches):
         for pdf in batches:
@@ -1121,26 +1135,31 @@ def _adc_candidates(index, probes, qids, tables, m, nq, spark,
             out = pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].values,
+                    "cid": pdf["cid"].values,
                     "neighbor_id": pdf["vec_id"].values,
                     "approx_cos": np.round(1.0 - d2 / 2.0, 6),
                 }
             )
             yield out.sort_values(
-                ["query_id", "approx_cos", "neighbor_id"],
-                ascending=[True, False, True],
-            ).groupby("query_id").head(nq)
+                keys + ["approx_cos", "neighbor_id"],
+                ascending=[True] * len(keys) + [False, True],
+            ).groupby(keys).head(nq)
 
-    scored = cand.select("query_id", "vec_id", "code").mapInPandas(
-        adc_score, "query_id long, neighbor_id long, approx_cos double"
+    scored = cand.select("query_id", "cid", "vec_id", "code").mapInPandas(
+        adc_score,
+        "query_id long, cid long, neighbor_id long, approx_cos double",
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy(*keys).orderBy(
         F.desc("approx_cos"), F.asc("neighbor_id")
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= nq)
         .select("query_id", "neighbor_id")
     )
+    # per-cell mode can surface the same neighbor from one cell only
+    # (a vector lives in exactly one cell), so no dedup is needed
+    return out
 
 
 def _exact_refine(cand_ids, corpus, queries, k, id_col, vec_col):
@@ -1192,6 +1211,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     quantizer: str = "smallest_id",
     kmeans_iters: int = 3,
+    adaptive_overfetch: bool = False,
 ) -> DataFrame:
     """IVFADC (Jegou et al. 2011; FAISS "IVF<n>,PQ<m>" + refine,
     public designs): the full 100 TB ANN pipeline — an IVF coarse
@@ -1209,6 +1229,15 @@ def ivfpq_topk(
     pass stays a single fused kernel. Residual encoding is the
     accuracy upgrade at equal code size; it changes only the encode /
     table-build kernels, not the dataflow.
+
+    ``adaptive_overfetch=True`` (r10) scales the exact-refine pool
+    with nprobe: the ADC stage keeps k*overfetch candidates per
+    (query, PROBED CELL) instead of per query, making recall
+    provably monotone non-decreasing in nprobe (nested probe lists +
+    per-cell independence — see _adc_candidates). Default False
+    preserves the r8/r9 fixed-budget behavior the golden fixtures
+    snapshot; refine cost under adaptive mode is q*k*overfetch*nprobe
+    dots — still candidate-bounded, never corpus-bounded.
 
     Scale shape: see the composed helpers — _assign_encode_df (one
     fused mapInPandas pass), _adc_candidates (broadcast equi-join on
@@ -1233,7 +1262,7 @@ def ivfpq_topk(
     )
     cand_ids = _adc_candidates(
         index, probes, qids, tables, m, k * overfetch,
-        corpus.sparkSession,
+        corpus.sparkSession, per_cell=adaptive_overfetch,
     )
     return _exact_refine(cand_ids, corpus, queries, k, id_col, vec_col)
 
@@ -1337,7 +1366,7 @@ def _assign_encode_residual_df(corpus, books, cent_ids, C, id_col, vec_col):
 
 def _adc_candidates_residual(
     index, probes, qids, Q, books, cent_ids, C, nq, spark,
-    exclude_self=True,
+    exclude_self=True, per_cell=False,
 ):
     """Residual-mode ADC scan: the distance table depends on the CELL
     as well as the query — d^2(q, c + b) per subspace — so each query
@@ -1370,6 +1399,7 @@ def _adc_candidates_residual(
     cand = index.join(F.broadcast(probe_df), "cid")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("vec_id"))
+    keys = ["query_id", "cid"] if per_cell else ["query_id"]
 
     def adc_score(batches):
         for pdf in batches:
@@ -1385,19 +1415,21 @@ def _adc_candidates_residual(
             out = pd.DataFrame(
                 {
                     "query_id": qv,
+                    "cid": cv,
                     "neighbor_id": pdf["vec_id"].values,
                     "approx_cos": np.round(1.0 - d2 / 2.0, 6),
                 }
             )
             yield out.sort_values(
-                ["query_id", "approx_cos", "neighbor_id"],
-                ascending=[True, False, True],
-            ).groupby("query_id").head(nq)
+                keys + ["approx_cos", "neighbor_id"],
+                ascending=[True] * len(keys) + [False, True],
+            ).groupby(keys).head(nq)
 
     scored = cand.select("query_id", "cid", "vec_id", "code").mapInPandas(
-        adc_score, "query_id long, neighbor_id long, approx_cos double"
+        adc_score,
+        "query_id long, cid long, neighbor_id long, approx_cos double",
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy(*keys).orderBy(
         F.desc("approx_cos"), F.asc("neighbor_id")
     )
     return (
@@ -1420,6 +1452,7 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     quantizer: str = "smallest_id",
     kmeans_iters: int = 3,
+    adaptive_overfetch: bool = False,
 ) -> DataFrame:
     """IVFADC with residual encoding (by_residual=True — the FAISS
     default): identical dataflow to ivfpq_topk, but codes quantize
@@ -1466,6 +1499,7 @@ def ivfpq_residual_topk(
     cand_ids = _adc_candidates_residual(
         index, probes, qids, Q, books, cent_ids, C,
         k * overfetch, corpus.sparkSession,
+        per_cell=adaptive_overfetch,
     )
     return _exact_refine(cand_ids, corpus, queries, k, id_col, vec_col)
 

@@ -819,23 +819,49 @@ def _bloom_resolver(wh: Warehouse, database: str, table: str):
     caches whole sidecars (one read serves every file of the commit
     batch that wrote it). Unreadable/missing sidecar -> None, which
     every survive check treats as must-scan (pruning never drops
-    rows on metadata trouble)."""
+    rows on metadata trouble).
+
+    ``resolve.prefetch(names)`` (r10) bulk-loads a set of sidecars
+    into the cache CONCURRENTLY (bounded thread pool). Sidecars are
+    per-commit-batch, so a table accreted over hundreds of commits
+    spreads one probe's surviving files over many sidecars — fetched
+    serially that is O(batches) x per-open latency (tens of seconds
+    at ~50 ms object-store GETs); pooled it is ~ceil(batches/16)
+    round trips. _plan_files prefetches exactly the sidecars its
+    range/eq survivors reference before the token pass."""
     cache: dict = {}
+
+    def _load(name: str) -> dict:
+        try:
+            return json.loads(
+                hfs.read_text(
+                    wh.spark,
+                    _bloom_sidecar_path(wh, database, table, name),
+                )
+            )
+        except Exception:
+            return {}
 
     def resolve(ref: dict):
         name = ref.get("sc")
         if name not in cache:
-            try:
-                cache[name] = json.loads(
-                    hfs.read_text(
-                        wh.spark,
-                        _bloom_sidecar_path(wh, database, table, name),
-                    )
-                )
-            except Exception:
-                cache[name] = {}
+            cache[name] = _load(name)
         return cache[name].get(ref.get("k"))
 
+    def prefetch(names) -> None:
+        todo = sorted(n for n in set(names) if n not in cache)
+        if not todo:
+            return
+        if len(todo) == 1:
+            cache[todo[0]] = _load(todo[0])
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(todo))) as pool:
+            for name, body in zip(todo, pool.map(_load, todo)):
+                cache[name] = body
+
+    resolve.prefetch = prefetch
     return resolve
 
 
@@ -1853,16 +1879,36 @@ def _plan_files(
         if prune_tokens is not None
         else None
     )
-    if "shards" not in m:
-        stats = m.get("stats", {})
+
+    def _token_pass(pairs: list) -> list:
+        """(name, rec) pairs -> surviving names. Range/eq prune ran
+        already; this is the token pass, preceded by ONE concurrent
+        prefetch of every sidecar the survivors reference (r10 —
+        sidecars are per-commit-batch, so without this a probe over a
+        many-commit table resolves them serially, O(batches) opens)."""
+        if prune_tokens is None:
+            return [n for n, _rec in pairs]
+        bkey = f"{prune_tokens[0]}{_TOKEN_MARKER}__bloom"
+        resolver.prefetch(
+            rec[bkey]["sc"]
+            for _n, rec in pairs
+            if isinstance(rec.get(bkey), dict) and "sc" in rec[bkey]
+        )
         return [
             n
-            for n in m["files"]
-            if _file_survives(
-                stats.get(n, {}), prune, prune_eq, prune_tokens,
-                resolver,
-            )
+            for n, rec in pairs
+            if _tok_survives(rec, *prune_tokens, resolver=resolver)
         ]
+
+    if "shards" not in m:
+        stats = m.get("stats", {})
+        return _token_pass(
+            [
+                (n, stats.get(n, {}))
+                for n in m["files"]
+                if _file_survives(stats.get(n, {}), prune, prune_eq)
+            ]
+        )
     surviving = [
         rec
         for rec in m["shards"]
@@ -1876,14 +1922,13 @@ def _plan_files(
         wh, database, table, [rec["name"] for rec in surviving]
     ):
         stats = sh.get("stats", {})
-        names += [
-            n
-            for n in sh["files"]
-            if _file_survives(
-                stats.get(n, {}), prune, prune_eq, prune_tokens,
-                resolver,
-            )
-        ]
+        names += _token_pass(
+            [
+                (n, stats.get(n, {}))
+                for n in sh["files"]
+                if _file_survives(stats.get(n, {}), prune, prune_eq)
+            ]
+        )
     return sorted(names)
 
 

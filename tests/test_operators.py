@@ -3814,3 +3814,57 @@ def test_balance_classes_plan_windows_partition_on_label_salt(
     assert len(re.findall(r"\bWindow\b", plan)) >= 2
     salted = re.findall(r"hashpartitioning\(lang[^)]*__salt", plan)
     assert salted, plan
+
+
+def test_ivfpq_adaptive_overfetch_recall_monotone_in_nprobe(spark):
+    """r10 (verdict item #5): with adaptive_overfetch=True the ADC
+    stage keeps k*overfetch candidates per (query, probed cell), so
+    the candidate set is NESTED in nprobe (prefix-nested probe lists,
+    per-cell independence) and exact-refined recall is monotone
+    non-decreasing — the fixed global budget measurably is not
+    (impostor crowding, ann_quality_r9.json). Also pins: at nprobe=1
+    the two modes coincide (one cell: per-cell == global budget)."""
+    import numpy as np
+
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for ci in range(8):
+        P = centers[ci] + 0.15 * rng.normal(size=(60, 16))
+        for j in range(60):
+            rows.append((ci * 60 + j, [float(x) for x in P[j]]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = emb.filter(F.col("vec_id") % 60 == 7)
+    k = 5
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=k).collect()
+    }
+
+    def run(nprobe, adaptive):
+        return {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(
+                emb, q, k=k, overfetch=2, n_centroids=8,
+                nprobe=nprobe, quantizer="kmeans", kmeans_iters=2,
+                adaptive_overfetch=adaptive,
+            ).collect()
+        }
+
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        got = run(nprobe, True)
+        recalls.append(len(got & exact) / len(exact))
+    assert all(
+        b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])
+    ), recalls
+    assert recalls[-1] > recalls[0]  # probing more genuinely helps
+    assert run(1, True) == run(1, False)  # modes coincide at nprobe=1
