@@ -18,6 +18,17 @@ bloom_cols=["body:tokens"]. Measures:
   token present everywhere (expect all files) — all at plan time,
   before any parquet footer is opened.
 
+r10 addition (verdict item #3): the MULTI-BATCH scenario. Sidecars
+are per-commit-batch, so the same 1000 files accreted over 50 commits
+spread a probe's surviving records over 50 sidecars instead of 1. The
+scenario measures: (a) probes on the local FS (files planned must
+equal the single-batch scenario's — same corpus, same blooms);
+(b) probes with fs.SIM_LATENCY_S = 50 ms injected per metadata op
+(the object-store model), comparing the shipped POOLED sidecar
+prefetch (_bloom_resolver.prefetch, 16-way) against a measured
+SERIAL resolve of the same refs — the O(batches) x latency shape the
+pooling removes.
+
 Usage: python tools/tokbloom_rehearsal.py [out.json]
 """
 
@@ -140,6 +151,141 @@ def main() -> int:
             "marker_rows_found": found,
         }
         print(label, json.dumps(results[label]))
+
+    # --- r10: multi-batch accretion -------------------------------
+    from scratchdb_spark import fs as hfs
+
+    N_BATCHES = 50
+    per = N_FILES // N_BATCHES
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_tok_multibatch_"))
+    t0 = time.time()
+    for b in range(N_BATCHES):
+        v = snap.append_versioned(
+            wh, "db", "docs",
+            df.filter(
+                (F.col("fpart") >= b * per)
+                & (F.col("fpart") < (b + 1) * per)
+            ).repartitionByRange(per, "fpart"),
+            bloom_cols=["body:tokens"],
+        )
+    commits_s = time.time() - t0
+    m = snap._manifest(wh, "db", "docs", v)
+    snapd = snap._snap_dir(wh, "db", "docs").replace("file:", "")
+    n_sidecars = len(
+        [
+            n
+            for n in os.listdir(os.path.join(snapd, snap._BLOOMS_DIR))
+            if n.endswith(".json")
+        ]
+    )
+    mb: dict = {
+        "n_batches": N_BATCHES,
+        "commits_s": round(commits_s, 2),
+        "n_sidecars": n_sidecars,
+        "probes_local": {},
+        "probes_latency_50ms": {},
+    }
+    probe_specs = (
+        ("marker_present", ["marker00421xq"]),
+        ("absent", ["zz99neverthere"]),
+        ("stopword", ["commonstop"]),
+    )
+    for pname, toks in probe_specs:
+        t0 = time.time()
+        planned = snap._plan_files(
+            wh, "db", "docs", m, None, None, ("body", toks)
+        )
+        mb["probes_local"][pname] = {
+            "files_planned": len(planned),
+            "plan_s": round(time.time() - t0, 3),
+        }
+    # object-store model: 50 ms per driver-side metadata op. The
+    # shipped path pools sidecar fetches 16-wide; the serial resolve
+    # of the same refs is measured alongside as the shape the pooling
+    # removes (O(sidecars) x latency).
+    hfs.SIM_LATENCY_S = 0.05
+    try:
+        for pname, toks in probe_specs:
+            hfs.SIM_OP_COUNT = 0
+            t0 = time.time()
+            planned = snap._plan_files(
+                wh, "db", "docs", m, None, None, ("body", toks)
+            )
+            mb["probes_latency_50ms"][pname] = {
+                "files_planned": len(planned),
+                "plan_s": round(time.time() - t0, 3),
+                "metadata_ops": hfs.SIM_OP_COUNT,
+            }
+        # measured serial baseline for the marker probe: resolve every
+        # referenced sidecar one by one through a FRESH resolver
+        bkey = "body" + snap._TOKEN_MARKER + "__bloom"
+        stats = (
+            m.get("stats")
+            or {
+                n: rec
+                for sh in snap._read_shards(
+                    wh, "db", "docs",
+                    [r["name"] for r in m.get("shards", [])],
+                )
+                for n, rec in sh.get("stats", {}).items()
+            }
+        )
+        refs = [
+            rec[bkey]
+            for rec in stats.values()
+            if isinstance(rec.get(bkey), dict) and "sc" in rec[bkey]
+        ]
+        seen: set = set()
+        uniq_refs = [
+            r for r in refs
+            if r["sc"] not in seen and not seen.add(r["sc"])
+        ]
+        res = snap._bloom_resolver(wh, "db", "docs")
+        t0 = time.time()
+        for r in uniq_refs:
+            res(r)  # serial: one 50 ms GET per sidecar
+        mb["serial_sidecar_resolve_s"] = round(time.time() - t0, 3)
+        mb["n_refs_resolved_serially"] = len(uniq_refs)
+    finally:
+        hfs.SIM_LATENCY_S = 0.0
+    n_total = len(snap._plan_files(wh, "db", "docs", m, None, None))
+    mb["n_files_total"] = n_total
+    # correctness: the pruned scan still finds every marker row
+    mb["marker_rows_found"] = (
+        snap.read_snapshot(
+            wh, "db", "docs",
+            prune_tokens=("body", ["marker00421xq"]),
+        )
+        .filter(F.col("body").contains("marker00421xq"))
+        .count()
+    )
+    # invariants. Exact file-set parity with the single-batch table
+    # is NOT expected (repartitionByRange sampling can split fparts
+    # differently, changing each file's bloom and so its false
+    # positives) — the load-bearing ones are:
+    # 1) pooled prefetch plans EXACTLY what serial local planning
+    #    plans (pooling must not change planning);
+    # 2) probe semantics hold at this granularity: marker probes a
+    #    handful of files, absent stays FPP-bounded, stopword scans
+    #    everything.
+    for pname, _toks in probe_specs:
+        assert (
+            mb["probes_local"][pname]["files_planned"]
+            == mb["probes_latency_50ms"][pname]["files_planned"]
+        ), pname
+    assert mb["marker_rows_found"] == 1
+    # bloom-FPP-bounded pruning (r9's committed single-batch numbers:
+    # marker 54/1000, absent 14/1000 — same config here)
+    assert (
+        mb["probes_local"]["marker_present"]["files_planned"]
+        <= n_total // 10
+    )
+    assert (
+        mb["probes_local"]["absent"]["files_planned"] <= n_total // 10
+    )
+    assert mb["probes_local"]["stopword"]["files_planned"] == n_total
+    results["tok_bloom_multibatch"] = mb
+    print("tok_bloom_multibatch", json.dumps(mb))
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
