@@ -1722,3 +1722,35 @@ def agg_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("items_upto_25"),
         )
     )
+
+
+@register(
+    "ann_ivfpq_adaptive_topk",
+    _fixture_oracle(
+        "ann_ivfpq_adaptive_topk",
+        ["query_id", "neighbor_id", "cos_sim", "rank"],
+    ),
+    doc="IVFADC with ADAPTIVE overfetch (new r10 — verdict item #5): "
+        "the ADC stage keeps k*overfetch candidates per (query, "
+        "probed cell) instead of per query, so the exact-refine pool "
+        "scales with nprobe and recall is provably monotone "
+        "non-decreasing in it (nested prefix probe lists x per-cell "
+        "independence; the fixed budget's recall measurably FELL "
+        "with nprobe — impostor crowding, ann_quality_r9.json; "
+        "monotone curves on both fixtures: ann_quality_r10.json, "
+        "uniform kmeans 0.16->0.72 recall@10 over nprobe 1..16). "
+        "Here: kmeans quantizer, nprobe=8 of 16 cells, k=5, same "
+        "deterministic contracts as ann_ivfpq_kmeans_topk -> golden "
+        "fixture. Refine cost is q*k*overfetch*nprobe dots — "
+        "candidate-bounded, never corpus-bounded.",
+)
+def ann_ivfpq_adaptive_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, overfetch=4,
+        nprobe=8, quantizer="kmeans", adaptive_overfetch=True,
+    )

@@ -3559,3 +3559,416 @@ def events_ab_proportions_ztest(
         F.round(p_b, 6).alias("p_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+_FUNNEL4_STAGES_SQL = (
+    "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+    "WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 ELSE 0 END"
+)
+
+
+@register(
+    "stream_funnel_4stage_live",
+    _funnel_sql(
+        _FUNNEL4_STAGES_SQL,
+        _FUNNEL_WINDOW_US,
+        ("strict_deduplication",),
+        n=4,
+        events_table=(
+            "(SELECT user_id, ts, event_type FROM events "
+            "WHERE user_id < 40) ev"
+        ),
+    ),
+    doc="LIVE 4-stage streaming windowFunnel under "
+        "strict_deduplication (new r10 — the configuration where the "
+        "r9 sink reduction was provably wrong): with >= 4 stages a "
+        "stage-k repeat interrupts with result k BELOW an already-"
+        "emitted higher level, so max(level) over the update-mode "
+        "changelog keeps the stale value. The operator now emits a "
+        "strictly-increasing n_seen fold counter and the sink "
+        "reduces with max_by(level, n_seen) — the user's LATEST "
+        "state, order-independent (memory-sink row order is not "
+        "emission order). Same two-time-split-micro-batch replay as "
+        "stream_funnel_levels_live; hash-checked against the "
+        "4-stage recursive-CTE oracle. Stages: view -> click -> "
+        "purchase -> signup, 24 h window.",
+    bench=False,  # times temp-stream setup, not a scan
+)
+def stream_funnel_4stage_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+
+    from ..streaming.stateful import streaming_funnel_levels
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("ts").cast("timestamp"),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            ).alias("ts"),
+            "event_type",
+        )
+    )
+    rows = ev.collect()  # bounded: 40 users' events
+    cut = sorted(r["ts"] for r in rows)[len(rows) // 2]
+    src = tempfile.mkdtemp(prefix="funnel4_stream_")
+    with open(os.path.join(src, "a.ndjson"), "w") as f:
+        for r in rows:
+            if r["ts"] <= cut:
+                f.write(
+                    f'{{"user_id": {r["user_id"]}, "ts": '
+                    f'"{r["ts"]}", "event_type": "{r["event_type"]}"}}\n'
+                )
+    with open(os.path.join(src, "b.ndjson"), "w") as f:
+        for r in rows:
+            if r["ts"] > cut:
+                f.write(
+                    f'{{"user_id": {r["user_id"]}, "ts": '
+                    f'"{r["ts"]}", "event_type": "{r["event_type"]}"}}\n'
+                )
+    now = _time.time()
+    os.utime(os.path.join(src, "a.ndjson"), (now - 10, now - 10))
+    os.utime(os.path.join(src, "b.ndjson"), (now, now))
+
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "signup",
+    ]
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    name = f"funnel4_live_{abs(hash(src)) % 10**8}"
+    q = (
+        streaming_funnel_levels(
+            stream, "user_id", "ts", conds, _FUNNEL_WINDOW_US,
+            modes=("strict_deduplication",),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(src, "_ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.sql(f"SELECT user_id, level, n_seen FROM {name}")
+        .groupBy("user_id")
+        .agg(F.max_by("level", "n_seen").alias("level"))
+        .filter(F.col("level") >= 1)
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "events_ab_welch_ttest",
+    """
+    WITH arms AS (
+      SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              ::UBIGINT % 2) AS arm,
+             CAST(floor(value) AS BIGINT) AS x
+      FROM events),
+    agg AS (
+      SELECT CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+             CAST(sum(x) FILTER (arm = 0) AS BIGINT) AS sx_a,
+             CAST(sum(x * x) FILTER (arm = 0) AS BIGINT) AS sxx_a,
+             CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+             CAST(sum(x) FILTER (arm = 1) AS BIGINT) AS sx_b,
+             CAST(sum(x * x) FILTER (arm = 1) AS BIGINT) AS sxx_b
+      FROM arms),
+    st AS (
+      SELECT n_a, n_b,
+             sx_a / CAST(n_a AS DOUBLE) AS m_a,
+             sx_b / CAST(n_b AS DOUBLE) AS m_b,
+             (sxx_a - (CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+                      / CAST(n_a AS DOUBLE))
+               / CAST(n_a - 1 AS DOUBLE) AS s2_a,
+             (sxx_b - (CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))
+                      / CAST(n_b AS DOUBLE))
+               / CAST(n_b - 1 AS DOUBLE) AS s2_b
+      FROM agg)
+    SELECT n_a, n_b,
+           round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+           round((m_a - m_b)
+                 / sqrt(s2_a / n_a + s2_b / n_b), 6) AS t_stat,
+           round(((s2_a / n_a + s2_b / n_b)
+                  * (s2_a / n_a + s2_b / n_b))
+                 / ((s2_a / n_a) * (s2_a / n_a) / (n_a - 1)
+                    + (s2_b / n_b) * (s2_b / n_b) / (n_b - 1)),
+                 6) AS df
+    FROM st
+    """,
+    doc="ClickHouse welchTTest(x, arm) parity (new r10 — the unequal-"
+        "variance two-sample t CH ships beside proportionsZTest): "
+        "arms by md5(user_id) parity (content-addressed, same as the "
+        "z-test), metric = floor(value) so every moment is an EXACT "
+        "BIGINT (sum-of-doubles ordering can never flip a bit; floor "
+        "not cast — Spark truncates double->long, DuckDB rounds). "
+        "Welch t and Welch-Satterthwaite df are then ONE IEEE-double "
+        "expression over those integers (x*x products stay under "
+        "2^53 at oracle scale; div/sqrt correctly rounded) evaluated "
+        "identically by both engines, 6dp snap. Two map-side-"
+        "combined aggregates, linear at 100 TB.",
+)
+def events_ab_welch_ttest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.split import hash_bucket
+
+    ev = table(spark, sf_dir, "events").select(
+        hash_bucket(F.col("user_id"), 2).alias("arm"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    a0, a1 = F.col("arm") == 0, F.col("arm") == 1
+    agg = ev.agg(
+        F.count(F.when(a0, 1)).alias("n_a"),
+        F.sum(F.when(a0, F.col("x"))).cast("long").alias("sx_a"),
+        F.sum(F.when(a0, F.col("x") * F.col("x")))
+        .cast("long").alias("sxx_a"),
+        F.count(F.when(a1, 1)).alias("n_b"),
+        F.sum(F.when(a1, F.col("x"))).cast("long").alias("sx_b"),
+        F.sum(F.when(a1, F.col("x") * F.col("x")))
+        .cast("long").alias("sxx_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    m_a = F.col("sx_a") / n_a.cast("double")
+    m_b = F.col("sx_b") / n_b.cast("double")
+    s2_a = (
+        F.col("sxx_a")
+        - (F.col("sx_a").cast("double") * F.col("sx_a").cast("double"))
+        / n_a.cast("double")
+    ) / (n_a - 1).cast("double")
+    s2_b = (
+        F.col("sxx_b")
+        - (F.col("sx_b").cast("double") * F.col("sx_b").cast("double"))
+        / n_b.cast("double")
+    ) / (n_b - 1).cast("double")
+    se_a, se_b = s2_a / n_a, s2_b / n_b
+    t = (m_a - m_b) / F.sqrt(se_a + se_b)
+    df = ((se_a + se_b) * (se_a + se_b)) / (
+        se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("df"),
+    )
+
+
+@register(
+    "events_ab_mann_whitney",
+    """
+    WITH arms AS (
+      SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              ::UBIGINT % 2) AS arm,
+             CAST(floor(value) AS BIGINT) AS x
+      FROM events),
+    g AS (
+      SELECT x,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(count(*) FILTER (arm = 0) AS BIGINT) AS cnt_a
+      FROM arms GROUP BY x),
+    r AS (
+      SELECT x, cnt, cnt_a,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_lt
+      FROM g),
+    agg AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt) - sum(cnt_a) AS BIGINT) AS n_b,
+             CAST(sum(cnt_a * (2 * cum_lt + cnt + 1)) AS BIGINT)
+               AS r2_a
+      FROM r)
+    SELECT n_a, n_b,
+           (r2_a - n_a * (n_a + 1)) / 2.0 AS u_a,
+           round(((r2_a - n_a * (n_a + 1)) / 2.0
+                  - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                 / sqrt(CAST(n_a AS DOUBLE) * n_b
+                        * (n_a + n_b + 1) / 12.0),
+                 6) AS z_score
+    FROM agg
+    """,
+    doc="ClickHouse mannWhitneyUTest parity (new r10): rank-sum U "
+        "between md5-parity arms on the floor(value) metric. NO "
+        "data-sized sort anywhere: tie-averaged DOUBLED ranks come "
+        "from per-VALUE counts (avg_rank2 = 2*count(<v) + cnt_v + 1, "
+        "exact BIGINTs), so the only window runs over the distinct "
+        "metric values (<= 491 here — value-cardinality-bounded, "
+        "never event-bounded; the grouped counts are one map-side-"
+        "combined shuffle). U and the normal-approximation z (WITHOUT "
+        "the tie-variance correction — documented simplification, "
+        "exact U either way) are one IEEE expression over the "
+        "integers, 6dp snap.",
+)
+def events_ab_mann_whitney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.split import hash_bucket
+
+    ev = table(spark, sf_dir, "events").select(
+        hash_bucket(F.col("user_id"), 2).alias("arm"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    g = ev.groupBy("x").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum((F.col("arm") == 0).cast("long")).alias("cnt_a"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.withColumn(
+        "cum_lt", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = r.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        (F.sum("cnt") - F.sum("cnt_a")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("cnt_a")
+            * (2 * F.col("cum_lt") + F.col("cnt") + 1)
+        ).cast("long").alias("r2_a"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = (F.col("r2_a") - n_a * (n_a + 1)) / F.lit(2.0)
+    z = (
+        u_a - n_a.cast("double") * n_b / F.lit(2.0)
+    ) / F.sqrt(
+        n_a.cast("double") * n_b * (n_a + n_b + 1) / F.lit(12.0)
+    )
+    return agg.select(
+        "n_a", "n_b",
+        u_a.alias("u_a"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "events_entropy",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+    SELECT round(
+             -sum((cnt / CAST(n AS DOUBLE))
+                  * log2(cnt / CAST(n AS DOUBLE))),
+             6) AS entropy_bits,
+           CAST(count(*) AS BIGINT) AS n_classes
+    FROM c, t
+    """,
+    doc="ClickHouse entropy() parity (new r10): Shannon entropy of "
+        "the event_type distribution in bits. Counts are exact "
+        "BIGINTs from one map-side-combined aggregate; the "
+        "-sum(p*log2 p) fold runs over the handful of distinct "
+        "classes (category-cardinality-bounded, never event-"
+        "bounded), 6dp snap. log2 is the one non-correctly-rounded "
+        "IEEE op in the repo's oracle surface — safe here because "
+        "the sum has n_classes terms (5), not data-sized term "
+        "counts, and both engines' libm agree on the fixture "
+        "(driver-verified at two sfs).",
+)
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = c.agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n").cast("double")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.count(F.lit(1)).alias("n_classes"),
+        )
+    )
+
+
+@register(
+    "warehouse_tokbloom_multibatch_probe",
+    """
+    SELECT CAST(1 AS BIGINT) AS marker_rows,
+           true AS pruned_below_total,
+           true AS plan_deterministic
+    """,
+    doc="Token-bloom file skipping across MANY commit batches (new "
+        "r10 — the surface behind verdict item #3): documents "
+        "accreted over 5 commits with text:tokens blooms, every "
+        "commit externalizing its oversized bitmaps to its OWN "
+        "sidecar, plus a marker doc in the middle batch. The probe "
+        "plans through _plan_files, whose token pass now PREFETCHES "
+        "all referenced sidecars concurrently (16-way pool) instead "
+        "of resolving them serially per file — O(ceil(batches/16)) "
+        "round trips, not O(batches); rehearsal-measured with 50 ms "
+        "injected per-op latency in tokbloom_rehearsal_r10.json. "
+        "Checks: the pruned scan still finds the marker row "
+        "(pruning never drops data), plans FEWER files than the "
+        "table holds (skipping works across batch boundaries), and "
+        "planning is deterministic call-to-call.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_tokbloom_multibatch_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_tokmb_"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    marker = "qqmarkertokenzz"
+    for b in range(5):
+        sl = docs.filter(F.col("doc_id") % 5 == b)
+        if b == 2:
+            sl = sl.unionByName(
+                spark.createDataFrame(
+                    [(990_001, f"the {marker} document body")],
+                    "doc_id long, text string",
+                )
+            )
+        snap.append_versioned(
+            wh, "db", "docs", sl.repartition(2),
+            bloom_cols=["text:tokens"],
+        )
+    v = snap.versions(wh, "db", "docs")[-1]
+    m = snap._manifest(wh, "db", "docs", v)
+    total = snap._plan_files(wh, "db", "docs", m, None, None)
+    p1 = snap._plan_files(
+        wh, "db", "docs", m, None, None, ("text", [marker])
+    )
+    p2 = snap._plan_files(
+        wh, "db", "docs", m, None, None, ("text", [marker])
+    )
+    found = (
+        snap.read_snapshot(
+            wh, "db", "docs", prune_tokens=("text", [marker])
+        )
+        .filter(F.col("text").contains(marker))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(found, len(p1) < len(total), p1 == p2)],
+        "marker_rows long, pruned_below_total boolean, "
+        "plan_deterministic boolean",
+    )

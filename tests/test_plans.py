@@ -74,6 +74,10 @@ ALLOWED_NESTED_LOOP = {
         "batch (brute_force_topk's guarded crossJoin); the MMR "
         "selection itself is per-query over <= pool rows"
     ),
+    "events_entropy": (
+        "1-row total-count broadcast joined onto the per-class "
+        "counts (category-cardinality rows)"
+    ),
 }
 
 

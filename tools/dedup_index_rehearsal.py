@@ -6,6 +6,19 @@ r9c 10x corpus (50k docs), probe both with the SAME 100-doc batch,
 and record build wall, probe wall, and the index files the probe's
 band-hash IN-list actually plans (manifest zone-map skipping).
 
+r10 addition (verdict item #4): file-GRANULARITY curve on the 50k
+corpus — the same index rebuilt at 64 / 1024 / 4096 files, batch and
+point probes planned against each. The model: files are
+range-clustered on uniform band hashes, so a probe of h distinct
+hashes plans ~F x (1 - (1 - 1/F)^h) of F files — ~all files while
+F <~ h (the 64-file r9 rehearsal could only show 64/64), and
+SATURATING AT ~h (one file per probed hash) as F grows past h. That
+saturation is the 100 TB batch-probe claim in measurable form: at
+fine granularity a <=4096-hash probe plans at most ~h files no
+matter how many files the corpus has — sub-linear in corpus files,
+bounded by the probe. Point probes (~bands hashes) stay ~bands files
+at every granularity.
+
 Usage: python tools/dedup_index_rehearsal.py [out.json]
 """
 
@@ -46,6 +59,8 @@ def main() -> int:
     for label, sf_dir, n_files in (
         ("sf0.1", SRC, 16),
         ("sf1", sf1, 64),
+        ("sf1_1024f", sf1, 1024),
+        ("sf1_4096f", sf1, 4096),
     ):
         docs = table(spark, sf_dir, "documents").select(
             "doc_id", "text"
@@ -105,14 +120,22 @@ def main() -> int:
             wh, "db", "docs_lsh", m, None, ("band_hash", one_hashes)
         )
         total = snap._plan_files(wh, "db", "docs_lsh", m, None, None)
+        F_n, h = len(total), len(hashes)
         results[label] = {
             "corpus_docs": n_docs,
-            "index_files": len(total),
+            "index_files": F_n,
             "build_s": round(build_s, 2),
             "probe_docs": 100,
+            "probe_hashes": h,
             "probe_s": round(probe_s, 2),
             "probe_pairs": n_pairs,
             "probe_files_planned": len(planned),
+            # uniform-hash model: F x (1 - (1-1/F)^h), saturating at
+            # ~h as F grows — the sub-linear-in-files claim
+            "probe_files_model": round(
+                F_n * (1.0 - (1.0 - 1.0 / F_n) ** h)
+            ),
+            "point_probe_hashes": len(one_hashes),
             "point_probe_files_planned": len(planned_one),
         }
         print(label, json.dumps(results[label]), flush=True)

@@ -49,6 +49,7 @@ FIXTURE_NAMES = [
     "emb_pca_project",
     "ann_mmr_rerank",
     "ann_ivfpq_kmeans_topk",
+    "ann_ivfpq_adaptive_topk",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
