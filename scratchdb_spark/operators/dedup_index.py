@@ -10,12 +10,20 @@ equi-join on (band, band_hash) plus an exact-jaccard verify over only
 the candidate pairs — work scales with the batch and its candidates,
 never the corpus (rehearsal-measured: dedup_index_rehearsal_r9).
 
-File-skipping honesty: band hashes are UNIFORM, so a batch probe's
-hashes hit every band_hash range and the zone maps skip nothing —
-batch probes ride the equi-join (that is their scale path). The
-range clustering pays off for POINT probes ("is this one doc already
-in the corpus?"): a single doc's ~bands hashes plan ~bands files out
-of the whole index (measured 14/64).
+File-skipping honesty: band hashes are UNIFORM, so a batch probe of
+h distinct hashes plans ~F x (1 - (1 - 1/F)^h) of F range-clustered
+files — effectively ALL files while F <~ h, and SATURATING AT ~h
+(one file per probed hash) once the corpus is sliced finer than the
+probe. Measured on the 50k-doc index, 100-doc probe (1600 hashes),
+model vs planned (dedup_index_rehearsal_r10.json): 64 files -> 64/64,
+1024 -> 807 (model 810, 79%), 4096 -> 1325 (model 1325, 32%). That
+saturation is the 100 TB story: at production granularity (10^5-10^6
+files) a <= _PRUNE_MAX_HASHES probe plans at most ~h files NO MATTER
+how many files the corpus has — sub-linear in corpus files, bounded
+by the probe — and the equi-join shuffle remains the fallback above
+the IN-list cap. POINT probes ("is this one doc already in the
+corpus?") plan ~bands files at EVERY granularity (measured 12-16
+across 16/64/1024/4096 files).
 
 Unlike the ANN index there is NO trained state to freeze: band rows
 are a pure function of the text (fixed splitmix salts,
