@@ -315,3 +315,37 @@ class HadoopLanding:
         )
         move_from_local(self.spark, local_path, remote)
         return remote
+
+
+def rename_many(
+    spark: SparkSession, pairs: list[tuple[str, str]]
+) -> None:
+    """Rename many files, overlapping the renames on a bounded thread
+    pool (py4j serves each thread on its own gateway connection —
+    same pattern as snapshots._read_shards). On an object store each
+    rename is a ~50-200 ms copy+delete round trip, and commit paths
+    issue ONE per landed data file: serial that is O(files) x latency
+    (measured 13.6 s of a 17.9 s bulk commit at 256 files x 50 ms —
+    commit_latency_rehearsal_r10.json), pooled it is
+    ~ceil(files/16) x latency. Raises IOError naming every failed
+    pair; callers treat any failure as a pre-commit abort (the files
+    are invisible until a manifest PUT references them)."""
+    if not pairs:
+        return
+    if len(pairs) == 1:
+        src, dst = pairs[0]
+        if not rename(spark, src, dst):
+            raise IOError(f"rename failed: {src} -> {dst}")
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(16, len(pairs))) as pool:
+        oks = list(
+            pool.map(lambda p: rename(spark, p[0], p[1]), pairs)
+        )
+    failed = [p for p, ok in zip(pairs, oks) if not ok]
+    if failed:
+        raise IOError(
+            "rename failed for "
+            + ", ".join(f"{s} -> {d}" for s, d in failed)
+        )

@@ -2527,21 +2527,22 @@ def _cow_rewrite(wh: Warehouse, base: str, df: DataFrame,
 
     tmp = f"{base}/{_SNAP_DIR}/rw-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
-    rewritten = []
-    for n in hfs.list_names(wh.spark, tmp):
-        if n.endswith(".parquet"):
-            new_name = f"{prefix}-{uuid.uuid4().hex}-{n}"
-            if not hfs.rename(wh.spark, f"{tmp}/{n}", f"{base}/{new_name}"):
-                # pre-commit failure: the live table is untouched (no
-                # manifest references the partial rewrite); raise
-                # rather than commit a manifest naming a missing file
-                raise IOError(
-                    f"COW rewrite rename failed: {tmp}/{n} -> "
-                    f"{base}/{new_name}"
-                )
-            rewritten.append(new_name)
+    # pooled renames (r10, fs.rename_many): a COW rewrite lands one
+    # rename per output file — overlapped, not serialized. A failure
+    # raises pre-commit: the live table is untouched (no manifest
+    # references the partial rewrite), never a manifest naming a
+    # missing file.
+    names = [
+        (n, f"{prefix}-{uuid.uuid4().hex}-{n}")
+        for n in hfs.list_names(wh.spark, tmp)
+        if n.endswith(".parquet")
+    ]
+    hfs.rename_many(
+        wh.spark,
+        [(f"{tmp}/{n}", f"{base}/{new}") for n, new in names],
+    )
     hfs.delete(wh.spark, tmp)
-    return rewritten
+    return [new for _n, new in names]
 
 
 def _cow_commit(

@@ -320,18 +320,19 @@ class Warehouse:
         path = self._path(database, table)
         stage = f"{path}/.stage-{_uuid.uuid4().hex}"
         aligned.write.mode("overwrite").parquet(stage)
-        landed: list[str] = []
         try:
-            for n in hfs.list_names(self.spark, stage):
-                if not n.endswith(".parquet"):
-                    continue
-                name = f"{file_prefix}{_uuid.uuid4().hex[:12]}-{n}"
-                dst = f"{path}/{name}"
-                if not hfs.rename(self.spark, f"{stage}/{n}", dst):
-                    raise IOError(
-                        f"append stage rename failed: {stage}/{n} -> {dst}"
-                    )
-                landed.append(name)
+            # pooled renames (r10): one rename per landed file is the
+            # commit path's O(files) driver metadata chain at object-
+            # store latencies — overlap them (fs.rename_many)
+            names = [
+                (n, f"{file_prefix}{_uuid.uuid4().hex[:12]}-{n}")
+                for n in hfs.list_names(self.spark, stage)
+                if n.endswith(".parquet")
+            ]
+            hfs.rename_many(
+                self.spark,
+                [(f"{stage}/{n}", f"{path}/{name}") for n, name in names],
+            )
+            return [name for _n, name in names]
         finally:
             hfs.delete(self.spark, stage)
-        return landed
