@@ -1754,3 +1754,70 @@ def ann_ivfpq_adaptive_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, overfetch=4,
         nprobe=8, quantizer="kmeans", adaptive_overfetch=True,
     )
+
+
+@register(
+    "agg_quantile_exact_weighted",
+    """
+    WITH g AS (
+      SELECT l_discount AS v,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_discount),
+    c AS (
+      SELECT v, w,
+             CAST(sum(w) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(sum(w) OVER () AS BIGINT) AS total
+      FROM g)
+    SELECT min(CASE WHEN 2 * cum >= total THEN v END) AS p50,
+           min(CASE WHEN 10 * cum >= 9 * total THEN v END) AS p90,
+           CAST(max(total) AS BIGINT) AS total_weight
+    FROM c
+    """,
+    doc="ClickHouse quantileExactWeighted parity (new r10): the "
+        "exact weighted quantile — smallest value whose cumulative "
+        "weight reaches q of the total — of l_discount weighted by "
+        "l_quantity. Weights aggregate to exact BIGINTs (quantities "
+        "are whole); the q threshold compares as INTEGERS "
+        "(2*cum >= total, 10*cum >= 9*total) so no float boundary "
+        "exists anywhere. The cumulative window runs over the "
+        "DISTINCT values (11 here — value-cardinality-bounded, the "
+        "same shape as events_ab_mann_whitney, never a data-sized "
+        "sort); the heavy lifting is one map-side-combined groupBy.",
+)
+def agg_quantile_exact_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_discount").alias("v")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("w")
+    )
+    c = g.select(
+        "v",
+        F.sum("w")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("w")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("total"),
+    )
+    return c.agg(
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("total"), F.col("v"))
+        ).alias("p50"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("total"), F.col("v"))
+        ).alias("p90"),
+        F.max("total").cast("long").alias("total_weight"),
+    )

@@ -3972,3 +3972,65 @@ def warehouse_tokbloom_multibatch_probe(
         "marker_rows long, pruned_below_total boolean, "
         "plan_deterministic boolean",
     )
+
+
+@register(
+    "events_sequence_next_node",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS nxt1,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS nxt2
+      FROM events),
+    m AS (
+      SELECT user_id, nxt2,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS rn
+      FROM seq
+      WHERE event_type = 'view' AND nxt1 = 'click'
+        AND nxt2 IS NOT NULL)
+    SELECT nxt2 AS next_event, CAST(count(*) AS BIGINT) AS n_users
+    FROM m WHERE rn = 1 GROUP BY nxt2
+    """,
+    doc="ClickHouse sequenceNextNode parity (new r10 — 'what does a "
+        "user do right after view->click?'): per user, events in "
+        "stable event_id order (the ns->us ts-truncation tie trap "
+        "ts_ewma documented), the first ADJACENT view->click pair's "
+        "following event type, counted over users. Pure user-"
+        "partitioned lead()/row_number() windows — bounded by "
+        "per-user activity, one shuffle, no fold and no collect; "
+        "the oracle is the IDENTICAL window SQL.",
+)
+def events_sequence_next_node(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    m = (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("nxt1") == "click")
+            & F.col("nxt2").isNotNull()
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return m.groupBy(F.col("nxt2").alias("next_event")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
