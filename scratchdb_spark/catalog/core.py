@@ -46,6 +46,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: Optional[str], doc: str = "", bench: bool = True):
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            # a silent overwrite REPLACES an existing operator and
+            # inherits its green history under different semantics
+            # (caught live in r10: a new sequenceNextNode variant
+            # nearly shadowed the r9 registration of the same name)
+            raise ValueError(
+                f"duplicate catalog registration: {name!r} is already "
+                "registered; pick a distinct name"
+            )
         _REGISTRY[name] = QuerySpec(name, fn, oracle, doc, bench)
         return fn
 

@@ -3975,7 +3975,7 @@ def warehouse_tokbloom_multibatch_probe(
 
 
 @register(
-    "events_sequence_next_node",
+    "events_sequence_next_after_pair",
     """
     WITH seq AS (
       SELECT user_id, event_id, event_type,
@@ -3994,16 +3994,20 @@ def warehouse_tokbloom_multibatch_probe(
     SELECT nxt2 AS next_event, CAST(count(*) AS BIGINT) AS n_users
     FROM m WHERE rn = 1 GROUP BY nxt2
     """,
-    doc="ClickHouse sequenceNextNode parity (new r10 — 'what does a "
-        "user do right after view->click?'): per user, events in "
-        "stable event_id order (the ns->us ts-truncation tie trap "
-        "ts_ewma documented), the first ADJACENT view->click pair's "
-        "following event type, counted over users. Pure user-"
-        "partitioned lead()/row_number() windows — bounded by "
-        "per-user activity, one shuffle, no fold and no collect; "
-        "the oracle is the IDENTICAL window SQL.",
+    doc="ClickHouse sequenceNextNode, MULTI-EVENT base chain variant "
+        "(new r10 — 'what does a user do right after an ADJACENT "
+        "view->click pair?'; events_sequence_next_node covers the "
+        "single-event head/first_match form with a min-id join — "
+        "this one needs adjacency, which the join form can't see): "
+        "per user, events in stable event_id order (the ns->us "
+        "ts-truncation tie trap ts_ewma documented), the first "
+        "adjacent view->click pair's following event type, counted "
+        "over users. Pure user-partitioned lead()/row_number() "
+        "windows — bounded by per-user activity, one shuffle, no "
+        "fold and no collect; the oracle is the IDENTICAL window "
+        "SQL.",
 )
-def events_sequence_next_node(
+def events_sequence_next_after_pair(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from pyspark.sql.window import Window
