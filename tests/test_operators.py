@@ -3868,3 +3868,60 @@ def test_ivfpq_adaptive_overfetch_recall_monotone_in_nprobe(spark):
     ), recalls
     assert recalls[-1] > recalls[0]  # probing more genuinely helps
     assert run(1, True) == run(1, False)  # modes coincide at nprobe=1
+
+
+def test_ann_index_adaptive_overfetch_matches_in_memory(
+    spark, tmp_path
+):
+    """query_ann_index(adaptive_overfetch=True) must return EXACTLY
+    the in-memory ivfpq_topk(adaptive_overfetch=True) rows at equal
+    settings (frozen quantizers; the per-cell budget changes the ADC
+    candidate stage identically on both paths), and its recall at
+    nprobe=4 must be >= the fixed-budget index query's (the r10
+    monotonicity property, exercised through the persisted path)."""
+    import numpy as np
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import ann_index as ai
+    from scratchdb_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from scratchdb_spark.tables import Warehouse
+
+    rng = np.random.default_rng(13)
+    V = rng.normal(size=(320, 16))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(320)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") % 40 == 7)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(wh, "db", "emb", emb)
+    ai.build_ann_index(
+        wh, "db", "emb", "emb_idx", n_centroids=8, quantizer="kmeans"
+    )
+    mem = ivfpq_topk(
+        emb, q, k=5, overfetch=2, n_centroids=8, nprobe=4,
+        quantizer="kmeans", adaptive_overfetch=True,
+    ).collect()
+    idx = ai.query_ann_index(
+        wh, "db", "emb_idx", q, k=5, nprobe=4, overfetch=2,
+        adaptive_overfetch=True,
+    ).collect()
+    assert sorted(map(str, idx)) == sorted(map(str, mem))
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    fixed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ai.query_ann_index(
+            wh, "db", "emb_idx", q, k=5, nprobe=4, overfetch=2
+        ).collect()
+    }
+    adaptive = {(r["query_id"], r["neighbor_id"]) for r in idx}
+    assert len(adaptive & exact) >= len(fixed & exact)
