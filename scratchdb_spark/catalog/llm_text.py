@@ -1174,3 +1174,135 @@ def warehouse_dedup_index_incremental(
         "n_pairs long, n_exact long, n_probes_matched long, "
         "refresh_equals_rebuild boolean",
     )
+
+
+@register(
+    "warehouse_dedup_gated_append",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    batch AS (
+      SELECT doc_id + 900000 AS pid, text FROM documents
+      WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 910000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id >= 5 AND doc_id < 10
+      UNION ALL SELECT 920000,
+        'zz unique synthetic alpha beta gamma delta epsilon zeta'
+      UNION ALL SELECT 920001,
+        'zz unique synthetic alpha beta gamma delta epsilon zeta'
+      UNION ALL SELECT 930000,
+        'totally fresh document text nothing like the corpus at all'),
+    bsh AS (
+      SELECT pid, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT pid, {_DUCK_TOKENS} AS w
+            FROM (SELECT pid, text FROM batch) _b)),
+    csh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM corpus)),
+    drop_in AS (
+      SELECT DISTINCT b2.pid FROM bsh b1 JOIN bsh b2
+        ON b1.pid < b2.pid
+       AND len(list_intersect(b1.sh, b2.sh))
+           >= 0.8 * len(list_distinct(list_concat(b1.sh, b2.sh)))),
+    kept1 AS (SELECT * FROM bsh WHERE pid NOT IN (SELECT pid FROM drop_in)),
+    drop_corpus AS (
+      SELECT DISTINCT k.pid FROM kept1 k JOIN csh c
+        ON len(list_intersect(k.sh, c.sh))
+           >= 0.8 * len(list_distinct(list_concat(k.sh, c.sh))))
+    SELECT CAST((SELECT count(*) FROM batch) AS BIGINT) AS n_batch,
+           CAST((SELECT count(*) FROM drop_in) AS BIGINT)
+             AS n_dropped_in_batch,
+           CAST((SELECT count(*) FROM drop_corpus) AS BIGINT)
+             AS n_dropped_vs_corpus,
+           CAST((SELECT count(*) FROM batch)
+                - (SELECT count(*) FROM drop_in)
+                - (SELECT count(*) FROM drop_corpus) AS BIGINT)
+             AS n_appended,
+           CAST(300 + (SELECT count(*) FROM batch)
+                - (SELECT count(*) FROM drop_in)
+                - (SELECT count(*) FROM drop_corpus) AS BIGINT)
+             AS corpus_rows_after,
+           true AS refresh_equals_rebuild
+    """,
+    doc="Dedup-GATED ingest (operators/dedup_index.py::append_deduped, "
+        "new r10 — the per-batch operation a training-data pipeline "
+        "actually runs): a batch of 13 docs (5 exact copies of corpus "
+        "docs, 5 reversed-text negatives, an identical within-batch "
+        "pair, 1 fresh doc) is gated against a 300-doc indexed corpus "
+        "in one call — drop-if-dups-any-smaller within the batch, "
+        "then LSH-probe + exact-verify against the index, append only "
+        "survivors to the SOURCE table, CDC-refresh the index. Oracle "
+        "= the exact quadratic jaccard of both gate stages (the "
+        "standard ~0.9998-capture + verify argument). The returned "
+        "boolean pins that the post-append refreshed index equals a "
+        "fresh rebuild row-for-row; corpus_rows_after pins that "
+        "exactly the survivors landed.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_dedup_gated_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..operators import dedup_index as di
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_gate_"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    snap.append_versioned(wh, "db", "docs", corpus)
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh")
+
+    batch = (
+        docs.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10))
+            .select(
+                (F.col("doc_id") + 910000).alias("doc_id"),
+                F.array_join(
+                    F.reverse(F.split(F.col("text"), " ")), " "
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (920000, "zz unique synthetic alpha beta gamma "
+                             "delta epsilon zeta"),
+                    (920001, "zz unique synthetic alpha beta gamma "
+                             "delta epsilon zeta"),
+                    (930000, "totally fresh document text nothing "
+                             "like the corpus at all"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    stats = di.append_deduped(wh, "db", "docs_lsh", batch)
+    after = snap.read_snapshot(wh, "db", "docs").count()
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh_rb")
+    refreshed = snap.read_snapshot(wh, "db", "docs_lsh")
+    rebuilt = snap.read_snapshot(wh, "db", "docs_lsh_rb")
+    same = (
+        refreshed.exceptAll(rebuilt).limit(1).count() == 0
+        and rebuilt.exceptAll(refreshed).limit(1).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_batch"],
+                stats["n_dropped_in_batch"],
+                stats["n_dropped_vs_corpus"],
+                stats["n_appended"],
+                after,
+                same,
+            )
+        ],
+        "n_batch long, n_dropped_in_batch long, "
+        "n_dropped_vs_corpus long, n_appended long, "
+        "corpus_rows_after long, refresh_equals_rebuild boolean",
+    )

@@ -305,3 +305,89 @@ def query_dedup_index(
         )
     finally:
         prows.unpersist()
+
+
+def append_deduped(
+    wh: Warehouse,
+    database: str,
+    index_table: str,
+    batch: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Dedup-GATED ingest — the operation a training-data pipeline
+    actually runs on every batch: drop the batch rows that near-dup
+    the indexed corpus (or a smaller-id row of the same batch),
+    append only the survivors to the index's SOURCE table, and
+    CDC-refresh the index so the next batch sees them. One call =
+    probe + gate + append + refresh.
+
+    Semantics (deterministic, SQL-expressible): a batch row is
+    dropped iff (a) its exact jaccard to ANY smaller-id batch row is
+    >= threshold — the drop-if-dups-any-smaller rule, judged on the
+    FULL batch, so the verdict for every row is independent of other
+    rows' verdicts (no clustering ambiguity) — or (b) it survives (a)
+    and near-dups ANY indexed corpus row. Both stages are the
+    banded-LSH candidate join + exact-jaccard verify (capture
+    ~0.9998 at j=0.8, verify removes every false positive — the
+    module's standard argument), so the gate equals the exact
+    quadratic answer w.h.p. at candidate-linear cost.
+
+    Scale shape: stage (a) is batch-sized (minhash_lsh_pairs on the
+    batch alone); stage (b) is the index probe (query_dedup_index —
+    batch-and-candidate-sized, never a corpus re-minhash); the
+    refresh is churn-sized. Nothing touches the corpus text except
+    candidate verify rows.
+
+    Returns {n_batch, n_dropped_in_batch, n_dropped_vs_corpus,
+    n_appended, src_version}."""
+    from .dedup import minhash_lsh_pairs
+
+    meta = _load_dedup_meta(wh, database, index_table)
+    b = batch.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).persist()
+    try:
+        n_batch = b.count()
+        in_pairs = minhash_lsh_pairs(
+            b, text_col, id_col, n=meta["n"],
+            num_hashes=meta["num_hashes"], bands=meta["bands"],
+            threshold=threshold,
+        )
+        in_dups = in_pairs.select(
+            F.col("id_b").alias("__dup")
+        ).distinct()
+        kept = b.join(
+            in_dups, F.col(id_col) == F.col("__dup"), "left_anti"
+        ).persist()
+        n_kept1 = kept.count()
+        corpus_dups = (
+            query_dedup_index(
+                wh, database, index_table, kept, threshold,
+                probe_id_col=id_col, probe_text_col=text_col,
+            )
+            .select(F.col("probe_id").alias("__dup"))
+            .distinct()
+        )
+        survivors = kept.join(
+            corpus_dups, F.col(id_col) == F.col("__dup"), "left_anti"
+        )
+        n_appended = survivors.count()
+        v = snap.append_versioned(
+            wh, database, meta["src_table"], survivors
+        )
+        refresh_dedup_index(wh, database, index_table)
+        return {
+            "n_batch": n_batch,
+            "n_dropped_in_batch": n_batch - n_kept1,
+            "n_dropped_vs_corpus": n_kept1 - n_appended,
+            "n_appended": n_appended,
+            "src_version": v,
+        }
+    finally:
+        b.unpersist()
+        try:
+            kept.unpersist()
+        except Exception:
+            pass

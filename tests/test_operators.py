@@ -3925,3 +3925,55 @@ def test_ann_index_adaptive_overfetch_matches_in_memory(
     }
     adaptive = {(r["query_id"], r["neighbor_id"]) for r in idx}
     assert len(adaptive & exact) >= len(fixed & exact)
+
+
+def test_append_deduped_gates_and_is_idempotent(spark, tmp_path, sf_dir):
+    """append_deduped (r10): within-batch drop-if-dups-any-smaller,
+    corpus near-dups dropped, survivors appended + index refreshed —
+    and re-submitting the SAME batch under fresh ids appends NOTHING
+    (every row now near-dups the corpus the first call created): the
+    gate makes ingest idempotent under at-least-once delivery."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import dedup_index as di
+    from scratchdb_spark.tables import Warehouse, table
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 100)
+    snap.append_versioned(wh, "db", "docs", corpus)
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh")
+
+    def mk_batch(shift):
+        return docs.filter(F.col("doc_id") < 3).select(
+            (F.col("doc_id") + shift).alias("doc_id"), "text"
+        ).unionByName(
+            spark.createDataFrame(
+                [
+                    (shift + 100, "qq fresh synthetic words one two "
+                                  "three four five six"),
+                    (shift + 101, "qq fresh synthetic words one two "
+                                  "three four five six"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+
+    s1 = di.append_deduped(wh, "db", "docs_lsh", mk_batch(500_000))
+    assert s1["n_batch"] == 5
+    assert s1["n_dropped_vs_corpus"] == 3  # the corpus copies
+    assert s1["n_dropped_in_batch"] == 1  # larger id of the twin pair
+    assert s1["n_appended"] == 1  # the smaller twin survives
+    assert snap.read_snapshot(wh, "db", "docs").count() == 101
+
+    # same content, new ids: everything now dups the corpus
+    s2 = di.append_deduped(wh, "db", "docs_lsh", mk_batch(600_000))
+    assert s2["n_appended"] == 0
+    assert s2["n_dropped_in_batch"] == 1
+    assert s2["n_dropped_vs_corpus"] == 4
+    assert snap.read_snapshot(wh, "db", "docs").count() == 101
+    # refreshed index still equals a rebuild
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh_rb")
+    a = snap.read_snapshot(wh, "db", "docs_lsh")
+    b = snap.read_snapshot(wh, "db", "docs_lsh_rb")
+    assert a.exceptAll(b).limit(1).count() == 0
+    assert b.exceptAll(a).limit(1).count() == 0
