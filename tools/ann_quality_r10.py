@@ -136,7 +136,45 @@ def main() -> None:
                 f"{fname}/{quant}: nprobe=1 fixed {fx[0]} != "
                 f"adaptive {ad[0]}"
             )
-        report["fixtures"][fname] = {"n": n, "curves": curves}
+        # overfetch sweep at nprobe=1 (kmeans): when the quantizer
+        # aligns cells with clusters, every true neighbor is in the
+        # FIRST probed cell and recall is bounded by ADC ranking
+        # within it — nprobe adds nothing (the flat adaptive curve);
+        # the per-cell budget k*OVERFETCH is the knob that raises
+        # that ceiling. Record the curve so the trade is measured,
+        # not asserted.
+        of_curve = []
+        for of in (2, 4, 8, 16, 32):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivfpq_topk(
+                    emb, q, k=K, overfetch=of,
+                    n_centroids=N_CENTROIDS, nprobe=1,
+                    quantizer="kmeans", adaptive_overfetch=True,
+                ).collect()
+            }
+            of_curve.append(
+                {
+                    "overfetch": of,
+                    "recall": round(len(got & exact) / len(exact), 4),
+                }
+            )
+        print(
+            f"{fname} kmeans np1 overfetch sweep: "
+            + " ".join(
+                f"of{c['overfetch']}={c['recall']}" for c in of_curve
+            ),
+            flush=True,
+        )
+        rec_of = [c["recall"] for c in of_curve]
+        assert all(
+            b >= a - 1e-9 for a, b in zip(rec_of, rec_of[1:])
+        ), f"{fname}: overfetch curve not monotone: {rec_of}"
+        report["fixtures"][fname] = {
+            "n": n,
+            "curves": curves,
+            "kmeans_np1_overfetch_sweep": of_curve,
+        }
         emb.unpersist()
 
     if out_path:
