@@ -1208,3 +1208,51 @@ def split_balance_classes_skewed(
         .alias("label"),
     )
     return balance_classes(docs, "label", "doc_id", cap=40)
+
+
+@register(
+    "dedup_span_rewrite",
+    f"""
+    WITH w AS (SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents),
+    occ AS (
+      SELECT doc_id, CAST((i - 1) / 8 AS BIGINT) AS pos,
+             array_to_string(list_slice(w, i, i + 7), ' ') AS c
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w), 1), 8))
+                     AS i
+            FROM w)),
+    k AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY c ORDER BY doc_id, pos) AS rn
+      FROM occ),
+    reb AS (
+      SELECT doc_id, string_agg(c, ' ' ORDER BY pos) AS clean_text,
+             CAST(count(*) AS BIGINT) AS kept_chunks
+      FROM k WHERE rn = 1 GROUP BY doc_id),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+      FROM occ GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           t.n_chunks,
+           CAST(coalesce(r.kept_chunks, 0) AS BIGINT) AS kept_chunks
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="Exact-substring dedup, REMOVAL stage at 8-token-chunk "
+        "granularity (operators/dedup.py::span_dedup_rewrite; Lee et "
+        "al. 2022's suffix-array span cuts approximated at chunk "
+        "grain — dedup_ngram_span_coverage is the matching AUDIT "
+        "stage): every document rewritten with all but the "
+        "corpus-first occurrence of each chunk removed, fully-"
+        "duplicated docs collapsing to ''. Keys on the chunk STRING "
+        "(not a 64-bit hash) because the op deletes text — a "
+        "collision would destroy novel content. Explode -> one "
+        "min(struct) shuffle -> winners equi-join -> per-doc "
+        "rebuild; no windows, linear in chunks; the oracle replays "
+        "the identical first-occurrence rule as a row_number "
+        "window.",
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import span_dedup_rewrite
+
+    return span_dedup_rewrite(table(spark, sf_dir, "documents"))

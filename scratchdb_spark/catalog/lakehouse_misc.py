@@ -4038,3 +4038,133 @@ def events_sequence_next_after_pair(
     return m.groupBy(F.col("nxt2").alias("next_event")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "events_delta_sum_value",
+    """
+    WITH x AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             lag(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS pv
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND v > pv
+                         THEN v - pv ELSE 0 END) AS BIGINT)
+             AS delta_sum_cents
+    FROM x GROUP BY user_id
+    """,
+    doc="ClickHouse deltaSum parity (public docs: sum of the "
+        "POSITIVE differences between consecutive values, negative "
+        "deltas ignored) per user over the event stream in "
+        "(ts, event_id) order — the counter-ingest primitive for "
+        "monotonic gauges that occasionally reset. Exact integer "
+        "cents (value carries two decimals, so round(v*100) is "
+        "exact) keep the per-user sum order-free and "
+        "engine-portable; ts compares as integer microseconds with "
+        "the event_id tie-break (the ns->us truncation trap "
+        "ts_ewma documented). One user-keyed window + one grouped "
+        "agg — a single shuffle, bounded by per-user activity, no "
+        "global ordering anywhere.",
+)
+def events_delta_sum_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    raw = table(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id",
+        "event_id",
+        epoch_us(raw, "ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    x = ev.withColumn("pv", F.lag("v").over(w))
+    return x.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull() & (F.col("v") > F.col("pv")),
+                F.col("v") - F.col("pv"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("delta_sum_cents"),
+    )
+
+
+@register(
+    "events_max_concurrent_sessions",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    y AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM x),
+    z AS (
+      SELECT *, CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM y),
+    s AS (
+      SELECT user_id, session_idx, min(us) AS s_us, max(us) AS e_us
+      FROM z GROUP BY user_id, session_idx),
+    e AS (
+      SELECT s_us AS t, 1 AS d FROM s
+      UNION ALL
+      SELECT e_us AS t, -1 AS d FROM s),
+    r AS (
+      SELECT t, CAST(sum(d) OVER (
+               ORDER BY t ASC, d DESC ROWS UNBOUNDED PRECEDING)
+             AS BIGINT) AS run
+      FROM e),
+    m AS (SELECT max(run) AS peak FROM r)
+    SELECT CAST((SELECT peak FROM m) AS BIGINT) AS peak_concurrency,
+           CAST(min(t) AS BIGINT) AS peak_at_us
+    FROM r WHERE run = (SELECT peak FROM m)
+    """,
+    doc="ClickHouse maxIntersections/maxIntersectionsPosition parity "
+        "(public docs): the peak number of simultaneously-active "
+        "30-min-gap sessions and the first microsecond it is "
+        "reached — capacity planning's 'peak concurrency' question. "
+        "Sessions come from the same lag+running-flag sessionization "
+        "as sessionize_events; intervals are CLOSED so single-event "
+        "(zero-length) sessions still count (the operator docstring "
+        "derives why the result is permutation-invariant and hence "
+        "portable). Spark side sweeps with the two-pass "
+        "prefix-BUCKET running sum (operators/resample.py::"
+        "max_concurrent_intervals — time-DIV-day buckets, bounded "
+        "offsets collect, PARTITIONED windows only, the "
+        "epoch_shuffle pattern), while the oracle keeps DuckDB's "
+        "single-threaded global window: identical sweep order "
+        "(t ASC, d DESC), one exact BIGINT row either way.",
+)
+def events_max_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.resample import max_concurrent_intervals
+
+    raw = table(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_id", epoch_us(raw, "ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_idx", F.sum("is_new").over(run))
+    sessions = flagged.groupBy("user_id", "session_idx").agg(
+        F.min("us").alias("start_us"), F.max("us").alias("end_us")
+    )
+    return max_concurrent_intervals(sessions)

@@ -208,3 +208,102 @@ def gapfill_daily_linear(
         interp.alias("interp_value_e2"),
         F.col("value_e2").isNull().alias("is_gap"),
     )
+
+
+def max_concurrent_intervals(
+    intervals: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Peak number of simultaneously-active intervals and the first
+    instant it is reached — ClickHouse's maxIntersections /
+    maxIntersectionsPosition pair (public docs), the "peak concurrent
+    sessions" question. One row out: (peak_concurrency, peak_at_us).
+
+    Endpoint semantics: intervals are CLOSED ([start, end] — a
+    zero-length interval still counts as active at its instant, and
+    two intervals touching at a point overlap), so at equal time the
+    +1 endpoints apply before the -1s: sweep order is (t ASC, d DESC).
+    ClickHouse's own pair is half-open; closed is the deliberate
+    choice here because gap-sessionized single-event sessions have
+    start == end and would otherwise never register. The peak and its
+    first instant are permutation-invariant within equal (t, d) runs
+    (+1 runs peak at their last row, so the attained prefix-value SET
+    at a given t is fixed), hence deterministic and engine-portable.
+
+    Scale shape: a naive running sum over all endpoints is ONE
+    partitionless window — the pattern class split.epoch_shuffle:136
+    exists to kill. Same two-pass prefix-bucket construction, with the
+    bucket = the endpoint's time DIV ``bucket_us`` (time buckets are
+    ordered by construction, so (bucket, t, d DESC) order == global
+    sweep order). Pass 1 nets each bucket's sum(d) (one map-side-
+    combined agg; collect is bounded by the corpus' time span — ~365
+    rows/year at the day default; widen bucket_us if the collect ever
+    matters). Pass 2 runs the sweep inside each bucket (PARTITIONED
+    window) and adds the prefix offset of all earlier buckets — a
+    literal map below 1024 buckets, a broadcast-joined frame above
+    (same thresholds as epoch_shuffle). The final argmax is one
+    min(struct(-run, t)) aggregate: exact BIGINTs, no second pass.
+
+    Empty input yields one row of NULLs (no interval was ever active).
+    """
+    starts = intervals.select(
+        F.col(start_col).cast("long").alias("t"),
+        F.lit(1).cast("long").alias("d"),
+    )
+    ends = intervals.select(
+        F.col(end_col).cast("long").alias("t"),
+        F.lit(-1).cast("long").alias("d"),
+    )
+    pts = starts.unionAll(ends).withColumn(
+        "__bkt", F.floor(F.col("t") / F.lit(int(bucket_us))).cast("long")
+    )
+    nets = {
+        r["__bkt"]: r["net"]
+        for r in pts.groupBy("__bkt").agg(F.sum("d").alias("net")).collect()
+    }
+    offsets: dict[int, int] = {}
+    cum = 0
+    for b in sorted(nets):
+        offsets[b] = cum
+        cum += nets[b]
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("t").asc(), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = F.sum("d").over(w)
+    if len(offsets) <= 1024:
+        off_map = F.create_map(
+            *[
+                F.lit(x)
+                for b, o in sorted(offsets.items())
+                for x in (b, o)
+            ]
+        )
+        runs = pts.withColumn(
+            "run",
+            (F.coalesce(F.element_at(off_map, F.col("__bkt")), F.lit(0))
+             + in_bucket).cast("long"),
+        )
+    else:
+        off_df = pts.sparkSession.createDataFrame(
+            sorted(offsets.items()), "__bkt long, __off long"
+        )
+        runs = (
+            pts.join(F.broadcast(off_df), "__bkt")
+            .withColumn("run", (F.col("__off") + in_bucket).cast("long"))
+            .drop("__off")
+        )
+    m = runs.agg(
+        F.min(
+            F.struct(
+                (-F.col("run")).alias("nr"), F.col("t").alias("t")
+            )
+        ).alias("m")
+    )
+    return m.select(
+        (-F.col("m.nr")).cast("long").alias("peak_concurrency"),
+        F.col("m.t").cast("long").alias("peak_at_us"),
+    )

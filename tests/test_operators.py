@@ -3977,3 +3977,113 @@ def test_append_deduped_gates_and_is_idempotent(spark, tmp_path, sf_dir):
     b = snap.read_snapshot(wh, "db", "docs_lsh_rb")
     assert a.exceptAll(b).limit(1).count() == 0
     assert b.exceptAll(a).limit(1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 10 (continuation): exact-substring REMOVAL stage + maxIntersections
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_rewrite_semantics(spark):
+    """Chunk-level ExactSubstr removal: the corpus-FIRST occurrence of
+    each 8-token chunk survives (in (doc_id, pos) order), every later
+    occurrence — in another doc OR later in the same doc — is cut,
+    fully-duplicated docs collapse to '', and reassembly preserves
+    position order. Layout-invariant (first-occurrence order is a
+    total order on (doc_id, pos), not partitioning)."""
+    from scratchdb_spark.operators.dedup import span_dedup_rewrite
+
+    c0 = "a b c d e f g h"          # chunk shared by d0/d1/d2
+    c1 = "i j k l m n o p"          # chunk shared by d0/d1
+    c2 = "x y z w"                  # short tail chunk, unique to d2
+    c4 = "q r s t u v q2 r2"        # chunk unique to d4, repeated in-doc
+    rows = [
+        (0, f"{c0} {c1}"),          # both chunks first here
+        (1, f"{c0} {c1}"),          # exact dup of d0 -> ''
+        (2, f"{c0} {c2}"),          # head dup, tail novel
+        (3, "p q"),                 # single short chunk, unique
+        (4, f"{c4} {c4}"),          # within-doc repeat: pos 1 cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(df):
+        return {
+            r["doc_id"]: (
+                r["clean_text"], r["n_chunks"], r["kept_chunks"]
+            )
+            for r in span_dedup_rewrite(df).collect()
+        }
+
+    out = run(docs)
+    assert out[0] == (f"{c0} {c1}", 2, 2)
+    assert out[1] == ("", 2, 0)
+    assert out[2] == (c2, 2, 1)
+    assert out[3] == ("p q", 1, 1)
+    assert out[4] == (c4, 2, 1)
+    # same-corpus reruns and layouts agree (total order, not luck)
+    assert run(docs.repartition(7)) == out
+
+
+def test_max_concurrent_intervals_matches_bruteforce(spark):
+    """Closed-interval sweep == brute force on a deterministic mix of
+    overlapping / nested / zero-length / tied intervals, across three
+    bucket widths: one-bucket (offsets trivial), many-bucket
+    (cross-boundary offsets), and >1024 buckets (the broadcast-join
+    offsets branch)."""
+    from scratchdb_spark.operators.resample import (
+        max_concurrent_intervals,
+    )
+
+    # deterministic congruential mix; guarantees ties + zero-lengths
+    ivals = []
+    x = 7
+    for i in range(200):
+        x = (x * 1103515245 + 12345) % 2**31
+        s = x % 2000
+        ln = (x >> 8) % 50
+        if i % 7 == 0:
+            ln = 0                      # zero-length sessions
+        if i % 11 == 0:
+            s = 500                     # pile ties onto one instant
+        ivals.append((s, s + ln))
+    df = spark.createDataFrame(ivals, "start_us long, end_us long")
+
+    # brute force: closed active count peaks at a start instant
+    starts = sorted({s for s, _ in ivals})
+    active = {
+        t: sum(1 for s, e in ivals if s <= t <= e) for t in starts
+    }
+    peak = max(active.values())
+    peak_at = min(t for t in starts if active[t] == peak)
+
+    for bucket_us in (10**12, 100, 1):
+        row = max_concurrent_intervals(
+            df, bucket_us=bucket_us
+        ).collect()[0]
+        assert (row["peak_concurrency"], row["peak_at_us"]) == (
+            peak, peak_at,
+        ), f"bucket_us={bucket_us}"
+
+
+def test_max_concurrent_intervals_window_is_partitioned(spark):
+    """The sweep's running sum must ride a PARTITIONED window (time
+    buckets), never a partitionless one — the single-task pattern
+    class the epoch_shuffle/balance_classes fixes killed. The only
+    SinglePartition exchange allowed in the plan is the final
+    one-row min(struct) aggregate (a few bytes per partition)."""
+    from scratchdb_spark.operators.resample import (
+        max_concurrent_intervals,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 100000).alias("start_us"),
+        (F.col("id") * 37 % 100000 + 500).alias("end_us"),
+    )
+    out = max_concurrent_intervals(df, bucket_us=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bkt" in plan  # the sweep window's key
+    # the Window operator itself must not sort a single partition:
+    # every Sort above a SinglePartition exchange would name it here
+    for block in plan.split("Window")[1:]:
+        head = block.split("\n")[0]
+        assert "__bkt" in head

@@ -44,6 +44,17 @@ QUERIES = [
     "events_entropy",
     "agg_quantile_exact_weighted",
     "events_sequence_next_after_pair",
+    # round-10 continuation additions:
+    # - delta_sum: one user-keyed window shuffle, ~10x bytes flat wall
+    # - max_concurrent_sessions: user-keyed sessionize shuffle ~10x;
+    #   the endpoint sweep rides day-bucket partitioned windows whose
+    #   offsets collect is constant (same time span at both scales)
+    # - span_rewrite: chunk explode/groupBy ~10x (the replicated docs
+    #   are 10-way duplicated text, so the rewrite also demonstrates
+    #   mass removal: every shifted copy collapses to '')
+    "events_delta_sum_value",
+    "events_max_concurrent_sessions",
+    "dedup_span_rewrite",
 ]
 
 
