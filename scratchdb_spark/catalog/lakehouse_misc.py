@@ -4168,3 +4168,157 @@ def events_max_concurrent_sessions(
         F.min("us").alias("start_us"), F.max("us").alias("end_us")
     )
     return max_concurrent_intervals(sessions)
+
+
+@register(
+    "events_interval_length_sum",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    y AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM x),
+    z AS (
+      SELECT *, CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM y),
+    s AS (
+      SELECT user_id, session_idx, min(us) AS s_us, max(us) AS e_us
+      FROM z GROUP BY user_id, session_idx),
+    e AS (
+      SELECT s_us AS t, 1 AS d FROM s
+      UNION ALL
+      SELECT e_us AS t, -1 AS d FROM s),
+    r AS (
+      SELECT t,
+             sum(d) OVER (ORDER BY t ASC, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS run,
+             lead(t) OVER (ORDER BY t ASC, d DESC) AS nt
+      FROM e)
+    SELECT CAST(sum(CASE WHEN run > 0 AND nt IS NOT NULL
+                         THEN nt - t ELSE 0 END) AS BIGINT)
+             AS covered_us,
+           (SELECT CAST(sum(e_us - s_us) AS BIGINT) FROM s)
+             AS sum_lengths_us,
+           (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_intervals
+    FROM r
+    """,
+    doc="ClickHouse intervalLengthSum parity (public docs): total "
+        "time at least ONE 30-min-gap session was active — the union "
+        "measure, overlaps counted once — alongside the raw per-"
+        "session sum (their ratio is the concurrency/overlap "
+        "factor). Completes the interval-aggregate pair with "
+        "events_max_concurrent_sessions on the same sessionization. "
+        "Spark sweeps with operators/resample.py::"
+        "interval_length_sum — the prefix-bucket partitioned "
+        "running count plus a per-bucket next-first-endpoint lookup "
+        "for segments that cross bucket boundaries (both collected "
+        "in the same bounded pass-1 agg); the covered sum is "
+        "permutation-invariant within equal-(t,d) tie runs (operator "
+        "docstring derives why), so DuckDB's single global window "
+        "hashes identically.",
+)
+def events_interval_length_sum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.resample import interval_length_sum
+
+    raw = table(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_id", epoch_us(raw, "ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_idx", F.sum("is_new").over(run))
+    sessions = flagged.groupBy("user_id", "session_idx").agg(
+        F.min("us").alias("start_us"), F.max("us").alias("end_us")
+    )
+    return interval_length_sum(sessions)
+
+
+@register(
+    "warehouse_mor_delete",
+    """
+    SELECT * FROM (VALUES
+      ('1_pre',         CAST(6 AS BIGINT), TRUE,  CAST(0 AS BIGINT)),
+      ('2_mor_deleted', CAST(4 AS BIGINT), TRUE,  CAST(2 AS BIGINT)),
+      ('3_applied',     CAST(4 AS BIGINT), FALSE, CAST(0 AS BIGINT)),
+      ('4_time_travel', CAST(6 AS BIGINT), TRUE,  CAST(0 AS BIGINT)))
+      t(stage, n_rows, files_unchanged, dv_rows)
+    """,
+    doc="Row-level takedown via MERGE-ON-READ deletion vectors "
+        "(snapshots.delete_where_mor — Delta DVs / Iceberg position "
+        "deletes, public designs): the delete commits a small "
+        "(file, __row_id) tombstone sidecar and touches NO data file "
+        "— stage 2 shows 4 visible rows over the IDENTICAL file list "
+        "(files_unchanged) with dv_rows=2 in the manifest; "
+        "apply_deletion_vectors later rewrites only the affected "
+        "files and clears the vectors (stage 3); time travel to the "
+        "pre-delete version still shows all 6 rows (stage 4, the "
+        "audit trail). At 100 TB this is the O(matched rows) "
+        "takedown — a 3-row opt-out writes a KB sidecar instead of "
+        "rewriting GB-scale files; readers mask with a broadcast "
+        "anti-join until apply.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_mor_"))
+    snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [(1, False), (2, True), (3, False)],
+            "__row_id long, flagged boolean",
+        ),
+    )
+    pre_v = snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [(4, False), (5, True), (6, False)],
+            "__row_id long, flagged boolean",
+        ),
+    )
+    pre_m = snap._manifest(wh, "db", "docs", pre_v)
+    pre_files = set(snap._manifest_files(wh, "db", "docs", pre_m))
+    mor_v, _ = snap.delete_where_mor(wh, "db", "docs", F.col("flagged"))
+    app_v, _ = snap.apply_deletion_vectors(wh, "db", "docs")
+
+    def audit(stage: str, version: int) -> DataFrame:
+        m = snap._manifest(wh, "db", "docs", version)
+        same = set(
+            snap._manifest_files(wh, "db", "docs", m)
+        ) == pre_files
+        df = snap.read_snapshot(wh, "db", "docs", version=version)
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.lit(same).alias("files_unchanged"),
+            F.lit(int(m.get("dv_rows", 0))).cast("long").alias(
+                "dv_rows"
+            ),
+        )
+
+    return (
+        audit("1_pre", pre_v)
+        .unionAll(audit("2_mor_deleted", mor_v))
+        .unionAll(audit("3_applied", app_v))
+        .unionAll(audit("4_time_travel", pre_v))
+    )

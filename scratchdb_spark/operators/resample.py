@@ -307,3 +307,129 @@ def max_concurrent_intervals(
         (-F.col("m.nr")).cast("long").alias("peak_concurrency"),
         F.col("m.t").cast("long").alias("peak_at_us"),
     )
+
+
+def interval_length_sum(
+    intervals: DataFrame,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Total length of the UNION of intervals — ClickHouse's
+    intervalLengthSum (public docs): "how long was at least one
+    session active", overlaps counted once. One row out:
+    (covered_us, sum_lengths_us, n_intervals) — covered vs the raw
+    sum exposes the overlap factor directly.
+
+    Union length is convention-free where maxIntersections is not:
+    closed vs half-open endpoints differ only on measure-zero
+    junctions, so zero-length intervals contribute 0 either way and
+    the result is the Lebesgue measure of the union under both.
+
+    Sweep construction (same two-pass prefix-bucket shape as
+    max_concurrent_intervals, one extra per-bucket scalar): a segment
+    [t_i, t_next) is covered iff the running active count after row i
+    is > 0. The within-tie permutation never matters — only the LAST
+    row of an equal-(t, d) run contributes a nonzero segment, and its
+    prefix value is the whole group's sum, which is
+    permutation-invariant. `t_next` for a bucket's last row is the
+    next non-empty bucket's first endpoint, which pass 1 already
+    collects (min(t) per bucket, bounded like the offsets); the
+    final row overall coalesces to its own t (its run is 0 anyway:
+    every +1 has a matching -1, so nets sum to zero).
+    """
+    starts = intervals.select(
+        F.col(start_col).cast("long").alias("t"),
+        F.lit(1).cast("long").alias("d"),
+    )
+    ends = intervals.select(
+        F.col(end_col).cast("long").alias("t"),
+        F.lit(-1).cast("long").alias("d"),
+    )
+    pts = starts.unionAll(ends).withColumn(
+        "__bkt", F.floor(F.col("t") / F.lit(int(bucket_us))).cast("long")
+    )
+    stats = {
+        r["__bkt"]: (r["net"], r["first_t"])
+        for r in pts.groupBy("__bkt")
+        .agg(F.sum("d").alias("net"), F.min("t").alias("first_t"))
+        .collect()
+    }
+    order = sorted(stats)
+    offsets: dict[int, int] = {}
+    next_first: dict[int, int] = {}
+    cum = 0
+    for i, b in enumerate(order):
+        offsets[b] = cum
+        cum += stats[b][0]
+        if i + 1 < len(order):
+            next_first[b] = stats[order[i + 1]][1]
+    w = Window.partitionBy("__bkt").orderBy(
+        F.col("t").asc(), F.col("d").desc()
+    )
+    run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if len(offsets) <= 1024:
+        off_map = F.create_map(
+            *[F.lit(x) for b, o in sorted(offsets.items()) for x in (b, o)]
+        )
+        nxt_map = (
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for b, nf in sorted(next_first.items())
+                    for x in (b, nf)
+                ]
+            )
+            if next_first
+            else F.create_map()
+        )
+        enriched = pts.withColumn(
+            "run",
+            (F.coalesce(F.element_at(off_map, F.col("__bkt")), F.lit(0))
+             + F.sum("d").over(run_w)).cast("long"),
+        ).withColumn(
+            "nt",
+            F.coalesce(
+                F.lead("t").over(w),
+                F.element_at(nxt_map, F.col("__bkt")),
+                F.col("t"),
+            ),
+        )
+    else:
+        rows = [
+            (b, offsets[b], next_first.get(b)) for b in order
+        ]
+        off_df = pts.sparkSession.createDataFrame(
+            rows, "__bkt long, __off long, __nf long"
+        )
+        enriched = (
+            pts.join(F.broadcast(off_df), "__bkt")
+            .withColumn(
+                "run",
+                (F.col("__off") + F.sum("d").over(run_w)).cast("long"),
+            )
+            .withColumn(
+                "nt",
+                F.coalesce(
+                    F.lead("t").over(w), F.col("__nf"), F.col("t")
+                ),
+            )
+            .drop("__off", "__nf")
+        )
+    # one aggregate answers all three: the raw length sum is an
+    # endpoint identity (sum over ends minus sum over starts =
+    # sum(-d * t)) and the interval count is the +1 endpoint count,
+    # so no second scan and no 1x1 cross join of separate aggs
+    return enriched.agg(
+        F.sum(
+            F.when(F.col("run") > 0, F.col("nt") - F.col("t")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("covered_us"),
+        F.sum(-F.col("d") * F.col("t")).cast("long").alias(
+            "sum_lengths_us"
+        ),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_intervals"
+        ),
+    )

@@ -61,6 +61,17 @@ _SNAP_RE = re.compile(r"^v(\d{12})\.json$")
 #: non-append commits persist their exact change rows at commit time,
 #: so change feeds replay from files instead of re-diffing data)
 _CHANGES_DIR = "changes"
+#: deletion-vector storage under _snapshots/ (Delta deletion vectors /
+#: Iceberg position deletes, public designs): a merge-on-read DELETE
+#: commits a small parquet of (file, __row_id) tombstones instead of
+#: rewriting data files; readers anti-join, maintenance applies
+_DV_DIR = "dv"
+#: below this many tombstones the reader anti-join broadcasts (a DV
+#: row is ~50 bytes: well under the 10 MB auto-broadcast default at
+#: 100k rows, and an explicit hint keeps the plan stable as the
+#: vector grows); past it the join shuffles — the documented signal
+#: to run apply_deletion_vectors
+_DV_BROADCAST_ROWS = 2_000_000
 
 
 def _snap_dir(wh: Warehouse, database: str, table: str) -> str:
@@ -1201,6 +1212,128 @@ def _write_changes(
     )
 
 
+def _write_dv(
+    wh: Warehouse, database: str, table: str, dv_df: DataFrame
+) -> list[str]:
+    """Persist one commit's deletion-vector tombstones — columns
+    (file string, rid long) — under ``_snapshots/dv/dvd-<uuid>/``,
+    returning the _snapshots-relative parquet paths for the
+    manifest's ``dvs`` key. Same visibility contract as
+    _write_changes: invisible until the manifest PUT; a CAS loser's
+    directory is debris inside maintain_table's reclaim grace."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    rel_dir = f"{_DV_DIR}/dvd-{uuid.uuid4().hex}"
+    out_dir = f"{_snap_dir(wh, database, table)}/{rel_dir}"
+    dv_df.select(
+        F.col("file").cast("string"), F.col("rid").cast("long")
+    ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+    return sorted(
+        f"{rel_dir}/{n}"
+        for n in hfs.list_names(wh.spark, out_dir)
+        if n.endswith(".parquet")
+    )
+
+
+def _dv_frame(
+    wh: Warehouse, database: str, table: str, dvs: list[str]
+) -> DataFrame | None:
+    """The union of the given deletion-vector files as a
+    (file, rid) DataFrame; None when the list is empty."""
+    if not dvs:
+        return None
+    snapd = _snap_dir(wh, database, table)
+    return wh.spark.read.schema("file string, rid long").parquet(
+        *[f"{snapd}/{rel}" for rel in dvs]
+    )
+
+
+def _dv_mask(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    manifest: dict,
+    df: DataFrame,
+    dvs: list[str] | None = None,
+) -> DataFrame:
+    """Apply a manifest's deletion vectors to a row frame: anti-join
+    on the (file basename, __row_id) PAIR — a tombstone binds to the
+    physical row in the file it was deleted from, exactly Iceberg's
+    position-delete contract. Pair binding (not a global id set) is
+    what makes a later MERGE that re-inserts a row under a tombstoned
+    id come back VISIBLE (its new physical row lives in a fresh file
+    the tombstone does not name — caught live by the ghost-merge
+    test, where a global-id mask resurrected the tombstone onto the
+    new row), at the price of one invariant every rewrite path must
+    keep: A REWRITE THAT MOVES ROWS BETWEEN FILES MUST READ THROUGH
+    THIS MASK (compact_small_files, maintain_table, and the COW DML
+    re-reads all do), so a tombstoned row is physically dropped at
+    the move and its now-dead pair entry matches nothing.
+
+    The row's file comes from the frame's ``__file`` column when
+    present (already-tagged callers), else from input_file_name()
+    bound HERE — callers must pass scan-lineage frames (raw reads /
+    pre-exchange projections), since input_file_name() evaluates to
+    '' after any exchange. The DV side broadcasts below
+    _DV_BROADCAST_ROWS tombstones (manifest-recorded count, no
+    scan); past that the anti-join shuffles — the signal to schedule
+    apply_deletion_vectors. No-op when the manifest carries no DVs
+    or the frame has no __row_id column (pre-stamp tables cannot
+    take MoR deletes in the first place)."""
+    from pyspark.sql import functions as F
+
+    rels = manifest.get("dvs", []) if dvs is None else dvs
+    if not rels or "__row_id" not in df.columns:
+        return df
+    dvf = _dv_frame(wh, database, table, rels)
+    if manifest.get("dv_rows", 0) <= _DV_BROADCAST_ROWS:
+        dvf = F.broadcast(dvf)
+    has_file = "__file" in df.columns
+    tagged = (
+        df
+        if has_file
+        else df.withColumn("__dv_file", F.input_file_name())
+    )
+    fcol = F.col("__file") if has_file else F.col("__dv_file")
+    out = tagged.join(
+        dvf,
+        (F.element_at(F.split(fcol, "/"), -1) == dvf["file"])
+        & (tagged["__row_id"] == dvf["rid"]),
+        "left_anti",
+    )
+    return out if has_file else out.drop("__dv_file")
+
+
+def _read_current_tagged(wh: Warehouse, database: str, table: str):
+    """The latest snapshot's VISIBLE rows with a ``__file`` column,
+    for COW DML's affected-file tagging. input_file_name() must bind
+    on the raw scan BEFORE the deletion-vector anti-join: after any
+    exchange it evaluates to '' (Spark's documented behavior), and a
+    non-broadcast DV join would silently un-tag every row — so this
+    helper tags first, masks second. Returns (manifest, schema,
+    tagged_df)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    vs = versions(wh, database, table)
+    manifest = _manifest(wh, database, table, vs[-1])
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    base = wh._path(database, table)
+    names = _manifest_files(wh, database, table, manifest)
+    if not names:
+        empty = wh.spark.createDataFrame([], schema).withColumn(
+            "__file", F.lit(None).cast("string")
+        )
+        return manifest, schema, empty
+    raw = wh.spark.read.schema(schema).parquet(
+        *[f"{base}/{n}" for n in names]
+    )
+    tagged = raw.withColumn("__file", F.input_file_name())
+    return manifest, schema, _dv_mask(wh, database, table, manifest, tagged)
+
+
 def commit_snapshot(
     wh: Warehouse,
     database: str,
@@ -1338,6 +1471,12 @@ def commit_snapshot(
         # let a later stream replay re-apply an already-committed batch
         if vs and prev.get("txns"):
             manifest["txns"] = prev["txns"]
+        if vs and prev.get("dvs"):
+            # appends never resurrect MoR-deleted rows: tombstones
+            # ride every commit until apply_deletion_vectors /
+            # maintenance physically removes the rows
+            manifest["dvs"] = prev["dvs"]
+            manifest["dv_rows"] = prev.get("dv_rows", 0)
         try:
             _put_manifest(wh, database, table, manifest)
             return next_v
@@ -1486,6 +1625,9 @@ def _txn_commit(
             manifest["summary"] = dict(summary)
         if prev and prev.get("constraints"):
             manifest["constraints"] = prev["constraints"]
+        if prev and prev.get("dvs"):
+            manifest["dvs"] = prev["dvs"]
+            manifest["dv_rows"] = prev.get("dv_rows", 0)
         try:
             _put_manifest(wh, database, table, manifest)
             return next_v
@@ -1743,9 +1885,14 @@ def _overwrite_versioned_once(
     prev_files = _manifest_files(wh, database, table, prev)
     changes: list[str] | None
     if cdc:
+        # DV-masked preimage: rows already MoR-deleted must not
+        # re-emit deletes when the overwrite replaces their files
         old = (
-            wh.spark.read.schema(schema).parquet(
-                *[f"{base}/{n}" for n in prev_files]
+            _dv_mask(
+                wh, database, table, prev,
+                wh.spark.read.schema(schema).parquet(
+                    *[f"{base}/{n}" for n in prev_files]
+                ),
             )
             if prev_files
             else wh.spark.createDataFrame([], schema)
@@ -1782,6 +1929,11 @@ def _overwrite_versioned_once(
     next_v = _cow_commit(
         wh, database, table, prev, prev_files, rewritten, changes,
         summary=summary,
+        # an overwrite replaces every old row: standing tombstones
+        # have nothing left to mask and must not leak onto the new
+        # rows' id space (snowflake ids never repeat, but carrying
+        # dead vectors forever is planner noise)
+        dvs_override=([], 0),
     )
     return next_v
 
@@ -2013,6 +2165,11 @@ def rollback_table(
     for k in (
         "files", "stats", "stat_cols", "bloom_cols", "shards",
         "n_files", "bloom_sidecars",
+        # deletion vectors are DATA state (which rows are visible),
+        # so rollback restores the TARGET's tombstone set — rows
+        # MoR-deleted after to_version come back, and read_changes'
+        # dv-delta handling emits them as the rollback's inserts
+        "dvs", "dv_rows",
     ):
         if k in target:
             manifest[k] = target[k]
@@ -2118,7 +2275,16 @@ def read_snapshot(
     paths = [f"{base}/{name}" for name in names]
     if not paths:
         return wh.spark.createDataFrame([], schema)
-    return wh.spark.read.schema(schema).parquet(*paths)
+    # merge-on-read deletion vectors: rows tombstoned by a MoR DELETE
+    # mask out here (broadcast anti-join on __row_id while the vector
+    # is small — see _dv_mask); the physical rewrite is deferred to
+    # apply_deletion_vectors / maintenance. File-level pruning above
+    # stays a SUPERSET (zone maps may still describe tombstoned
+    # rows), which the prune contract already promises.
+    return _dv_mask(
+        wh, database, table, manifest,
+        wh.spark.read.schema(schema).parquet(*paths),
+    )
 
 
 def stats_agg(
@@ -2554,6 +2720,7 @@ def _cow_commit(
     rewritten: list[str],
     changes: list[str] | None,
     summary: dict | None = None,
+    dvs_override: tuple[list[str], int] | None = None,
 ) -> int:
     """Commit a COW file swap (``affected`` out, ``rewritten`` in) as
     the next version — the single atomic manifest PUT shared by
@@ -2613,6 +2780,20 @@ def _cow_commit(
         manifest["constraints"] = prev["constraints"]
     if prev.get("txns"):
         manifest["txns"] = prev["txns"]
+    # deletion vectors: carried by default — safe because every COW
+    # rewrite/pack reads through the mask (the rewrite-must-mask
+    # invariant, _dv_mask), so tombstoned rows are physically dropped
+    # at any move and carried entries are live-or-dead, never wrong.
+    # dvs_override=(list, rows) sets them explicitly — ([], 0) is the
+    # clear form for overwrite (all old rows replaced) and
+    # apply_deletion_vectors (tombstones physically applied)
+    if dvs_override is not None:
+        if dvs_override[0]:
+            manifest["dvs"] = list(dvs_override[0])
+            manifest["dv_rows"] = int(dvs_override[1])
+    elif prev.get("dvs"):
+        manifest["dvs"] = prev["dvs"]
+        manifest["dv_rows"] = prev.get("dv_rows", 0)
     _put_manifest(wh, database, table, manifest)
     return next_v
 
@@ -2649,7 +2830,9 @@ def _delete_where_once(
             "commit_snapshot first"
         )
     base = wh._path(database, table)
-    current = read_snapshot(wh, database, table)
+    # visible rows tagged with their file (DV-masked AFTER the tag —
+    # see _read_current_tagged for why the order matters)
+    prev_m, schema, tagged = _read_current_tagged(wh, database, table)
     # Delta DELETE semantics: a row is deleted iff the predicate is
     # TRUE; NULL evaluates to not-deleted. Normalizing once here makes
     # delete and keep EXACT complements (filter(p) / filter(~p) both
@@ -2658,7 +2841,6 @@ def _delete_where_once(
     # feed from the table).
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     pred_true = F.coalesce(pred.cast("boolean"), F.lit(False))
-    tagged = current.withColumn("__file", F.input_file_name())
     affected = sorted(
         r["__file"].rsplit("/", 1)[-1]
         for r in tagged.filter(pred_true)
@@ -2668,28 +2850,33 @@ def _delete_where_once(
     )
     if not affected:
         return versions(wh, database, table)[-1], 0
-
-    schema = current.schema
     # change-data-feed capture (Delta CDF's public design): the exact
     # deleted rows are known right here — persist them as change files
     # so the streaming CDC source replays this commit from parquet on
     # EXECUTORS instead of re-diffing manifests on the driver. Cost:
     # one extra filtered scan of only the affected files (churn-
     # proportional); invisible until the manifest PUT below.
+    # raw file re-reads must re-apply the standing deletion vectors:
+    # a file can hold rows already MoR-deleted — without the mask the
+    # change capture would re-emit their deletes to the CDC feed, and
+    # the keep set would copy them into the rewritten file
     changes = _write_changes(
         wh,
         database,
         table,
-        wh.spark.read.schema(schema)
-        .parquet(*[f"{base}/{n}" for n in affected])
+        _dv_mask(
+            wh, database, table, prev_m,
+            wh.spark.read.schema(schema)
+            .parquet(*[f"{base}/{n}" for n in affected]),
+        )
         .filter(pred_true)
         .withColumn("_change_type", F.lit("delete")),
     )
-    keep = (
+    keep = _dv_mask(
+        wh, database, table, prev_m,
         wh.spark.read.schema(schema)
-        .parquet(*[f"{base}/{n}" for n in affected])
-        .filter(~pred_true)
-    )
+        .parquet(*[f"{base}/{n}" for n in affected]),
+    ).filter(~pred_true)
     # rewrite survivors into fresh files, then commit a manifest that
     # swaps affected -> rewritten; data-file writes before the
     # manifest PUT are invisible until the commit, so readers never
@@ -2750,12 +2937,13 @@ def _delete_keys_once(
             "commit_snapshot first"
         )
     base = wh._path(database, table)
-    current = read_snapshot(wh, database, table)
-    schema = current.schema
-    if key_col not in current.columns:
+    # visible rows tagged with their file (DV-masked AFTER the tag —
+    # see _read_current_tagged for why the order matters)
+    prev_m, schema, tagged = _read_current_tagged(wh, database, table)
+    if key_col not in schema.names:
         raise ValueError(
             f"key column {key_col!r} not in {database}.{table} "
-            f"columns {current.columns}"
+            f"columns {schema.names}"
         )
     # align the key frame to the table's key type so the joins below
     # are equi-joins on identical types (no implicit cross-type casts)
@@ -2766,7 +2954,6 @@ def _delete_keys_once(
         else keys.select(key_col)
     ).select(F.col(key_col).try_cast(key_type).alias(key_col)).distinct()
 
-    tagged = current.withColumn("__file", F.input_file_name())
     affected = sorted(
         r["__file"].rsplit("/", 1)[-1]
         for r in tagged.join(keys_d, key_col, "semi")
@@ -2777,8 +2964,14 @@ def _delete_keys_once(
     if not affected:
         return vs[-1], 0
 
-    affected_df = wh.spark.read.schema(schema).parquet(
-        *[f"{base}/{n}" for n in affected]
+    # standing deletion vectors re-apply on the raw re-read (same
+    # reason as _delete_where_once: no re-emitted CDC deletes, no
+    # tombstoned rows copied into the rewrite)
+    affected_df = _dv_mask(
+        wh, database, table, prev_m,
+        wh.spark.read.schema(schema).parquet(
+            *[f"{base}/{n}" for n in affected]
+        ),
     )
     # change feed: the exact deleted rows (delete preimages), then
     # survivors rewritten — both churn-proportional (affected files
@@ -2842,11 +3035,11 @@ def _merge_upsert_once(
             "commit_snapshot first"
         )
     base = wh._path(database, table)
-    current = read_snapshot(wh, database, table)
-    schema = current.schema
+    # visible rows tagged with their file (DV-masked AFTER the tag —
+    # see _read_current_tagged for why the order matters)
+    prev_m, schema, tagged = _read_current_tagged(wh, database, table)
     keys = updates.select(F.col(key_col)).distinct()
 
-    tagged = current.withColumn("__file", F.input_file_name())
     affected = sorted(
         r["__file"].rsplit("/", 1)[-1]
         for r in tagged.join(keys, key_col, "semi")
@@ -2863,17 +3056,20 @@ def _merge_upsert_once(
         ]
     )
     if affected:
-        survivors = (
+        # standing deletion vectors re-apply on the raw re-reads
+        # (same reason as _delete_where_once: tombstoned rows must
+        # neither survive into the rewrite nor emit CDC preimages)
+        survivors = _dv_mask(
+            wh, database, table, prev_m,
             wh.spark.read.schema(schema)
-            .parquet(*[f"{base}/{n}" for n in affected])
-            .join(keys, key_col, "anti")
-        )
+            .parquet(*[f"{base}/{n}" for n in affected]),
+        ).join(keys, key_col, "anti")
         rewrite = survivors.unionByName(aligned_updates)
-        replaced = (
+        replaced = _dv_mask(
+            wh, database, table, prev_m,
             wh.spark.read.schema(schema)
-            .parquet(*[f"{base}/{n}" for n in affected])
-            .join(keys, key_col, "semi")
-        )
+            .parquet(*[f"{base}/{n}" for n in affected]),
+        ).join(keys, key_col, "semi")
     else:
         rewrite = aligned_updates
         replaced = wh.spark.createDataFrame([], schema)
@@ -2992,6 +3188,253 @@ def delete_keys(
     return _retry_dml(
         lambda: _delete_keys_once(
             wh, database, table, keys, key_col, summary=summary
+        )
+    )
+
+
+def _delete_where_mor_once(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    predicate,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """One optimistic attempt of delete_where_mor (wrapper below adds
+    conflict retry). Row-level DELETE via MERGE-ON-READ deletion
+    vectors (Delta DVs / Iceberg position deletes, public designs):
+    instead of rewriting every affected file (copy-on-write — O(bytes
+    of affected files)), commit a small (file, __row_id) tombstone
+    parquet and leave the data files untouched — O(matched rows).
+    At 100 TB this is the difference between a 3-row takedown
+    rewriting a 1 GB file and writing a few-KB sidecar.
+
+    Readers (read_snapshot) mask tombstoned rows with a broadcast
+    anti-join on the (file, __row_id) pair while the vector is small
+    (_DV_BROADCAST_ROWS); COW DML, compaction and appends all carry
+    the vector, and every rewrite reads through the mask so a moved
+    row is physically dropped and its entry goes dead (the
+    rewrite-must-mask invariant, _dv_mask).
+    The CDC feed gets the exact deleted rows at THIS commit (explicit
+    change files, same as COW delete). Physical reclaim is
+    apply_deletion_vectors (below) or any maintain_table. Time travel
+    to older versions still shows the rows — same audit-trail
+    contract as COW.
+
+    Same NULL semantics as delete_where: a row deletes iff the
+    predicate is TRUE. Requires the __row_id stamp (every
+    ingest-created table has it); tables without it must use the COW
+    path. Returns (new_version, rows_deleted)."""
+    from pyspark.sql import functions as F
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    prev_m, schema, tagged = _read_current_tagged(wh, database, table)
+    if "__row_id" not in schema.names:
+        raise ValueError(
+            "merge-on-read delete needs the __row_id stamp "
+            f"({database}.{table} lacks it); use delete_where (COW)"
+        )
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    pred_true = F.coalesce(pred.cast("boolean"), F.lit(False))
+    # matched feeds three jobs (empty probe, tombstone write, change
+    # write) — persist once, release before returning (the cache
+    # discipline the r9 advisory pinned on dedup_index)
+    matched = tagged.filter(pred_true).persist()
+    try:
+        if matched.limit(1).count() == 0:
+            return vs[-1], 0
+        dv_files = _write_dv(
+            wh,
+            database,
+            table,
+            matched.select(
+                F.element_at(F.split("__file", "/"), -1).alias("file"),
+                F.col("__row_id").alias("rid"),
+            ),
+        )
+        changes = _write_changes(
+            wh,
+            database,
+            table,
+            matched.drop("__file").withColumn(
+                "_change_type", F.lit("delete")
+            ),
+        )
+    finally:
+        matched.unpersist()
+    n_deleted = (
+        wh.spark.read.parquet(
+            *[
+                f"{_snap_dir(wh, database, table)}/{rel}"
+                for rel in changes
+            ]
+        ).count()
+        if changes
+        else 0
+    )
+    next_v = _next_version(
+        wh, database, table, vs=[prev_m["version"]]
+    )
+    manifest = {
+        "version": next_v,
+        "retired": sorted(prev_m.get("retired", [])),
+        "schema": prev_m["schema"],
+        "changes": changes,
+        "dvs": list(prev_m.get("dvs", [])) + dv_files,
+        "dv_rows": int(prev_m.get("dv_rows", 0)) + n_deleted,
+    }
+    # identical file list -> share the previous entry (inline stats
+    # or shard references — shards are immutable)
+    for k in (
+        "files", "stats", "stat_cols", "bloom_cols", "shards",
+        "n_files", "bloom_sidecars",
+    ):
+        if k in prev_m:
+            manifest[k] = prev_m[k]
+    if summary:
+        manifest["summary"] = dict(summary)
+    if prev_m.get("constraints"):
+        manifest["constraints"] = prev_m["constraints"]
+    if prev_m.get("txns"):
+        manifest["txns"] = prev_m["txns"]
+    _put_manifest(wh, database, table, manifest)
+    return next_v, n_deleted
+
+
+def delete_where_mor(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    predicate,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """Row-level DELETE via merge-on-read deletion vectors — see
+    _delete_where_mor_once for semantics and the COW-vs-MoR cost
+    contract. Conflict-retries with full recompute (_retry_dml),
+    same as the COW DML family."""
+    return _retry_dml(
+        lambda: _delete_where_mor_once(
+            wh, database, table, predicate, summary=summary
+        )
+    )
+
+
+def _apply_deletion_vectors_once(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """One optimistic attempt of apply_deletion_vectors (wrapper
+    below adds conflict retry). Physically apply the table's standing
+    deletion vectors: rewrite ONLY the files that still hold
+    tombstoned rows, commit with the vectors cleared. Content-
+    preserving at the visible-row level (readers saw the mask
+    already), so the commit records an explicit empty change set —
+    CDC consumers cross it emitting nothing, exactly like compaction.
+    Returns (version, files_rewritten); a table with no vectors (or
+    only dead tombstones) commits a metadata-only clear or no-ops.
+
+    File targeting reads only the files the vectors NAME (tombstones
+    are (file, row) pairs, and the rewrite-must-mask invariant means
+    a row that left its named file was physically dropped at the
+    move) intersected with the live manifest — entries naming
+    retired/repacked files are dead and reclaim as a metadata-only
+    clear."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    prev = _manifest(wh, database, table, vs[-1])
+    dvs = prev.get("dvs", [])
+    if not dvs:
+        return vs[-1], 0
+    base = wh._path(database, table)
+    schema = T.StructType.fromJson(json.loads(prev["schema"]))
+    live = _manifest_files(wh, database, table, prev)
+    dvf = _dv_frame(wh, database, table, dvs)
+    recorded = {
+        r["file"] for r in dvf.select("file").distinct().collect()
+    }
+    candidates = sorted(recorded & set(live))
+    if not candidates:
+        # every tombstone names a retired/repacked file: dead entries,
+        # metadata-only clear
+        next_v = _cow_commit(
+            wh, database, table, prev, set(), [], [],
+            summary=summary, dvs_override=([], 0),
+        )
+        return next_v, 0
+    tagged = (
+        wh.spark.read.schema(schema)
+        .parquet(*[f"{base}/{n}" for n in candidates])
+        .withColumn(
+            "__file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+    )
+    if prev.get("dv_rows", 0) <= _DV_BROADCAST_ROWS:
+        dvf = F.broadcast(dvf)
+    affected = sorted(
+        r["__file"]
+        for r in tagged.join(
+            dvf,
+            (tagged["__file"] == dvf["file"])
+            & (tagged["__row_id"] == dvf["rid"]),
+            "semi",
+        )
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        # every tombstone is dead (its rows already left the live
+        # files via COW/overwrite): metadata-only clear
+        next_v = _cow_commit(
+            wh, database, table, prev, set(), [], [],
+            summary=summary, dvs_override=([], 0),
+        )
+        return next_v, 0
+    keep = _dv_mask(
+        wh, database, table, prev,
+        wh.spark.read.schema(schema).parquet(
+            *[f"{base}/{n}" for n in affected]
+        ),
+    )
+    rewritten = _cow_rewrite(wh, base, keep)
+    next_v = _cow_commit(
+        wh, database, table, prev, affected, rewritten, [],
+        summary=summary, dvs_override=([], 0),
+    )
+    return next_v, len(affected)
+
+
+def apply_deletion_vectors(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """Physically apply standing deletion vectors (rewrite only the
+    files that hold tombstoned rows, clear the vectors) — see
+    _apply_deletion_vectors_once. Conflict-retries with full
+    recompute (_retry_dml). Run it when the vector approaches
+    _DV_BROADCAST_ROWS (the reader anti-join stops broadcasting) or
+    on the maintenance cadence; maintain_table's full rewrite also
+    applies vectors implicitly (it reads through the mask and
+    commits a fresh manifest)."""
+    return _retry_dml(
+        lambda: _apply_deletion_vectors_once(
+            wh, database, table, summary=summary
         )
     )
 
@@ -3200,8 +3643,17 @@ def compact_small_files(
     from pyspark.sql import types as T
 
     schema = T.StructType.fromJson(json.loads(prev["schema"]))
-    src = wh.spark.read.schema(schema).parquet(
-        *[f"{base}/{n}" for n in small]
+    # rewrite-must-mask invariant (_dv_mask): packing MOVES rows into
+    # new files, which would orphan their (file, row) tombstones —
+    # reading through the mask physically drops tombstoned rows at
+    # the move instead (visible content unchanged, changes=[] stays
+    # honest; the dead vector entries match nothing until
+    # apply_deletion_vectors / maintenance clears them)
+    src = _dv_mask(
+        wh, database, table, prev,
+        wh.spark.read.schema(schema).parquet(
+            *[f"{base}/{n}" for n in small]
+        ),
     )
     if sort_col is not None and any(
         f.name == sort_col for f in schema.fields
@@ -3392,6 +3844,7 @@ def maintain_table(
     # expiry removes the only manifests naming them, so they reclaim
     # unconditionally below
     dead_dirs: set = set()
+    dead_dv_dirs: set = set()
     dead_shards: set = set()
     for v in versions(wh, database, table):
         if v == next_v:
@@ -3399,6 +3852,8 @@ def maintain_table(
         m = _manifest(wh, database, table, v)
         for rel in m.get("changes", []):
             dead_dirs.add(rel.split("/")[1])
+        for rel in m.get("dvs", []):
+            dead_dv_dirs.add(rel.split("/")[1])
         for rec in m.get("shards", []):
             dead_shards.add(rec["name"])
     # post-commit cleanup: drop old manifests, then old data files —
@@ -3460,6 +3915,24 @@ def maintain_table(
             or hfs.mtime(wh.spark, f"{chg_root}/{d}") <= cutoff_ms
         ):
             hfs.delete(wh.spark, f"{chg_root}/{d}")
+    # same for deletion-vector dirs: maintenance's full rewrite read
+    # through the mask and committed a fresh manifest with no "dvs",
+    # so every vector of the expired history is definitively applied
+    # — reclaim dead ones unconditionally, unreferenced-young ones
+    # ride the same in-flight-commit grace as change dirs
+    dv_root = f"{base}/{_SNAP_DIR}/{_DV_DIR}"
+    referenced_dv: set = set()
+    for v in versions(wh, database, table):
+        for rel in _manifest(wh, database, table, v).get("dvs", []):
+            referenced_dv.add(rel.split("/")[1])
+    for d in hfs.list_names(wh.spark, dv_root, dirs_only=True):
+        if d in referenced_dv:
+            continue
+        if (
+            d in dead_dv_dirs
+            or hfs.mtime(wh.spark, f"{dv_root}/{d}") <= cutoff_ms
+        ):
+            hfs.delete(wh.spark, f"{dv_root}/{d}")
     # same for manifest shards: keep only the retained manifests'
     # shard set (history truncated to one version, so this reclaims
     # every expired-manifest shard immediately, plus unreferenced
@@ -3632,12 +4105,70 @@ def read_changes(
         ]
     )
 
+    # deletion-vector awareness, two parts (derivation: visible(v) =
+    # files(v) minus tombstones(v), and the diff must be over VISIBLE
+    # rows):
+    # (1) each side of the file diff masks with ITS OWN manifest's
+    #     vectors — a tombstoned row in a removed file was already
+    #     invisible at from_version (its delete was emitted when the
+    #     vector committed), and a tombstoned row in an added file
+    #     was never visible at all. This also makes
+    #     apply_deletion_vectors' rewrite cancel exactly (clean new
+    #     files vs masked old files), like compaction.
+    # (2) vectors added/dropped over files the span did NOT touch
+    #     are pure visibility changes with no file diff to catch
+    #     them: their rows read from the (unchanged) files named by
+    #     the delta vectors — deletes for new tombstones, inserts
+    #     for dropped ones (rollback's restore). Cost stays
+    #     churn-proportional: only delta-named files are read.
+    added = _dv_mask(wh, database, table, new_m, added)
+    removed = _dv_mask(wh, database, table, old_m, removed)
+    churn = (old_files - new_files) | (new_files - old_files)
+    old_dv = old_m.get("dvs", [])
+    new_dv = new_m.get("dvs", [])
+
+    def _dv_delta_rows(rels: list[str]):
+        if not rels or "__row_id" not in schema.names:
+            return None
+        d = _dv_frame(wh, database, table, rels)
+        names = sorted(
+            {r["file"] for r in d.select("file").distinct().collect()}
+            - churn
+        )
+        if not names:
+            return None
+        rows = read_files(set(names), new_m["schema"]).withColumn(
+            "__dv_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+        return rows.join(
+            d,
+            (rows["__dv_file"] == d["file"])
+            & (rows["__row_id"] == d["rid"]),
+            "semi",
+        ).drop("__dv_file")
+
+    dv_del = _dv_delta_rows(
+        [p for p in new_dv if p not in set(old_dv)]
+    )
+    dv_ins = _dv_delta_rows(
+        [p for p in old_dv if p not in set(new_dv)]
+    )
+
     inserts = added.exceptAll(removed).withColumn(
         "_change_type", F.lit("insert")
     )
     deletes = removed.exceptAll(added).withColumn(
         "_change_type", F.lit("delete")
     )
+    if dv_del is not None:
+        deletes = deletes.unionAll(
+            dv_del.withColumn("_change_type", F.lit("delete"))
+        )
+    if dv_ins is not None:
+        inserts = inserts.unionAll(
+            dv_ins.withColumn("_change_type", F.lit("insert"))
+        )
     return inserts.unionAll(deletes)
 
 
@@ -3663,6 +4194,7 @@ def orphan_files(
     referenced: set = set()
     retired: set = set()
     ref_chg_dirs: set = set()
+    ref_dv_dirs: set = set()
     ref_shards: set = set()
     for v in versions(wh, database, table):
         m = _manifest(wh, database, table, v)
@@ -3670,6 +4202,8 @@ def orphan_files(
         retired |= set(m.get("retired", []))
         for rel in m.get("changes", []):
             ref_chg_dirs.add(rel.split("/")[1])
+        for rel in m.get("dvs", []):
+            ref_dv_dirs.add(rel.split("/")[1])
         for rec in m.get("shards", []):
             ref_shards.add(rec["name"])
     snapd = _snap_dir(wh, database, table)
@@ -3679,6 +4213,13 @@ def orphan_files(
             wh.spark, f"{snapd}/{_CHANGES_DIR}", dirs_only=True
         )
         if d not in ref_chg_dirs
+    )
+    dv_debris = sorted(
+        d
+        for d in hfs.list_names(
+            wh.spark, f"{snapd}/{_DV_DIR}", dirs_only=True
+        )
+        if d not in ref_dv_dirs
     )
     shard_debris = sorted(
         n
@@ -3704,6 +4245,7 @@ def orphan_files(
         "orphaned": sorted(disk - referenced - retired),
         "missing": sorted(referenced - disk),
         "change_dirs_orphaned": chg_debris,
+        "dv_dirs_orphaned": dv_debris,
         "shards_orphaned": shard_debris,
         "rewrite_tmp_dirs": rewrite_debris,
     }

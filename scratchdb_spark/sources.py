@@ -505,9 +505,16 @@ try:  # Spark 4 Python DataSource API
             return _ScratchCdcStreamReader(self.options, schema)
 
     class _CdcPartition(InputPartition):
-        def __init__(self, path: str, role: str):
+        def __init__(self, path: str, role: str, dv_rids=()):
             self.path = path
             self.role = role  # 'insert' (data file) | 'change' (CDF file)
+            # merge-on-read tombstones for THIS file (bootstrap only:
+            # the end version's standing deletion vectors must not
+            # re-emit deleted rows as inserts). A tuple of __row_id
+            # values, pair-scoped to the file so it stays small; a
+            # table about to be bootstrapped with a huge vector should
+            # run snapshots.apply_deletion_vectors first.
+            self.dv_rids = tuple(dv_rids)
 
     class _ScratchCdcStreamReader(DataSourceStreamReader):
         """Partition-planning CDC reader. Per version transition in
@@ -605,10 +612,31 @@ try:  # Spark 4 Python DataSource API
                 )
             if start_v == 0:
                 # bootstrap: the end version's full state as inserts
-                # (diff against the empty set needs no cancellation)
+                # (diff against the empty set needs no cancellation).
+                # Standing deletion vectors mask per file: each
+                # partition carries its own tombstoned __row_ids so
+                # the executor-side arrow read drops them.
                 m = _cdc_manifest(self._fs, self.base, end_v)
+                dv_by_file: dict = {}
+                for rel in m.get("dvs", []):
+                    import pyarrow.parquet as _pq
+
+                    t = _pq.read_table(
+                        self._fs.open_input_file(
+                            f"{self.base}/_snapshots/{rel}"
+                        )
+                    )
+                    for fn, rid in zip(
+                        t.column("file").to_pylist(),
+                        t.column("rid").to_pylist(),
+                    ):
+                        dv_by_file.setdefault(fn, []).append(rid)
                 return [
-                    _CdcPartition(f"{self.base}/{n}", "insert")
+                    _CdcPartition(
+                        f"{self.base}/{n}",
+                        "insert",
+                        dv_rids=dv_by_file.get(n, ()),
+                    )
                     for n in _cdc_manifest_files(self._fs, self.base, m)
                 ]
             parts = []
@@ -650,9 +678,27 @@ try:  # Spark 4 Python DataSource API
             from pyspark.sql.pandas.types import to_arrow_type
 
             is_change = partition.role == "change"
+            dv_rids = set(getattr(partition, "dv_rids", ()) or ())
             want = [(n, to_arrow_type(dt)) for n, dt in self.fields]
             pf = pq.ParquetFile(self._fs.open_input_file(partition.path))
             for batch in pf.iter_batches():
+                if dv_rids and "__row_id" in batch.schema.names:
+                    # bootstrap under standing deletion vectors: drop
+                    # this file's tombstoned rows (vectorized mask)
+                    import pyarrow.compute as pc
+
+                    batch = batch.filter(
+                        pc.invert(
+                            pc.is_in(
+                                batch.column("__row_id"),
+                                value_set=pa.array(
+                                    sorted(dv_rids), type=pa.int64()
+                                ),
+                            )
+                        )
+                    )
+                    if batch.num_rows == 0:
+                        continue
                 n_rows = batch.num_rows
                 cols, names = [], []
                 for name, atype in want:

@@ -4087,3 +4087,243 @@ def test_max_concurrent_intervals_window_is_partitioned(spark):
     for block in plan.split("Window")[1:]:
         head = block.split("\n")[0]
         assert "__bkt" in head
+
+
+def test_interval_length_sum_matches_bruteforce(spark):
+    """Union length == brute force (point-count over the integer
+    grid) on overlapping / nested / zero-length / tied intervals,
+    across one-bucket, many-bucket (cross-boundary segments), and
+    >1024-bucket (broadcast offsets branch) widths."""
+    from scratchdb_spark.operators.resample import interval_length_sum
+
+    ivals = []
+    x = 3
+    for i in range(150):
+        x = (x * 1103515245 + 12345) % 2**31
+        s = x % 3000
+        ln = (x >> 7) % 40
+        if i % 6 == 0:
+            ln = 0
+        ivals.append((s, s + ln))
+
+    covered_pts = set()
+    for s, e in ivals:
+        covered_pts.update(range(s, e))  # [s, e) unit segments
+    covered = len(covered_pts)
+    raw = sum(e - s for s, e in ivals)
+
+    df = spark.createDataFrame(ivals, "start_us long, end_us long")
+    for bucket_us in (10**12, 128, 1):
+        row = interval_length_sum(df, bucket_us=bucket_us).collect()[0]
+        assert row["covered_us"] == covered, f"bucket_us={bucket_us}"
+        assert row["sum_lengths_us"] == raw
+        assert row["n_intervals"] == len(ivals)
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read deletion vectors (Delta DVs / Iceberg position deletes)
+# ---------------------------------------------------------------------------
+
+
+def _dv_table(spark, tmp_path, n=100, name="t"):
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"u{i}", i % 5) for i in range(n)],
+        "__row_id long, name string, grp long",
+    )
+    snap.append_versioned(wh, "db", name, df)
+    return wh, snap
+
+
+def test_delete_where_mor_masks_rows_not_files(spark, tmp_path):
+    """A MoR delete removes rows from the CURRENT view without
+    touching any data file: same file list before and after, time
+    travel still sees the rows, the CDC feed carries the exact
+    deletes at the MoR commit, and a later append does not resurrect
+    them."""
+    from pyspark.sql import functions as F
+
+    wh, snap = _dv_table(spark, tmp_path)
+    m1 = snap._manifest(wh, "db", "t", 1)
+    files_before = set(snap._manifest_files(wh, "db", "t", m1))
+
+    v, n = snap.delete_where_mor(wh, "db", "t", "grp = 3")
+    assert n == 20
+    m2 = snap._manifest(wh, "db", "t", v)
+    assert set(snap._manifest_files(wh, "db", "t", m2)) == files_before
+    assert m2.get("dv_rows") == 20 and m2.get("dvs")
+
+    cur = snap.read_snapshot(wh, "db", "t")
+    assert cur.count() == 80
+    assert cur.filter("grp = 3").count() == 0
+    assert snap.read_snapshot(wh, "db", "t", version=1).count() == 100
+
+    ch = snap.read_changes(wh, "db", "t", 1, v)
+    got = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"delete": 20}
+
+    more = spark.createDataFrame(
+        [(1000 + i, f"n{i}", 3) for i in range(10)],
+        "__row_id long, name string, grp long",
+    )
+    snap.append_versioned(wh, "db", "t", more)
+    after = snap.read_snapshot(wh, "db", "t")
+    assert after.count() == 90                       # 80 + 10 new
+    assert after.filter("grp = 3").count() == 10     # only the new rows
+
+
+def test_cow_dml_after_mor_no_resurrection_no_double_cdc(
+    spark, tmp_path
+):
+    """COW delete / merge racing standing tombstones: the rewrite
+    must not copy tombstoned rows into fresh files, and the CDC
+    preimages must not re-emit their deletes."""
+    from pyspark.sql import functions as F
+
+    wh, snap = _dv_table(spark, tmp_path)
+    v_mor, _ = snap.delete_where_mor(wh, "db", "t", "grp = 3")
+    # COW delete over a predicate that OVERLAPS the tombstoned rows:
+    # grp in (1, 3) — the grp=3 rows are already MoR-deleted
+    v_cow, n = snap.delete_where(wh, "db", "t", "grp IN (1, 3)")
+    assert n == 20  # only the grp=1 rows still existed
+    ch = snap.read_changes(wh, "db", "t", v_mor, v_cow)
+    dels = ch.filter("_change_type = 'delete'")
+    assert dels.count() == 20
+    assert dels.filter("grp = 3").count() == 0
+    assert snap.read_snapshot(wh, "db", "t").count() == 60
+
+    # merge over a tombstoned key must INSERT (the row is invisible),
+    # not update a ghost
+    upd = spark.createDataFrame(
+        [(3, "ghost", 9)], "__row_id long, name string, grp long"
+    )  # row_id 3 had grp=3 -> tombstoned
+    snap.merge_upsert(wh, "db", "t", upd, "__row_id")
+    cur = snap.read_snapshot(wh, "db", "t")
+    assert cur.filter("__row_id = 3").count() == 1
+    assert cur.filter("name = 'ghost'").count() == 1
+    assert cur.count() == 61
+
+
+def test_apply_deletion_vectors_physical_rewrite(spark, tmp_path):
+    """apply_deletion_vectors physically rewrites only the files the
+    vectors name, clears the manifest vectors, preserves visible
+    content exactly, and emits zero CDC rows; a second apply no-ops."""
+    wh, snap = _dv_table(spark, tmp_path)
+    snap.delete_where_mor(wh, "db", "t", "grp = 3")
+    before = snap.read_snapshot(wh, "db", "t")
+    assert before.count() == 80
+
+    v, nf = snap.apply_deletion_vectors(wh, "db", "t")
+    assert nf >= 1
+    m = snap._manifest(wh, "db", "t", v)
+    assert not m.get("dvs") and not m.get("dv_rows")
+    after = snap.read_snapshot(wh, "db", "t")
+    assert after.count() == 80
+    assert (
+        after.exceptAll(before).count()
+        + before.exceptAll(after).count()
+        == 0
+    )
+    ch = snap.read_changes(wh, "db", "t", v - 1, v)
+    assert ch.count() == 0  # content-preserving
+    # idempotent: second apply no-ops at the same version
+    v2, nf2 = snap.apply_deletion_vectors(wh, "db", "t")
+    assert (v2, nf2) == (v, 0)
+
+
+def test_pack_after_mor_drops_rows_apply_clears_metadata_only(
+    spark, tmp_path
+):
+    """The rewrite-must-mask invariant: compaction reads through the
+    mask, so tombstoned rows are PHYSICALLY dropped at the move and
+    their (file, row) entries go dead — content is preserved at the
+    visible level, the CDC feed emits nothing, and the subsequent
+    apply_deletion_vectors is a metadata-only clear (no file
+    rewritten)."""
+    wh, snap = _dv_table(spark, tmp_path)
+    v_mor, _ = snap.delete_where_mor(wh, "db", "t", "grp = 3")
+    res = snap.compact_small_files(
+        wh, "db", "t", small_file_bytes=1024 * 1024 * 1024
+    )
+    assert res["files_rewritten"] >= 1
+    v_pack = res["version"]
+    cur = snap.read_snapshot(wh, "db", "t")
+    assert cur.count() == 80
+    assert cur.filter("grp = 3").count() == 0
+    # the packed files physically lack the tombstoned rows
+    assert snap.read_changes(wh, "db", "t", v_mor, v_pack).count() == 0
+
+    v, nf = snap.apply_deletion_vectors(wh, "db", "t")
+    assert nf == 0  # every entry dead: metadata-only clear
+    m = snap._manifest(wh, "db", "t", v)
+    assert not m.get("dvs")
+    assert snap.read_snapshot(wh, "db", "t").count() == 80
+
+
+def test_rollback_restores_mor_deleted_rows(spark, tmp_path):
+    """Rolling back over a MoR delete restores the target version's
+    (smaller) tombstone set; the CDC diff emits the restored rows as
+    inserts."""
+    from pyspark.sql import functions as F
+
+    wh, snap = _dv_table(spark, tmp_path)
+    v_m1, _ = snap.delete_where_mor(wh, "db", "t", "grp = 3")
+    v_m2, _ = snap.delete_where_mor(wh, "db", "t", "grp = 1")
+    assert snap.read_snapshot(wh, "db", "t").count() == 60
+    v_rb = snap.rollback_table(wh, "db", "t", v_m1)
+    cur = snap.read_snapshot(wh, "db", "t")
+    assert cur.count() == 80
+    assert cur.filter("grp = 1").count() == 20
+    assert cur.filter("grp = 3").count() == 0  # v_m1's tombstones kept
+    ch = snap.read_changes(wh, "db", "t", v_m2, v_rb)
+    got = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"insert": 20}
+
+
+def test_maintain_table_applies_dvs_and_reclaims_dv_dirs(
+    spark, tmp_path
+):
+    """maintain_table's full rewrite reads through the mask, commits
+    a manifest with no vectors, and its reclaim pass deletes the dead
+    dv dirs (grace=0 for the quiesced test table)."""
+    from scratchdb_spark import fs as hfs
+
+    wh, snap = _dv_table(spark, tmp_path)
+    snap.delete_where_mor(wh, "db", "t", "grp = 3")
+    res = snap.maintain_table(wh, "db", "t", reclaim_grace_ms=0)
+    m = snap._manifest(wh, "db", "t", res["version"])
+    assert not m.get("dvs")
+    assert snap.read_snapshot(wh, "db", "t").count() == 80
+    dv_root = f"{snap._snap_dir(wh, 'db', 't')}/{snap._DV_DIR}"
+    assert hfs.list_names(spark, dv_root, dirs_only=True) == []
+    audit = snap.orphan_files(wh, "db", "t")
+    assert audit["dv_dirs_orphaned"] == []
+
+
+def test_delete_where_mor_requires_row_id(spark, tmp_path):
+    """Every ingest-created table carries the __row_id stamp; the
+    guard protects ADOPTED external parquet (commit_snapshot over a
+    directory written by another engine), where MoR tombstones have
+    no stable row identity to bind to."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    df.write.parquet(f"{tmp_path}/wh/db/bare")  # foreign files, no stamp
+    snap.commit_snapshot(wh, "db", "bare")
+    with pytest.raises(ValueError, match="__row_id"):
+        snap.delete_where_mor(wh, "db", "bare", "id = 1")

@@ -1001,3 +1001,70 @@ def test_stream_txn_sink_exactly_once_across_restart(spark, tmp_path):
         for r in snap.read_snapshot(wh, "db", "sink").collect()
     )
     assert got == [(i, i * 10) for i in range(10)]  # no duplicates
+
+
+def test_scratch_cdc_stream_mor_delete_and_masked_bootstrap(
+    spark, tmp_path
+):
+    """Merge-on-read deletes and the CDC stream: (a) a live cursor
+    receives the MoR commit's explicit delete rows (no file changed,
+    but change files carry the exact preimages); (b) a FRESH consumer
+    bootstrapping from offset 0 under the standing vector must NOT
+    receive tombstoned rows as inserts (each bootstrap partition
+    carries its file's tombstone ids; the arrow read drops them)."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "__row_id long, amount long"
+        ),
+    )
+
+    def feed(name: str, ckpt: str):
+        return (
+            spark.readStream.format("scratch_cdc")
+            .option("path", str(tmp_path / "wh"))
+            .option("database", "db")
+            .option("table", "t")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+
+    q = feed("cdc_live", "ckpt_live")
+    try:
+        q.processAllAvailable()
+        # (a) live cursor sees the MoR delete as explicit delete rows
+        snap.delete_where_mor(wh, "db", "t", F.col("__row_id") == 2)
+        q.processAllAvailable()
+        got = {
+            (r["__row_id"], r["_change_type"])
+            for r in spark.sql("SELECT * FROM cdc_live").collect()
+        }
+        assert got == {
+            (1, "insert"), (2, "insert"), (3, "insert"),
+            (2, "delete"),
+        }
+    finally:
+        q.stop()
+
+    # (b) fresh bootstrap under the standing vector: no ghost inserts
+    q2 = feed("cdc_boot", "ckpt_boot")
+    try:
+        q2.processAllAvailable()
+        got = {
+            (r["__row_id"], r["_change_type"])
+            for r in spark.sql("SELECT * FROM cdc_boot").collect()
+        }
+        assert got == {(1, "insert"), (3, "insert")}
+    finally:
+        q2.stop()

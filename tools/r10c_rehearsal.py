@@ -55,6 +55,9 @@ QUERIES = [
     "events_delta_sum_value",
     "events_max_concurrent_sessions",
     "dedup_span_rewrite",
+    # interval union length: same sessionize shuffle as
+    # max_concurrent_sessions plus the bucket-boundary lead lookup
+    "events_interval_length_sum",
 ]
 
 
