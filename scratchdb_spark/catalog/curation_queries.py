@@ -1256,3 +1256,84 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import span_dedup_rewrite
 
     return span_dedup_rewrite(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_ivf_filtered_topk",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 16),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    assign AS (
+      SELECT neighbor_id, cid FROM (
+        SELECT corpus.neighbor_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY corpus.neighbor_id
+                 ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid
+               ) AS rn
+        FROM corpus CROSS JOIN cent) a
+      WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid
+               ) AS rn
+        FROM q CROSS JOIN cent) p
+      WHERE rn <= 8),
+    allowed AS (
+      SELECT doc_id AS neighbor_id FROM documents
+      WHERE contains(lower(text), 'data')),
+    scored AS (
+      SELECT probe.query_id, assign.neighbor_id,
+             round(list_cosine_similarity(qv, v), 6) AS cos_sim
+      FROM probe
+      JOIN assign USING (cid)
+      JOIN allowed ON allowed.neighbor_id = assign.neighbor_id
+      JOIN q ON q.query_id = probe.query_id
+      JOIN corpus ON corpus.neighbor_id = assign.neighbor_id
+      WHERE probe.query_id <> assign.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="FILTERED IVF vector search with index reuse (similarity.py::"
+        "ivf_topk(allowed_ids=...) — FAISS IDSelector / Milvus "
+        "filtered-search post-filter design, public): the IVF "
+        "assignment is the one index built over the FULL corpus; a "
+        "keyword predicate on the joined documents table restricts "
+        "candidates via a semi-join AFTER the probe join, so the "
+        "selective filter makes the query cheaper instead of forcing "
+        "an index rebuild (what ann_filtered_cosine_topk's exact "
+        "brute-force does). nprobe doubled to 8 vs the unfiltered "
+        "ann_ivf_topk — the documented post-filter recall trade: "
+        "probed cells must still hold >= k allowed members.",
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    allowed = docs.filter(
+        F.lower(F.col("text")).contains("data")
+    ).select("doc_id")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=8,
+        allowed_ids=allowed,
+    )

@@ -4322,3 +4322,30 @@ def warehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(audit("3_applied", app_v))
         .unionAll(audit("4_time_travel", pre_v))
     )
+
+
+@register(
+    "ts_lttb_downsample",
+    _fixture_oracle(
+        "ts_lttb_downsample",
+        ["user_id", "pt_idx", "us", "value_e2"],
+    ),
+    doc="Largest-Triangle-Three-Buckets series downsampling — "
+        "ClickHouse largestTriangleThreeBuckets parity (public docs; "
+        "Steinarsson's public thesis): each user's (ts, value) series "
+        "reduced to 20 visually-representative points (first/last "
+        "kept; each bucket contributes the point forming the largest "
+        "triangle with the previous selection and the next bucket's "
+        "centroid). operators/resample.py::lttb_downsample — exact "
+        "integer cross products (2m-scaled, arbitrary-precision "
+        "ints), earliest-candidate ties, so the kernel is a pure "
+        "function of the (ts, event_id)-ordered series: "
+        "run/partition/engine-deterministic, snapshot-checked by the "
+        "golden fixture. The sequential-within-series recurrence "
+        "runs as applyInPandas over hash buckets of the key "
+        "(~64 Python calls, never one per user).",
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.resample import lttb_downsample
+
+    return lttb_downsample(table(spark, sf_dir, "events"), n_out=20)

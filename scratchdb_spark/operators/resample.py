@@ -433,3 +433,118 @@ def interval_length_sum(
             "n_intervals"
         ),
     )
+
+
+_LTTB_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("pt_idx", T.LongType()),
+        T.StructField("us", T.LongType()),
+        T.StructField("value_e2", T.LongType()),
+    ]
+)
+
+
+def lttb_downsample(
+    events: DataFrame,
+    n_out: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per series —
+    ClickHouse's largestTriangleThreeBuckets aggregate (public docs;
+    algorithm from Steinarsson's public thesis): reduce each key's
+    (time, value) series to ``n_out`` visually-representative points.
+    First/last points always kept; each middle bucket contributes the
+    point forming the LARGEST triangle with the previously selected
+    point and the NEXT bucket's centroid.
+
+    Exactness/determinism contract (what makes a golden-fixture
+    oracle sound): points are integer microseconds (x, offset to the
+    series start) and integer cents (y); the triangle comparison uses
+    the 2*m-scaled cross product |(m*xa - Sx)*(yc - ya) -
+    (xa - xc)*(Sy - m*ya)| — centroid division never happens, every
+    quantity is an exact Python int (arbitrary precision, no int64
+    overflow on epoch-scale products), and area ties select the
+    EARLIEST candidate. The kernel is a pure function of the series
+    in (ts, event_id) order, so output is independent of
+    partitioning, engine version, and run.
+
+    Scale shape: the LTTB recurrence is sequential WITHIN a series
+    (each selection feeds the next triangle) — inherently per-key —
+    so the kernel runs under applyInPandas over HASH BUCKETS of the
+    key (~num_buckets Python calls, not one per key; the
+    resample_daily pattern), and per-task cost is bounded by the
+    bucket's share of events. Series length per key is the natural
+    bound (user activity), never corpus size.
+    """
+    from ..tables import epoch_us
+
+    if n_out < 3:
+        raise ValueError(
+            f"lttb needs n_out >= 3 (first + last + one bucket), got "
+            f"{n_out}"
+        )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        pdf = pdf.sort_values(["user_id", "us", "eid"], kind="mergesort")
+        for uid, g in pdf.groupby("user_id", sort=False):
+            xs0 = g["us"].tolist()
+            ys = g["value_e2"].tolist()
+            n = len(xs0)
+            base = xs0[0]
+            xs = [int(x) - int(base) for x in xs0]
+            if n <= n_out:
+                sel = list(range(n))
+            else:
+                sel = [0]
+                # n-2 middle points into n_out-2 equal ranges
+                bounds = [
+                    1 + ((n - 2) * i) // (n_out - 2)
+                    for i in range(n_out - 1)
+                ]
+                a = 0  # previously selected index
+                for b in range(n_out - 2):
+                    lo, hi = bounds[b], bounds[b + 1]
+                    nlo, nhi = (
+                        (bounds[b + 1], bounds[b + 2])
+                        if b + 2 <= n_out - 2
+                        else (bounds[b + 1], n - 1)
+                    )
+                    if b == n_out - 3:
+                        nlo, nhi = hi, n  # last bucket's "next" = tail
+                    m = max(nhi - nlo, 1)
+                    sx = sum(xs[nlo:nhi]) if nhi > nlo else xs[n - 1]
+                    sy = sum(ys[nlo:nhi]) if nhi > nlo else ys[n - 1]
+                    if nhi <= nlo:
+                        m = 1
+                    xa, ya = xs[a], ys[a]
+                    best, best_area = lo, -1
+                    for c in range(lo, hi):
+                        area = abs(
+                            (m * xa - sx) * (ys[c] - ya)
+                            - (xa - xs[c]) * (sy - m * ya)
+                        )
+                        if area > best_area:
+                            best, best_area = c, area
+                    sel.append(best)
+                    a = best
+                sel.append(n - 1)
+            for i, idx in enumerate(sel):
+                out_rows.append((int(uid), i, int(xs0[idx]), int(ys[idx])))
+        return pd.DataFrame(
+            out_rows, columns=["user_id", "pt_idx", "us", "value_e2"]
+        )
+
+    ev = events.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        epoch_us(events, ts_col).alias("us"),
+        F.round(F.col(value_col) * 100).cast("long").alias("value_e2"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.pmod(F.hash(key_col), F.lit(num_buckets)).alias("__bkt"),
+    )
+    return ev.groupBy("__bkt").applyInPandas(kernel, schema=_LTTB_SCHEMA)

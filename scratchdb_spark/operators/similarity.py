@@ -227,6 +227,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are
     assigned to their nearest centroid (one inverted list per
@@ -250,6 +251,18 @@ def ivf_topk(
     argmax(round(cos, 6)) with ties to the smallest centroid id;
     probe order and the final rank use the same (rounded cos DESC,
     id ASC) tie-break.
+
+    ``allowed_ids`` (one column of corpus ids) turns this into
+    FILTERED vector search with index reuse — the hybrid-retrieval
+    shape where a metadata predicate restricts candidates but the
+    IVF assignment stays the one index built over the FULL corpus.
+    The filter applies as a semi-join AFTER the probe join (the
+    public post-filter design, e.g. FAISS IDSelector / Milvus
+    filtered search): probed lists shrink to their allowed members
+    before any exact scoring, so a selective predicate makes the
+    query CHEAPER, while recall under very selective filters needs a
+    higher nprobe (the documented post-filter trade — probed cells
+    may hold too few allowed members to fill k).
     """
     cent = sorted(
         (r[0], r[1])
@@ -295,6 +308,13 @@ def ivf_topk(
     cand = q.join(c, "cid").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    if allowed_ids is not None:
+        allow = allowed_ids.select(
+            F.col(allowed_ids.columns[0]).cast("long").alias(
+                "neighbor_id"
+            )
+        )
+        cand = cand.join(allow, "neighbor_id", "semi")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

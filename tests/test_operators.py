@@ -4327,3 +4327,57 @@ def test_delete_where_mor_requires_row_id(spark, tmp_path):
     snap.commit_snapshot(wh, "db", "bare")
     with pytest.raises(ValueError, match="__row_id"):
         snap.delete_where_mor(wh, "db", "bare", "id = 1")
+
+
+def test_lttb_downsample_properties_and_spike(spark):
+    """LTTB contract: first/last always kept, output size is
+    min(n, n_out), points are a time-ordered subset of the input —
+    and a large spike in an otherwise-flat series MUST survive
+    downsampling (the property LTTB exists to guarantee; uniform
+    sampling would drop it). Layout-invariant."""
+    import datetime
+
+    from scratchdb_spark.operators.resample import lttb_downsample
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for uid in (1, 2):
+        for i in range(200):
+            val = 10.0
+            if i == 137:
+                val = 500.0  # the spike
+            rows.append(
+                (uid, i + uid * 1000, t0 + datetime.timedelta(minutes=i), val)
+            )
+    # plus a short series kept whole
+    for i in range(5):
+        rows.append((3, 3000 + i, t0 + datetime.timedelta(minutes=i), 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+
+    def run(d):
+        out = {}
+        for r in lttb_downsample(
+            d, n_out=20, num_buckets=7
+        ).collect():
+            out.setdefault(r["user_id"], []).append(
+                (r["pt_idx"], r["us"], r["value_e2"])
+            )
+        return {u: sorted(v) for u, v in out.items()}
+
+    got = run(df)
+    for uid in (1, 2):
+        pts = got[uid]
+        assert len(pts) == 20
+        us = [p[1] for p in pts]
+        assert us == sorted(us)
+        # first and last survive
+        assert pts[0][1] == int(t0.timestamp() * 1e6)
+        assert pts[-1][1] == int(
+            (t0 + datetime.timedelta(minutes=199)).timestamp() * 1e6
+        )
+        # the spike survives
+        assert any(p[2] == 50000 for p in pts), pts
+    assert len(got[3]) == 5  # short series kept whole
+    assert run(df.repartition(13)) == got

@@ -50,6 +50,7 @@ FIXTURE_NAMES = [
     "ann_mmr_rerank",
     "ann_ivfpq_kmeans_topk",
     "ann_ivfpq_adaptive_topk",
+    "ts_lttb_downsample",
 ]
 
 DEFAULT_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
