@@ -1337,3 +1337,116 @@ def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=8,
         allowed_ids=allowed,
     )
+
+
+@register(
+    "curate_full_pipeline",
+    f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             {_DUCK_TOKENS} AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, w,
+             len(w) AS n_tokens,
+             (length(norm) - (len(w) - 1)) / CAST(len(w) AS DOUBLE)
+               AS mean_len,
+             length(regexp_replace(norm, '[^a-z]', '', 'g'))
+               / CAST(length(norm) AS DOUBLE) AS alpha_ratio,
+             len(list_filter(w, x -> list_contains(
+               ['a','and','das','dans','de','der','des','die','el','en',
+                'es','est','et','ein','in','is','it','la','le','les','of',
+                'pour','que','the','to','un','und','une','von','y','zu',
+                'ist'], x)))
+               / CAST(len(w) AS DOUBLE) AS stop_ratio
+      FROM s
+    ),
+    kept AS (
+      SELECT doc_id, text, w FROM m
+      WHERE n_tokens BETWEEN 5 AND 5000
+        AND mean_len BETWEEN 2.0 AND 12.0
+        AND alpha_ratio >= 0.6 AND stop_ratio >= 0.01
+    ),
+    dd AS (
+      SELECT doc_id, text, w FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    ),
+    occ AS (
+      SELECT doc_id,
+             CAST((i - 1) / 8 AS BIGINT) AS pos,
+             array_to_string(list_slice(w, i, i + 7), ' ') AS c
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w), 1), 8))
+                     AS i
+            FROM dd)),
+    k AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY c ORDER BY doc_id, pos) AS rn
+      FROM occ),
+    reb AS (
+      SELECT doc_id, string_agg(c, ' ' ORDER BY pos) AS clean_text
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(w)) AS BIGINT) AS n_tokens FROM s
+    UNION ALL
+    SELECT '2_quality', CAST(count(*) AS BIGINT),
+           CAST(sum(len(w)) AS BIGINT) FROM kept
+    UNION ALL
+    SELECT '3_exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(len(w)) AS BIGINT) FROM dd
+    UNION ALL
+    SELECT '4_span_rewrite', CAST(count(*) AS BIGINT),
+           CAST(sum(len(string_split(clean_text, ' '))) AS BIGINT)
+    FROM reb
+    """,
+    doc="The COMPOSED preprocessing recipe — the operators chained "
+        "the way a training-data pipeline actually runs them, as ONE "
+        "DataFrame program: Gopher quality gate "
+        "(operators/curation.py::quality_gate) -> exact dedup "
+        "(min-id keeper per md5) -> exact-substring span rewrite "
+        "(operators/dedup.py::span_dedup_rewrite, docs reduced to "
+        "'' dropped), with per-stage (n_docs, n_tokens) funnel "
+        "rows out. Every stage reuses an operator whose standalone "
+        "query is independently oracle-green; the oracle here chains "
+        "their validated SQL twins, so a drift in ANY stage's "
+        "composition breaks the hash. Plan: gate is a projection, "
+        "dedup one md5 groupBy + semi-join, rewrite one "
+        "min(struct) shuffle + winners join — all keyed, no "
+        "windows, linear end to end.",
+)
+def curate_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import quality_gate
+    from ..operators.dedup import normalize_text, span_dedup_rewrite
+
+    docs = table(spark, sf_dir, "documents")
+    gate = quality_gate(docs)
+    kept = docs.join(
+        gate.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    dd = kept.join(
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"),
+        "doc_id",
+        "semi",
+    )
+    rw = span_dedup_rewrite(dd).filter(F.col("kept_chunks") > 0)
+
+    def summ(stage: str, df: DataFrame, col: str) -> DataFrame:
+        toks = F.size(F.split(normalize_text(F.col(col)), " "))
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).cast("long").alias("n_tokens"),
+        )
+
+    return (
+        summ("1_raw", docs, "text")
+        .unionAll(summ("2_quality", kept, "text"))
+        .unionAll(summ("3_exact_dedup", dd, "text"))
+        .unionAll(summ("4_span_rewrite", rw, "clean_text"))
+    )

@@ -296,7 +296,16 @@ def ivf_topk(
         return pd.Series(list(cent_ids[order]))
 
     n = _norm(F.col(vec_col))
-    c = corpus.select(
+    # widen before the CPU-bound Python assign stage: a one-row-group
+    # parquet corpus scans as ONE task, serializing the per-batch
+    # GEMMs no matter how wide the cluster is (caught by the 10x
+    # rehearsal: 2.2 s -> 16.4 s at 10x corpus with ~0 shuffle — the
+    # assign stage was a single core; the round-robin shuffle costs
+    # far less than the lost parallelism, same rationale as
+    # dedup.widen)
+    from .dedup import widen
+
+    c = widen(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("c_vec"),
     ).withColumn("cid", assign_centroid("c_vec"))

@@ -58,6 +58,12 @@ QUERIES = [
     # interval union length: same sessionize shuffle as
     # max_concurrent_sessions plus the bucket-boundary lead lookup
     "events_interval_length_sum",
+    # lttb: one user-keyed shuffle into 64 hash buckets, Python cost
+    # bounded by per-bucket series share -> ~10x bytes, flat-ish wall
+    "ts_lttb_downsample",
+    # filtered IVF: the semi-join filter shrinks candidates BEFORE
+    # exact scoring, so shuffle grows sub-linearly vs the corpus
+    "ann_ivf_filtered_topk",
 ]
 
 
