@@ -85,7 +85,13 @@ def brute_force_topk(
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
+    # widen: the per-candidate dot runs where the corpus scan runs —
+    # one row group means ONE task scoring every (query x corpus)
+    # pair even though the expression is JVM-side (same hazard class
+    # as the ivf_topk rehearsal catch)
+    from .dedup import widen
+
+    c = widen(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
@@ -467,7 +473,12 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("q_vec"),
     )
-    c = corpus.select(
+    # widen: the table_keys GEMM is the CPU-bound stage (same
+    # single-row-group hazard the ivf_topk rehearsal caught; keys are
+    # per-row pure, so layout cannot change any bucket)
+    from .dedup import widen
+
+    c = widen(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("c_vec"),
     )
@@ -552,8 +563,14 @@ def kmeans_fit(
 
     from pyspark.sql import Row
 
+    from .dedup import widen
+
     n = _norm(F.col(vec_col))
-    base = corpus.select(
+    # widen: the Lloyd accumulate kernel is CPU-bound per batch — a
+    # one-row-group corpus would run every pass on one core (the
+    # ivf_topk rehearsal catch); DECIMAL-summed updates are
+    # partition-invariant, so the layout change cannot move a centroid
+    base = widen(corpus).select(
         F.col(id_col).cast("long").alias("vid"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
     ).persist()
@@ -814,7 +831,12 @@ def pq_encode(
                 {"vec_id": pdf["vec_id"], "code": list(out)}
             )
 
-    src = corpus.select(
+    # widen before the CPU-bound encode (single-row-group hazard —
+    # see ivf_topk's rehearsal-caught serial GEMM; encode is per-row
+    # pure, so the round-robin shuffle cannot change any output)
+    from .dedup import widen
+
+    src = widen(corpus).select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("v"),
     )
@@ -1077,7 +1099,10 @@ def _assign_encode_df(corpus, books, cent_ids, C, id_col, vec_col):
                 {"vec_id": pdf["vec_id"], "cid": cid, "code": list(code)}
             )
 
-    return corpus.select(
+    # widen: same single-task hazard/fix as pq_encode (per-row pure)
+    from .dedup import widen
+
+    return widen(corpus).select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("v"),
     ).mapInPandas(assign_encode, "vec_id long, cid long, code array<int>")
@@ -1387,7 +1412,10 @@ def _assign_encode_residual_df(corpus, books, cent_ids, C, id_col, vec_col):
                 {"vec_id": pdf["vec_id"], "cid": cid, "code": list(code)}
             )
 
-    return corpus.select(
+    # widen: same single-task hazard/fix as pq_encode (per-row pure)
+    from .dedup import widen
+
+    return widen(corpus).select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("v"),
     ).mapInPandas(assign_encode, "vec_id long, cid long, code array<int>")
@@ -1578,7 +1606,9 @@ def semdedup_prune(
     cent_ids, C = _coarse_centroids(corpus, n_cells, id_col, vec_col)
 
     n = _norm(F.col(vec_col))
-    normed = corpus.select(
+    from .dedup import widen as _widen
+
+    normed = _widen(corpus).select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
     )
