@@ -505,16 +505,21 @@ try:  # Spark 4 Python DataSource API
             return _ScratchCdcStreamReader(self.options, schema)
 
     class _CdcPartition(InputPartition):
-        def __init__(self, path: str, role: str, dv_rids=()):
+        def __init__(self, path: str, role: str, dv_rels=()):
             self.path = path
             self.role = role  # 'insert' (data file) | 'change' (CDF file)
             # merge-on-read tombstones for THIS file (bootstrap only:
             # the end version's standing deletion vectors must not
-            # re-emit deleted rows as inserts). A tuple of __row_id
-            # values, pair-scoped to the file so it stays small; a
-            # table about to be bootstrapped with a huge vector should
-            # run snapshots.apply_deletion_vectors first.
-            self.dv_rids = tuple(dv_rids)
+            # re-emit deleted rows as inserts). Shipped as the
+            # deletion-vector SIDECAR PATHS, not materialized rids —
+            # the r10 advisory: embedding per-file rid tuples put the
+            # whole vector in driver memory and tens of MB into every
+            # pickled partition near the reader threshold. The
+            # EXECUTOR reads its own file's tombstones from the
+            # sidecars (a small column-pruned parquet read per task);
+            # partitions whose file no vector names carry an empty
+            # tuple and skip the read entirely.
+            self.dv_rels = tuple(dv_rels)
 
     class _ScratchCdcStreamReader(DataSourceStreamReader):
         """Partition-planning CDC reader. Per version transition in
@@ -613,29 +618,38 @@ try:  # Spark 4 Python DataSource API
             if start_v == 0:
                 # bootstrap: the end version's full state as inserts
                 # (diff against the empty set needs no cancellation).
-                # Standing deletion vectors mask per file: each
-                # partition carries its own tombstoned __row_ids so
-                # the executor-side arrow read drops them.
+                # Standing deletion vectors mask per file — EXECUTOR-
+                # side (each task reads its own file's tombstones from
+                # the sidecars, see _CdcPartition). The driver only
+                # needs WHICH files the vectors name: the manifest's
+                # dv_files when present; for legacy manifests one
+                # column-pruned read of the sidecars' `file` column
+                # (distinct file names — bounded by affected files,
+                # never the rid payload).
                 m = _cdc_manifest(self._fs, self.base, end_v)
-                dv_by_file: dict = {}
-                for rel in m.get("dvs", []):
-                    import pyarrow.parquet as _pq
+                dvs = tuple(m.get("dvs", []))
+                named: set = set()
+                if dvs:
+                    if "dv_files" in m:
+                        named = set(m["dv_files"])
+                    else:
+                        import pyarrow.parquet as _pq
 
-                    t = _pq.read_table(
-                        self._fs.open_input_file(
-                            f"{self.base}/_snapshots/{rel}"
-                        )
-                    )
-                    for fn, rid in zip(
-                        t.column("file").to_pylist(),
-                        t.column("rid").to_pylist(),
-                    ):
-                        dv_by_file.setdefault(fn, []).append(rid)
+                        for rel in dvs:
+                            t = _pq.read_table(
+                                self._fs.open_input_file(
+                                    f"{self.base}/_snapshots/{rel}"
+                                ),
+                                columns=["file"],
+                            )
+                            named |= set(
+                                t.column("file").to_pylist()
+                            )
                 return [
                     _CdcPartition(
                         f"{self.base}/{n}",
                         "insert",
-                        dv_rids=dv_by_file.get(n, ()),
+                        dv_rels=dvs if n in named else (),
                     )
                     for n in _cdc_manifest_files(self._fs, self.base, m)
                 ]
@@ -678,7 +692,27 @@ try:  # Spark 4 Python DataSource API
             from pyspark.sql.pandas.types import to_arrow_type
 
             is_change = partition.role == "change"
-            dv_rids = set(getattr(partition, "dv_rids", ()) or ())
+            # bootstrap under standing deletion vectors: THIS task
+            # resolves its own file's tombstones from the sidecars —
+            # a small (file, rid) parquet read per task, filtered to
+            # the task's file basename (parquet row-group stats on
+            # `file` prune sidecars that don't mention it)
+            dv_rids: set = set()
+            dv_rels = getattr(partition, "dv_rels", ()) or ()
+            if dv_rels:
+                my_file = partition.path.rsplit("/", 1)[-1]
+                for rel in dv_rels:
+                    t = pq.read_table(
+                        self._fs.open_input_file(
+                            f"{self.base}/_snapshots/{rel}"
+                        )
+                    )
+                    import pyarrow.compute as pc
+
+                    mask = pc.equal(t.column("file"), my_file)
+                    dv_rids |= set(
+                        t.filter(mask).column("rid").to_pylist()
+                    )
             want = [(n, to_arrow_type(dt)) for n, dt in self.fields]
             pf = pq.ParquetFile(self._fs.open_input_file(partition.path))
             for batch in pf.iter_batches():

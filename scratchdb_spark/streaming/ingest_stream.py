@@ -34,9 +34,30 @@ def start_ingest_stream(
     versioned: bool = False,
     max_files_per_trigger: int = 16,
     exactly_once: bool = False,
+    dedup_index: str | None = None,
+    dedup_threshold: float = 0.8,
 ):
     """Stream NDJSON files from ``landing_dir/{database}/{table}`` into
     the managed table. Returns the StreamingQuery.
+
+    ``dedup_index=<index_table>`` turns every micro-batch into a
+    DEDUP-GATED append (operators/dedup_index.py::append_deduped —
+    the per-batch operation a training-data pipeline actually runs):
+    the batch's NDJSON parses against the index's (id, text) contract,
+    rows that near-dup a smaller-id batch row or the indexed corpus
+    are dropped, only survivors land in the index's SOURCE table
+    (which must be this stream's ``table``), and the index CDC-
+    refreshes so the NEXT micro-batch sees them. Delivery stays
+    at-least-once (checkpoint), but the gate makes replays and
+    cross-batch resubmissions CONTENT-idempotent: a batch whose text
+    already landed — under the same ids or fresh ones — appends
+    nothing, which is a stronger property than exactly_once's
+    batch-id watermark (that only catches the same batch replayed).
+    The gated mode parses with the fixed ``<id> long, <text> string``
+    schema (the gate's contract) instead of the type-vote pipeline,
+    and is mutually exclusive with ``exactly_once`` (different sink
+    path); ``versioned`` is implied (append_deduped commits
+    snapshots).
 
     Scale notes: ``max_files_per_trigger`` bounds micro-batch size the
     way the reference's rotation thresholds bounded file size; the text
@@ -56,6 +77,23 @@ def start_ingest_stream(
             "exactly_once requires versioned=True (the idempotence "
             "watermark lives in the snapshot manifest)"
         )
+    if dedup_index is not None:
+        if exactly_once:
+            raise ValueError(
+                "dedup_index and exactly_once are mutually exclusive: "
+                "the gate already makes replays content-idempotent, "
+                "and the gated append commits through append_deduped, "
+                "not the txn-watermark sink"
+            )
+        from ..operators.dedup_index import _load_dedup_meta
+
+        meta = _load_dedup_meta(warehouse, database, dedup_index)
+        if meta["src_table"] != table:
+            raise ValueError(
+                f"dedup index {dedup_index!r} gates source table "
+                f"{meta['src_table']!r}, not {table!r} — point the "
+                "stream at the index's source table"
+            )
     src_dir = f"{str(landing_dir).rstrip('/')}/{database}/{table}"
     hfs.mkdirs(spark, src_dir)
     pipe = IngestPipeline(spark, warehouse)
@@ -72,6 +110,35 @@ def start_ingest_stream(
         # fully distributed worker half: vote tagging runs in Arrow
         # workers, data read is JVM-side from_json — no collect(), so
         # a micro-batch can be arbitrarily large
+        if dedup_index is not None:
+            # dedup-gated append: parse against the gate's (id, text)
+            # contract and hand the batch to append_deduped — probe +
+            # gate + append + index refresh, all batch/candidate/
+            # churn-sized (never a corpus re-minhash)
+            from ..operators.dedup_index import append_deduped
+
+            id_c, text_c = meta["id_col"], meta["text_col"]
+            parsed = (
+                batch_df.select(
+                    F.from_json(
+                        F.col("value"),
+                        f"{id_c} long, {text_c} string",
+                    ).alias("j")
+                )
+                .select("j.*")
+                .filter(
+                    F.col(id_c).isNotNull()
+                    & F.col(text_c).isNotNull()
+                )
+            )
+            if parsed.limit(1).count() == 0:
+                return
+            append_deduped(
+                warehouse, database, dedup_index, parsed,
+                threshold=dedup_threshold,
+                id_col=id_c, text_col=text_c,
+            )
+            return
         if exactly_once:
             # idempotent per-batch commit (snapshots.append_versioned
             # txn semantics): the batch lands under the txnappend-

@@ -4250,8 +4250,11 @@ def test_pack_after_mor_drops_rows_apply_clears_metadata_only(
     rewritten)."""
     wh, snap = _dv_table(spark, tmp_path)
     v_mor, _ = snap.delete_where_mor(wh, "db", "t", "grp = 3")
+    # auto_fold_dvs off: this test pins the CARRIED-vector pack path
+    # (rewrite-must-mask); the auto-fold path has its own test
     res = snap.compact_small_files(
-        wh, "db", "t", small_file_bytes=1024 * 1024 * 1024
+        wh, "db", "t", small_file_bytes=1024 * 1024 * 1024,
+        auto_fold_dvs=False,
     )
     assert res["files_rewritten"] >= 1
     v_pack = res["version"]
@@ -4311,6 +4314,144 @@ def test_maintain_table_applies_dvs_and_reclaims_dv_dirs(
     assert hfs.list_names(spark, dv_root, dirs_only=True) == []
     audit = snap.orphan_files(wh, "db", "t")
     assert audit["dv_dirs_orphaned"] == []
+
+
+def test_read_changes_across_metadata_only_clear_no_phantoms(
+    spark, tmp_path
+):
+    """r11 advisory fix: a vector whose file retired in an EARLIER
+    span (pack dropped its rows through the mask; the entry went
+    dead) followed by a LATER metadata-only clear must emit ZERO
+    change rows — dv-delta reads are restricted to files live in
+    BOTH manifests. Before the fix, read_changes(v_pack, v_clear)
+    read the RETIRED file and emitted the MoR-deleted rows as
+    phantom inserts (resurrecting taken-down rows downstream), and
+    failed outright once maintenance reclaimed the file."""
+    from pyspark.sql import functions as F
+
+    wh, snap = _dv_table(spark, tmp_path)
+    v_mor, _ = snap.delete_where_mor(wh, "db", "t", "grp = 3")
+    res = snap.compact_small_files(
+        wh, "db", "t", small_file_bytes=1024 * 1024 * 1024,
+        auto_fold_dvs=False,
+    )
+    v_pack = res["version"]
+    assert snap._manifest(wh, "db", "t", v_pack).get("dvs")
+    v_clear, nf = snap.apply_deletion_vectors(wh, "db", "t")
+    assert nf == 0 and v_clear > v_pack  # metadata-only clear
+    assert (
+        snap.read_changes(wh, "db", "t", v_pack, v_clear).count() == 0
+    )
+    # the full span still nets to exactly the original deletes
+    ch = snap.read_changes(wh, "db", "t", 1, v_clear)
+    got = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"delete": 20}
+
+
+def test_read_snapshot_masks_only_dv_named_files(spark, tmp_path):
+    """File-scoped MoR masking (r11): the manifest's dv_files names
+    every affected file, so the read plans (dv-named files -> masked)
+    ∪ (rest -> raw) — unaffected files skip the per-row basename
+    projection and the anti-join probe entirely. Rows identical to
+    the mask-everything read; exactly one anti-join in the plan and a
+    Union whose other branch is a bare scan."""
+    wh, snap = _dv_table(spark, tmp_path, n=400)
+    v, n = snap.delete_where_mor(wh, "db", "t", "__row_id = 7")
+    assert n == 1
+    m = snap._manifest(wh, "db", "t", v)
+    assert m.get("dv_files") and len(m["dv_files"]) == 1
+    assert len(snap._manifest_files(wh, "db", "t", m)) > 1
+    cur = snap.read_snapshot(wh, "db", "t")
+    assert cur.count() == 399
+    assert cur.filter("__row_id = 7").count() == 0
+    plan = cur._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    assert plan.count("LeftAnti") == 1
+    # appends carry dv_files; the split read survives them
+    more = spark.createDataFrame(
+        [(9000, "x", 0)], "__row_id long, name string, grp long"
+    )
+    snap.append_versioned(wh, "db", "t", more)
+    assert snap.read_snapshot(wh, "db", "t").count() == 400
+
+
+def test_compact_auto_folds_vectors_when_due(spark, tmp_path):
+    """dv_fold_due as code (r10 verdict item): below the signal the
+    steady-state compactor leaves the vectors standing (MoR's whole
+    point); past it (vectors naming >= 10% of live files) compaction
+    folds them first — manifest cleared, visible content unchanged,
+    CDC silent across both commits."""
+    wh, snap = _dv_table(spark, tmp_path)
+    v1, _ = snap.delete_where_mor(wh, "db", "t", "__row_id = 7")
+    m1 = snap._manifest(wh, "db", "t", v1)
+    assert not snap.dv_fold_due(m1)
+    res = snap.compact_small_files(
+        wh, "db", "t", small_file_bytes=1024 * 1024 * 1024
+    )
+    m = snap._manifest(wh, "db", "t", res["version"])
+    assert m.get("dvs")  # below signal: vectors ride along
+    assert snap.read_snapshot(wh, "db", "t").count() == 99
+
+    # now a delete spread across most files trips the file fraction
+    v2, n2 = snap.delete_where_mor(wh, "db", "t", "grp = 3")
+    assert n2 == 20
+    m2 = snap._manifest(wh, "db", "t", v2)
+    assert snap.dv_fold_due(m2)
+    res2 = snap.compact_small_files(
+        wh, "db", "t", small_file_bytes=1024 * 1024 * 1024
+    )
+    m3 = snap._manifest(wh, "db", "t", res2["version"])
+    assert not m3.get("dvs") and not m3.get("dv_rows")
+    cur = snap.read_snapshot(wh, "db", "t")
+    assert cur.count() == 79
+    assert cur.filter("grp = 3").count() == 0
+    assert snap.read_changes(wh, "db", "t", v2, res2["version"]).count() == 0
+
+
+def test_stats_agg_exact_under_standing_deletion_vectors(
+    spark, tmp_path
+):
+    """r10 advisory (medium): metadata-only stats under standing
+    vectors would count tombstoned rows and report min/max from
+    deleted rows. Files the vectors name now aggregate through the
+    mask (bounded by affected files); allow_scan=False refuses
+    loudly instead of answering wrong; after a fold the zero-IO path
+    is exact again."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"u{i}", i % 5) for i in range(100)],
+        "__row_id long, name string, grp long",
+    )
+    snap.append_versioned(
+        wh, "db", "s", df, stat_cols=["grp"],
+        bloom_cols=["name:ndv"],
+    )
+    snap.delete_where_mor(wh, "db", "s", "grp = 4")
+    row = snap.stats_agg(wh, "db", "s", ["grp"]).collect()[0]
+    assert row["row_count"] == 80
+    assert row["max_grp"] == 3  # raw metadata would say 4
+    assert row["min_grp"] == 0
+    assert row["null_count_grp"] == 0
+    with pytest.raises(ValueError, match="deletion vectors"):
+        snap.stats_agg(wh, "db", "s", ["grp"], allow_scan=False)
+    ndv = snap.stats_agg_ndv(wh, "db", "s", ["name"]).collect()[0]
+    assert 76 <= ndv["approx_ndv_name"] <= 84  # 80 live names
+    with pytest.raises(ValueError, match="deletion vectors"):
+        snap.stats_agg_ndv(wh, "db", "s", ["name"], allow_scan=False)
+
+    snap.apply_deletion_vectors(wh, "db", "s")
+    row2 = snap.stats_agg(
+        wh, "db", "s", ["grp"], allow_scan=False
+    ).collect()[0]
+    assert row2["row_count"] == 80 and row2["max_grp"] == 3
 
 
 def test_delete_where_mor_requires_row_id(spark, tmp_path):

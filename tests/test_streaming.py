@@ -746,3 +746,89 @@ def test_streaming_funnel_four_stage_interrupt_undercuts_max(
     assert batch == 2
     assert latest == 2  # the n_seen reduction agrees with batch
     assert stale_max == 3  # ...and max(level) demonstrably does not
+
+
+def test_streaming_ingest_dedup_gated(spark, tmp_path):
+    """start_ingest_stream(dedup_index=...) — r10 verdict item: the
+    foreachBatch runs the append_deduped gate, so a later micro-batch
+    that RESUBMITS earlier content under FRESH ids appends nothing
+    (content-idempotence, stronger than the txn watermark's same-
+    batch-replay guard), and the CDC-refreshed index equals a fresh
+    rebuild. Also pins the wrong-source-table guard."""
+    import pytest
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import dedup_index as di
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    corpus = spark.createDataFrame(
+        [
+            (
+                i,
+                f"corpus document number {i} with several more "
+                f"words about topic {i % 3} now",
+            )
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    snap.append_versioned(wh, "db", "docs", corpus)
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh")
+
+    landing = str(tmp_path / "landing")
+    src = os.path.join(landing, "db", "docs")
+    os.makedirs(src)
+    t_fresh = (
+        "a completely fresh streaming document about volcanoes "
+        "and weather patterns"
+    )
+    t_dup = (
+        "corpus document number 7 with several more words about "
+        "topic 1 now"
+    )  # byte-identical to corpus doc 7
+    with open(os.path.join(src, "b1.ndjson"), "w") as f:
+        f.write(json.dumps({"doc_id": 500, "text": t_fresh}) + "\n")
+        f.write(json.dumps({"doc_id": 501, "text": t_dup}) + "\n")
+    q = start_ingest_stream(
+        spark, wh, landing, "db", "docs",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        versioned=True, dedup_index="docs_lsh",
+    )
+    assert q.awaitTermination(600), "gated stream b1 did not finish"
+    cur = snap.read_snapshot(wh, "db", "docs")
+    assert cur.count() == 21  # corpus 20 + fresh; dup dropped
+    assert cur.filter("doc_id = 500").count() == 1
+    assert cur.filter("doc_id = 501").count() == 0
+
+    # batch 2: SAME texts, fresh ids -> the gate appends nothing
+    with open(os.path.join(src, "b2.ndjson"), "w") as f:
+        f.write(json.dumps({"doc_id": 600, "text": t_fresh}) + "\n")
+        f.write(json.dumps({"doc_id": 601, "text": t_dup}) + "\n")
+    q2 = start_ingest_stream(
+        spark, wh, landing, "db", "docs",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        versioned=True, dedup_index="docs_lsh",
+    )
+    assert q2.awaitTermination(600), "gated stream b2 did not finish"
+    assert snap.read_snapshot(wh, "db", "docs").count() == 21
+
+    # the refreshed index equals a rebuild, row for row
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh_rb")
+    a = snap.read_snapshot(wh, "db", "docs_lsh")
+    b = snap.read_snapshot(wh, "db", "docs_lsh_rb")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    with pytest.raises(ValueError, match="source table"):
+        start_ingest_stream(
+            spark, wh, landing, "db", "other",
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            available_now=True, dedup_index="docs_lsh",
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        start_ingest_stream(
+            spark, wh, landing, "db", "docs",
+            checkpoint_dir=str(tmp_path / "ckpt3"),
+            available_now=True, versioned=True,
+            dedup_index="docs_lsh", exactly_once=True,
+        )
