@@ -177,6 +177,145 @@ def window_funnel_levels(
     )
 
 
+def window_funnel_bootstrap_states(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conds: Sequence[Column],
+    window_micros: int,
+    modes: Sequence[str] = (),
+) -> DataFrame:
+    """The SAME single-pass fold as window_funnel_levels, but emitting
+    the raw per-user ACCUMULATOR instead of the finalized level — the
+    JVM-side history bootstrap for the streaming twin (streaming/
+    stateful.py::streaming_funnel_levels): fold the (cheap, scan-rate)
+    batch pass over history once, seed the stream's state store
+    layout, and stream only post-cutover events. Output columns match
+    the streaming state schema exactly — interleaved ``f1, l1, ...,
+    fn, ln`` (the py_funnel_init tuple layout) plus ``fe, br, rs``,
+    ``ns`` (events folded — the stream's cumulative n_seen continues
+    from it) and ``level`` (the finalized history level, for the
+    sink's initial table: users that never appear post-cutover emit
+    no stream row, so the dashboard starts from these).
+
+    The fold expression and event filtering are shared with
+    window_funnel_levels (same init/step), so seeded-then-streamed
+    equals full-stream BY CONSTRUCTION (pytest-pinned:
+    test_streaming_funnel_bootstrap_matches_full_stream)."""
+    for m in modes:
+        if m not in _MODES:
+            raise ValueError(f"unknown funnel mode {m!r}; in {_MODES}")
+    n = len(conds)
+    lv = window_funnel_levels  # noqa: F841  (doc anchor)
+    # rebuild the identical fold pieces (kept textually in
+    # window_funnel_levels to leave its plan untouched; the parity
+    # test pins the two stay in lockstep)
+    strict_order = "strict_order" in modes
+    strict_dedup = "strict_deduplication" in modes
+    strict_increase = "strict_increase" in modes
+    if n < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    idx = F.when(conds[0], F.lit(1))
+    for i, c in enumerate(conds[1:], start=2):
+        idx = idx.when(c, F.lit(i))
+    idx = idx.otherwise(F.lit(0))
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+        idx.alias("e"),
+    )
+    if not strict_order:
+        ev = ev.filter(F.col("e") > 0)
+    arr = ev.groupBy("__u").agg(
+        F.array_sort(F.collect_list(F.struct("t", "e"))).alias("evs")
+    )
+
+    state_fields = (
+        [f"f{k}" for k in range(1, n + 1)]
+        + [f"l{k}" for k in range(1, n + 1)]
+        + ["fe", "br", "rs"]
+    )
+
+    def mk(acc, **over):
+        cols = []
+        for name in state_fields:
+            v = over[name] if name in over else acc[name]
+            cols.append(v.alias(name))
+        return F.struct(*cols)
+
+    init = F.struct(
+        *(
+            [F.lit(None).cast("long").alias(f"f{k}") for k in range(1, n + 1)]
+            + [F.lit(None).cast("long").alias(f"l{k}") for k in range(1, n + 1)]
+            + [
+                F.lit(False).alias("fe"),
+                F.lit(False).alias("br"),
+                F.lit(0).alias("rs"),
+            ]
+        )
+    )
+    W = F.lit(int(window_micros))
+
+    def step(acc, x):
+        t, e = x["t"], x["e"]
+        keep = mk(acc)
+        stage1 = mk(acc, f1=t, l1=t, fe=F.lit(True))
+        out = F.when((acc["br"]) | (acc["rs"] > 0), keep)
+        if strict_order:
+            out = out.when(
+                e == 0,
+                F.when(acc["fe"], mk(acc, br=F.lit(True))).otherwise(keep),
+            )
+        out = out.when(e == 1, stage1)
+        for k in range(2, n + 1):
+            time_ok = t <= acc[f"f{k-1}"] + W
+            if strict_increase:
+                time_ok = time_ok & (acc[f"l{k-1}"] < t)
+            extend = mk(
+                acc,
+                **{
+                    f"f{k}": acc[f"f{k-1}"],
+                    f"l{k}": t,
+                    "rs": F.lit(n) if k == n else acc["rs"],
+                },
+            )
+            chain = F.when(
+                acc[f"f{k-1}"].isNotNull() & time_ok, extend
+            ).otherwise(keep)
+            if strict_dedup:
+                chain = F.when(
+                    acc[f"f{k}"].isNotNull(), mk(acc, rs=F.lit(k))
+                ).otherwise(chain)
+            out = out.when(e == k, chain)
+        return out.otherwise(keep)
+
+    def finish(acc):
+        lvl = F.lit(0)
+        for k in range(1, n + 1):
+            lvl = F.when(acc[f"f{k}"].isNotNull(), F.lit(k)).otherwise(lvl)
+        return F.when(acc["rs"] > 0, acc["rs"]).otherwise(lvl)
+
+    folded = arr.select(
+        F.col("__u"),
+        F.aggregate(F.col("evs"), init, step).alias("acc"),
+        F.size("evs").cast("long").alias("ns"),
+    )
+    flat = [F.col("__u").alias(user_col)]
+    for k in range(1, n + 1):  # interleave to the streaming layout
+        flat += [
+            F.col(f"acc.f{k}").alias(f"f{k}"),
+            F.col(f"acc.l{k}").alias(f"l{k}"),
+        ]
+    flat += [
+        F.col("acc.fe").alias("fe"),
+        F.col("acc.br").alias("br"),
+        F.col("acc.rs").alias("rs"),
+        F.col("ns"),
+        finish(F.col("acc")).alias("level"),
+    ]
+    return folded.select(*flat)
+
+
 def py_funnel_init(n: int) -> tuple:
     """Flattened fold state: (f1, l1, ..., fn, ln, fe, br, rs) —
     the exact accumulator the Spark fold carries, as a plain tuple so

@@ -17,12 +17,120 @@ not O(events) — constant per key here.
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Any, Iterable, Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: executor-side cache of loaded bootstrap-seed partitions, keyed by
+#: (seed_dir, partition_id) — one parquet read per python worker per
+#: state partition, O(users/num_partitions) memory each (the seed is
+#: written PARTITION-ALIGNED with the stream's hash partitioning, so
+#: no worker ever loads another partition's users)
+_FUNNEL_SEED_CACHE: dict = {}
+
+_FUNNEL_META = "_funnel_bootstrap_meta.json"
+
+
+def _funnel_seed_partition(seed_dir: str, pid: int, n: int) -> dict:
+    """Load (and cache) one seed partition: user -> (state tuple, ns).
+    Missing partition dirs mean no seeded users hash there."""
+    key = (seed_dir, pid)
+    cached = _FUNNEL_SEED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    path = os.path.join(seed_dir, f"__pid={pid}")
+    users: dict = {}
+    if os.path.isdir(path):
+        t = pq.read_table(path)
+        cols = {c: t.column(c).to_pylist() for c in t.column_names}
+        fields = [
+            x for k in range(1, n + 1) for x in (f"f{k}", f"l{k}")
+        ] + ["fe", "br", "rs"]
+        for i, u in enumerate(cols["__u"]):
+            st = tuple(cols[f][i] for f in fields)
+            users[u] = (st, cols["ns"][i])
+    _FUNNEL_SEED_CACHE[key] = users
+    return users
+
+
+def write_funnel_bootstrap(
+    history: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conds,
+    window_micros: int,
+    seed_dir: str,
+    modes=(),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fold HISTORY once with the JVM batch pass and write a state
+    seed the streaming funnel resumes from — the 'JVM fold for
+    history, stream from cutover' bootstrap as code (r10 verdict
+    item): at 100 TB you never replay a year of events through the
+    Python stateful kernel; the batch fold runs at scan rate
+    (operators/funnel.py::window_funnel_bootstrap_states), and the
+    stream starts at the cutover offset with every user's accumulator
+    already in place.
+
+    The seed is written PARTITION-ALIGNED with the stream's state
+    store: ``__pid = pmod(hash(user), P)`` mirrors Spark's
+    HashPartitioning (Murmur3, the same function F.hash exposes), so
+    the stateful task for partition p loads exactly its own users —
+    O(users/P) memory per worker, no broadcast of the full state.
+    ``P`` must equal the streaming query's
+    ``spark.sql.shuffle.partitions`` (recorded in a meta sidecar;
+    streaming_funnel_levels validates and refuses on mismatch —
+    state-store partition counts are fixed at first query start).
+
+    Returns the finalized (user, level) HISTORY frame: users that
+    never appear post-cutover emit no stream row, so a dashboard sink
+    starts from this table and overlays the stream's changelog
+    (max_by(level, n_seen) — ns continues from the seed, so the
+    reduction stays correct across the cut)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.funnel import window_funnel_bootstrap_states
+
+    spark = history.sparkSession
+    P = (
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if num_partitions is None
+        else int(num_partitions)
+    )
+    states = window_funnel_bootstrap_states(
+        history, user_col, ts_col, conds, window_micros, modes
+    )
+    (
+        states.select(
+            F.col(user_col).alias("__u"),
+            *[c for c in states.columns if c != user_col],
+        )
+        .withColumn("__pid", F.pmod(F.hash(F.col("__u")), F.lit(P)))
+        .write.mode("overwrite")
+        .partitionBy("__pid")
+        .parquet(seed_dir)
+    )
+    meta = {
+        "num_partitions": P,
+        "n_stages": len(conds),
+        "window_micros": int(window_micros),
+        "modes": sorted(modes),
+    }
+    from .. import fs as hfs
+
+    hfs.put_text_atomic(
+        spark, f"{seed_dir}/{_FUNNEL_META}", json.dumps(meta)
+    )
+    return states.select(
+        F.col(user_col), F.col("level"), F.col("ns").alias("n_seen")
+    )
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -121,6 +229,7 @@ def streaming_funnel_levels(
     conds,
     window_micros: int,
     modes=(),
+    bootstrap_dir: str | None = None,
 ) -> DataFrame:
     """STREAMING windowFunnel: the per-user funnel fold
     (operators/funnel.py — ClickHouse's documented single-pass
@@ -147,7 +256,19 @@ def streaming_funnel_levels(
     n_seen)``): the level itself is NOT monotonic in general — under
     strict_deduplication with >= 4 stages an interrupt at stage k
     reports k even when a higher level was already reached, so a
-    max(level) reduction would keep the stale higher value."""
+    max(level) reduction would keep the stale higher value.
+
+    ``bootstrap_dir``: resume from a write_funnel_bootstrap seed —
+    history folded once JVM-side, the stream carrying only
+    post-cutover events. A user's FIRST stream encounter loads its
+    seeded accumulator (partition-aligned parquet: each stateful task
+    reads only its own partition's users, cached per worker); after
+    that the state store owns it. n_seen continues from the seeded
+    count, so the max_by(level, n_seen) sink reduction stays correct
+    across the cut. The seed's partition count / stage count / window
+    / modes are validated against this query (state-store partitioning
+    is fixed at first start; a mismatched seed would silently look up
+    the wrong partition — refused loudly instead)."""
     from pyspark.sql import functions as F
 
     from ..operators.funnel import (
@@ -186,6 +307,31 @@ def streaming_funnel_levels(
         + ", fe boolean, br boolean, rs int, ns long"
     )
 
+    if bootstrap_dir is not None:
+        from .. import fs as hfs
+
+        meta = json.loads(
+            hfs.read_text(
+                events.sparkSession, f"{bootstrap_dir}/{_FUNNEL_META}"
+            )
+        )
+        cur_p = int(
+            events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        want = {
+            "num_partitions": cur_p,
+            "n_stages": n,
+            "window_micros": int(window_micros),
+            "modes": sorted(modes),
+        }
+        if meta != want:
+            raise ValueError(
+                f"bootstrap seed {bootstrap_dir!r} was written for "
+                f"{meta}, but this query needs {want} — regenerate "
+                "the seed (state-store partitioning is fixed at "
+                "first query start)"
+            )
+
     def fn(
         key: Any,
         pdfs: Iterable[pd.DataFrame],
@@ -196,6 +342,16 @@ def streaming_funnel_levels(
             st = tuple(acc)
         else:
             st, ns = py_funnel_init(n), 0
+            if bootstrap_dir is not None:
+                from pyspark import TaskContext
+
+                seed = _funnel_seed_partition(
+                    bootstrap_dir,
+                    TaskContext.get().partitionId(),
+                    n,
+                ).get(key[0])
+                if seed is not None:
+                    st, ns = seed
         rows: list = []
         for pdf in pdfs:
             rows.extend(

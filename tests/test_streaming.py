@@ -832,3 +832,126 @@ def test_streaming_ingest_dedup_gated(spark, tmp_path):
             available_now=True, versioned=True,
             dedup_index="docs_lsh", exactly_once=True,
         )
+
+
+def test_streaming_funnel_bootstrap_matches_full_stream(
+    spark, tmp_path
+):
+    """write_funnel_bootstrap + streaming_funnel_levels(bootstrap_dir)
+    — the 'JVM fold for history, stream from cutover' path as code
+    (r10 verdict item): history folds once batch-side into a
+    partition-aligned state seed; the stream carries ONLY post-cutover
+    events; (history levels table overlaid by the stream's max-n_seen
+    changelog) == the batch fold over history+live. Pins a chain that
+    SPANS the cutover, a history-only user, a live-only user, and the
+    seed-mismatch guard."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark.operators.funnel import window_funnel_levels
+    from scratchdb_spark.streaming.stateful import (
+        streaming_funnel_levels,
+        write_funnel_bootstrap,
+    )
+
+    def ev(u, minute, et):
+        return json.dumps(
+            {
+                "user_id": u,
+                "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+                "event_type": et,
+            }
+        )
+
+    hist_dir = str(tmp_path / "hist")
+    live_dir = str(tmp_path / "live")
+    os.makedirs(hist_dir)
+    os.makedirs(live_dir)
+    with open(os.path.join(hist_dir, "h.ndjson"), "w") as f:
+        for line in (
+            ev(1, 0, "view"), ev(1, 5, "click"),      # spans cutover
+            ev(2, 0, "view"), ev(2, 1, "click"), ev(2, 2, "purchase"),
+            ev(4, 0, "view"),                          # history-only
+        ):
+            f.write(line + "\n")
+    with open(os.path.join(live_dir, "l.ndjson"), "w") as f:
+        for line in (
+            ev(1, 10, "purchase"),                     # completes u1
+            ev(3, 20, "view"), ev(3, 21, "click"),
+            ev(3, 22, "purchase"),                     # live-only
+        ):
+            f.write(line + "\n")
+
+    schema = "user_id long, ts timestamp, event_type string"
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    W = 30 * 60 * 1_000_000
+    seed_dir = str(tmp_path / "seed")
+    hist_levels = write_funnel_bootstrap(
+        spark.read.schema(schema).json(hist_dir),
+        "user_id", "ts", conds, W, seed_dir,
+    )
+    base = {r["user_id"]: r["level"] for r in hist_levels.collect()}
+    assert base == {1: 2, 2: 3, 4: 1}
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(live_dir)
+    )
+    q = (
+        streaming_funnel_levels(
+            stream, "user_id", "ts", conds, W,
+            bootstrap_dir=seed_dir,
+        )
+        .writeStream.format("memory")
+        .queryName("funnel_boot")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_boot"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM funnel_boot").collect()
+    latest: dict = {}
+    for r in rows:
+        prev = latest.get(r["user_id"])
+        if prev is None or r["n_seen"] > prev[0]:
+            latest[r["user_id"]] = (r["n_seen"], r["level"])
+    combined = dict(base)
+    combined.update({u: lv for u, (_, lv) in latest.items()})
+
+    full = {
+        r["user_id"]: r["level"]
+        for r in window_funnel_levels(
+            spark.read.schema(schema).json(hist_dir).unionByName(
+                spark.read.schema(schema).json(live_dir)
+            ),
+            "user_id", "ts", conds, W,
+        ).collect()
+    }
+    assert combined == full == {1: 3, 2: 3, 3: 3, 4: 1}
+    # u1's seeded accumulator really carried across the cut: one live
+    # event lifted it 2 -> 3, and n_seen continued from the seed (2+1)
+    assert latest[1] == (3, 3)
+    # history-only users never emit on the stream
+    assert 2 not in latest and 4 not in latest
+
+    # seed-mismatch guard: a seed written for a different partition
+    # count must refuse (state-store layout is fixed at query start)
+    seed16 = str(tmp_path / "seed16")
+    write_funnel_bootstrap(
+        spark.read.schema(schema).json(hist_dir),
+        "user_id", "ts", conds, W, seed16, num_partitions=16,
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="regenerate the seed"):
+        streaming_funnel_levels(
+            stream, "user_id", "ts", conds, W,
+            bootstrap_dir=seed16,
+        )
