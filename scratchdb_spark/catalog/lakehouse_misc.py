@@ -4350,3 +4350,507 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.resample import lttb_downsample
 
     return lttb_downsample(table(spark, sf_dir, "events"), n_out=20)
+
+
+@register(
+    "events_cramers_v",
+    """
+    WITH ev AS (
+      SELECT event_type AS a,
+             least(CAST(floor(value / 250) AS BIGINT), 3) AS b
+      FROM events),
+    o AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY a, b),
+    r AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS ra FROM o GROUP BY a),
+    c AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cb FROM o GROUP BY b),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM o),
+    chi AS (
+      SELECT sum(
+               (cnt - ra * cb / CAST(n AS DOUBLE))
+               * (cnt - ra * cb / CAST(n AS DOUBLE))
+               / (ra * cb / CAST(n AS DOUBLE))
+             ) AS chi2,
+             CAST((SELECT count(*) FROM r) AS BIGINT) AS n_rows_cat,
+             CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cols_cat
+      FROM o JOIN r USING (a) JOIN c USING (b) CROSS JOIN t)
+    SELECT n_rows_cat, n_cols_cat,
+           (SELECT n FROM t) AS n_events,
+           round(chi2, 6) AS chi2,
+           round(
+             sqrt(chi2 / ((SELECT n FROM t)
+                          * (least(n_rows_cat, n_cols_cat) - 1))),
+             6) AS cramers_v
+    FROM chi
+    """,
+    doc="ClickHouse cramersV parity (new r11; CH public docs ship "
+        "cramersV/cramersVBiasCorrected for categorical association): "
+        "Cramér's V between event_type and the value band "
+        "(floor(value/250) clamped to 4 bands) — chi-squared over the "
+        "contingency table, V = sqrt(chi2 / (n * (min(R,C)-1))). "
+        "Counts are exact BIGINTs from ONE map-side-combined "
+        "groupBy(a, b); marginals re-aggregate the ~20-cell table "
+        "(category-bounded, never event-bounded), so the only "
+        "data-sized pass is the first count. The chi2 fold is an "
+        "IEEE-double sum over those ~20 cells — the repo's "
+        "small-term-count rule for float oracles (cf. "
+        "events_entropy), 6dp snap, driver-verified at two sfs. "
+        "Bias-uncorrected form (CH's cramersV; the bias-corrected "
+        "twin changes only the denominator constants).",
+)
+def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.least(
+            F.floor(F.col("value") / 250).cast("long"), F.lit(3)
+        ).alias("b"),
+    )
+    o = ev.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    r = o.groupBy("a").agg(F.sum("cnt").alias("ra"))
+    c = o.groupBy("b").agg(F.sum("cnt").alias("cb"))
+    t = o.agg(F.sum("cnt").alias("n"))
+    joined = (
+        o.join(F.broadcast(r), "a")
+        .join(F.broadcast(c), "b")
+        .crossJoin(F.broadcast(t))
+    )
+    e = F.col("ra") * F.col("cb") / F.col("n").cast("double")
+    chi = joined.agg(
+        F.sum((F.col("cnt") - e) * (F.col("cnt") - e) / e).alias(
+            "chi2"
+        ),
+        F.count_distinct(F.col("a")).cast("long").alias("n_rows_cat"),
+        F.count_distinct(F.col("b")).cast("long").alias("n_cols_cat"),
+        F.max(F.col("n")).cast("long").alias("n_events"),
+    )
+    return chi.select(
+        "n_rows_cat",
+        "n_cols_cat",
+        "n_events",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_events")
+                    * (
+                        F.least(
+                            F.col("n_rows_cat"), F.col("n_cols_cat")
+                        )
+                        - 1
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "events_ab_kolmogorov_smirnov",
+    """
+    WITH ev AS (
+      SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              ::UBIGINT % 2) AS arm,
+             CAST(floor(value) AS BIGINT) AS x
+      FROM events),
+    g AS (
+      SELECT x,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_b
+      FROM ev GROUP BY x),
+    t AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_b
+      FROM g),
+    c AS (
+      SELECT x,
+             CAST(sum(cnt_a) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_a,
+             CAST(sum(cnt_b) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_b
+      FROM g),
+    d AS (
+      SELECT x,
+             abs(cum_a * (SELECT n_b FROM t)
+                 - cum_b * (SELECT n_a FROM t)) AS diff
+      FROM c)
+    SELECT (SELECT n_a FROM t) AS n_a,
+           (SELECT n_b FROM t) AS n_b,
+           CAST((SELECT min(x) FROM d
+                 WHERE diff = (SELECT max(diff) FROM d)) AS BIGINT)
+             AS d_at_x,
+           round((SELECT max(diff) FROM d)
+                 / (CAST((SELECT n_a FROM t) AS DOUBLE)
+                    * (SELECT n_b FROM t)), 6) AS d_stat,
+           round((SELECT max(diff) FROM d)
+                 / sqrt(CAST((SELECT n_a FROM t) AS DOUBLE)
+                        * (SELECT n_b FROM t)
+                        * ((SELECT n_a FROM t) + (SELECT n_b FROM t))),
+                 6) AS z_score
+    FROM t
+    """,
+    doc="ClickHouse kolmogorovSmirnovTest parity (new r11): "
+        "two-sample exact KS D between md5-parity arms on the "
+        "floor(value) metric. D = max |F_a - F_b| over distinct "
+        "values, compared as the EXACT integer |cum_a*n_b - "
+        "cum_b*n_a| (no float boundary in the argmax; overflow-safe "
+        "to ~3e9 rows/arm — past that switch the compare to double, "
+        "documented); d_at_x = the smallest value attaining it. Both "
+        "cumulative counts ride ONE prefix-bucket running-sum pass "
+        "(operators/prefix_sum.py — the r11 construction that "
+        "replaced the repo's last partitionless distinct-value "
+        "windows), so the frame is never a single data-sized sort "
+        "even on a continuous metric; n_a/n_b fall out of the same "
+        "driver fold. The final D and the CH-style z = "
+        "D*sqrt(n_a*n_b/(n_a+n_b)) are one IEEE expression over "
+        "exact integers, 6dp snap (no p-value — CH computes it from "
+        "the asymptotic KS distribution; out of scope, documented).",
+)
+def events_ab_kolmogorov_smirnov(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.prefix_sum import bucketed_running_sum
+    from ..operators.split import hash_bucket
+
+    ev = table(spark, sf_dir, "events").select(
+        hash_bucket(F.col("user_id"), 2).alias("arm"),
+        F.floor("value").cast("long").alias("x"),
+    )
+    g = ev.groupBy("x").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("cnt_a"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("cnt_b"),
+    )
+    c, n_a = bucketed_running_sum(g, "x", "cnt_a", "cum_a")
+    c, n_b = bucketed_running_sum(c, "x", "cnt_b", "cum_b")
+    d = c.select(
+        "x",
+        F.abs(
+            F.col("cum_a") * F.lit(n_b) - F.col("cum_b") * F.lit(n_a)
+        ).alias("diff"),
+    )
+    # argmax with smallest-x tie-break as ONE exact-integer aggregate
+    m = d.agg(
+        F.max(
+            F.struct(F.col("diff"), (-F.col("x")).alias("nx"))
+        ).alias("m")
+    )
+    diff = F.col("m.diff").cast("double")
+    return m.select(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        (-F.col("m.nx")).cast("long").alias("d_at_x"),
+        F.round(
+            diff / (F.lit(float(n_a)) * F.lit(n_b)), 6
+        ).alias("d_stat"),
+        F.round(
+            diff
+            / F.sqrt(F.lit(float(n_a)) * F.lit(n_b) * F.lit(n_a + n_b)),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "warehouse_stats_under_dv",
+    """
+    WITH live AS (
+      SELECT o_totalprice FROM orders
+      WHERE NOT (o_totalprice > 100000.0))
+    SELECT CAST(count(*) AS BIGINT) AS row_count,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           CAST(0 AS BIGINT) AS null_count_price,
+           true AS refused_without_scan,
+           true AS exact_after_fold
+    FROM live
+    """,
+    doc="Metadata-only stats under MERGE-ON-READ deletion vectors "
+        "(snapshots.stats_agg, DV-aware since r11 — the r10 "
+        "advisory): after a MoR takedown of the >100k orders, the "
+        "recorded per-file stats still describe the tombstoned rows, "
+        "so dv-named files are aggregated THROUGH the mask (one scan "
+        "bounded by affected files; unaffected files stay a metadata "
+        "fold) — row_count/min/max/null_count equal the visible-row "
+        "truth, never the superset (max_price here is the post-"
+        "delete max, which no recorded zone map holds). "
+        "refused_without_scan pins that allow_scan=False raises "
+        "under standing vectors instead of answering wrong "
+        "(Delta/Iceberg likewise disable metadata-only counts under "
+        "DVs); exact_after_fold pins that apply_deletion_vectors "
+        "restores the zero-IO path with identical numbers.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_stats_under_dv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_sdv_"))
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("__row_id"),
+        F.col("o_totalprice").alias("price"),
+    )
+    snap.append_versioned(
+        wh, "db", "ord", orders, stat_cols=["price"]
+    )
+    snap.delete_where_mor(wh, "db", "ord", "price > 100000.0")
+    masked = snap.stats_agg(wh, "db", "ord", ["price"]).collect()[0]
+    refused = False
+    try:
+        snap.stats_agg(wh, "db", "ord", ["price"], allow_scan=False)
+    except ValueError:
+        refused = True
+    snap.apply_deletion_vectors(wh, "db", "ord")
+    folded = snap.stats_agg(
+        wh, "db", "ord", ["price"], allow_scan=False
+    ).collect()[0]
+    same = all(
+        masked[k] == folded[k]
+        for k in (
+            "row_count", "min_price", "max_price", "null_count_price",
+        )
+    )
+    return spark.createDataFrame(
+        [
+            (
+                masked["row_count"],
+                round(masked["min_price"], 2),
+                round(masked["max_price"], 2),
+                masked["null_count_price"],
+                refused,
+                same,
+            )
+        ],
+        "row_count long, min_price double, max_price double, "
+        "null_count_price long, refused_without_scan boolean, "
+        "exact_after_fold boolean",
+    )
+
+
+@register(
+    "warehouse_mor_file_scoped",
+    """
+    WITH live AS (
+      SELECT doc_id FROM documents WHERE doc_id >= 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_after,
+           CAST((SELECT count(*) FROM documents WHERE doc_id < 3)
+                AS BIGINT) AS n_deleted,
+           true AS file_scoped,
+           true AS plan_splits,
+           true AS equals_full_mask
+    FROM live
+    """,
+    doc="FILE-SCOPED merge-on-read masking (snapshots.read_snapshot, "
+        "new r11 — the r10 verdict's 'first thing a 100 TB operator "
+        "would notice'): the manifest's dv_files names every file "
+        "the vectors touch, so a standing takedown vector taxes ONLY "
+        "its own files — the read plans (dv-named -> masked) UNION "
+        "(rest -> raw), and unaffected files skip the per-row "
+        "basename projection and the anti-join probe entirely "
+        "(measured 2.08x full-scan overhead before the split, "
+        "mor_rehearsal_r10). file_scoped pins dv_files < total "
+        "files; plan_splits pins the Union + exactly one LeftAnti in "
+        "the executed plan; equals_full_mask pins bit-identical rows "
+        "vs the conservative mask-everything read (both exceptAll "
+        "directions empty).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_mor_file_scoped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_fsc_"))
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("__row_id"),
+            F.col("doc_id"),
+            F.col("lang"),
+        )
+        .repartition(8, "doc_id")
+    )
+    snap.append_versioned(wh, "db", "docs", docs)
+    v, n_del = snap.delete_where_mor(wh, "db", "docs", "doc_id < 3")
+    m = snap._manifest(wh, "db", "docs", v)
+    n_files = len(snap._manifest_files(wh, "db", "docs", m))
+    file_scoped = 0 < len(m.get("dv_files", [])) < n_files
+    cur = snap.read_snapshot(wh, "db", "docs")
+    plan = cur._jdf.queryExecution().executedPlan().toString()
+    plan_splits = "Union" in plan and plan.count("LeftAnti") == 1
+    # the split read equals the conservative mask-everything read
+    from pyspark.sql import types as T
+    import json as _json
+
+    schema = T.StructType.fromJson(_json.loads(m["schema"]))
+    base = wh._path("db", "docs")
+    full = snap._dv_mask(
+        wh, "db", "docs", m,
+        spark.read.schema(schema).parquet(
+            *[
+                f"{base}/{nm}"
+                for nm in snap._manifest_files(wh, "db", "docs", m)
+            ]
+        ),
+    )
+    same = (
+        cur.exceptAll(full).limit(1).count() == 0
+        and full.exceptAll(cur).limit(1).count() == 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                cur.count(),
+                int(n_del),
+                bool(file_scoped),
+                bool(plan_splits),
+                bool(same),
+            )
+        ],
+        "n_rows_after long, n_deleted long, file_scoped boolean, "
+        "plan_splits boolean, equals_full_mask boolean",
+    )
+
+
+@register(
+    "stream_funnel_bootstrap_live",
+    _funnel_sql(
+        _FUNNEL_STAGES_SQL,
+        _FUNNEL_WINDOW_US,
+        (),
+        events_table=(
+            "(SELECT user_id, ts, event_type FROM events "
+            "WHERE user_id < 40) ev"
+        ),
+    ),
+    doc="Bootstrapped LIVE streaming windowFunnel (streaming/"
+        "stateful.py::write_funnel_bootstrap + streaming_funnel_"
+        "levels(bootstrap_dir=...), new r11 — the 'JVM fold for "
+        "history, stream from cutover' path as code, the r10 verdict "
+        "item): the first 40 users' events split at the global time "
+        "median; HISTORY folds once through the JVM batch pass into "
+        "a partition-aligned state seed (pmod(hash(user), P) mirrors "
+        "the stream's HashPartitioning, so each stateful task loads "
+        "only its own users); the stream replays ONLY the post-"
+        "cutover half, resuming every user's accumulator from the "
+        "seed. The sink overlay (history levels table + max_by("
+        "level, n_seen) changelog — n_seen continues from the seeded "
+        "count) is hash-checked against the SAME recursive-CTE SQL "
+        "oracle over ALL the events: seeded-then-streamed proven "
+        "equal to the declarative definition, chains spanning the "
+        "cutover included. At 100 TB the history never transits the "
+        "Python stateful kernel.",
+    bench=False,  # times temp-stream setup, not a scan
+)
+def stream_funnel_bootstrap_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import time as _time
+
+    from ..streaming.stateful import (
+        streaming_funnel_levels,
+        write_funnel_bootstrap,
+    )
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("ts").cast("timestamp"),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            ).alias("ts"),
+            "event_type",
+        )
+    )
+    rows = ev.collect()  # bounded: 40 users' events
+    cut = sorted(r["ts"] for r in rows)[len(rows) // 2]
+    root = tempfile.mkdtemp(prefix="funnel_boot_")
+    live_src = os.path.join(root, "live")
+    os.makedirs(live_src)
+    with open(os.path.join(live_src, "a.ndjson"), "w") as f:
+        for r in rows:
+            if r["ts"] > cut:
+                f.write(
+                    f'{{"user_id": {r["user_id"]}, "ts": '
+                    f'"{r["ts"]}", "event_type": "{r["event_type"]}"}}\n'
+                )
+    now = _time.time()
+    os.utime(os.path.join(live_src, "a.ndjson"), (now, now))
+
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    hist = (
+        spark.createDataFrame(
+            [
+                (r["user_id"], r["ts"], r["event_type"])
+                for r in rows
+                if r["ts"] <= cut
+            ],
+            "user_id long, ts string, event_type string",
+        )
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+    )
+    seed_dir = os.path.join(root, "seed")
+    base = write_funnel_bootstrap(
+        hist, "user_id", "ts", conds, _FUNNEL_WINDOW_US, seed_dir
+    ).select("user_id", F.col("level").alias("base_level"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(live_src)
+    )
+    name = f"funnel_boot_{abs(hash(root)) % 10**8}"
+    q = (
+        streaming_funnel_levels(
+            stream, "user_id", "ts", conds, _FUNNEL_WINDOW_US,
+            bootstrap_dir=seed_dir,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    live_lv = (
+        spark.sql(f"SELECT user_id, level, n_seen FROM {name}")
+        .groupBy("user_id")
+        .agg(F.max_by("level", "n_seen").alias("live_level"))
+    )
+    combined = base.join(live_lv, "user_id", "full_outer").select(
+        F.coalesce(
+            F.col("live_level"), F.col("base_level")
+        ).alias("level")
+    )
+    return (
+        combined.filter(F.col("level") >= 1)
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

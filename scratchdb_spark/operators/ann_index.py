@@ -380,7 +380,7 @@ def query_ann_index(
     nprobe: int = 4,
     overfetch: int = 4,
     exclude_self: bool = True,
-    adaptive_overfetch: bool = False,
+    adaptive_overfetch: bool = True,
 ) -> DataFrame:
     """Top-k through the persisted index: resolve ONE index version,
     load exactly the sidecar that version's chain names (quantizers
@@ -398,10 +398,12 @@ def query_ann_index(
     ids may coincide with corpus vec_ids, or results silently lose
     the colliding neighbor.
 
-    ``adaptive_overfetch=True`` keeps k*overfetch ADC candidates per
-    (query, probed cell) instead of per query — recall monotone
-    non-decreasing in nprobe (see similarity._adc_candidates); the
-    default preserves the fixed-budget fixtures."""
+    ``adaptive_overfetch`` (DEFAULT since r11, matching ivfpq_topk's
+    flip) keeps k*overfetch ADC candidates per (query, probed cell)
+    instead of per query — recall monotone non-decreasing in nprobe
+    (see similarity._adc_candidates); ``False`` keeps the fixed
+    budget reachable for the quality-comparison tooling. Fixtures
+    regenerated at the flip."""
     v = snap.versions(wh, database, index_table)[-1]
     meta = _load_meta(wh, database, index_table, version=v)
     id_col, vec_col = meta["id_col"], meta["vec_col"]

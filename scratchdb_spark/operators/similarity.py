@@ -1265,7 +1265,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     quantizer: str = "smallest_id",
     kmeans_iters: int = 3,
-    adaptive_overfetch: bool = False,
+    adaptive_overfetch: bool = True,
 ) -> DataFrame:
     """IVFADC (Jegou et al. 2011; FAISS "IVF<n>,PQ<m>" + refine,
     public designs): the full 100 TB ANN pipeline — an IVF coarse
@@ -1284,14 +1284,20 @@ def ivfpq_topk(
     accuracy upgrade at equal code size; it changes only the encode /
     table-build kernels, not the dataflow.
 
-    ``adaptive_overfetch=True`` (r10) scales the exact-refine pool
-    with nprobe: the ADC stage keeps k*overfetch candidates per
-    (query, PROBED CELL) instead of per query, making recall
-    provably monotone non-decreasing in nprobe (nested probe lists +
-    per-cell independence — see _adc_candidates). Default False
-    preserves the r8/r9 fixed-budget behavior the golden fixtures
-    snapshot; refine cost under adaptive mode is q*k*overfetch*nprobe
-    dots — still candidate-bounded, never corpus-bounded.
+    ``adaptive_overfetch`` (r10; DEFAULT since r11) scales the
+    exact-refine pool with nprobe: the ADC stage keeps k*overfetch
+    candidates per (query, PROBED CELL) instead of per query, making
+    recall provably monotone non-decreasing in nprobe (nested probe
+    lists + per-cell independence — see _adc_candidates; the fixed
+    budget's recall measurably FELL with nprobe via impostor
+    crowding, ann_quality_r9.json). The per-cell pool is a SUPERSET
+    of the fixed-budget pool at equal settings (any cell holds at
+    most k*overfetch of the global top-k*overfetch), so the flip
+    never loses a candidate. ``False`` keeps the r8/r9 fixed-budget
+    shape reachable for the quality-comparison tooling; refine cost
+    under adaptive mode is q*k*overfetch*nprobe dots — still
+    candidate-bounded, never corpus-bounded. Golden fixtures
+    regenerated at the flip (r11, make_fixtures double-run gate).
 
     Scale shape: see the composed helpers — _assign_encode_df (one
     fused mapInPandas pass), _adc_candidates (broadcast equi-join on
@@ -1509,7 +1515,7 @@ def ivfpq_residual_topk(
     vec_col: str = "embedding",
     quantizer: str = "smallest_id",
     kmeans_iters: int = 3,
-    adaptive_overfetch: bool = False,
+    adaptive_overfetch: bool = True,
 ) -> DataFrame:
     """IVFADC with residual encoding (by_residual=True — the FAISS
     default): identical dataflow to ivfpq_topk, but codes quantize

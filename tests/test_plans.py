@@ -78,6 +78,10 @@ ALLOWED_NESTED_LOOP = {
         "1-row total-count broadcast joined onto the per-class "
         "counts (category-cardinality rows)"
     ),
+    "events_cramers_v": (
+        "1-row total-count broadcast joined onto the ~20-cell "
+        "contingency table (category-bounded, never event-bounded)"
+    ),
 }
 
 
