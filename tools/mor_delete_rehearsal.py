@@ -16,7 +16,15 @@ Measures, on a ~N_ROWS-row table spread over ~N_FILES files:
     with the standing vector (the reader-side mask overhead)
   - apply_s: the deferred physical rewrite
 
-Writes mor_rehearsal_r10.json at the repo root.
+r11 adds the FILE-SCOPED masking scenario (the r10 verdict item):
+a NARROW vector naming rows of ONE file out of n_files — under the
+r11 split read ((dv-named -> masked) UNION (rest -> raw)) the
+unaffected n_files-1 files skip the basename projection and the
+anti-join entirely, so the full-scan overhead must be ~0; the WIDE
+vector (one victim per ~2 files) keeps paying proportionally to its
+affected-file share. dv_files counts are recorded per scenario.
+
+Writes mor_rehearsal_r11.json at the repo root.
 
 Usage: python tools/mor_delete_rehearsal.py [n_rows] [n_files]
 """
@@ -106,10 +114,47 @@ def main() -> None:
 
     scan(f"t_cow"); scan(f"t_mor")  # warm both paths
     out["scan_clean_s"] = round(scan("t_cow"), 2)
-    out["scan_masked_s"] = round(scan("t_mor"), 2)
+    out["scan_masked_wide_s"] = round(scan("t_mor"), 2)
+    m_wide = snap._manifest(
+        wh, "db", "t_mor", snap.versions(wh, "db", "t_mor")[-1]
+    )
+    out["wide_dv_files"] = len(m_wide.get("dv_files", []))
     print(
-        f"scan clean {out['scan_clean_s']}s vs masked "
-        f"{out['scan_masked_s']}s",
+        f"scan clean {out['scan_clean_s']}s vs wide-masked "
+        f"{out['scan_masked_wide_s']}s "
+        f"({out['wide_dv_files']}/{n_files} files named)",
+        flush=True,
+    )
+
+    # r11 file-scoped scenario: a narrow vector naming ONE file —
+    # the split read must make the full-scan overhead ~0
+    build(wh, "t_narrow", n_rows, n_files)
+    base_n = wh._path("db", "t_narrow")
+    one_file = snap._manifest_files(
+        wh, "db", "t_narrow",
+        snap._manifest(
+            wh, "db", "t_narrow", snap.versions(wh, "db", "t_narrow")[-1]
+        ),
+    )[0]
+    ids = [
+        r["__row_id"]
+        for r in spark.read.parquet(f"{base_n}/{one_file}")
+        .select("__row_id").limit(100).collect()
+    ]
+    _v, n_narrow = snap.delete_where_mor(
+        wh, "db", "t_narrow",
+        f"__row_id IN ({', '.join(str(i) for i in ids)})",
+    )
+    assert n_narrow == len(ids)
+    m_narrow = snap._manifest(
+        wh, "db", "t_narrow", snap.versions(wh, "db", "t_narrow")[-1]
+    )
+    out["narrow_dv_files"] = len(m_narrow.get("dv_files", []))
+    scan("t_narrow")  # warm
+    out["scan_masked_narrow_s"] = round(scan("t_narrow"), 2)
+    print(
+        f"narrow-masked scan {out['scan_masked_narrow_s']}s "
+        f"({out['narrow_dv_files']}/{n_files} files named)",
         flush=True,
     )
 
@@ -126,7 +171,7 @@ def main() -> None:
 
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "mor_rehearsal_r10.json",
+        "mor_rehearsal_r11.json",
     )
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
