@@ -830,11 +830,15 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per day and weekly/monthly percentiles MERGE instead of "
         "rescanning raw events — the deterministic counterpart of "
         "percentile_approx whose partials an engine can't persist. "
-        "The bucket cumulative runs in a single-partition window over "
-        "n_buckets rows (bounded by construction, not by data size).",
+        "The bucket cumulative rides the prefix-bucket running sum "
+        "(operators/prefix_sum.py, r11 — the histogram-bucket frame "
+        "is sized by the VALUE RANGE, which is data-dependent for a "
+        "continuous metric; it previously ran one SinglePartition "
+        "window, the class the r9-r11 fixes eliminated), and the "
+        "grand total falls out of the same driver fold.",
 )
 def rollup_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.prefix_sum import bucketed_running_sum
 
     ev = table(spark, sf_dir, "events")
     daily = (
@@ -844,24 +848,13 @@ def rollup_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.count(F.lit(1)).alias("cnt"))
     )
     merged = daily.groupBy("b").agg(F.sum("cnt").alias("cnt"))
-    w_cum = Window.orderBy("b").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.orderBy("b").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = merged.select(
-        "b",
-        "cnt",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
+    cum, n = bucketed_running_sum(merged, "b", "cnt", "cum")
 
     def q(p: float, name: str):
         # the covering bucket is the UNIQUE row with cum_prev < t <=
         # cum; interpolate inside it (min is just the null-dropping
         # pick — every other row's CASE is NULL)
-        t = F.lit(p) * F.col("n")
+        t = F.lit(p) * F.lit(n)
         prev = F.col("cum") - F.col("cnt")
         est = (
             F.col("b") + (t - prev) / F.col("cnt")

@@ -540,6 +540,8 @@ def search_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
     bm = bm25_topk(docs, ["spark", "window", "join"], k=50)
+    # partitionless rank is safe HERE only: the frame is bm25_topk's
+    # k=50-row result, bounded by construction — never the corpus
     wb = Window.orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
     bmrank = bm.select(
         "doc_id", F.row_number().over(wb).cast("long").alias("rb")

@@ -596,13 +596,16 @@ def asof_tolerance_click_purchase(
         tiebreak="event_id",
         tolerance="1 HOUR",
     )
-    w = Window.partitionBy()
-    return joined.select(
+    # n_within is a 1-row global count broadcast onto the rows — NOT
+    # a partitionless window (count OVER () funnels the whole joined
+    # frame through one task; the r11 audit removed the class)
+    picked = joined.select(
         "event_id",
         "user_id",
         F.round("value", 4).alias("purchase_value"),
         F.round("asof_value", 4).alias("asof_value"),
-    ).withColumn(
-        "n_within",
-        F.count("asof_value").over(w).cast("long"),
     )
+    stats = picked.agg(
+        F.count("asof_value").cast("long").alias("n_within")
+    )
+    return picked.crossJoin(F.broadcast(stats))

@@ -164,6 +164,10 @@ def ingest_roundtrip_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = wh.read("db", "t")
     return df.select(
         "x", "s", "y",
+        # partitionless rank is safe HERE only: the frame is the
+        # 2-row demo table built by the literal inserts above, never
+        # a data table (the data-sized form of this pattern is what
+        # operators/prefix_sum.py exists to replace)
         F.row_number()
         .over(Window.orderBy("__row_id"))
         .alias("batch_rank"),

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .dedup import normalize_text, token_shingles
 from .text import STOPWORDS, _hits, _tokens
@@ -329,25 +328,33 @@ def domain_token_budget(
     totals with global and cumulative shares, ordered by token mass —
     the report that drives sampling weights for a training mixture.
 
-    One narrow agg (per domain — low cardinality) then a broadcast-
-    scale window over the domain totals; corpus scan stays linear.
+    One narrow agg (per domain) for the totals; the cumulative share
+    then rides the prefix-bucket running sum (operators/
+    prefix_sum.py, r11 — was a partitionless window over the domain
+    frame, which is DATA-SIZED on a web corpus: millions of
+    registrable domains, the exact single-task class the r9-r11
+    fixes eliminated). Order is (tokens desc, domain) via a negated
+    order column + tiebreak; the grand total falls out of the same
+    driver fold (the sum() OVER () window is gone too). Corpus scan
+    stays linear.
     """
+    from .prefix_sum import bucketed_running_sum
+
     per = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(_tokens(F.col(text_col)))).alias("ws_tokens"),
+    ).withColumn("__ord", -F.col("ws_tokens").cast("long"))
+    ranked, total = bucketed_running_sum(
+        per, "__ord", "ws_tokens", "__cum",
+        tiebreak_cols=("domain",),
     )
-    total = F.sum("ws_tokens").over(Window.partitionBy())
-    cum = F.sum("ws_tokens").over(
-        Window.partitionBy().orderBy(
-            F.col("ws_tokens").desc(), F.col("domain")
-        )
-    )
-    return per.select(
+    den = F.lit(total).cast("double")
+    return ranked.select(
         "domain",
         "n_docs",
         "ws_tokens",
-        F.round(F.col("ws_tokens") / total, 6).alias("token_share"),
-        F.round(cum / total, 6).alias("cum_token_share"),
+        F.round(F.col("ws_tokens") / den, 6).alias("token_share"),
+        F.round(F.col("__cum") / den, 6).alias("cum_token_share"),
     )
 
 

@@ -48,6 +48,7 @@ def bucketed_running_sum(
     value_col: str,
     out_col: str,
     n_buckets: int = 256,
+    tiebreak_cols: tuple = (),
 ) -> tuple[DataFrame, int]:
     """Add ``out_col`` = the INCLUSIVE running sum of ``value_col`` in
     ascending ``order_col`` order, computed with partitioned windows
@@ -55,12 +56,17 @@ def bucketed_running_sum(
     the total comes from pass 1's driver fold, so callers replace BOTH
     the cumulative window and the ``sum() OVER ()`` total window.
 
-    Requirements: ``order_col`` values are DISTINCT per row (callers
-    pass grouped-by-value frames — a running sum over tied order keys
-    has no defined per-row value) and ``value_col`` is integral (the
-    driver fold and the offset literals are exact Python ints;
-    weights/counts in this repo are BIGINTs by contract). Exclusive
-    form: subtract the row's own value (``out_col - value_col``).
+    Requirements: the (order_col, *tiebreak_cols) tuple is DISTINCT
+    per row — a running sum over tied order keys has no defined
+    per-row value. Ties in ``order_col`` alone are fine WITH
+    tiebreaks: equal order values land in the same range bucket by
+    construction, so global (order, tiebreaks) order equals (bucket,
+    order, tiebreaks) order and the per-bucket window resolves them.
+    Descending order: pass a pre-negated numeric column. ``value_col``
+    must be integral (the driver fold and the offset literals are
+    exact Python ints; weights/counts in this repo are BIGINTs by
+    contract). Exclusive form: subtract the row's own value
+    (``out_col - value_col``).
     """
     mm = df.agg(
         F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
@@ -108,7 +114,7 @@ def bucketed_running_sum(
         cum += nets[b]
     w = (
         Window.partitionBy("__psb")
-        .orderBy(order_col)
+        .orderBy(order_col, *tiebreak_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     in_bucket = F.sum(F.col(value_col).cast("long")).over(w)

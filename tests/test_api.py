@@ -215,6 +215,11 @@ def test_metrics_histograms(server):
     size histograms (reference pkg/api/router.go:18-28), cumulative
     with a +Inf terminal bucket and a _count."""
     _get(f"{server}/healthcheck")
+    # self-arm: /metrics observes itself AFTER rendering, so the
+    # route=/metrics assertions below need one prior call — without
+    # this the test is order-dependent on the earlier share test's
+    # /metrics hit (fails under pytest -k selection)
+    _get(f"{server}/metrics")
     code, body = _get(f"{server}/metrics")
     assert code == 200
     assert 'scratchdb_request_seconds_bucket{route=/healthcheck,le="0.001"}' in body

@@ -4606,24 +4606,37 @@ def test_bucketed_running_sum_fractional_and_empty(spark):
     assert "run" in out_e.columns
 
 
-def test_mann_whitney_and_quantile_windows_partition_on_bucket(
+def test_prefix_sum_backed_queries_partition_on_bucket(
     spark, sf_dir
 ):
-    """Plan pin for the r11 fix of the r10 verdict's weak item: the
-    cumulative-count window of events_ab_mann_whitney and the
-    cumulative-weight window of agg_quantile_exact_weighted both
-    partition on the prefix-sum range bucket — never a partitionless
-    frame over the metric's distinct values (data-sized for a
-    continuous 100 TB metric). The only SinglePartition exchange
-    allowed is each query's final one-row aggregate."""
+    """Plan pin for the r11 close-out of the partitionless-window
+    class: every catalog query whose cumulative rides the
+    prefix-bucket running sum — the two r10 weak items
+    (events_ab_mann_whitney, agg_quantile_exact_weighted) plus the
+    audit's finds (rollup_histogram_quantiles' value-range bucket
+    frame, curate_domain_token_budget's domain frame — both
+    data-sized at 100 TB) and the new KS test — windows ONLY on the
+    range bucket. The only SinglePartition exchange allowed is each
+    query's final one-row aggregate."""
     from scratchdb_spark.catalog.analytics import (
         agg_quantile_exact_weighted,
+        rollup_histogram_quantiles,
+    )
+    from scratchdb_spark.catalog.curation_queries import (
+        curate_domain_token_budget,
     )
     from scratchdb_spark.catalog.lakehouse_misc import (
+        events_ab_kolmogorov_smirnov,
         events_ab_mann_whitney,
     )
 
-    for fn in (events_ab_mann_whitney, agg_quantile_exact_weighted):
+    for fn in (
+        events_ab_mann_whitney,
+        agg_quantile_exact_weighted,
+        rollup_histogram_quantiles,
+        curate_domain_token_budget,
+        events_ab_kolmogorov_smirnov,
+    ):
         out = fn(spark, sf_dir)
         plan = out._jdf.queryExecution().executedPlan().toString()
         blocks = plan.split("Window")[1:]

@@ -82,6 +82,10 @@ ALLOWED_NESTED_LOOP = {
         "1-row total-count broadcast joined onto the ~20-cell "
         "contingency table (category-bounded, never event-bounded)"
     ),
+    "asof_tolerance_click_purchase": (
+        "1-row global-count broadcast joined onto the as-of rows "
+        "(replaced the r1-r10 partitionless count-OVER() window)"
+    ),
 }
 
 
