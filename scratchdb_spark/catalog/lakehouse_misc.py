@@ -4856,3 +4856,79 @@ def stream_funnel_bootstrap_live(
         .groupBy("level")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "warehouse_update_where",
+    """
+    SELECT * FROM (VALUES
+      ('1_pre',        CAST(6 AS BIGINT), CAST(210 AS BIGINT),
+                       CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      ('2_cow_update', CAST(6 AS BIGINT), CAST(212 AS BIGINT),
+                       CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+      ('3_mor_update', CAST(6 AS BIGINT), CAST(214 AS BIGINT),
+                       CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+      ('4_time_travel', CAST(6 AS BIGINT), CAST(210 AS BIGINT),
+                       CAST(0 AS BIGINT), CAST(0 AS BIGINT)))
+      t(stage, n_rows, sum_val, dv_rows, n_updated)
+    """,
+    doc="Row-level UPDATE DML (snapshots.update_where / "
+        "update_where_mor, new r11 — the predicate-UPDATE surface "
+        "Delta/Iceberg ship and merge_upsert's keyed form didn't "
+        "cover): stage 2 is the copy-on-write form (affected files "
+        "rewrite with SET applied to exactly the matched rows, NULL "
+        "predicate = untouched, values cast to the column's type); "
+        "stage 3 is the MERGE-ON-READ form — Iceberg's position-"
+        "deletes-plus-new-data-files shape in ONE commit: tombstone "
+        "the matched rows, append their updated copies under the "
+        "SAME __row_id (pair-bound tombstones keep the copies "
+        "visible), O(matched rows) instead of O(affected bytes). "
+        "Both emit preimage-delete + postimage-insert CDC pairs "
+        "(n_updated = pairs); stage 4 time-travels to the pre-update "
+        "version (audit trail). Row count invariant across every "
+        "stage — UPDATE never inserts or deletes.",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_update_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_upd_"))
+    snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [(i, i * 10, i in (2, 5)) for i in range(1, 7)],
+            "__row_id long, val long, flagged boolean",
+        ),
+    )
+    pre_v = snap.versions(wh, "db", "docs")[-1]
+    cow_v, cow_n = snap.update_where(
+        wh, "db", "docs", F.col("flagged"), {"val": "val + 1"}
+    )
+    mor_v, mor_n = snap.update_where_mor(
+        wh, "db", "docs", "__row_id IN (1, 6)", {"val": "val + 1"}
+    )
+
+    def audit(stage, version, n_upd):
+        m = snap._manifest(wh, "db", "docs", version)
+        df = snap.read_snapshot(wh, "db", "docs", version=version)
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+            F.lit(int(m.get("dv_rows", 0))).cast("long").alias(
+                "dv_rows"
+            ),
+            F.lit(int(n_upd)).cast("long").alias("n_updated"),
+        )
+
+    return (
+        audit("1_pre", pre_v, 0)
+        .unionAll(audit("2_cow_update", cow_v, cow_n))
+        .unionAll(audit("3_mor_update", mor_v, mor_n))
+        .unionAll(audit("4_time_travel", pre_v, 0))
+    )

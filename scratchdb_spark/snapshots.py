@@ -2902,7 +2902,7 @@ def _cow_commit(
     rewritten: list[str],
     changes: list[str] | None,
     summary: dict | None = None,
-    dvs_override: tuple[list[str], int] | None = None,
+    dvs_override: tuple | None = None,
 ) -> int:
     """Commit a COW file swap (``affected`` out, ``rewritten`` in) as
     the next version — the single atomic manifest PUT shared by
@@ -2966,13 +2966,17 @@ def _cow_commit(
     # rewrite/pack reads through the mask (the rewrite-must-mask
     # invariant, _dv_mask), so tombstoned rows are physically dropped
     # at any move and carried entries are live-or-dead, never wrong.
-    # dvs_override=(list, rows) sets them explicitly — ([], 0) is the
-    # clear form for overwrite (all old rows replaced) and
-    # apply_deletion_vectors (tombstones physically applied)
+    # dvs_override=(list, rows[, files]) sets them explicitly —
+    # ([], 0) is the clear form for overwrite (all old rows replaced)
+    # and apply_deletion_vectors (tombstones physically applied); the
+    # optional third element records the dv_files coverage for
+    # file-scoped reads (MoR UPDATE's grow form)
     if dvs_override is not None:
         if dvs_override[0]:
             manifest["dvs"] = list(dvs_override[0])
             manifest["dv_rows"] = int(dvs_override[1])
+            if len(dvs_override) > 2 and dvs_override[2] is not None:
+                manifest["dv_files"] = sorted(dvs_override[2])
     elif prev.get("dvs"):
         manifest["dvs"] = prev["dvs"]
         manifest["dv_rows"] = prev.get("dv_rows", 0)
@@ -3376,6 +3380,292 @@ def delete_keys(
     return _retry_dml(
         lambda: _delete_keys_once(
             wh, database, table, keys, key_col, summary=summary
+        )
+    )
+
+
+def _normalize_set_exprs(schema, set_exprs: dict) -> dict:
+    """Validate an UPDATE's SET map against the table schema: every
+    target must be an existing column (UPDATE never evolves schema —
+    append does that), ``__row_id`` is immutable (it IS the row's
+    identity; changing it is a delete+insert, which is what you
+    should write), and every value expression casts to the column's
+    EXISTING type — Delta UPDATE's implicit-cast semantics, so the
+    rewritten files keep the manifest schema byte-compatible."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    by_name = {f.name: f.dataType for f in schema.fields}
+    out: dict = {}
+    for name, expr in set_exprs.items():
+        if name == "__row_id":
+            raise ValueError(
+                "__row_id is the immutable row identity; UPDATE "
+                "cannot reassign it — delete + insert instead"
+            )
+        if name not in by_name:
+            raise ValueError(
+                f"SET target {name!r} is not a column of the table "
+                f"(columns: {sorted(by_name)}); UPDATE never adds "
+                "columns — evolve with an append first"
+            )
+        col = expr if isinstance(expr, Column) else F.expr(str(expr))
+        out[name] = col.cast(by_name[name])
+    if not out:
+        raise ValueError("UPDATE needs at least one SET column")
+    return out
+
+
+def _update_where_once(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    predicate,
+    set_exprs: dict,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """One optimistic attempt of update_where (public wrapper below
+    adds conflict retry). Row-level UPDATE via copy-on-write — the
+    ``UPDATE t SET c = expr WHERE pred`` DML Delta/Iceberg ship and
+    this warehouse lacked (merge_upsert covers keyed upserts; this is
+    the predicate form): files containing matching rows rewrite with
+    the SET applied to exactly those rows; untouched files carry
+    over. Returns (new_version, rows_updated).
+
+    Same NULL semantics as delete_where: a row updates iff the
+    predicate is TRUE (NULL = untouched), normalized once so the
+    updated and kept sets are exact complements. CDC captures the
+    update as preimage DELETE + postimage INSERT rows in one change
+    set — the two-type contract every consumer of this feed already
+    speaks (read_changes derives the same pairs for file diffs;
+    Delta's four-type CDF is the documented divergence). Raw file
+    re-reads apply the standing deletion-vector mask, so a
+    MoR-deleted row is neither updated, re-emitted, nor copied into
+    the rewritten file.
+    """
+    from pyspark.sql import functions as F
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    base = wh._path(database, table)
+    prev_m, schema, tagged = _read_current_tagged(wh, database, table)
+    sets = _normalize_set_exprs(schema, set_exprs)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    pred_true = F.coalesce(pred.cast("boolean"), F.lit(False))
+    affected = sorted(
+        r["__file"].rsplit("/", 1)[-1]
+        for r in tagged.filter(pred_true)
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return vs[-1], 0
+
+    def read_affected():
+        return _dv_mask(
+            wh, database, table, prev_m,
+            wh.spark.read.schema(schema)
+            .parquet(*[f"{base}/{n}" for n in affected]),
+        )
+
+    def apply_sets(df):
+        return df.select(
+            *[
+                (
+                    F.when(pred_true, sets[f.name])
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in sets
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+
+    pre = (
+        read_affected()
+        .filter(pred_true)
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    post = (
+        apply_sets(read_affected().filter(pred_true))
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    changes = _write_changes(wh, database, table, pre.unionAll(post))
+    rewritten = _cow_rewrite(wh, base, apply_sets(read_affected()))
+    prev = _manifest(wh, database, table, vs[-1])
+    next_v = _cow_commit(
+        wh, database, table, prev, affected, rewritten, changes,
+        summary=summary,
+    )
+    n_changed = (
+        wh.spark.read.parquet(
+            *[
+                f"{_snap_dir(wh, database, table)}/{rel}"
+                for rel in changes
+            ]
+        ).count()
+        if changes
+        else 0
+    )
+    return next_v, n_changed // 2  # pre + post pairs
+
+
+def update_where(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    predicate,
+    set_exprs: dict,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """Row-level UPDATE via copy-on-write — see _update_where_once
+    for semantics (Delta UPDATE NULL handling and implicit casts,
+    preimage+postimage CDC, time-travel audit trail).
+    Conflict-retries with full recompute (_retry_dml)."""
+    return _retry_dml(
+        lambda: _update_where_once(
+            wh, database, table, predicate, set_exprs, summary=summary
+        )
+    )
+
+
+def _update_where_mor_once(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    predicate,
+    set_exprs: dict,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """One optimistic attempt of update_where_mor (wrapper below adds
+    conflict retry). Row-level UPDATE via MERGE-ON-READ: tombstone
+    the matched rows with a deletion vector and append their updated
+    copies as a NEW data file, in ONE commit — Iceberg's MoR UPDATE
+    shape (position deletes + new data files, public design). Cost is
+    O(matched rows) like delete_where_mor: a 3-row correction on a
+    1 GB file writes a KB sidecar plus a KB data file instead of
+    rewriting the gigabyte.
+
+    The updated copies keep their ``__row_id``: tombstones bind to
+    the (file, row) PAIR, so the new file's rows are visible through
+    the mask (the ghost-merge precedent — pair binding is what makes
+    re-inserting under a tombstoned id work). CDC emits the same
+    preimage-delete + postimage-insert pairs as the COW form at THIS
+    commit; readers see the update immediately through the standard
+    mask; apply_deletion_vectors / maintenance later drops the stale
+    physical copies. Requires the __row_id stamp (same contract as
+    delete_where_mor). Returns (new_version, rows_updated)."""
+    from pyspark.sql import functions as F
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    base = wh._path(database, table)
+    prev_m, schema, tagged = _read_current_tagged(wh, database, table)
+    if "__row_id" not in schema.names:
+        raise ValueError(
+            "merge-on-read update needs the __row_id stamp "
+            f"({database}.{table} lacks it); use update_where (COW)"
+        )
+    sets = _normalize_set_exprs(schema, set_exprs)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    pred_true = F.coalesce(pred.cast("boolean"), F.lit(False))
+    matched = tagged.filter(pred_true).persist()
+    try:
+        if matched.limit(1).count() == 0:
+            return vs[-1], 0
+        dv_rel = _write_dv(
+            wh,
+            database,
+            table,
+            matched.select(
+                F.element_at(F.split("__file", "/"), -1).alias("file"),
+                F.col("__row_id").alias("rid"),
+            ),
+        )
+        touched = sorted(
+            r["f"]
+            for r in matched.select(
+                F.element_at(F.split("__file", "/"), -1).alias("f")
+            )
+            .distinct()
+            .collect()
+        )
+        pre = matched.drop("__file").withColumn(
+            "_change_type", F.lit("delete")
+        )
+        post = matched.drop("__file").select(
+            *[
+                (sets[f.name] if f.name in sets else F.col(f.name)).alias(
+                    f.name
+                )
+                for f in schema.fields
+            ]
+        )
+        landed = _cow_rewrite(wh, base, post, prefix="morupd")
+        changes = _write_changes(
+            wh,
+            database,
+            table,
+            pre.unionAll(
+                post.withColumn("_change_type", F.lit("insert"))
+            ),
+        )
+    finally:
+        matched.unpersist()
+    n_updated = (
+        wh.spark.read.parquet(
+            *[
+                f"{_snap_dir(wh, database, table)}/{rel}"
+                for rel in changes
+            ]
+        ).count()
+        // 2
+        if changes
+        else 0
+    )
+    # dv_files coverage: the union stays recordable only when the
+    # carried vectors' coverage is known (same legacy rule as
+    # delete_where_mor)
+    dvf = None
+    if not prev_m.get("dvs") or "dv_files" in prev_m:
+        dvf = sorted(set(prev_m.get("dv_files", [])) | set(touched))
+    next_v = _cow_commit(
+        wh, database, table, prev_m, set(), landed, changes,
+        summary=summary,
+        dvs_override=(
+            list(prev_m.get("dvs", [])) + dv_rel,
+            int(prev_m.get("dv_rows", 0)) + n_updated,
+            dvf,
+        ),
+    )
+    return next_v, n_updated
+
+
+def update_where_mor(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    predicate,
+    set_exprs: dict,
+    summary: dict | None = None,
+) -> tuple[int, int]:
+    """Row-level UPDATE via merge-on-read deletion vectors + appended
+    postimages — see _update_where_mor_once for semantics and the
+    O(matched rows) cost contract. Conflict-retries with full
+    recompute (_retry_dml)."""
+    return _retry_dml(
+        lambda: _update_where_mor_once(
+            wh, database, table, predicate, set_exprs, summary=summary
         )
     )
 
