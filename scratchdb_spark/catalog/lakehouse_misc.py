@@ -4932,3 +4932,85 @@ def warehouse_update_where(
         .unionAll(audit("3_mor_update", mor_v, mor_n))
         .unionAll(audit("4_time_travel", pre_v, 0))
     )
+
+
+@register(
+    "warehouse_mor_merge",
+    """
+    SELECT * FROM (VALUES
+      ('1_pre',         CAST(6 AS BIGINT), CAST(210 AS BIGINT),
+                        CAST(0 AS BIGINT), TRUE),
+      ('2_mor_merge',   CAST(7 AS BIGINT), CAST(345 AS BIGINT),
+                        CAST(2 AS BIGINT), TRUE),
+      ('3_applied',     CAST(7 AS BIGINT), CAST(345 AS BIGINT),
+                        CAST(0 AS BIGINT), FALSE),
+      ('4_time_travel', CAST(6 AS BIGINT), CAST(210 AS BIGINT),
+                        CAST(0 AS BIGINT), TRUE))
+      t(stage, n_rows, sum_val, dv_rows, files_kept)
+    """,
+    doc="MERGE via merge-on-read (snapshots.merge_upsert_mor, new "
+        "r11 — completes the MoR DML family: delete r10, update r11, "
+        "merge r11; Iceberg's position-deletes + new-data-files MoR "
+        "MERGE shape, public design): stage 2 upserts 3 rows (2 "
+        "replace, 1 insert) by tombstoning the matched rows and "
+        "appending the update batch — every pre-existing file kept "
+        "byte-untouched (files_kept pins the pre-merge file list is "
+        "a subset of the post-merge manifest), dv_rows = matched "
+        "rows, cost O(matched + update rows) vs COW's O(affected "
+        "file bytes). Visible result is pytest-pinned row-for-row "
+        "equal to the COW merge. Stage 3 physically reclaims the "
+        "replaced copies (vectors cleared, zero CDC rows, files "
+        "rewritten so files_kept flips); stage 4 time-travels to the "
+        "pre-merge version (audit trail).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_mrg_"))
+    snap.append_versioned(
+        wh, "db", "dim",
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 7)],
+            "__row_id long, val long",
+        ),
+    )
+    pre_v = snap.versions(wh, "db", "dim")[-1]
+    pre_files = set(
+        snap._manifest_files(
+            wh, "db", "dim", snap._manifest(wh, "db", "dim", pre_v)
+        )
+    )
+    upd = spark.createDataFrame(
+        [(2, 100), (5, 100), (9, 5)], "__row_id long, val long"
+    )
+    mrg_v, _nu, _ni = snap.merge_upsert_mor(
+        wh, "db", "dim", upd, "__row_id"
+    )
+    app_v, _nf = snap.apply_deletion_vectors(wh, "db", "dim")
+
+    def audit(stage: str, version: int) -> DataFrame:
+        m = snap._manifest(wh, "db", "dim", version)
+        kept = pre_files <= set(
+            snap._manifest_files(wh, "db", "dim", m)
+        )
+        df = snap.read_snapshot(wh, "db", "dim", version=version)
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+            F.lit(int(m.get("dv_rows", 0))).cast("long").alias(
+                "dv_rows"
+            ),
+            F.lit(bool(kept)).alias("files_kept"),
+        )
+
+    return (
+        audit("1_pre", pre_v)
+        .unionAll(audit("2_mor_merge", mrg_v))
+        .unionAll(audit("3_applied", app_v))
+        .unionAll(audit("4_time_travel", pre_v))
+    )

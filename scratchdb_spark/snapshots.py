@@ -3993,6 +3993,136 @@ def merge_upsert(
     )
 
 
+def _merge_upsert_mor_once(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    updates: DataFrame,
+    key_col: str,
+    summary: dict | None = None,
+) -> tuple[int, int, int]:
+    """One optimistic attempt of merge_upsert_mor (wrapper below adds
+    conflict retry). MERGE via MERGE-ON-READ — completes the MoR DML
+    family (delete_where_mor r10, update_where_mor r11): matched rows
+    tombstone with a deletion vector, EVERY update row appends as new
+    data files, one commit — Iceberg's MoR MERGE shape (position
+    deletes + new data files). Cost O(matched rows + update rows),
+    never O(affected file bytes): upserting 100 dimension rows into a
+    table of GB-scale files writes a KB sidecar plus the update batch,
+    where the COW form rewrites every file containing a matched key.
+
+    Same visible semantics as merge_upsert (latest-wins replace on
+    ``key_col``, unmatched rows insert, try_cast column alignment,
+    identical CDC pairs — pytest pins COW == MoR row-for-row). The
+    appended rows keep the ``__row_id`` the updates carry — stamp ids
+    (ingest/ids.py) if the new rows must be MoR-addressable later.
+    Physical reclaim of the replaced copies is apply_deletion_vectors
+    / maintenance, same as every vector. Requires the __row_id stamp.
+    Returns (new_version, n_updated, n_inserted)."""
+    from pyspark.sql import functions as F
+
+    vs = versions(wh, database, table)
+    if not vs:
+        raise ValueError(
+            f"{database}.{table} is not snapshot-managed; "
+            "commit_snapshot first"
+        )
+    base = wh._path(database, table)
+    prev_m, schema, tagged = _read_current_tagged(wh, database, table)
+    if "__row_id" not in schema.names:
+        raise ValueError(
+            "merge-on-read merge needs the __row_id stamp "
+            f"({database}.{table} lacks it); use merge_upsert (COW)"
+        )
+    if updates.limit(1).count() == 0:
+        return vs[-1], 0, 0
+    keys = updates.select(F.col(key_col)).distinct()
+    aligned_updates = updates.select(
+        *[
+            F.col(f.name).try_cast(f.dataType).alias(f.name)
+            if f.name in updates.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+    matched = tagged.join(keys, key_col, "semi").persist()
+    try:
+        n_updated = matched.count()
+        dv_rel: list = []
+        touched: list = []
+        if n_updated:
+            dv_rel = _write_dv(
+                wh,
+                database,
+                table,
+                matched.select(
+                    F.element_at(
+                        F.split("__file", "/"), -1
+                    ).alias("file"),
+                    F.col("__row_id").alias("rid"),
+                ),
+            )
+            touched = sorted(
+                r["f"]
+                for r in matched.select(
+                    F.element_at(F.split("__file", "/"), -1).alias("f")
+                )
+                .distinct()
+                .collect()
+            )
+        n_inserted = updates.join(
+            matched.select(key_col).distinct(), key_col, "anti"
+        ).count()
+        changes = _write_changes(
+            wh,
+            database,
+            table,
+            matched.drop("__file")
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                aligned_updates.withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            ),
+        )
+        landed = _cow_rewrite(wh, base, aligned_updates, prefix="mormrg")
+    finally:
+        matched.unpersist()
+    dvf = None
+    if not prev_m.get("dvs") or "dv_files" in prev_m:
+        dvf = sorted(set(prev_m.get("dv_files", [])) | set(touched))
+    next_v = _cow_commit(
+        wh, database, table, prev_m, set(), landed, changes,
+        summary=summary,
+        dvs_override=(
+            list(prev_m.get("dvs", [])) + dv_rel,
+            int(prev_m.get("dv_rows", 0)) + n_updated,
+            dvf,
+        ),
+    )
+    return next_v, n_updated, n_inserted
+
+
+def merge_upsert_mor(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    updates: DataFrame,
+    key_col: str,
+    summary: dict | None = None,
+) -> tuple[int, int, int]:
+    """MERGE (latest-wins upsert) via merge-on-read deletion vectors +
+    appended update batch — see _merge_upsert_mor_once for semantics
+    and the O(matched + update rows) cost contract. Conflict-retries
+    with full recompute (_retry_dml), same latest-wins reasoning as
+    the COW form."""
+    return _retry_dml(
+        lambda: _merge_upsert_mor_once(
+            wh, database, table, updates, key_col, summary=summary
+        )
+    )
+
+
 # --- write-audit-publish staging (Iceberg's WAP pattern, public) -----
 
 _STAGED_DIR = "staged"

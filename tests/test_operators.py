@@ -4760,3 +4760,82 @@ def test_update_where_mor_tombstone_plus_postimage(spark, tmp_path):
         map(tuple, snap.read_snapshot(wh2, "db", "t2").collect())
     )
     assert cow_rows == before
+
+
+def test_merge_upsert_mor_matches_cow_and_defers_rewrite(
+    spark, tmp_path
+):
+    """merge_upsert_mor (r11 — completes the MoR DML family): visible
+    result row-for-row equal to the COW merge (replace matched keys,
+    insert unmatched, ghost-merge semantics through standing
+    tombstones), but the commit leaves every pre-existing file
+    untouched — a deletion vector plus the appended update batch.
+    CDC pairs match the COW form; apply_deletion_vectors reclaims the
+    replaced copies with zero visible change."""
+    from pyspark.sql import functions as F
+
+    upd = [
+        (3, "updated3", 99),     # replaces an existing row
+        (1000, "fresh", 7),      # inserts
+        (8, "updated8", 99),     # replaces
+    ]
+
+    wh_cow, snap = _dv_table(spark, tmp_path / "cow")
+    u1 = spark.createDataFrame(
+        upd, "__row_id long, name string, grp long"
+    )
+    v_c, nu_c, ni_c = snap.merge_upsert(wh_cow, "db", "t", u1, "__row_id")
+    cow_rows = sorted(
+        map(tuple, snap.read_snapshot(wh_cow, "db", "t").collect())
+    )
+
+    wh_mor, _ = _dv_table(spark, tmp_path / "mor")
+    m1 = snap._manifest(wh_mor, "db", "t", 1)
+    files_before = set(snap._manifest_files(wh_mor, "db", "t", m1))
+    v_m, nu_m, ni_m = snap.merge_upsert_mor(
+        wh_mor, "db", "t", u1, "__row_id"
+    )
+    assert (nu_m, ni_m) == (nu_c, ni_c) == (2, 1)
+    m = snap._manifest(wh_mor, "db", "t", v_m)
+    # old files untouched; the update batch appended; vector standing
+    assert files_before < set(snap._manifest_files(wh_mor, "db", "t", m))
+    assert files_before == set(
+        snap._manifest_files(wh_mor, "db", "t", m)
+    ) & files_before
+    assert m.get("dv_rows") == 2 and m.get("dvs") and m.get("dv_files")
+    mor_rows = sorted(
+        map(tuple, snap.read_snapshot(wh_mor, "db", "t").collect())
+    )
+    assert mor_rows == cow_rows
+
+    ch = snap.read_changes(wh_mor, "db", "t", 1, v_m)
+    got = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {"delete": 2, "insert": 3}
+
+    v_apply, nf = snap.apply_deletion_vectors(wh_mor, "db", "t")
+    assert nf >= 1
+    assert sorted(
+        map(tuple, snap.read_snapshot(wh_mor, "db", "t").collect())
+    ) == cow_rows
+    assert snap.read_changes(wh_mor, "db", "t", v_m, v_apply).count() == 0
+
+    # ghost-merge through a standing tombstone: MoR-delete a row, then
+    # MoR-merge the same key — it must INSERT (the row is invisible),
+    # not resurrect or double-count an update
+    snap.delete_where_mor(wh_mor, "db", "t", "__row_id = 10")
+    v2, nu2, ni2 = snap.merge_upsert_mor(
+        wh_mor, "db", "t",
+        spark.createDataFrame(
+            [(10, "ghost", 1)], "__row_id long, name string, grp long"
+        ),
+        "__row_id",
+    )
+    assert (nu2, ni2) == (0, 1)
+    cur = snap.read_snapshot(wh_mor, "db", "t")
+    assert cur.filter("__row_id = 10").count() == 1
+    assert cur.filter("name = 'ghost'").count() == 1
