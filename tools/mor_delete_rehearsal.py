@@ -169,6 +169,33 @@ def main() -> None:
         flush=True,
     )
 
+    # r11 UPDATE twins: same K-scattered-victims shape through the new
+    # predicate-UPDATE DML — COW rewrites every affected file, MoR
+    # writes the tombstone sidecar + a K-row postimage file
+    for mode in ("updcow", "updmor"):
+        name = f"t_{mode}"
+        build(wh, name, n_rows, n_files)
+        b = wh._path("db", name)
+        size_before = _dir_bytes(b)
+        t0 = time.perf_counter()
+        if mode == "updcow":
+            _v, n = snap.update_where(
+                wh, "db", name, pred, {"grp": "grp + 1000"}
+            )
+        else:
+            _v, n = snap.update_where_mor(
+                wh, "db", name, pred, {"grp": "grp + 1000"}
+            )
+        wall = time.perf_counter() - t0
+        assert n == k, (mode, n, k)
+        grew = _dir_bytes(b) - size_before
+        out[f"{mode}_update_s"] = round(wall, 2)
+        out[f"{mode}_bytes_written"] = grew
+        print(
+            f"{mode}: {wall:.2f}s, +{grew/1e6:.2f} MB written",
+            flush=True,
+        )
+
     dst = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "mor_rehearsal_r11.json",
