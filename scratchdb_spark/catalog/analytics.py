@@ -1806,3 +1806,110 @@ def agg_quantile_exact_weighted(
         ).alias("p90"),
         F.max(F.lit(total)).cast("long").alias("total_weight"),
     )
+
+
+@register(
+    "agg_spearman_rank_corr",
+    """
+    WITH rows_ AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem),
+    gx AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+           FROM rows_ GROUP BY x),
+    rx AS (
+      SELECT x,
+             CAST(2 * coalesce(sum(c) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + c + 1 AS BIGINT) AS ra
+      FROM gx),
+    gy AS (SELECT y, CAST(count(*) AS BIGINT) AS c
+           FROM rows_ GROUP BY y),
+    ry AS (
+      SELECT y,
+             CAST(2 * coalesce(sum(c) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + c + 1 AS BIGINT) AS rb
+      FROM gy),
+    j AS (
+      SELECT ra, rb
+      FROM rows_ JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ra) AS sa, sum(rb) AS sb,
+             sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+             sum(ra * rb) AS sab
+      FROM j)
+    SELECT n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt(
+                 (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+             6) AS spearman_rho
+    FROM s
+    """,
+    doc="ClickHouse rankCorr parity (new r11): tie-corrected Spearman "
+        "rho between l_quantity and floor(l_extendedprice) — Pearson "
+        "on AVERAGE ranks, carried as exact DOUBLED-rank integers "
+        "(avg_rank2 = 2*count(<v) + cnt_v + 1, the Mann-Whitney "
+        "construction; rho is invariant under the linear 2x+1 map). "
+        "Per-value ranks come from the prefix-bucket running sum "
+        "(operators/prefix_sum.py — never a partitionless window even "
+        "for a continuous metric), join back to rows on the value "
+        "(value-cardinality-sized shuffle joins, never a broadcast "
+        "assumption), and the five moment sums accumulate as "
+        "DECIMAL(38,0) — exact to ~1e38, i.e. past 1e12 rows of "
+        "doubled ranks, where a BIGINT Sxy overflows at ~1e6 rows "
+        "(DuckDB's HUGEINT matches). rho is ONE IEEE expression over "
+        "the exact sums, 6dp snap; at this sf every intermediate "
+        "double is below 2^53 so the cast itself is exact.",
+)
+def agg_spearman_rank_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.prefix_sum import bucketed_running_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+    )
+
+    def ranks(col: str, out: str) -> DataFrame:
+        g = rows.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        r, _tot = bucketed_running_sum(g, col, "c", "cum")
+        return r.select(
+            col,
+            (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
+            .cast("long")
+            .alias(out),
+        )
+
+    j = rows.join(ranks("x", "ra"), "x").join(ranks("y", "rb"), "y")
+    dec = "decimal(38,0)"
+    a = F.col("ra").cast("decimal(18,0)")
+    b = F.col("rb").cast("decimal(18,0)")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ra").cast(dec)).alias("sa"),
+        F.sum(F.col("rb").cast(dec)).alias("sb"),
+        F.sum((a * a).cast(dec)).alias("saa"),
+        F.sum((b * b).cast(dec)).alias("sbb"),
+        F.sum((a * b).cast(dec)).alias("sab"),
+    )
+    n_d = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    sab = F.col("sab").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (n_d * sab - sa * sb)
+            / F.sqrt((n_d * saa - sa * sa) * (n_d * sbb - sb * sb)),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -4620,6 +4620,7 @@ def test_prefix_sum_backed_queries_partition_on_bucket(
     query's final one-row aggregate."""
     from scratchdb_spark.catalog.analytics import (
         agg_quantile_exact_weighted,
+        agg_spearman_rank_corr,
         rollup_histogram_quantiles,
     )
     from scratchdb_spark.catalog.curation_queries import (
@@ -4636,6 +4637,7 @@ def test_prefix_sum_backed_queries_partition_on_bucket(
         rollup_histogram_quantiles,
         curate_domain_token_budget,
         events_ab_kolmogorov_smirnov,
+        agg_spearman_rank_corr,
     ):
         out = fn(spark, sf_dir)
         plan = out._jdf.queryExecution().executedPlan().toString()
