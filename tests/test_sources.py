@@ -1068,3 +1068,81 @@ def test_scratch_cdc_stream_mor_delete_and_masked_bootstrap(
         assert got == {(1, "insert"), (3, "insert")}
     finally:
         q2.stop()
+
+
+def test_scratch_cdc_stream_mor_update_and_merge(spark, tmp_path):
+    """The r11 MoR DML family through the LIVE CDC stream: an
+    update_where_mor commit delivers its preimage-delete +
+    postimage-insert pair, a merge_upsert_mor commit delivers the
+    replaced key's pair plus the fresh insert, and a FRESH consumer
+    bootstrapping under the standing vectors receives exactly the
+    VISIBLE state — old copies masked executor-side (dv_rels), the
+    appended postimage files as plain inserts."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.sources import ScratchCdcDataSource
+    from scratchdb_spark.tables import Warehouse
+
+    spark.dataSource.register(ScratchCdcDataSource)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "__row_id long, amount long"
+        ),
+    )
+
+    def feed(name: str, ckpt: str):
+        return (
+            spark.readStream.format("scratch_cdc")
+            .option("path", str(tmp_path / "wh"))
+            .option("database", "db")
+            .option("table", "t")
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .start()
+        )
+
+    q = feed("cdc_dml_live", "ckpt_dml_live")
+    try:
+        q.processAllAvailable()
+        snap.update_where_mor(
+            wh, "db", "t", "__row_id = 2", {"amount": "amount + 1"}
+        )
+        snap.merge_upsert_mor(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(3, 99), (4, 40)], "__row_id long, amount long"
+            ),
+            "__row_id",
+        )
+        q.processAllAvailable()
+        got = {
+            (r["__row_id"], r["amount"], r["_change_type"])
+            for r in spark.sql("SELECT * FROM cdc_dml_live").collect()
+        }
+        assert got == {
+            (1, 10, "insert"), (2, 20, "insert"), (3, 30, "insert"),
+            (2, 20, "delete"), (2, 21, "insert"),     # the MoR update
+            (3, 30, "delete"), (3, 99, "insert"),     # the MoR merge
+            (4, 40, "insert"),
+        }
+    finally:
+        q.stop()
+
+    # fresh bootstrap under BOTH standing vectors: exactly the
+    # visible rows, old physical copies masked
+    q2 = feed("cdc_dml_boot", "ckpt_dml_boot")
+    try:
+        q2.processAllAvailable()
+        got = {
+            (r["__row_id"], r["amount"], r["_change_type"])
+            for r in spark.sql("SELECT * FROM cdc_dml_boot").collect()
+        }
+        assert got == {
+            (1, 10, "insert"), (2, 21, "insert"),
+            (3, 99, "insert"), (4, 40, "insert"),
+        }
+    finally:
+        q2.stop()
