@@ -3581,7 +3581,8 @@ def _update_where_mor_once(
     pred_true = F.coalesce(pred.cast("boolean"), F.lit(False))
     matched = tagged.filter(pred_true).persist()
     try:
-        if matched.limit(1).count() == 0:
+        n_updated = matched.count()
+        if n_updated == 0:
             return vs[-1], 0
         dv_rel = _write_dv(
             wh,
@@ -3611,7 +3612,14 @@ def _update_where_mor_once(
                 for f in schema.fields
             ]
         )
-        landed = _cow_rewrite(wh, base, post, prefix="morupd")
+        # the postimage batch is O(matched rows) — bound its file
+        # count (~1M rows/file) instead of fanning a 3-row correction
+        # into one near-empty file per upstream partition
+        landed = _cow_rewrite(
+            wh, base,
+            post.coalesce(max(1, -(-n_updated // 1_000_000))),
+            prefix="morupd",
+        )
         changes = _write_changes(
             wh,
             database,
@@ -3622,17 +3630,6 @@ def _update_where_mor_once(
         )
     finally:
         matched.unpersist()
-    n_updated = (
-        wh.spark.read.parquet(
-            *[
-                f"{_snap_dir(wh, database, table)}/{rel}"
-                for rel in changes
-            ]
-        ).count()
-        // 2
-        if changes
-        else 0
-    )
     # dv_files coverage: the union stays recordable only when the
     # carried vectors' coverage is known (same legacy rule as
     # delete_where_mor)
@@ -4034,7 +4031,8 @@ def _merge_upsert_mor_once(
             "merge-on-read merge needs the __row_id stamp "
             f"({database}.{table} lacks it); use merge_upsert (COW)"
         )
-    if updates.limit(1).count() == 0:
+    n_batch = updates.count()
+    if n_batch == 0:
         return vs[-1], 0, 0
     keys = updates.select(F.col(key_col)).distinct()
     aligned_updates = updates.select(
@@ -4085,7 +4083,14 @@ def _merge_upsert_mor_once(
                 )
             ),
         )
-        landed = _cow_rewrite(wh, base, aligned_updates, prefix="mormrg")
+        # bound the appended batch's file count (~1M rows/file): a
+        # 3-row dimension upsert must not fan into one near-empty
+        # file per upstream partition
+        landed = _cow_rewrite(
+            wh, base,
+            aligned_updates.coalesce(max(1, -(-n_batch // 1_000_000))),
+            prefix="mormrg",
+        )
     finally:
         matched.unpersist()
     dvf = None
