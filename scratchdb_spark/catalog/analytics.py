@@ -1814,6 +1814,68 @@ def agg_quantile_exact_weighted(
 
 
 @register(
+    "events_longtail_cum_dist",
+    """
+    WITH e AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+    g AS (
+      SELECT y*y*y AS x, CAST(count(*) AS BIGINT) AS cnt
+      FROM e GROUP BY y*y*y),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g),
+    c AS (
+      SELECT x, cnt,
+             CAST(sum(cnt) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_rows
+      FROM g)
+    SELECT x, cnt, cum_rows,
+           round(cum_rows / CAST((SELECT n FROM t) AS DOUBLE), 6)
+             AS cum_share
+    FROM c
+    """,
+    doc="Empirical CDF over a LONG-TAILED derived metric (new r12 — "
+        "the driver-green surface of the r11 verdict's weak-item "
+        "fix): x = floor(value*100)^3 cubes the span so the top "
+        "values stretch the range ~50x past the 99th percentile — "
+        "exactly the outlier-stretched shape that used to collapse "
+        "the range-bucketed running sum back into ONE data-sized "
+        "sort task. The cumulative rides bucketed_running_sum "
+        "(operators/prefix_sum.py), whose r12 hot-bucket re-split "
+        "deterministically sub-buckets any bucket holding > "
+        "max(2x mean share, min_split_rows) rows on its own observed "
+        "sub-range (rehearsed at 20M rows: 16.1s collapsed -> 3.5s, "
+        "bit-identical; prefix_sum_rehearsal_r12.json). floor() on "
+        "the SAME IEEE product is cross-engine exact; the cube and "
+        "the cumulative are BIGINT-exact; cum_share is one IEEE "
+        "division, 6dp snap.",
+)
+def events_longtail_cum_dist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.prefix_sum import bucketed_running_sum
+
+    ev = table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("y")
+    )
+    g = (
+        ev.select(
+            (F.col("y") * F.col("y") * F.col("y")).alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c, n = bucketed_running_sum(g, "x", "cnt", "cum_rows")
+    return c.select(
+        "x",
+        "cnt",
+        "cum_rows",
+        F.round(F.col("cum_rows") / F.lit(float(n)), 6).alias(
+            "cum_share"
+        ),
+    )
+
+
+@register(
     "agg_spearman_rank_corr",
     """
     WITH rows_ AS (
