@@ -215,6 +215,23 @@ def main() -> None:
     )
     out["cdc_across_folds"] = cdc
 
+    # Terminal maintain_table (AFTER the CDC check — it truncates
+    # history, so v0 must be consumed first): the no-signal-needed
+    # full rewrite; read wall must return to the clean-layout floor.
+    t0 = time.perf_counter()
+    mstats = snap.maintain_table(wh, "db", "t", reclaim_grace_ms=0)
+    out["final_maintain"] = {
+        "wall_s": round(time.perf_counter() - t0, 3),
+        "read_wall_s": read_wall(),
+        **manifest_stats()[1],
+        "stats": {
+            k: v
+            for k, v in mstats.items()
+            if isinstance(v, (int, float, str, bool))
+        },
+    }
+    print(json.dumps(out["final_maintain"]), flush=True)
+
     reads = [c["read_wall_s"] for c in out["cycles"]]
     files = [c["live_files"] for c in out["cycles"]]
     out["summary"] = {
