@@ -4449,6 +4449,177 @@ def events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_theils_u",
+    """
+    WITH ev AS (
+      SELECT event_type AS a,
+             least(CAST(floor(value / 250) AS BIGINT), 3) AS b
+      FROM events),
+    o AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY a, b),
+    r AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS ra FROM o GROUP BY a),
+    c AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cb FROM o GROUP BY b),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM o),
+    hx AS (
+      SELECT ln(CAST((SELECT n FROM t) AS DOUBLE))
+             - sum(ra * ln(CAST(ra AS DOUBLE)))
+               / CAST((SELECT n FROM t) AS DOUBLE) AS h_a
+      FROM r),
+    hc AS (
+      SELECT (sum(cnt * ln(CAST(cb AS DOUBLE)))
+              - sum(cnt * ln(CAST(cnt AS DOUBLE))))
+             / CAST((SELECT n FROM t) AS DOUBLE) AS h_ab
+      FROM o JOIN c USING (b))
+    SELECT (SELECT n FROM t) AS n_events,
+           round((SELECT h_a FROM hx), 6) AS h_a,
+           round((SELECT h_ab FROM hc), 6) AS h_a_given_b,
+           round(((SELECT h_a FROM hx) - (SELECT h_ab FROM hc))
+                 / (SELECT h_a FROM hx), 6) AS theils_u
+    FROM t
+    """,
+    doc="ClickHouse theilsU parity (new r12; CH public docs ship "
+        "theilsU for categorical dependence): the uncertainty "
+        "coefficient U(a|b) = (H(a) - H(a|b)) / H(a) between "
+        "event_type and the clamped value band — how much knowing "
+        "the band reduces event-type entropy, asymmetric by design. "
+        "Same machinery as events_cramers_v: exact BIGINT counts "
+        "from ONE map-side-combined groupBy(a, b); every entropy "
+        "fold is over the ~20-cell contingency table and its "
+        "category-bounded marginals (broadcast joins), never the "
+        "event stream — the only data-sized pass is the first "
+        "count. H terms use the count identity "
+        "H(a|b) = (sum cnt*ln(cb) - sum cnt*ln(cnt)) / n so every "
+        "log argument is an exact integer; the folds are "
+        "IEEE-double sums over <=20 terms (the repo's "
+        "small-term-count rule for float oracles), 6dp snap.",
+)
+def events_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.least(
+            F.floor(F.col("value") / 250).cast("long"), F.lit(3)
+        ).alias("b"),
+    )
+    o = ev.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    r = o.groupBy("a").agg(F.sum("cnt").alias("ra"))
+    c = o.groupBy("b").agg(F.sum("cnt").alias("cb"))
+    t = o.agg(F.sum("cnt").alias("n"))
+    n_d = F.col("n").cast("double")
+    hx = r.crossJoin(F.broadcast(t)).agg(
+        F.max(F.log(n_d)).alias("ln_n"),
+        (
+            F.sum(F.col("ra") * F.log(F.col("ra").cast("double")))
+            / F.max(n_d)
+        ).alias("h_term"),
+        F.max("n").cast("long").alias("n_events"),
+    )
+    hc = (
+        o.join(F.broadcast(c), "b")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            (
+                (
+                    F.sum(
+                        F.col("cnt")
+                        * F.log(F.col("cb").cast("double"))
+                    )
+                    - F.sum(
+                        F.col("cnt")
+                        * F.log(F.col("cnt").cast("double"))
+                    )
+                )
+                / F.max(n_d)
+            ).alias("h_ab")
+        )
+    )
+    out = hx.crossJoin(F.broadcast(hc)).select(
+        "n_events",
+        (F.col("ln_n") - F.col("h_term")).alias("h_a_raw"),
+        F.col("h_ab").alias("h_ab_raw"),
+    )
+    return out.select(
+        "n_events",
+        F.round("h_a_raw", 6).alias("h_a"),
+        F.round("h_ab_raw", 6).alias("h_a_given_b"),
+        F.round(
+            (F.col("h_a_raw") - F.col("h_ab_raw"))
+            / F.col("h_a_raw"),
+            6,
+        ).alias("theils_u"),
+    )
+
+
+@register(
+    "events_contingency_coef",
+    """
+    WITH ev AS (
+      SELECT event_type AS a,
+             least(CAST(floor(value / 250) AS BIGINT), 3) AS b
+      FROM events),
+    o AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY a, b),
+    r AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS ra FROM o GROUP BY a),
+    c AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cb FROM o GROUP BY b),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM o),
+    chi AS (
+      SELECT sum((cnt - ra * cb / CAST((SELECT n FROM t) AS DOUBLE))
+                 * (cnt - ra * cb / CAST((SELECT n FROM t) AS DOUBLE))
+                 / (ra * cb / CAST((SELECT n FROM t) AS DOUBLE)))
+               AS chi2
+      FROM o JOIN r USING (a) JOIN c USING (b))
+    SELECT (SELECT n FROM t) AS n_events,
+           round((SELECT chi2 FROM chi), 6) AS chi2,
+           round(sqrt((SELECT chi2 FROM chi)
+                      / ((SELECT chi2 FROM chi) + (SELECT n FROM t))),
+                 6) AS contingency_coef
+    FROM t
+    """,
+    doc="ClickHouse contingency parity (new r12; CH public docs ship "
+        "contingency(a, b) = sqrt(chi2 / (chi2 + n)) — Pearson's "
+        "contingency coefficient, the bounded-to-[0,1) cousin of "
+        "cramersV): identical chi-squared fold as events_cramers_v "
+        "(exact BIGINT contingency counts, category-bounded "
+        "marginal broadcasts, ~20-term IEEE chi2 sum, 6dp snap), "
+        "different normalization.",
+)
+def events_contingency_coef(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.least(
+            F.floor(F.col("value") / 250).cast("long"), F.lit(3)
+        ).alias("b"),
+    )
+    o = ev.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    r = o.groupBy("a").agg(F.sum("cnt").alias("ra"))
+    c = o.groupBy("b").agg(F.sum("cnt").alias("cb"))
+    t = o.agg(F.sum("cnt").alias("n"))
+    joined = (
+        o.join(F.broadcast(r), "a")
+        .join(F.broadcast(c), "b")
+        .crossJoin(F.broadcast(t))
+    )
+    e = F.col("ra") * F.col("cb") / F.col("n").cast("double")
+    chi = joined.agg(
+        F.sum(
+            (F.col("cnt") - e) * (F.col("cnt") - e) / e
+        ).alias("chi2"),
+        F.max("n").cast("long").alias("n_events"),
+    )
+    return chi.select(
+        "n_events",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("chi2") + F.col("n_events"))
+            ),
+            6,
+        ).alias("contingency_coef"),
+    )
+
+
+@register(
     "events_ab_kolmogorov_smirnov",
     """
     WITH ev AS (
