@@ -102,6 +102,50 @@ def _recheck(names: list[str], sf_dir: str, n_runs: int = 3) -> dict:
     return out
 
 
+def _cross_session_samples(
+    name: str, sf_dir: str, n_runs: int = 3
+) -> list[dict]:
+    """Measure one query's (shuffle_bytes, tasks) in n_runs FRESH
+    subprocess sessions (cold AQE state each time)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (
+        "import sys, json; sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "from scratchdb_spark import queries as catalog\n"
+        "from scratchdb_spark.session import get_spark\n"
+        "spark = get_spark('bench-diff-xsession', **{'spark.ui.enabled':"
+        " 'true', 'spark.ui.retainedStages': '100000'})\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "spec = catalog.registry()[%r]\n"
+        "spec.spark_fn(spark, %r).count()  # warm-up, untimed\n"
+        "spark.catalog.clearCache()\n"
+        "before = bench._stage_totals_stable(spark)\n"
+        "spec.spark_fn(spark, %r).count()\n"
+        "after = bench._stage_totals_stable(spark)\n"
+        "print('XS:' + json.dumps({'shuffle_bytes': max(0, after[0] -"
+        " before[0]), 'tasks': max(0, after[1] - before[1])}))\n"
+    ) % (repo, name, sf_dir, sf_dir)
+    out = []
+    for _ in range(n_runs):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                cwd=repo,
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("XS:"):
+                    out.append(json.loads(line[3:]))
+                    break
+        except Exception:
+            continue
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     old_path, new_path = args[0], args[1]
@@ -146,6 +190,28 @@ def main() -> int:
             for n in unexplained
             if not rechecked.get(n, {}).get("nondeterministic")
         ]
+        # Second tier: a plan can be STABLE within one session yet
+        # BISTABLE across fresh sessions (AQE coalesce decisions near
+        # a size boundary — observed as graph_triangle_counts
+        # oscillating between {2.46 MB/21 tasks, 2.96 MB/22 tasks}
+        # across rounds with no code change). Probe with fresh
+        # subprocess sessions: nondeterministic if the fresh-session
+        # samples disagree with each other OR span both the old and
+        # new values.
+        still = list(unexplained)
+        for name in still:
+            samples = _cross_session_samples(name, sf_dir, n_runs=3)
+            entry = rechecked.setdefault(name, {"samples": []})
+            entry["cross_session_samples"] = samples
+            vals = {tuple(s[m] for m in METRICS) for s in samples}
+            seen_new = tuple(new[name][m] for m in METRICS)
+            # a REAL plan change reproduces the new metrics in every
+            # fresh session; anything else (samples disagreeing with
+            # each other, or with the reading under test) shows the
+            # metric depends on session state, not on the code
+            if vals and vals != {seen_new}:
+                entry["nondeterministic"] = True
+                unexplained.remove(name)
 
     verdict = {
         "old": os.path.basename(old_path),
