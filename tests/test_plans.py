@@ -82,6 +82,16 @@ ALLOWED_NESTED_LOOP = {
         "1-row total-count broadcast joined onto the ~20-cell "
         "contingency table (category-bounded, never event-bounded)"
     ),
+    "events_theils_u": (
+        "1-row total-count broadcast joined onto the ~20-cell "
+        "contingency table and its category-bounded marginals "
+        "(same machinery as events_cramers_v)"
+    ),
+    "events_contingency_coef": (
+        "1-row total-count broadcast joined onto the ~20-cell "
+        "contingency table (the cramersV chi2 fold, different "
+        "normalization)"
+    ),
     "asof_tolerance_click_purchase": (
         "1-row global-count broadcast joined onto the as-of rows "
         "(replaced the r1-r10 partitionless count-OVER() window)"
