@@ -4788,6 +4788,42 @@ def test_bucketed_running_sum_resplit_edges(spark):
     assert diag_b["levels"] == 0 and diag_b["splits_per_level"] == []
 
 
+def test_bucketed_running_sum_broadcast_offset_path(spark):
+    """Above 1024 final buckets the offsets ride a broadcast-joined
+    frame instead of a literal map (epoch_shuffle threshold) — pin
+    that path COMBINED with a re-split, which is how a real frame
+    crosses it: with n_buckets=1100 the outlier collapses level 0 to
+    2 PRESENT buckets, and the hot bucket's split fans them to ~1101
+    — past the literal-map cap only BECAUSE of the re-split.
+    Exactness and the no-SinglePartition plan must hold through the
+    join."""
+    from scratchdb_spark.operators.prefix_sum import (
+        bucketed_running_sum,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.when(F.col("id") == 0, F.lit(10**12))
+        .otherwise(F.col("id"))
+        .alias("x"),
+        F.lit(1).alias("v"),
+    )
+    diag: dict = {}
+    out, total = bucketed_running_sum(
+        df, "x", "v", "run",
+        n_buckets=1100, min_split_rows=50_000, diag=diag,
+    )
+    assert diag["levels"] == 1
+    assert diag["n_final_buckets"] > 1024, diag
+    got = sorted((r["x"], r["run"]) for r in out.collect())
+    assert all(run == i + 1 for i, (_, run) in enumerate(got))
+    assert total == n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    for block in plan.split("Window")[1:]:
+        assert "__psb" in block.split("\n")[0]
+
+
 def test_prefix_sum_backed_queries_partition_on_bucket(
     spark, sf_dir
 ):
