@@ -1929,8 +1929,10 @@ def events_longtail_cum_dist(
         "for a continuous metric), join back to rows on the value — "
         "BROADCAST when pass 1's fold PROVES the rank frame fits the "
         "~10 MB budget (r12: heavy-hitter values then never skew a "
-        "value-keyed shuffle; above the budget the shuffle join "
-        "stands, salting documented as the profiled-skew fallback) — "
+        "value-keyed shuffle), SALTED equi-join above it "
+        "(operators/skew.salted_join: rank frame replicated 8x, row "
+        "salt hashes the whole row so hot values spread — the "
+        "documented fallback now implemented and pytest-pinned) — "
         "and the five moment sums accumulate as "
         "DECIMAL(38,0) — exact to ~1e38, i.e. past 1e12 rows of "
         "doubled ranks, where a BIGINT Sxy overflows at ~1e6 rows "
@@ -1949,7 +1951,9 @@ def agg_spearman_rank_corr(
         F.floor("l_extendedprice").cast("long").alias("y"),
     )
 
-    def ranks(col: str, out: str) -> DataFrame:
+    def join_ranks(base: DataFrame, col: str, out: str) -> DataFrame:
+        from ..operators.skew import salted_join
+
         g = rows.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
         d: dict = {}
         r, _tot = bucketed_running_sum(g, col, "c", "cum", diag=d)
@@ -1959,27 +1963,32 @@ def agg_spearman_rank_corr(
             .cast("long")
             .alias(out),
         )
-        # Size-aware broadcast (r12, verdict item): the rank frame is
-        # value-cardinality-sized, and the join back to rows is keyed
-        # on the VALUE — on a constant-heavy metric that shuffle is
-        # skewed (every row of a heavy-hitter value lands on one
-        # reducer). Pass 1 of the running sum already PROVED the
-        # frame's exact cardinality (n_frame_rows = distinct values,
-        # no extra scan), so broadcast whenever it fits the repo's
-        # ~10 MB broadcast budget (_RANK_BROADCAST_ROWS mirrors
-        # snapshots._DV_BROADCAST_ROWS; 3 longs/row) — then rows
-        # never shuffle at all and heavy hitters cost nothing.
-        # Fallback above the budget: the value-keyed shuffle join
-        # stands; if a profiled run shows a heavy-hitter reducer, the
-        # established fix is operators/skew.py salting (replicate the
-        # rank row per salt, salt the row side) — not applied blindly
-        # because it multiplies the small side by the salt factor on
-        # every call, skewed or not.
+        # Size-aware join strategy (r12, verdict item): the rank
+        # frame is value-cardinality-sized, and the join back to rows
+        # is keyed on the VALUE — on a constant-heavy metric that
+        # shuffle is skewed (every row of a heavy-hitter value lands
+        # on one reducer). Pass 1 of the running sum already PROVED
+        # the frame's exact cardinality (n_frame_rows = distinct
+        # values, no extra scan):
+        # - within the repo's ~10 MB broadcast budget
+        #   (_RANK_BROADCAST_ROWS mirrors snapshots._DV_BROADCAST_
+        #   ROWS; 3 longs/row): broadcast — rows never shuffle for
+        #   the join and heavy hitters cost nothing;
+        # - above it: operators/skew.salted_join — the rank frame
+        #   replicates once per salt (bounded: 8x a frame too big to
+        #   broadcast is still tiny next to the row frame) and each
+        #   row's salt hashes its WHOLE row, so a hot value's rows
+        #   spread over 8 reducers. Measured: r12c_rehearsal.json's
+        #   heavy-hitter control shows what the unsalted shuffle
+        #   costs. Residual caveat: fully DUPLICATE rows hash to one
+        #   salt (indistinguishable rows can't spread) — if a metric
+        #   pair is that degenerate, pre-aggregating duplicates with
+        #   count weights is the rewrite, not more salt.
         if d["n_frame_rows"] <= _RANK_BROADCAST_ROWS:
-            return F.broadcast(r)
-        return r
+            return base.join(F.broadcast(r), col)
+        return salted_join(base, r, col)
 
-    j = rows.join(ranks("x", "ra"), "x").join(ranks("y", "rb"), "y")
+    j = join_ranks(join_ranks(rows, "x", "ra"), "y", "rb")
     dec = "decimal(38,0)"
     a = F.col("ra").cast("decimal(18,0)")
     b = F.col("rb").cast("decimal(18,0)")

@@ -4788,6 +4788,37 @@ def test_bucketed_running_sum_resplit_edges(spark):
     assert diag_b["levels"] == 0 and diag_b["splits_per_level"] == []
 
 
+def test_spearman_rank_join_strategies_agree(spark, sf_dir, monkeypatch):
+    """r12 size-aware rank joins (verdict item 6): the production
+    path broadcasts a rank frame whose cardinality pass 1 PROVED
+    small; forcing the budget to 0 must flip BOTH joins onto the
+    salted fallback (operators/skew.salted_join — 8x replicated rank
+    frame, whole-row-hash salt) and the result must be IDENTICAL —
+    the strategy is purely physical."""
+    from scratchdb_spark.catalog import analytics as an
+
+    base = an.agg_spearman_rank_corr(spark, sf_dir).collect()[0]
+    plan_b = (
+        an.agg_spearman_rank_corr(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan_b
+
+    monkeypatch.setattr(an, "_RANK_BROADCAST_ROWS", 0)
+    salted_df = an.agg_spearman_rank_corr(spark, sf_dir)
+    plan_s = (
+        salted_df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in plan_s  # the whole-row salt
+    salted = salted_df.collect()[0]
+    assert (salted["n"], salted["spearman_rho"]) == (
+        base["n"],
+        base["spearman_rho"],
+    )
+
+
 def test_bucketed_running_sum_broadcast_offset_path(spark):
     """Above 1024 final buckets the offsets ride a broadcast-joined
     frame instead of a literal map (epoch_shuffle threshold) — pin
