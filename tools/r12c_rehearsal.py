@@ -238,8 +238,10 @@ def spearman_heavy_hitter(spark, n_rows: int) -> dict:
     rows.write.mode("overwrite").parquet("/tmp/r12c_hh.parquet")
     rows = spark.read.parquet("/tmp/r12c_hh.parquet")
 
-    def rho(broadcast_rows: int) -> tuple[float, float, float, int]:
-        def ranks(col, out):
+    def rho(strategy: str) -> tuple[float, float, float, int]:
+        from scratchdb_spark.operators.skew import salted_join
+
+        def join_ranks(base, col, out):
             g = rows.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
             d: dict = {}
             r, _ = bucketed_running_sum(g, col, "c", "cum", diag=d)
@@ -249,9 +251,13 @@ def spearman_heavy_hitter(spark, n_rows: int) -> dict:
                 .cast("long")
                 .alias(out),
             )
-            return F.broadcast(r) if d["n_frame_rows"] <= broadcast_rows else r
+            if strategy == "broadcast":
+                return base.join(F.broadcast(r), col)
+            if strategy == "salted":  # the r12 above-budget fallback
+                return salted_join(base, r, col)
+            return base.join(r, col)  # plain value-keyed shuffle
 
-        j = rows.join(ranks("x", "ra"), "x").join(ranks("y", "rb"), "y")
+        j = join_ranks(join_ranks(rows, "x", "ra"), "y", "rb")
         dec = "decimal(38,0)"
         a, b = (
             F.col("ra").cast("decimal(18,0)"),
@@ -287,15 +293,19 @@ def spearman_heavy_hitter(spark, n_rows: int) -> dict:
         tk = (after[1] - before[1]) if before and after else None
         return rho_v, wall, sh, tk
 
-    rho_b, wall_b, sh_b, tk_b = rho(an._RANK_BROADCAST_ROWS)
-    # pre-r12 control: no hint AND planner auto-broadcast off — at
-    # rehearsal sizes the planner's size estimate still sees the
-    # small rank frame and quietly broadcasts (exactly the estimate
-    # a 100 TB plan can't rely on), which would fake a flat control
+    _ = an  # the production strategy thresholds live in analytics
+    rho_b, wall_b, sh_b, tk_b = rho("broadcast")
+    # controls: planner auto-broadcast off — at rehearsal sizes the
+    # planner's size estimate still sees the small rank frame and
+    # quietly broadcasts (exactly the estimate a 100 TB plan can't
+    # rely on), which would fake a flat control
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        rho_s, wall_s, sh_s, tk_s = rho(0)
+        # pre-r12 shape: plain value-keyed shuffle join
+        rho_s, wall_s, sh_s, tk_s = rho("shuffle")
+        # the r12 above-budget fallback: salted equi-join
+        rho_x, wall_x, sh_x, tk_x = rho("salted")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     shutil.rmtree("/tmp/r12c_hh.parquet", ignore_errors=True)
@@ -309,12 +319,17 @@ def spearman_heavy_hitter(spark, n_rows: int) -> dict:
             "rho": rho_s, "wall_s": wall_s,
             "shuffle_mb": sh_s, "tasks": tk_s,
         },
-        "identical_rho": rho_b == rho_s,
+        "salted_fallback": {
+            "rho": rho_x, "wall_s": wall_x,
+            "shuffle_mb": sh_x, "tasks": tk_x,
+        },
+        "identical_rho": rho_b == rho_s == rho_x,
     }
 
 
 def main() -> None:
     small = "--small" in sys.argv
+    spearman_only = "--spearman-only" in sys.argv
     spark = get_spark(
         "r12c-rehearsal",
         **{
@@ -323,7 +338,14 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    dst = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "r12c_rehearsal.json",
+    )
     out: dict = {}
+    if spearman_only and os.path.exists(dst):
+        with open(dst) as f:  # merge into the standing artifact
+            out = json.load(f)
 
     scales = (
         [("base", 200_000, 40, 10_000, 200_000)]
@@ -334,21 +356,17 @@ def main() -> None:
         ]
     )
     for label, n_rows, n_files, n_corpus, n_hh in scales:
-        out[label] = {
-            "mor": mor_scenarios(spark, n_rows, n_files),
-        }
-        print(json.dumps({label: out[label]["mor"]}), flush=True)
-        out[label]["dedup_gated"] = dedup_gated(spark, n_corpus)
-        print(json.dumps(out[label]["dedup_gated"]), flush=True)
+        out.setdefault(label, {})
+        if not spearman_only:
+            out[label]["mor"] = mor_scenarios(spark, n_rows, n_files)
+            print(json.dumps({label: out[label]["mor"]}), flush=True)
+            out[label]["dedup_gated"] = dedup_gated(spark, n_corpus)
+            print(json.dumps(out[label]["dedup_gated"]), flush=True)
         out[label]["spearman_heavy_hitter"] = spearman_heavy_hitter(
             spark, n_hh
         )
         print(json.dumps(out[label]["spearman_heavy_hitter"]), flush=True)
 
-    dst = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "r12c_rehearsal.json",
-    )
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {dst}", flush=True)
