@@ -176,6 +176,25 @@ class ConcurrentTxnError(RuntimeError):
     writers may have landed data files."""
 
 
+_CAS_ATTEMPTS = 10
+
+
+def _cas_backoff(attempt: int) -> None:
+    """Linearly growing, jittered pause before a CAS retry (r12):
+    without it every loser of a commit race re-lists and re-PUTs
+    immediately, so N racers keep colliding on the same next version
+    — observed once as a 4-thread commit storm exhausting the old
+    5-attempt budget under host load. 10-50 ms of stagger is
+    invisible next to a real commit (manifest write + listing) and
+    breaks the herd; the jitter source is control-flow-only (never
+    touches data or plans), so determinism contracts are unaffected.
+    """
+    import random
+    import time
+
+    time.sleep(random.uniform(0.005, 0.02) * min(attempt, 5))
+
+
 class CommitConflictError(RuntimeError):
     """A concurrent writer committed this snapshot version first."""
 
@@ -1382,7 +1401,9 @@ def commit_snapshot(
     listing, includes the winner's files — concurrent appends
     linearize instead of losing one batch)."""
     last_err: CommitConflictError | None = None
-    for _attempt in range(5):
+    for _attempt in range(_CAS_ATTEMPTS):
+        if _attempt:
+            _cas_backoff(_attempt)
         vs = versions(wh, database, table)
         try:
             next_v = _next_version(wh, database, table, vs=vs)
@@ -1604,7 +1625,9 @@ def _txn_commit(
     writer — loud ConcurrentTxnError, see the class docstring."""
     app, tv = txn
     last_err: CommitConflictError | None = None
-    for _attempt in range(5):
+    for _attempt in range(_CAS_ATTEMPTS):
+        if _attempt:
+            _cas_backoff(_attempt)
         vs = versions(wh, database, table)
         try:
             next_v = _next_version(wh, database, table, vs=vs)
@@ -3324,7 +3347,7 @@ def overwrite_versioned(
     )
 
 
-def _retry_dml(attempt, attempts: int = 5):
+def _retry_dml(attempt, attempts: int = _CAS_ATTEMPTS):
     """Serializable-after-the-winner retry for copy-on-write DML (new
     r8): a CommitConflictError means a concurrent writer (typically
     the ingest stream's per-batch commit) took this commit's version
@@ -3336,7 +3359,9 @@ def _retry_dml(attempt, attempts: int = 5):
     same as any CAS loser. Five consecutive conflicts (a commit storm)
     surface the last error to the caller."""
     last: CommitConflictError | None = None
-    for _ in range(attempts):
+    for _attempt in range(attempts):
+        if _attempt:
+            _cas_backoff(_attempt)
         try:
             return attempt()
         except CommitConflictError as e:
