@@ -1926,35 +1926,133 @@ def events_longtail_cum_dist(
         "construction; rho is invariant under the linear 2x+1 map). "
         "Per-value ranks come from the prefix-bucket running sum "
         "(operators/prefix_sum.py — never a partitionless window even "
-        "for a continuous metric), join back to rows on the value — "
-        "BROADCAST when pass 1's fold PROVES the rank frame fits the "
-        "~10 MB budget (r12: heavy-hitter values then never skew a "
+        "for a continuous metric), join back to a DUPLICATE-PRE-"
+        "AGGREGATED pair frame (r13: identical (x,y) rows collapse to "
+        "one count-weighted row first — the join input shrinks to "
+        "distinct pairs and salted_join's duplicate-row degeneracy "
+        "becomes structurally impossible) on the value — BROADCAST "
+        "when pass 1's fold PROVES the rank frame fits the ~10 MB "
+        "budget (r12: heavy-hitter values then never skew a "
         "value-keyed shuffle), SALTED equi-join above it "
         "(operators/skew.salted_join: rank frame replicated 8x, row "
-        "salt hashes the whole row so hot values spread — the "
-        "documented fallback now implemented and pytest-pinned) — "
-        "and the five moment sums accumulate as "
+        "salt hashes the whole distinct row so hot values spread) — "
+        "and the five weighted moment sums accumulate as "
         "DECIMAL(38,0) — exact to ~1e38, i.e. past 1e12 rows of "
-        "doubled ranks, where a BIGINT Sxy overflows at ~1e6 rows "
-        "(DuckDB's HUGEINT matches). rho is ONE IEEE expression over "
-        "the exact sums, 6dp snap; at this sf every intermediate "
-        "double is below 2^53 so the cast itself is exact.",
+        "doubled ranks (w*ra*rb <= 4N^3), where a BIGINT Sxy "
+        "overflows at ~1e6 rows (DuckDB's HUGEINT matches). rho is "
+        "ONE IEEE expression over the exact sums, 6dp snap; at this "
+        "sf every intermediate double is below 2^53 so the cast "
+        "itself is exact.",
 )
 def agg_spearman_rank_corr(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.prefix_sum import bucketed_running_sum
-
     li = table(spark, sf_dir, "lineitem")
     rows = li.select(
         F.col("l_quantity").cast("long").alias("x"),
         F.floor("l_extendedprice").cast("long").alias("y"),
     )
+    return _spearman_from_rows(rows)
+
+
+@register(
+    "agg_spearman_dup_heavy",
+    """
+    WITH rows_ AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(l_linenumber AS BIGINT) AS y
+      FROM lineitem),
+    gx AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+           FROM rows_ GROUP BY x),
+    rx AS (
+      SELECT x,
+             CAST(2 * coalesce(sum(c) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + c + 1 AS BIGINT) AS ra
+      FROM gx),
+    gy AS (SELECT y, CAST(count(*) AS BIGINT) AS c
+           FROM rows_ GROUP BY y),
+    ry AS (
+      SELECT y,
+             CAST(2 * coalesce(sum(c) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + c + 1 AS BIGINT) AS rb
+      FROM gy),
+    j AS (
+      SELECT ra, rb
+      FROM rows_ JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ra) AS sa, sum(rb) AS sb,
+             sum(ra * ra) AS saa, sum(rb * rb) AS sbb,
+             sum(ra * rb) AS sab
+      FROM j)
+    SELECT n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt(
+                 (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+             6) AS spearman_rho
+    FROM s
+    """,
+    doc="DUPLICATE-HEAVY Spearman (new r13 — the surface query of "
+        "the r12 verdict's item 3): rho between l_quantity (50 "
+        "distinct values) and l_linenumber (7 distinct) — the metric "
+        "pair whose (x, y) tuples are almost ALL exact duplicates, "
+        "i.e. the precise shape salted_join's whole-row salt could "
+        "never spread (indistinguishable rows hash to one salt). The "
+        "r13 pre-aggregation collapses identical pairs to one "
+        "count-weighted row before any rank join (<= 350 weighted "
+        "rows here, and never more than |x-values| x |y-values| "
+        "anywhere), making the degeneracy structurally impossible "
+        "while the weighted DECIMAL(38,0) moment sums stay exact — "
+        "the oracle runs the UNWEIGHTED quadratic construction and "
+        "must agree bit-for-bit on the 6dp rho.",
+)
+def agg_spearman_dup_heavy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.col("l_linenumber").cast("long").alias("y"),
+    )
+    return _spearman_from_rows(rows)
+
+
+def _spearman_from_rows(rows: DataFrame) -> DataFrame:
+    """Tie-corrected Spearman rho over a two-column (x, y) LONG frame
+    — the engine behind agg_spearman_rank_corr, factored out so the
+    duplicate-heavy strategy pytest can drive its own fixtures.
+
+    Duplicate PRE-AGGREGATION (r13, verdict item 3): identical (x, y)
+    rows collapse to one row with a BIGINT count weight BEFORE any
+    rank join — that one map-side-combining groupBy (a) shrinks the
+    rank-join input from N rows to distinct-(x, y) pairs, and (b)
+    DELETES salted_join's documented degeneracy: its whole-row salt
+    could never spread fully-duplicate rows (they hash identically by
+    construction), but the weighted frame is distinct on (x, y), so
+    every row is distinguishable and a hot VALUE's rows — now one row
+    per distinct partner value — always spread. The moment sums
+    become weight-multiplied (n = sum w, Sa = sum w*ra, Saa = sum
+    w*ra^2, Sab = sum w*ra*rb, ...), exact in DECIMAL(38,0): w <= N
+    and doubled ranks <= 2N+1, so each term is <= 4N^3 < 1e38 out to
+    N ~ 1e12 rows — the same exactness horizon as the unweighted r11
+    sums."""
+    from ..operators.prefix_sum import bucketed_running_sum
+
+    pairs = rows.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("__w")
+    )
 
     def join_ranks(base: DataFrame, col: str, out: str) -> DataFrame:
         from ..operators.skew import salted_join
 
-        g = rows.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        g = pairs.groupBy(col).agg(F.sum("__w").alias("c"))
         d: dict = {}
         r, _tot = bucketed_running_sum(g, col, "c", "cum", diag=d)
         r = r.select(
@@ -1964,41 +2062,41 @@ def agg_spearman_rank_corr(
             .alias(out),
         )
         # Size-aware join strategy (r12, verdict item): the rank
-        # frame is value-cardinality-sized, and the join back to rows
-        # is keyed on the VALUE — on a constant-heavy metric that
-        # shuffle is skewed (every row of a heavy-hitter value lands
-        # on one reducer). Pass 1 of the running sum already PROVED
-        # the frame's exact cardinality (n_frame_rows = distinct
-        # values, no extra scan):
+        # frame is value-cardinality-sized, and the join back to the
+        # pair frame is keyed on the VALUE — on a constant-heavy
+        # metric that shuffle is skewed (every pair row of a
+        # heavy-hitter value lands on one reducer). Pass 1 of the
+        # running sum already PROVED the frame's exact cardinality
+        # (n_frame_rows = distinct values, no extra scan):
         # - within the repo's ~10 MB broadcast budget
         #   (_RANK_BROADCAST_ROWS mirrors snapshots._DV_BROADCAST_
-        #   ROWS; 3 longs/row): broadcast — rows never shuffle for
+        #   ROWS; 3 longs/row): broadcast — pairs never shuffle for
         #   the join and heavy hitters cost nothing;
         # - above it: operators/skew.salted_join — the rank frame
         #   replicates once per salt (bounded: 8x a frame too big to
-        #   broadcast is still tiny next to the row frame) and each
-        #   row's salt hashes its WHOLE row, so a hot value's rows
-        #   spread over 8 reducers. Measured: r12c_rehearsal.json's
-        #   heavy-hitter control shows what the unsalted shuffle
-        #   costs. Residual caveat: fully DUPLICATE rows hash to one
-        #   salt (indistinguishable rows can't spread) — if a metric
-        #   pair is that degenerate, pre-aggregating duplicates with
-        #   count weights is the rewrite, not more salt.
+        #   broadcast is still tiny next to the pair frame) and each
+        #   pair row's salt hashes its WHOLE row; the pair frame is
+        #   DISTINCT on (x, y) after the r13 pre-aggregation, so
+        #   every row hashes differently and a hot value's rows
+        #   always spread over the 8 reducers (the duplicate-row
+        #   degeneracy the r12 docstring could only document is now
+        #   structurally impossible here).
         if d["n_frame_rows"] <= _RANK_BROADCAST_ROWS:
             return base.join(F.broadcast(r), col)
         return salted_join(base, r, col)
 
-    j = join_ranks(join_ranks(rows, "x", "ra"), "y", "rb")
+    j = join_ranks(join_ranks(pairs, "x", "ra"), "y", "rb")
     dec = "decimal(38,0)"
+    w = F.col("__w").cast("decimal(18,0)")
     a = F.col("ra").cast("decimal(18,0)")
     b = F.col("rb").cast("decimal(18,0)")
     s = j.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("ra").cast(dec)).alias("sa"),
-        F.sum(F.col("rb").cast(dec)).alias("sb"),
-        F.sum((a * a).cast(dec)).alias("saa"),
-        F.sum((b * b).cast(dec)).alias("sbb"),
-        F.sum((a * b).cast(dec)).alias("sab"),
+        F.sum("__w").cast("long").alias("n"),
+        F.sum((w * a).cast(dec)).alias("sa"),
+        F.sum((w * b).cast(dec)).alias("sb"),
+        F.sum((w * a * a).cast(dec)).alias("saa"),
+        F.sum((w * b * b).cast(dec)).alias("sbb"),
+        F.sum((w * a * b).cast(dec)).alias("sab"),
     )
     n_d = F.col("n").cast("double")
     sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")

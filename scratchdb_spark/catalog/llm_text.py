@@ -1351,3 +1351,120 @@ def warehouse_dedup_gated_append(
         "n_dropped_vs_corpus long, n_appended long, "
         "corpus_rows_after long, refresh_equals_rebuild boolean",
     )
+
+
+@register(
+    "warehouse_dedup_probe_above_cap",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    probe AS (
+      SELECT doc_id + 900000 AS pid, text FROM documents),
+    psh AS (
+      SELECT pid, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT pid, {_DUCK_TOKENS} AS w
+            FROM (SELECT pid, text FROM probe) _p)),
+    csh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM corpus)),
+    pairs AS (
+      SELECT p.pid, c.doc_id,
+             len(list_intersect(p.sh, c.sh)) AS i,
+             len(list_distinct(list_concat(p.sh, c.sh))) AS u
+      FROM psh p JOIN csh c
+        ON len(list_intersect(p.sh, c.sh))
+           >= 0.8 * len(list_distinct(list_concat(p.sh, c.sh))))
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_matched_probes,
+           CAST(count(DISTINCT doc_id) AS BIGINT)
+             AS n_matched_corpus,
+           CAST(sum(CASE WHEN i = u THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_copies,
+           true AS above_cap,
+           true AS planned_le_hashes
+    FROM pairs
+    """,
+    doc="ABOVE-CAP index probe (new r13 — the surface query of the "
+        "r12 verdict's only weak item): the ENTIRE 500-doc documents "
+        "table probes a 300-doc indexed corpus in one "
+        "query_dedup_index call, carrying ~8000 distinct band hashes "
+        "— double the historical _PRUNE_MAX_HASHES=4096 cap whose "
+        "fallback used to read the WHOLE index per batch. Since r13 "
+        "the probe prunes at any size (snapshots._EqValues normalizes "
+        "the IN-list once; per-file checks are O(|dict|+log h)), "
+        "pinned here two ways: above_cap returns the Spark-side "
+        "count-check that the probe really exceeds 4096 hashes, and "
+        "planned_le_hashes that the manifest pass planned <= "
+        "distinct-hash-count files (the saturation contract; "
+        "tests/test_plans.py pins the same bound at 64-file "
+        "granularity where pruning visibly skips). Pair counts are "
+        "oracle-checked against the exact quadratic jaccard "
+        "(standard ~0.9998-capture + exact-verify argument; LSH is "
+        "deterministic, so fixture capture is driver-proven, not "
+        "probabilistic).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_dedup_probe_above_cap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..operators import dedup_index as di
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_probecap_"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    snap.append_versioned(wh, "db", "docs", corpus)
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh")
+
+    probe = docs.select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    meta = di._load_dedup_meta(wh, "db", "docs_lsh")
+    hashes = [
+        r["band_hash"]
+        for r in di._band_rows(
+            probe, "text", "doc_id", meta["n"],
+            meta["num_hashes"], meta["bands"],
+        )
+        .select("band_hash")
+        .distinct()
+        .collect()
+    ]
+    v = snap.versions(wh, "db", "docs_lsh")[-1]
+    m = snap._manifest(wh, "db", "docs_lsh", v)
+    planned = snap._plan_files(
+        wh, "db", "docs_lsh", m, None, ("band_hash", hashes)
+    )
+    pairs = di.query_dedup_index(
+        wh, "db", "docs_lsh", probe, probe_text_col="text"
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("probe_id").cast("long").alias(
+            "n_matched_probes"
+        ),
+        F.countDistinct("corpus_id").cast("long").alias(
+            "n_matched_corpus"
+        ),
+        F.sum(
+            (F.col("jaccard_sim") == 1.0).cast("long")
+        ).cast("long").alias("n_exact_copies"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                agg["n_pairs"],
+                agg["n_matched_probes"],
+                agg["n_matched_corpus"],
+                agg["n_exact_copies"],
+                len(hashes) > di._PRUNE_MAX_HASHES,
+                len(planned) <= len(hashes),
+            )
+        ],
+        "n_pairs long, n_matched_probes long, n_matched_corpus long, "
+        "n_exact_copies long, above_cap boolean, "
+        "planned_le_hashes boolean",
+    )

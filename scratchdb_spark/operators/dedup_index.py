@@ -18,12 +18,16 @@ probe. Measured on the 50k-doc index, 100-doc probe (1600 hashes),
 model vs planned (dedup_index_rehearsal_r10.json): 64 files -> 64/64,
 1024 -> 807 (model 810, 79%), 4096 -> 1325 (model 1325, 32%). That
 saturation is the 100 TB story: at production granularity (10^5-10^6
-files) a <= _PRUNE_MAX_HASHES probe plans at most ~h files NO MATTER
-how many files the corpus has — sub-linear in corpus files, bounded
-by the probe — and the equi-join shuffle remains the fallback above
-the IN-list cap. POINT probes ("is this one doc already in the
-corpus?") plan ~bands files at EVERY granularity (measured 12-16
-across 16/64/1024/4096 files).
+files) a probe of h hashes plans at most ~h files NO MATTER how many
+files the corpus has — sub-linear in corpus files, bounded by the
+probe — and since r13 that holds at ANY probe size: the manifest
+pass normalizes the IN-list once (snapshots._EqValues: set membership
++ bisect against zone maps), so per-file skip checks cost
+O(|dict| + log h) and there is NO full-scan fallback above a cap (the
+r12 verdict's weak — probes beyond the old 4096-hash cap used to
+read the whole index per ingest batch). POINT probes ("is this one
+doc already in the corpus?") plan ~bands files at EVERY granularity
+(measured 12-16 across 16/64/1024/4096 files).
 
 Unlike the ANN index there is NO trained state to freeze: band rows
 are a pure function of the text (fixed splitmix salts,
@@ -49,9 +53,15 @@ from .. import snapshots as snap
 from ..tables import Warehouse
 from .dedup import hashed_shingles, jaccard, minhash_band_hashes, widen
 
-#: probe band-hash lists up to this size go through manifest
-#: prune_eq (driver IN-list file skipping); larger probes read the
-#: full index and let the join shuffle do the work
+#: HISTORICAL cap (r9-r12): probes beyond this many distinct band
+#: hashes used to abandon manifest pruning and full-scan the index.
+#: Since r13 every probe prunes (snapshots._EqValues makes the
+#: per-file IN-list check O(|dict| + log h) at any h); the constant
+#: survives as the granularity the saturation-contract regression
+#: test quotes (planned files <= h <= ceil(h/4096)*4096) and as the
+#: mirror of snapshots._EQ_BLOOM_PROBE_CAP (bloom probing, an
+#: O(h)-per-file test, still caps out — range/dict checks carry the
+#: skip above it).
 _PRUNE_MAX_HASHES = 4096
 
 
@@ -216,9 +226,10 @@ def query_dedup_index(
     """Near-dup pairs between a PROBE batch and the indexed corpus:
     probe band rows (one fused kernel over the batch) equi-join the
     index on (band, band_hash) — with manifest file-skipping via the
-    probe's band-hash IN-list when the probe is small
-    (<= _PRUNE_MAX_HASHES hashes; beyond that the join's shuffle is
-    the scale path) — then the candidate pairs verify with EXACT
+    probe's band-hash IN-list at EVERY probe size (r13: the
+    normalized _EqValues probe keeps per-file checks O(|dict|+log h),
+    so planned files stay ~h even above the old 4096-hash cap) —
+    then the candidate pairs verify with EXACT
     jaccard over hashed shingles, probe text from the batch, corpus
     text from the source snapshot the index reflects. Output:
     (probe_id, corpus_id, jaccard_sim >= threshold); corpus-resident
@@ -251,20 +262,21 @@ def query_dedup_index(
         F.col("doc_id").alias("pid"), "band", "band_hash"
     ).persist()
     try:
+        # collect bound: distinct band hashes <= probe docs x bands —
+        # micro-batch-sized by contract (the probe IS the new batch),
+        # never corpus-sized. EVERY probe prunes (r13): the normalized
+        # IN-list keeps planning O(files x (|dict| + log h)), so the
+        # planned file count stays bounded by the probe (~h files at
+        # production granularity) no matter how large the batch or
+        # the corpus — the r12 full-scan fallback is gone.
         hashes = [
             r["band_hash"]
-            for r in prows.select("band_hash")
-            .distinct()
-            .limit(_PRUNE_MAX_HASHES + 1)
-            .collect()
+            for r in prows.select("band_hash").distinct().collect()
         ]
-        if len(hashes) <= _PRUNE_MAX_HASHES:
-            idx = snap.read_snapshot(
-                wh, database, index_table,
-                prune_eq=("band_hash", hashes),
-            )
-        else:
-            idx = snap.read_snapshot(wh, database, index_table)
+        idx = snap.read_snapshot(
+            wh, database, index_table,
+            prune_eq=("band_hash", hashes),
+        )
         cand = (
             prows.join(idx, ["band", "band_hash"])
             .filter(F.col("pid") != F.col("doc_id"))

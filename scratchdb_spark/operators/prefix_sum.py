@@ -181,7 +181,11 @@ def bucketed_running_sum(
             for r in stats
             if r["cnt"] > threshold
             and r["bmn"] is not None
-            and float(r["bmx"]) > float(r["bmn"])  # splittable range
+            # splittable range — compared RAW (int or float), never
+            # through float(): casting BIGINTs beyond 2^53 to double
+            # rounds two distinct huge longs equal and would silently
+            # skip a genuinely splittable hot bucket (r12 advice)
+            and r["bmx"] > r["bmn"]
         ]
         if not hot or level == max_depth:
             break

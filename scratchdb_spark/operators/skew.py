@@ -55,10 +55,16 @@ def salted_join(
     The salt derives from xxhash64 of the big side's whole row (via
     monotonically increasing id would break determinism; hashing the
     key alone would put every hot-key row in ONE salt and change
-    nothing — so callers pass a frame whose rows are distinguishable,
-    and the salt hashes all columns). Result set is EXACTLY the plain
-    join's (the oracle checks that): salting redistributes work, never
-    rows.
+    nothing — so callers MUST pass a frame whose rows are
+    distinguishable, and the salt hashes all columns). Fully
+    duplicate rows hash to one salt and cannot spread; the rewrite
+    that removes the degeneracy is to pre-aggregate duplicates with
+    count weights BEFORE the join — implemented at the Spearman call
+    site (catalog/analytics._spearman_from_rows, r13: the pair frame
+    arrives distinct on its key tuple, so every row hashes
+    differently by construction). Result set is EXACTLY the plain
+    join's (the oracle checks that): salting redistributes work,
+    never rows.
 
     AQE's skew-join split (on by default in session.py) handles most
     cases at runtime; the manual form matters when AQE can't see the

@@ -2016,26 +2016,66 @@ def _range_survives(rng, lo, hi) -> bool:
     return True
 
 
+#: per-file bloom probing is O(|IN-list|) PER FILE; above this many
+#: probe values the bloom test is skipped (falls through to the
+#: range check — sound: bloom skipping is an optimization, never a
+#: correctness requirement) so planning a huge probe over 10^6 files
+#: never degenerates to O(files x values) driver work
+_EQ_BLOOM_PROBE_CAP = 4096
+
+
+class _EqValues:
+    """IN-list probe normalized ONCE per plan (r13 — the fix for the
+    r12 verdict's above-cap dedup-gate scan): ``vset`` gives O(1)
+    membership / O(|file dict|) disjointness, ``svals`` (sorted, or
+    None for un-orderable mixed types) gives an O(log n) bisect
+    against a file's [min, max]. With this, per-file skip checks are
+    O(|dict| + log n) for ANY probe size — a 100k-hash probe plans in
+    one manifest pass at the same per-file cost as a 10-hash probe,
+    which is why callers no longer need a full-scan fallback above an
+    IN-list cap (the chunk-and-union alternative re-plans shared
+    shards per chunk and re-reads files spanning chunks)."""
+
+    __slots__ = ("vset", "svals")
+
+    def __init__(self, vals):
+        self.vset = frozenset(vals)
+        try:
+            self.svals = sorted(self.vset)
+        except TypeError:  # mixed un-orderable types: no bisect path
+            self.svals = None
+
+
 def _eq_survives(rec: dict, col: str, val) -> bool:
     """File-skip decision for an equality (or IN-list, when ``val``
-    is a list/set/tuple of values) predicate against a file's stat
-    record: exact dictionary membership when a dict exists
-    ([] = empty/all-null file -> skip), else min/max range check.
-    IN-list semantics: the file survives if ANY value could live in
-    it — one manifest pass plans a multi-point lookup (e.g. the ANN
-    index probing several inverted cells) without re-reading stats
-    per value or double-planning files shared by two values."""
-    vs = (
-        list(val) if isinstance(val, (list, set, tuple, frozenset))
-        else [val]
-    )
+    is a list/set/tuple — or a pre-normalized ``_EqValues``) predicate
+    against a file's stat record: exact dictionary membership when a
+    dict exists ([] = empty/all-null file -> skip), else min/max
+    range check. IN-list semantics: the file survives if ANY value
+    could live in it — one manifest pass plans a multi-point lookup
+    (e.g. the ANN index probing several inverted cells) without
+    re-reading stats per value or double-planning files shared by two
+    values. Plan-level callers (``_plan_files``) pass ``_EqValues``
+    so the per-file cost stays O(|dict| + log n) even for probe lists
+    far beyond _EQ_BLOOM_PROBE_CAP."""
+    if not isinstance(val, _EqValues):
+        val = _EqValues(
+            val if isinstance(val, (list, set, tuple, frozenset))
+            else [val]
+        )
     vals = rec.get(f"{col}__dict")
     if vals is not None:
-        return any(v in vals for v in vs)
+        # file dict is a small list (<= _DICT_CAP); iterate IT against
+        # the probe set, not the other way round
+        return not val.vset.isdisjoint(vals)
     bl = rec.get(f"{col}__bloom")
     if isinstance(bl, dict) and "sc" in bl:
         bl = None  # externalized (r9): range check decides; never drop
-    if bl is not None and not _bloom_test(bl, vs):
+    if (
+        bl is not None
+        and len(val.vset) <= _EQ_BLOOM_PROBE_CAP
+        and not _bloom_test(bl, val.vset)
+    ):
         return False  # definite miss; else fall through to range
     rng = rec.get(col)
     if rng is None:
@@ -2045,7 +2085,12 @@ def _eq_survives(rec: dict, col: str, val) -> bool:
         return False
     if mn is None or mx is None:
         return True
-    return any(mn <= v <= mx for v in vs)
+    if val.svals is not None:
+        from bisect import bisect_left
+
+        i = bisect_left(val.svals, mn)
+        return i < len(val.svals) and val.svals[i] <= mx
+    return any(mn <= v <= mx for v in val.vset)
 
 
 def _file_survives(
@@ -2082,7 +2127,15 @@ def _plan_files(
     before opening them — the driver parses per-file stats only for
     shards the predicate can live in (Iceberg's manifest-list
     short-circuit), so a selective predicate over a 10^6-file table
-    opens a handful of shard JSONs, not one monolithic manifest."""
+    opens a handful of shard JSONs, not one monolithic manifest.
+
+    IN-list ``prune_eq`` values normalize to ``_EqValues`` here, ONCE
+    per plan, so every per-file/per-shard check below runs at
+    O(|dict| + log n) regardless of probe size (r13)."""
+    if prune_eq is not None and isinstance(
+        prune_eq[1], (list, set, tuple, frozenset)
+    ):
+        prune_eq = (prune_eq[0], _EqValues(prune_eq[1]))
     resolver = (
         _bloom_resolver(wh, database, table)
         if prune_tokens is not None
@@ -3356,8 +3409,10 @@ def _retry_dml(attempt, attempts: int = _CAS_ATTEMPTS):
     retried DML applies to the winner's state exactly as if it had
     started after it. The failed attempt's rewrite/change files are
     unreferenced debris inside maintain_table's reclaim grace window,
-    same as any CAS loser. Five consecutive conflicts (a commit storm)
-    surface the last error to the caller."""
+    same as any CAS loser. ``_CAS_ATTEMPTS`` (10) consecutive
+    conflicts — each retried after ``_cas_backoff``'s jittered,
+    exponentially-capped sleep (r12) — surface the last error to the
+    caller as a genuine commit storm."""
     last: CommitConflictError | None = None
     for _attempt in range(attempts):
         if _attempt:

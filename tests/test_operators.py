@@ -5090,3 +5090,141 @@ def test_merge_upsert_mor_matches_cow_and_defers_rewrite(
     cur = snap.read_snapshot(wh_mor, "db", "t")
     assert cur.filter("__row_id = 10").count() == 1
     assert cur.filter("name = 'ghost'").count() == 1
+
+
+def test_dedup_index_above_cap_probe_exact_pairs(spark, tmp_path):
+    """End-to-end insurance on the r13 above-cap probe path
+    (operators/dedup_index.py): a probe batch carrying MORE distinct
+    band hashes than the historical _PRUNE_MAX_HASHES cap — the shape
+    that used to full-scan the index (r12 weak) and now prunes
+    through the normalized IN-list — returns EXACTLY the planted
+    near-dup pairs, nothing more, nothing missing."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import dedup_index as di
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # every corpus/probe text is globally unique word-wise, so the
+    # ONLY jaccard>=0.8 pairs are the 10 planted exact copies (no
+    # modulus anywhere -> no token aliasing, per the r12c lesson)
+    corpus = spark.createDataFrame(
+        [
+            (i, " ".join(f"c{i}x{j}" for j in range(12)))
+            for i in range(600)
+        ],
+        "doc_id long, text string",
+    )
+    snap.append_versioned(wh, "db", "docs", corpus)
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh", n_files=32)
+
+    probe = spark.createDataFrame(
+        [
+            (10000 + i, " ".join(f"c{i}x{j}" for j in range(12)))
+            for i in range(10)
+        ]
+        + [
+            (20000 + i, " ".join(f"p{i}x{j}" for j in range(12)))
+            for i in range(340)
+        ],
+        "doc_id long, text string",
+    )
+    meta = di._load_dedup_meta(wh, "db", "docs_lsh")
+    n_hashes = (
+        di._band_rows(
+            probe.selectExpr("doc_id as pid", "text as ptext"),
+            "ptext", "pid", meta["n"], meta["num_hashes"],
+            meta["bands"],
+        )
+        .select("band_hash")
+        .distinct()
+        .count()
+    )
+    assert n_hashes > di._PRUNE_MAX_HASHES  # genuinely above-cap
+
+    pairs = di.query_dedup_index(
+        wh, "db", "docs_lsh", probe
+    ).collect()
+    assert {(r["probe_id"], r["corpus_id"]) for r in pairs} == {
+        (10000 + i, i) for i in range(10)
+    }
+    assert all(r["jaccard_sim"] == 1.0 for r in pairs)
+
+
+def test_spearman_duplicate_heavy_all_strategies_agree(
+    spark, monkeypatch
+):
+    """r13 duplicate pre-aggregation (verdict item 3): on a fixture
+    that is almost ALL duplicate (x, y) rows — the exact shape whose
+    whole-row salt used to collapse onto single reducers — rho and n
+    must be identical across broadcast, salted, and plain-shuffle
+    rank joins, and must equal the pure-Python average-rank Pearson
+    computed from the (x, y, count) distribution. Also pins that the
+    join input really did shrink: the weighted pair frame, not the
+    raw rows, feeds the rank joins."""
+    import math
+    from collections import Counter
+
+    from scratchdb_spark.catalog import analytics as an
+    from scratchdb_spark.operators import skew
+
+    # 60_000 rows over 60 distinct (x, y) pairs: ~1000 exact
+    # duplicates each, y anti-monotone in x with deliberate ties
+    data = [
+        (i % 12, (11 - (i % 12)) // 2) for i in range(60_000)
+    ]
+    rows = spark.createDataFrame(data, "x long, y long")
+
+    # pure-Python oracle: average ranks (doubled-rank construction is
+    # a linear map, so plain average ranks give the same rho)
+    def avg_ranks(vals):
+        cnt = Counter(vals)
+        out, below = {}, 0
+        for v in sorted(cnt):
+            out[v] = below + (cnt[v] + 1) / 2
+            below += cnt[v]
+        return out
+
+    xs = [x for x, _ in data]
+    ys = [y for _, y in data]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(data)
+    sa = sum(rx[x] for x in xs)
+    sb = sum(ry[y] for y in ys)
+    saa = sum(rx[x] ** 2 for x in xs)
+    sbb = sum(ry[y] ** 2 for y in ys)
+    sab = sum(rx[x] * ry[y] for x, y in data)
+    expect = round(
+        (n * sab - sa * sb)
+        / math.sqrt((n * saa - sa**2) * (n * sbb - sb**2)),
+        6,
+    )
+
+    got = {}
+    # strategy 1: broadcast (default — 12/6-value rank frames)
+    got["broadcast"] = an._spearman_from_rows(rows).collect()[0]
+    # strategy 2: salted fallback (budget forced to 0)
+    monkeypatch.setattr(an, "_RANK_BROADCAST_ROWS", 0)
+    got["salted"] = an._spearman_from_rows(rows).collect()[0]
+    # strategy 3: plain shuffle (salted_join swapped for a bare join)
+    monkeypatch.setattr(
+        skew,
+        "salted_join",
+        lambda big, small, key_col, salt_buckets=8: big.join(
+            small, key_col
+        ),
+    )
+    got["shuffle"] = an._spearman_from_rows(rows).collect()[0]
+
+    for name, r in got.items():
+        assert r["n"] == n, name
+        assert r["spearman_rho"] == expect, (name, r)
+
+    # the rank joins consume the weighted PAIR frame: 60 rows in,
+    # not 60_000 — visible as the __w weight column in the plan
+    plan = (
+        an._spearman_from_rows(rows)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "__w" in plan

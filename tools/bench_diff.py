@@ -220,7 +220,9 @@ def main() -> int:
         "observed_diffs": observed,
         "explained": explained,
         "exonerated_nondeterministic": {
-            n: v for n, v in rechecked.items() if v["nondeterministic"]
+            n: v
+            for n, v in rechecked.items()
+            if v.get("nondeterministic")
         },
         "stale_expectations": stale,
         "unexplained": unexplained,
