@@ -161,12 +161,27 @@ def refresh_dedup_index(
     wh: Warehouse, database: str, index_table: str
 ) -> dict:
     """Advance the index over the source CDC window — churn-sized:
-    every changed id's band rows are COW-deleted (keys-frame
-    anti-join, never an IN-list) and the live ids' rows recomputed
-    from their CURRENT text and appended. Band rows are a pure
-    function of text, so the result is byte-equal to a rebuild
-    (pytest-pinned); the advanced src_version stamps LAST, so a crash
-    mid-refresh replays the same window idempotently."""
+    every STALE id's band rows are COW-deleted (keys-frame anti-join,
+    never an IN-list) and the live changed ids' rows recomputed from
+    their CURRENT text and appended. Band rows are a pure function of
+    text, so the result is byte-equal to a rebuild (pytest-pinned);
+    the advanced src_version stamps LAST, so a crash mid-refresh
+    replays the same window idempotently.
+
+    APPEND-ONLY fast path (r13): only ids with DELETE preimages in
+    the CDC window can have old band rows to remove — an id whose
+    window shows nothing but inserts is NEW to the source (the index
+    already requires source ids unique: ``__row_id = id*bands+band``
+    is its key), so there is nothing to delete. The r12 code called
+    delete_keys on ALL changed ids anyway, and delete_keys discovers
+    "no affected files" by TAGGING EVERY VISIBLE ROW with its file —
+    a full index scan per refresh. The dedup-GATED ingest cadence
+    (append_deduped per micro-batch) is append-only by construction,
+    so it paid that O(index) scan every batch for zero deletions;
+    scoping the delete to delete-preimage ids makes the refresh cost
+    purely churn-sized there (measured: r13_rehearsal.json
+    gate_cadence.delete_scan_cost_s is the per-batch wall this
+    skips)."""
     meta = _load_dedup_meta(wh, database, index_table)
     src_table = meta["src_table"]
     cur = snap.versions(wh, database, src_table)[-1]
@@ -178,10 +193,17 @@ def refresh_dedup_index(
     changed = ch.select(
         F.col(id_col).cast("long").alias("doc_id")
     ).distinct()
-    _v, n_deleted = snap.delete_keys(
-        wh, database, index_table, changed, "doc_id",
-        summary={"operation": "dedup-refresh-delete"},
+    stale = (
+        ch.filter(F.col("_change_type") == "delete")
+        .select(F.col(id_col).cast("long").alias("doc_id"))
+        .distinct()
     )
+    n_deleted = 0
+    if stale.limit(1).count():  # churn-sized probe, not an index scan
+        _v, n_deleted = snap.delete_keys(
+            wh, database, index_table, stale, "doc_id",
+            summary={"operation": "dedup-refresh-delete"},
+        )
     live = snap.read_snapshot(
         wh, database, src_table, version=cur
     ).join(

@@ -5228,3 +5228,65 @@ def test_spearman_duplicate_heavy_all_strategies_agree(
         .toString()
     )
     assert "__w" in plan
+
+
+def test_dedup_refresh_append_only_skips_delete_scan(
+    spark, tmp_path, monkeypatch
+):
+    """r13 refresh scoping: an APPEND-ONLY CDC window (the dedup-gate
+    cadence shape — every micro-batch appends survivors) must not
+    call delete_keys at all, because delete_keys discovers 'nothing
+    affected' by tagging EVERY index row with its file — a full index
+    scan per refresh. A window with real deletes must still call it,
+    and both refreshes must leave the index byte-equal to a rebuild."""
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import dedup_index as di
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"c{i}x{j}" for j in range(12)))
+            for i in range(80)
+        ],
+        "doc_id long, text string",
+    )
+    snap.append_versioned(wh, "db", "docs", docs)
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh")
+
+    calls = []
+    real = snap.delete_keys
+
+    def counting(*a, **k):
+        calls.append(a[2])
+        return real(*a, **k)
+
+    monkeypatch.setattr(snap, "delete_keys", counting)
+
+    # append-only window: no delete preimages -> no delete_keys call
+    snap.append_versioned(
+        wh, "db", "docs",
+        spark.createDataFrame(
+            [
+                (100 + i, " ".join(f"n{i}x{j}" for j in range(12)))
+                for i in range(5)
+            ],
+            "doc_id long, text string",
+        ),
+    )
+    stats = di.refresh_dedup_index(wh, "db", "docs_lsh")
+    assert stats["n_deleted"] == 0 and stats["n_inserted"] > 0
+    assert calls == []
+
+    # delete-bearing window: delete_keys runs, scoped to stale ids
+    snap.delete_where(wh, "db", "docs", F.col("doc_id") < 3)
+    stats2 = di.refresh_dedup_index(wh, "db", "docs_lsh")
+    assert stats2["n_deleted"] > 0
+    assert calls == ["docs_lsh"]
+
+    # both paths leave the index byte-equal to a rebuild
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh_rb")
+    a = snap.read_snapshot(wh, "db", "docs_lsh")
+    b = snap.read_snapshot(wh, "db", "docs_lsh_rb")
+    assert a.exceptAll(b).limit(1).count() == 0
+    assert b.exceptAll(a).limit(1).count() == 0

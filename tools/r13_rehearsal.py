@@ -192,19 +192,25 @@ def gate_cadence(spark, wh, n_corpus: int, n_batches: int) -> dict:
     out: dict = {"n_batches": n_batches, "batch_docs": 200}
 
     def batch_frame(b: int):
-        # 50 copies of corpus docs [b*50, b*50+50) + 150 fresh; dup
-        # targets disjoint per batch, fresh ids/texts globally unique
-        dups = spark.range(b * 50, b * 50 + 50).select(
-            (F.col("id") + BIG + 2_000_000 + b * 200).alias("doc_id"),
-            _doc_text("id").alias("text"),
+        # 50 copies of corpus docs [b*50, b*50+50) + 150 fresh. Every
+        # id space is explicit and collision-checked (the r12c
+        # lesson, re-learned here: the first draft's dup doc_ids
+        # overlapped its fresh doc_ids for b >= 1, and its fresh TEXT
+        # ids at 3.5M wrapped mod 1_000_003 back onto corpus ids —
+        # both caught by drops_exact going false mid-cadence):
+        # - doc_id: each batch owns a 1000-wide window; dups at
+        #   [0, 50), fresh at [200, 350) within it — disjoint always;
+        # - text id: dups reuse corpus ids b*50..b*50+50 (that IS the
+        #   dup), fresh use 600_000 + b*150 + i — above every corpus
+        #   id at either scale and far below the 1_000_003 modulus.
+        win = BIG + 2_000_000 + b * 1000
+        dups = spark.range(50).select(
+            (F.col("id") + win).alias("doc_id"),
+            _doc_text(F.col("id") + b * 50).alias("text"),
         )
         fresh = spark.range(150).select(
-            (F.col("id") + BIG + 2_000_000 + b * 200 + 50).alias(
-                "doc_id"
-            ),
-            _doc_text(
-                F.col("id") + 3_000_000 + b * 150 + n_corpus
-            ).alias("text"),
+            (F.col("id") + win + 200).alias("doc_id"),
+            _doc_text(F.col("id") + 600_000 + b * 150).alias("text"),
         )
         return dups.unionByName(fresh)
 
@@ -223,6 +229,22 @@ def gate_cadence(spark, wh, n_corpus: int, n_batches: int) -> dict:
             time.perf_counter() - t0, 2
         )
     out["probe_pairs_identical"] = n_b0 == n_b0_full
+
+    # what the r13 append-only refresh scoping SKIPS per batch: the
+    # r12 refresh called delete_keys on every changed id, and
+    # delete_keys discovers "nothing affected" by tagging EVERY index
+    # row with its file. One no-match delete_keys on this index IS
+    # that per-batch cost, measured directly.
+    t0 = time.perf_counter()
+    _v, n_del = snap.delete_keys(
+        wh, "db", "docs_idx",
+        spark.range(1).select(
+            (F.col("id") - 10).alias("doc_id")  # matches nothing
+        ),
+        "doc_id",
+    )
+    out["delete_scan_cost_s"] = round(time.perf_counter() - t0, 2)
+    out["delete_scan_rows_deleted"] = n_del
 
     walls = []
     out["batches"] = []
