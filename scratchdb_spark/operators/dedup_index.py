@@ -65,6 +65,15 @@ from .dedup import hashed_shingles, jaccard, minhash_band_hashes, widen
 _PRUNE_MAX_HASHES = 4096
 
 
+def _integral(schema, col: str) -> bool:
+    """True when ``col`` is an integral type — the gate for pruning
+    source reads with the module's LONG-cast id values (probing a
+    string column's stats with longs would wrongly skip files)."""
+    return schema[col].dataType.typeName() in (
+        "long", "integer", "short", "byte"
+    )
+
+
 def _band_rows(
     docs: DataFrame,
     text_col: str,
@@ -204,9 +213,24 @@ def refresh_dedup_index(
             wh, database, index_table, stale, "doc_id",
             summary={"operation": "dedup-refresh-delete"},
         )
-    live = snap.read_snapshot(
-        wh, database, src_table, version=cur
-    ).join(
+    # recompute source read, range-pruned by the changed-id span
+    # (r13): the semi-join below is churn-bounded in CPU but used to
+    # SCAN the whole source to find the changed docs' text. The
+    # changed ids' (min, max) is a one-row churn-sized fold, and
+    # ingest appends id-clustered files, so the pruned plan touches
+    # ~the files the window actually wrote (superset-safe without
+    # stats; integral-id gate as in query_dedup_index).
+    live_src = snap.read_snapshot(wh, database, src_table, version=cur)
+    if _integral(live_src.schema, id_col):
+        rng = changed.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        if rng["lo"] is not None:
+            live_src = snap.read_snapshot(
+                wh, database, src_table, version=cur,
+                prune=(id_col, rng["lo"], rng["hi"]),
+            )
+    live = live_src.join(
         F.broadcast(changed.withColumnRenamed("doc_id", "__ch_id")),
         F.col(id_col).cast("long") == F.col("__ch_id"),
         "left_semi",
@@ -265,13 +289,26 @@ def query_dedup_index(
     rounded to 4dp only in the output projection).
 
     Cache discipline (r10): persistence is held only across the
-    in-function band-hash collect and released before return — a
-    long-lived session issuing many probe calls accumulates no cached
-    blocks. The returned plan recomputes the probe-batch frames at
-    action time (probe-sized, cheap by contract); the corpus text is
-    joined RAW to the candidate pairs and shingled post-join, so the
-    expensive shingle kernel still runs on candidate rows only and
-    the candidate frame appears exactly once in the plan."""
+    in-function collects and released before return — a long-lived
+    session issuing many probe calls accumulates no cached blocks.
+    The returned plan recomputes the probe-batch frames at action
+    time (probe-sized, cheap by contract); the corpus text is joined
+    RAW to the candidate pairs and shingled post-join, so the
+    expensive shingle kernel still runs on candidate rows only.
+
+    Verify-side source pruning (r13): the verify join used to SCAN
+    the whole source snapshot's text to serve a candidate-bounded
+    join — candidate-bounded CPU, corpus-bounded IO, the term that
+    dominates a probe at 100 TB. The candidate corpus ids are
+    probe-bounded (collect bound: distinct candidates <= probe docs x
+    verified near-dups), so the source read now plans through
+    ``prune_eq=(id_col, candidate_ids)`` — files the ids cannot live
+    in never enter the plan when the source records id zone
+    maps/dicts (superset contract: without stats the read keeps every
+    file and is exactly the old plan). Cost: the candidate join
+    executes once inside this function (to collect the ids) and again
+    at action time — batch-and-index-pruned-sized, the right trade
+    against a corpus-sized text scan."""
     meta = _load_dedup_meta(wh, database, index_table)
     bands = meta["bands"]
     probe = new_docs.select(
@@ -304,18 +341,40 @@ def query_dedup_index(
             .filter(F.col("pid") != F.col("doc_id"))
             .select("pid", F.col("doc_id").alias("corpus_id"))
             .dropDuplicates(["pid", "corpus_id"])
-        )
+        ).persist()
+        # collect bound: distinct candidate corpus ids — probe-sized
+        # by the LSH capture argument, never corpus-sized
+        cand_ids = [
+            r["corpus_id"]
+            for r in cand.select("corpus_id").distinct().collect()
+        ]
+        if not cand_ids:
+            return probe.sparkSession.createDataFrame(
+                [],
+                "probe_id long, corpus_id long, jaccard_sim double",
+            )
         # verify ONLY candidate corpus rows: the corpus joins the
         # candidate ids BEFORE shingling — shingling is the expensive
         # per-row kernel, and without candidate-bounding the verify
         # stage re-shingles the whole corpus (measured: a 100-doc
         # probe cost 45 s at 50k docs, corpus-bounded; candidate-
-        # bounded after). Joining raw (id, text) and shingling in the
-        # post-join projection keeps that bound with ONE use of cand.
-        src_raw = snap.read_snapshot(
+        # bounded after). r13: the candidate ids also PRUNE the
+        # source scan itself (docstring — superset-safe, effective
+        # whenever the source records id stats). The probe values are
+        # LONGS (the module's id contract), so the prune only applies
+        # when the source column really is integral — probing a
+        # string column's stat dict with longs would wrongly skip.
+        src0 = snap.read_snapshot(
             wh, database, meta["src_table"],
             version=meta["src_version"],
-        ).select(
+        )
+        if _integral(src0.schema, meta["id_col"]):
+            src0 = snap.read_snapshot(
+                wh, database, meta["src_table"],
+                version=meta["src_version"],
+                prune_eq=(meta["id_col"], cand_ids),
+            )
+        src_raw = src0.select(
             F.col(meta["id_col"]).cast("long").alias("corpus_id"),
             F.col(meta["text_col"]).alias("__ctext"),
         )
@@ -339,6 +398,10 @@ def query_dedup_index(
         )
     finally:
         prows.unpersist()
+        try:
+            cand.unpersist()
+        except Exception:
+            pass
 
 
 def append_deduped(

@@ -123,7 +123,13 @@ def probe_pruning(spark, wh, n_corpus: int, n_files: int) -> dict:
         F.col("id").alias("doc_id"),
         _doc_text("id").alias("text"),
     )
-    snap.append_versioned(wh, "db", "docs", corpus)
+    # production posture: the source records doc_id zone maps, so the
+    # r13 verify-side candidate prune and the refresh-side changed-id
+    # range prune actually skip files (without stats both prunes are
+    # superset no-ops — the pre-r13 plan)
+    snap.append_versioned(
+        wh, "db", "docs", corpus, stat_cols=["doc_id"]
+    )
     t0 = time.perf_counter()
     di.build_dedup_index(
         wh, "db", "docs", "docs_idx", n_files=n_files
