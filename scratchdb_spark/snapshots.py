@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import re
+import threading
 import time
 
 from pyspark.sql import DataFrame
@@ -180,19 +181,26 @@ _CAS_ATTEMPTS = 10
 
 
 def _cas_backoff(attempt: int) -> None:
-    """Linearly growing, jittered pause before a CAS retry (r12):
-    without it every loser of a commit race re-lists and re-PUTs
-    immediately, so N racers keep colliding on the same next version
-    — observed once as a 4-thread commit storm exhausting the old
-    5-attempt budget under host load. 10-50 ms of stagger is
-    invisible next to a real commit (manifest write + listing) and
-    breaks the herd; the jitter source is control-flow-only (never
+    """Exponentially growing, jittered pause before a CAS retry
+    (r12, widened r13): without it every loser of a commit race
+    re-lists and re-PUTs immediately, so N racers keep colliding on
+    the same next version — observed once as a 4-thread commit storm
+    exhausting the old 5-attempt budget under host load. Early
+    attempts stagger 20-60 ms (invisible next to a real commit);
+    late attempts back off up to ~2 s, which is what lets a SLOW
+    writer survive a commit burst: an op whose recompute takes
+    seconds conflicts with every commit that lands inside that
+    window, and only a pause comparable to the burst gives its next
+    window a chance to close cleanly (measured in
+    mor_concurrent_churn_r13 — under a deliberately hot 4-writer +
+    compactor race, the linear 100 ms cap starved one merge past the
+    whole budget). The jitter source is control-flow-only (never
     touches data or plans), so determinism contracts are unaffected.
     """
     import random
     import time
 
-    time.sleep(random.uniform(0.005, 0.02) * min(attempt, 5))
+    time.sleep(random.uniform(0.01, 0.03) * (2 ** min(attempt, 6)))
 
 
 class CommitConflictError(RuntimeError):
@@ -232,18 +240,28 @@ def _put_manifest(
     # write-to-temp + rename: the manifest NAME only ever appears with
     # its full content, so concurrent version listers can never parse
     # a half-written commit (caught live by the CDC stream source test)
-    if overwrite:
-        hfs.put_text_atomic(wh.spark, path, body)
-    elif not hfs.create_text(wh.spark, path, body):
-        raise CommitConflictError(
-            f"snapshot v{v} of {database}.{table} was committed by a "
-            "concurrent writer"
+    #
+    # The put itself passes through the per-table commit gate
+    # (_dml_lock, r13): a millisecond hold for ordinary commits, but
+    # while an ESCALATED DML retry holds the gate across its whole
+    # attempt, no other in-process commit can land inside its
+    # listing->recompute->put window — the progress guarantee pure
+    # OCC lacks when recomputes take seconds (re-entrant, so the
+    # holder's own put passes; cross-process racers still hit the
+    # create-if-absent CAS below).
+    with _dml_lock(wh._path(database, table)):
+        if overwrite:
+            hfs.put_text_atomic(wh.spark, path, body)
+        elif not hfs.create_text(wh.spark, path, body):
+            raise CommitConflictError(
+                f"snapshot v{v} of {database}.{table} was committed "
+                "by a concurrent writer"
+            )
+        hfs.write_text(
+            wh.spark,
+            _watermark_path(wh, database, table),
+            json.dumps({"last": v}),
         )
-    hfs.write_text(
-        wh.spark,
-        _watermark_path(wh, database, table),
-        json.dumps({"last": v}),
-    )
 
 
 #: max distinct values recorded per (file, column) dictionary; above
@@ -3396,11 +3414,48 @@ def overwrite_versioned(
             wh, database, table, batch,
             stat_cols=stat_cols, summary=summary, cdc=cdc,
             bloom_cols=bloom_cols,
-        )
+        ),
+        lock_key=wh._path(database, table),
     )
 
 
-def _retry_dml(attempt, attempts: int = _CAS_ATTEMPTS):
+#: per-table in-process DML retry locks (keyed by table path). OCC
+#: with full-recompute retries has no PROGRESS guarantee when the
+#: recompute window is long: an op whose tag/rewrite takes seconds
+#: conflicts with EVERY commit landing inside that window, and under
+#: sustained same-driver concurrency (N writer threads + a compaction
+#: cadence) one writer can starve past any finite budget — measured
+#: in mor_concurrent_churn_r13 before this. Retries therefore
+#: ESCALATE to a per-table lock: first attempts stay lock-free (zero
+#: cost in the uncontended case), retrying writers serialize with
+#: each other, so each converges instead of re-racing. The lock is
+#: in-PROCESS only — exactly the scope a Spark driver owns; CROSS-
+#: process racers still serialize through the manifest CAS, same as
+#: before (the posture of Delta's log-store mutual exclusion +
+#: commit retries, public design).
+_DML_LOCKS: dict[str, threading.RLock] = {}
+_DML_LOCKS_GUARD = threading.Lock()
+
+
+def _dml_lock(key: str) -> threading.RLock:
+    """Per-table RE-ENTRANT commit gate. Held two ways: transiently
+    by every manifest PUT (_put_manifest), and across a WHOLE retry
+    attempt by an escalated DML (_retry_dml) — re-entrancy lets the
+    holder's own PUT pass. While an escalated retry holds the gate
+    no other in-process commit can LAND, so the holder's
+    listing->recompute->put window closes cleanly and it commits on
+    that attempt; everyone queued behind it proceeds (and at worst
+    conflicts once, joining the queue as the next escalated
+    retrier). In-process scope only — the Spark driver owns its
+    writer threads; cross-process racers serialize through the
+    manifest CAS exactly as before."""
+    with _DML_LOCKS_GUARD:
+        return _DML_LOCKS.setdefault(key, threading.RLock())
+
+
+def _retry_dml(
+    attempt, attempts: int = _CAS_ATTEMPTS, lock_key: str | None = None
+):
     """Serializable-after-the-winner retry for copy-on-write DML (new
     r8): a CommitConflictError means a concurrent writer (typically
     the ingest stream's per-batch commit) took this commit's version
@@ -3411,12 +3466,23 @@ def _retry_dml(attempt, attempts: int = _CAS_ATTEMPTS):
     unreferenced debris inside maintain_table's reclaim grace window,
     same as any CAS loser. ``_CAS_ATTEMPTS`` (10) consecutive
     conflicts — each retried after ``_cas_backoff``'s jittered,
-    exponentially-capped sleep (r12) — surface the last error to the
-    caller as a genuine commit storm."""
+    exponentially-growing sleep (r12/r13) — surface the last error
+    to the caller as a genuine commit storm. With ``lock_key`` (every
+    DML passes its table path), RETRY attempts additionally serialize
+    through the per-table in-process lock (_DML_LOCKS above) so
+    same-driver contenders converge instead of livelocking; the
+    first attempt never takes the lock."""
     last: CommitConflictError | None = None
     for _attempt in range(attempts):
         if _attempt:
             _cas_backoff(_attempt)
+        if lock_key is not None and _attempt:
+            with _dml_lock(lock_key):
+                try:
+                    return attempt()
+                except CommitConflictError as e:
+                    last = e
+                    continue
         try:
             return attempt()
         except CommitConflictError as e:
@@ -3440,7 +3506,8 @@ def delete_where(
     return _retry_dml(
         lambda: _delete_where_once(
             wh, database, table, predicate, summary=summary
-        )
+        ),
+        lock_key=wh._path(database, table),
     )
 
 
@@ -3460,7 +3527,8 @@ def delete_keys(
     return _retry_dml(
         lambda: _delete_keys_once(
             wh, database, table, keys, key_col, summary=summary
-        )
+        ),
+        lock_key=wh._path(database, table),
     )
 
 
@@ -3611,7 +3679,8 @@ def update_where(
     return _retry_dml(
         lambda: _update_where_once(
             wh, database, table, predicate, set_exprs, summary=summary
-        )
+        ),
+        lock_key=wh._path(database, table),
     )
 
 
@@ -3743,7 +3812,8 @@ def update_where_mor(
     return _retry_dml(
         lambda: _update_where_mor_once(
             wh, database, table, predicate, set_exprs, summary=summary
-        )
+        ),
+        lock_key=wh._path(database, table),
     )
 
 
@@ -3896,7 +3966,8 @@ def delete_where_mor(
     return _retry_dml(
         lambda: _delete_where_mor_once(
             wh, database, table, predicate, summary=summary
-        )
+        ),
+        lock_key=wh._path(database, table),
     )
 
 
@@ -4046,7 +4117,8 @@ def apply_deletion_vectors(
     return _retry_dml(
         lambda: _apply_deletion_vectors_once(
             wh, database, table, summary=summary
-        )
+        ),
+        lock_key=wh._path(database, table),
     )
 
 
@@ -4066,7 +4138,8 @@ def merge_upsert(
     return _retry_dml(
         lambda: _merge_upsert_once(
             wh, database, table, updates, key_col, summary=summary
-        )
+        ),
+        lock_key=wh._path(database, table),
     )
 
 
@@ -4204,7 +4277,8 @@ def merge_upsert_mor(
     return _retry_dml(
         lambda: _merge_upsert_mor_once(
             wh, database, table, updates, key_col, summary=summary
-        )
+        ),
+        lock_key=wh._path(database, table),
     )
 
 

@@ -3660,3 +3660,57 @@ def test_file_stats_arrow_tolerates_missing_stat_column(
     assert legacy["s"] == [None, None]
     assert legacy["s__nulls"] == 2
     assert legacy["s__dict"] == []
+
+
+def test_retry_dml_escalates_retries_to_table_lock(monkeypatch):
+    """r13 commit-queue escalation: the FIRST attempt of a DML runs
+    lock-free; every retry serializes through the per-table in-process
+    lock, so same-driver contenders converge instead of re-racing
+    (pure OCC with multi-second recompute windows has no progress
+    guarantee — one writer starved past the whole budget in the
+    mor_concurrent_churn rehearsal before this). Cross-process racers
+    still serialize through the manifest CAS."""
+    from scratchdb_spark import snapshots as snap
+
+    import threading
+
+    class SpyLock:
+        def __init__(self):
+            self._inner = threading.RLock()
+            self.depth = 0
+
+        def __enter__(self):
+            self._inner.acquire()
+            self.depth += 1
+            return self
+
+        def __exit__(self, *exc):
+            self.depth -= 1
+            self._inner.release()
+
+    spy = SpyLock()
+    monkeypatch.setattr(snap, "_dml_lock", lambda key: spy)
+    calls = []
+
+    def attempt():
+        calls.append(spy.depth > 0)
+        if len(calls) < 3:
+            raise snap.CommitConflictError("synthetic")
+        return 42
+
+    monkeypatch.setattr(snap, "_cas_backoff", lambda a: None)
+    assert (
+        snap._retry_dml(attempt, lock_key="k-escalation-test") == 42
+    )
+    assert calls == [False, True, True]
+
+    # budget exhaustion still surfaces the last conflict
+    def always(_n=[0]):
+        raise snap.CommitConflictError("storm")
+
+    import pytest as _pytest
+
+    with _pytest.raises(snap.CommitConflictError):
+        snap._retry_dml(
+            always, attempts=3, lock_key="k-escalation-test"
+        )

@@ -52,7 +52,13 @@ def main() -> int:
     small = "--small" in sys.argv
     cycles = 4 if small else 12
     n_rows = N_THREADS * RANGE
-    n_files = 24 if small else 96
+    # base files must sit ABOVE the compaction threshold (300 KB) or
+    # the cadence bin-packs the whole base layout and erases the
+    # file-scoped story (the mor_churn r12 lesson; the first full run
+    # here ended at live_files=1 with 96 ~210 KB base files): 400k
+    # rows over 16/24 files ≈ 0.7-1.1 MB per file, while DML
+    # postimage/dv debris stays well under the threshold
+    n_files = 16 if small else 24
     spark = get_spark(
         "mor-concurrent-churn",
         **{"spark.sql.shuffle.partitions": "16"},
@@ -135,8 +141,14 @@ def main() -> int:
     maint: list[dict] = []
 
     def compactor() -> None:
+        # cadence: frequent enough to genuinely race the DML threads
+        # several times per run, not a per-second commit firehose (a
+        # 1 s cadence manufactured a livelock no deployment runs:
+        # every multi-second DML recompute window overlapped a
+        # packing commit, and one merge starved past the whole retry
+        # budget — kept as the honest PERF.md negative)
         while not done.is_set():
-            time.sleep(1.0 if small else 1.5)
+            time.sleep(5.0 if small else 8.0)
             t0 = time.perf_counter()
             try:
                 snap.compact_small_files(
@@ -145,6 +157,10 @@ def main() -> int:
                     auto_fold_dvs=True,
                 )
                 err = None
+            except snap.CommitConflictError:
+                # expected under the race: compaction is a cadence
+                # job — a lost CAS just means it re-runs next tick
+                err = "conflict"
             except Exception as e:  # noqa: BLE001
                 err = f"{type(e).__name__}: {e}"
             m = snap._manifest(
@@ -269,8 +285,13 @@ def main() -> int:
         "rows_expected": n_expected,
         "cdc": cdc,
         "compactions": len(maint),
+        "compaction_conflicts": sum(
+            1 for m in maint if m["error"] == "conflict"
+        ),
         "compaction_errors": [
-            m["error"] for m in maint if m["error"]
+            m["error"]
+            for m in maint
+            if m["error"] and m["error"] != "conflict"
         ],
         "live_files_max": max(
             (m["live_files"] for m in maint), default=None
