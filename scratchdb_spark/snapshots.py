@@ -4410,6 +4410,35 @@ def compact_small_files(
     sort_col: str | None = "__row_id",
     auto_fold_dvs: bool = True,
 ) -> dict:
+    """Incremental bin-pack compaction — see _compact_small_files_once
+    for the full semantics. Conflict-retries with full recompute
+    (_retry_dml + the per-table commit gate, r13): a cadence job used
+    to surface its lost CAS to the caller and skip the tick, which
+    under saturated DML meant compaction lost MOST races and the
+    small-file backlog grew (measured in mor_concurrent_churn_r13's
+    first runs — 6 of 7 cadences lost); retried through the gate it
+    lands like any other writer."""
+    return _retry_dml(
+        lambda: _compact_small_files_once(
+            wh, database, table,
+            small_file_bytes=small_file_bytes,
+            target_file_bytes=target_file_bytes,
+            sort_col=sort_col,
+            auto_fold_dvs=auto_fold_dvs,
+        ),
+        lock_key=wh._path(database, table),
+    )
+
+
+def _compact_small_files_once(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int | None = None,
+    sort_col: str | None = "__row_id",
+    auto_fold_dvs: bool = True,
+) -> dict:
     """Incremental bin-pack compaction as an ORDINARY copy-on-write
     commit (Iceberg's rewrite_data_files binpack strategy, public
     design): only live files smaller than ``small_file_bytes``
@@ -4437,8 +4466,9 @@ def compact_small_files(
     reserve maintain_table (full rewrite + retention truncation +
     physical reclaim) for the retention boundary. Replaced files stay
     on disk as the older versions' audit trail (retired set blocks
-    re-adoption); maintain_table later reclaims them. A concurrent
-    commit surfaces as CommitConflictError — re-run, like COW DML.
+    re-adoption); maintain_table later reclaims them. Concurrent
+    commits retry with full recompute via the public wrapper
+    (compact_small_files), same as COW DML.
     Returns {version, files_rewritten, files_after, bytes_rewritten}.
     """
     from .operators.compaction import (
