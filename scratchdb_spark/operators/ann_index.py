@@ -419,6 +419,36 @@ def query_ann_index(
         index, probes, qids, tables, int(meta["m"]),
         k * overfetch, wh.spark, exclude_self=exclude_self,
         per_cell=adaptive_overfetch,
-    )
-    src = snap.read_snapshot(wh, database, meta["src_table"])
-    return _exact_refine(cand_ids, src, queries, k, id_col, vec_col)
+    ).persist()
+    try:
+        # r13: the exact-refine join is candidate-bounded in CPU but
+        # used to SCAN the whole source's (wide) embedding column to
+        # serve it — the same corpus-IO term closed in
+        # dedup_index.query_dedup_index this round. The candidate id
+        # set is probe-bounded (collect bound: <= queries x probed
+        # cells x k x overfetch), so it prunes the source read;
+        # superset-safe without id stats, integral-gated like every
+        # long-cast probe (snapshots.integral_col).
+        nids = [
+            r["neighbor_id"]
+            for r in cand_ids.select("neighbor_id")
+            .distinct()
+            .collect()
+        ]
+        if not nids:
+            return wh.spark.createDataFrame(
+                [],
+                "query_id long, neighbor_id long, "
+                "cos_sim double, rank integer",
+            )
+        src = snap.read_snapshot(wh, database, meta["src_table"])
+        if snap.integral_col(src.schema, id_col):
+            src = snap.read_snapshot(
+                wh, database, meta["src_table"],
+                prune_eq=(id_col, nids),
+            )
+        return _exact_refine(
+            cand_ids, src, queries, k, id_col, vec_col
+        )
+    finally:
+        cand_ids.unpersist()

@@ -65,13 +65,9 @@ from .dedup import hashed_shingles, jaccard, minhash_band_hashes, widen
 _PRUNE_MAX_HASHES = 4096
 
 
-def _integral(schema, col: str) -> bool:
-    """True when ``col`` is an integral type — the gate for pruning
-    source reads with the module's LONG-cast id values (probing a
-    string column's stats with longs would wrongly skip files)."""
-    return schema[col].dataType.typeName() in (
-        "long", "integer", "short", "byte"
-    )
+#: prune-type-safety gate shared with the ANN index (r13) — see
+#: snapshots.integral_col
+_integral = snap.integral_col
 
 
 def _band_rows(

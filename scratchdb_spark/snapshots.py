@@ -162,6 +162,18 @@ def _next_version(
     return hi + 1
 
 
+def integral_col(schema, col: str) -> bool:
+    """True when ``col`` is an integral type — the safety gate for
+    pruning a read with LONG-cast key values (probing a string
+    column's stat dict with longs would wrongly skip files; the
+    superset contract only holds when probe and stat types compare
+    like-for-like). Shared by the dedup/ANN index probe paths (r13).
+    """
+    return schema[col].dataType.typeName() in (
+        "long", "integer", "short", "byte"
+    )
+
+
 class ConstraintViolationError(ValueError):
     """A batch violated a table constraint whose on_violation mode is
     'fail' — nothing was written (the check runs BEFORE any data
