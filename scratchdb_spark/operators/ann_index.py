@@ -280,17 +280,22 @@ def refresh_ann_index(
         return {"n_deleted": 0, "n_upserted": 0, "src_version": cur}
     ch = snap.read_changes(wh, database, src_table, old, cur)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    # NET per-id effect over the window: an id present among inserts
-    # is live at ``cur`` (read_changes cancels unchanged rows, and a
-    # delete+reinsert nets to its final state); an id appearing ONLY
-    # as a delete is gone
+    # NET per-id effect over the window (read_changes cancels
+    # unchanged rows; an UPDATE is its delete preimage + insert
+    # postimage). r13 decomposition — mirror of the dedup refresh:
+    # every id with a DELETE preimage drops its old index rows
+    # (keys-frame COW delete), every insert-side id re-encodes and
+    # APPENDS. Source ids are unique (the index key is the id), so an
+    # insert without a delete preimage is NEW to the index and a
+    # plain append is exact — the old merge_upsert path paid a full
+    # index tag scan to discover that, and delete_keys ran
+    # unconditionally (another full tag scan on append-only windows,
+    # the shape every streaming refresh cadence produces).
     ins = ch.filter(F.col("_change_type") == "insert")
-    dels = (
+    stale = (
         ch.filter(F.col("_change_type") == "delete")
         .select(F.col(id_col).cast("long").alias("__row_id"))
-        .subtract(
-            ins.select(F.col(id_col).cast("long").alias("__row_id"))
-        )
+        .distinct()
     )
     new_meta = {
         k: (v.tolist() if isinstance(v, np.ndarray) else v)
@@ -299,21 +304,23 @@ def refresh_ann_index(
     }
     new_meta["src_version"] = cur
     meta_name = _put_meta(wh, database, index_table, new_meta)
-    _v, n_deleted = snap.delete_keys(
-        wh, database, index_table, dels, "__row_id",
-        summary={"operation": "ann-refresh-delete"},
-    )
+    n_deleted = 0
+    if stale.limit(1).count():  # churn-sized probe, not an index scan
+        _v, n_deleted = snap.delete_keys(
+            wh, database, index_table, stale, "__row_id",
+            summary={"operation": "ann-refresh-delete"},
+        )
     upserts = _assign_encode_df(
         ins, meta["books"], meta["cent_ids"], meta["centroids"],
         id_col, vec_col,
     ).withColumnRenamed("vec_id", "__row_id")
     n_upserted = 0
     if upserts.limit(1).count():
-        _v, n_up, n_in = snap.merge_upsert(
-            wh, database, index_table, upserts, "__row_id",
-            summary={"operation": "ann-refresh-merge"},
+        snap.append_versioned(
+            wh, database, index_table, upserts,
+            summary={"operation": "ann-refresh-append"},
         )
-        n_upserted = n_up + n_in
+        n_upserted = upserts.count()
     # stamp LAST: the pointer to the advanced-src_version sidecar
     # becomes visible only after every DML above landed
     snap.commit_snapshot(

@@ -2129,10 +2129,13 @@ def test_ann_index_refresh_crash_before_stamp_replays_idempotently(
 
     orig = snap.commit_snapshot
 
-    def crashing_stamp(wh_, db_, t_, stat_cols=None, summary=None):
+    def crashing_stamp(wh_, db_, t_, *a, summary=None, **k):
+        # the refresh's APPEND commit also routes through
+        # commit_snapshot since the r13 decomposition — only the
+        # terminal ann-refresh STAMP is the injected crash point
         if summary and summary.get("operation") == "ann-refresh":
             raise RuntimeError("injected crash before sidecar stamp")
-        return orig(wh_, db_, t_, stat_cols=stat_cols, summary=summary)
+        return orig(wh_, db_, t_, *a, summary=summary, **k)
 
     monkeypatch.setattr(snap, "commit_snapshot", crashing_stamp)
     import pytest as _pytest
