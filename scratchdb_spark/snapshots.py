@@ -1566,7 +1566,7 @@ def commit_snapshot(
         except CommitConflictError as e:
             last_err = e
             continue
-    raise last_err  # type: ignore[misc]  # 5 consecutive conflicts
+    raise last_err  # type: ignore[misc]  # _CAS_ATTEMPTS consecutive conflicts
 
 
 def append_versioned(
