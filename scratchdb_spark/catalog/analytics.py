@@ -1413,9 +1413,11 @@ def ann_ivfpq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(snapshots.read_changes): net-deleted ids leave via a "
         "KEYS-FRAME COW delete (anti-join, never a driver IN-list "
         "literal), inserted ids re-encode under the frozen "
-        "quantizers and MERGE on the id — churn-proportional, never "
-        "a corpus re-encode; the advanced-src_version sidecar stamps "
-        "LAST (crash-safe replay). The query plans ONLY probed cells "
+        "quantizers and land via an exactly-once txn append with "
+        "the advanced-src_version sidecar stamped ON that commit — "
+        "churn-proportional, never a corpus re-encode, and a crash "
+        "anywhere replays the window exactly once (r13). The query "
+        "plans ONLY probed cells "
         "via IN-list manifest pruning (prune_eq cid), ADC-scores the "
         "surviving files' rows, and exact-refines against the "
         "source's current snapshot. Deleted neighbors vanish from "

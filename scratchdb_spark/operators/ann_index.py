@@ -255,17 +255,22 @@ def refresh_ann_index(
       quantizers (one fused pass over only those rows) and MERGEd on
       the id (merge_upsert: update-in-place semantics).
 
-    Commit protocol (crash-safe, stamp-last): a new sidecar (same
-    frozen quantizers, advanced src_version) is written first —
-    unreferenced, hence invisible; the DML commits land; a final
-    metadata-only commit stamps the sidecar pointer. A crash anywhere
-    before the stamp leaves the recorded src_version at the OLD
-    value, and the next refresh replays the same window — the delete
-    is idempotent (already-absent ids affect no files) and the MERGE
-    is idempotent (same keys, same frozen-quantizer codes). A reader
-    between the DML commits and the stamp sees consistent quantizers
-    (refresh never changes them) and at worst misses the newest
-    upserts — eventual freshness, never wrong scores.
+    Commit protocol (crash-safe, stamp-with-final-DML): a new sidecar
+    (same frozen quantizers, advanced src_version) is written first —
+    unreferenced, hence invisible; the scoped delete commits; the
+    append commits WITH the sidecar stamp in the same atomic manifest
+    PUT, under an exactly-once txn watermark (append_versioned
+    ``txn=``). A crash before the append leaves the recorded
+    src_version at the OLD value and the replay re-applies the window
+    exactly once: the delete is idempotent (already-absent ids affect
+    no files) and the append either never landed (re-lands) or landed
+    invisibly as txnappend- orphans that no listing-based commit
+    adopts. There is no state in which appended rows are visible but
+    the window is unrecorded — the shape that made a replay
+    double-append under the first r13 cut of this decomposition. A
+    reader between the delete and the append sees consistent
+    quantizers (refresh never changes them) and at worst misses the
+    newest upserts — eventual freshness, never wrong scores.
 
     Returns {n_deleted, n_upserted, src_version}. No-op (and no new
     index version) when the source hasn't moved. Quantizers are never
@@ -315,22 +320,36 @@ def refresh_ann_index(
         id_col, vec_col,
     ).withColumnRenamed("vec_id", "__row_id")
     n_upserted = 0
+    # stamp rides the FINAL commit atomically. The r13 decomposition's
+    # first cut stamped in a separate trailing commit, which opened a
+    # real crash window: append landed, stamp didn't -> the replay
+    # re-read the same CDC window and APPENDED the insert-side rows a
+    # second time (a merge is replay-idempotent; a plain append is
+    # not — caught by a count-vs-distinct probe this round). Folding
+    # the stamp into the append commit closes the window, and the
+    # txn= form (exactly-once watermark + txnappend- file prefix)
+    # covers the remaining crack: a crash BETWEEN file landing and
+    # the manifest PUT leaves orphans a listing-based commit would
+    # adopt — txn files are committed by explicit name only, so the
+    # replay re-lands and the orphans stay invisible maintenance
+    # debris. Source versions are monotone and refresh is the single
+    # sequential maintenance writer per index, the txn contract.
+    stamp = {"ann_meta_file": meta_name, "src_version": cur}
     if upserts.limit(1).count():
+        n_upserted = upserts.count()
         snap.append_versioned(
             wh, database, index_table, upserts,
-            summary={"operation": "ann-refresh-append"},
+            summary={"operation": "ann-refresh", **stamp},
+            txn=(f"ann-refresh:{database}.{index_table}", cur),
         )
-        n_upserted = upserts.count()
-    # stamp LAST: the pointer to the advanced-src_version sidecar
-    # becomes visible only after every DML above landed
-    snap.commit_snapshot(
-        wh, database, index_table,
-        summary={
-            "operation": "ann-refresh",
-            "ann_meta_file": meta_name,
-            "src_version": cur,
-        },
-    )
+    else:
+        # delete-only (or net-empty) window: nothing to append, so
+        # the stamp is its own metadata commit — the replay of a
+        # crash here is a no-op delete + re-stamp, idempotent
+        snap.commit_snapshot(
+            wh, database, index_table,
+            summary={"operation": "ann-refresh", **stamp},
+        )
     return {
         "n_deleted": n_deleted,
         "n_upserted": n_upserted,

@@ -170,8 +170,12 @@ def refresh_dedup_index(
     never an IN-list) and the live changed ids' rows recomputed from
     their CURRENT text and appended. Band rows are a pure function of
     text, so the result is byte-equal to a rebuild (pytest-pinned);
-    the advanced src_version stamps LAST, so a crash mid-refresh
-    replays the same window idempotently.
+    the advanced src_version stamps ON the append commit itself (an
+    exactly-once ``txn=`` append — see refresh_ann_index's commit
+    protocol, the same r13 fix), so a crash mid-refresh replays the
+    same window exactly once: appended-but-unrecorded is not a
+    reachable state, and pre-append crashes replay a no-op delete
+    plus the append.
 
     APPEND-ONLY fast path (r13): only ids with DELETE preimages in
     the CDC window can have old band rows to remove — an id whose
@@ -236,19 +240,30 @@ def refresh_dedup_index(
         meta["num_hashes"], meta["bands"],
     )
     n_inserted = 0
+    # stamp rides the FINAL commit atomically (mirror of
+    # ann_index.refresh_ann_index, same r13 fix): a separate trailing
+    # stamp commit opened a crash window where the append was visible
+    # but the window unrecorded, so the replay appended the fresh
+    # band rows a SECOND time — exactly on append-only gate-cadence
+    # windows, where nothing ever deletes the duplicates. The txn=
+    # form additionally keeps a crash between file landing and the
+    # manifest PUT safe: txnappend- orphans are never adopted by a
+    # listing-based commit, and the watermark makes an exact replay
+    # zero-write. Refresh is the single sequential maintenance writer
+    # per index and source versions are monotone — the txn contract.
+    stamp = {"dedup_meta": {**meta, "src_version": cur}}
     if fresh.limit(1).count():
+        n_inserted = fresh.count()
         snap.append_versioned(
             wh, database, index_table, fresh,
-            summary={"operation": "dedup-refresh-append"},
+            summary={"operation": "dedup-refresh", **stamp},
+            txn=(f"dedup-refresh:{database}.{index_table}", cur),
         )
-        n_inserted = fresh.count()
-    snap.commit_snapshot(
-        wh, database, index_table,
-        summary={
-            "operation": "dedup-refresh",
-            "dedup_meta": {**meta, "src_version": cur},
-        },
-    )
+    else:
+        snap.commit_snapshot(
+            wh, database, index_table,
+            summary={"operation": "dedup-refresh", **stamp},
+        )
     return {
         "n_deleted": n_deleted,
         "n_inserted": n_inserted,

@@ -2094,17 +2094,19 @@ def test_ivfpq_recall_floor_at_nprobe4(spark, sf_dir):
     assert idx == mem
 
 
-def test_ann_index_refresh_crash_before_stamp_replays_idempotently(
+def test_ann_index_refresh_crash_replays_exactly_once(
     spark, sf_dir, tmp_path, monkeypatch
 ):
-    """refresh_ann_index's stamp-last protocol (module docstring): a
-    crash AFTER the DML commits but BEFORE the sidecar stamp leaves
-    the recorded src_version at the old value; the next refresh
-    replays the same CDC window, and because the keys-frame delete
-    and frozen-codebook MERGE are idempotent, the index converges to
-    exactly the frozen-quantizer re-encode of the source — no
-    double-apply, no loss. Crash injected by failing the first
-    stamp commit."""
+    """refresh_ann_index's stamp-with-final-DML protocol (module
+    docstring) at its two reachable crash points, each followed by a
+    replay that must converge to EXACTLY the frozen-quantizer
+    re-encode of the source — as a MULTISET, not a set: the first r13
+    cut of the delete+append decomposition passed a set-equality
+    check while a replay double-appended every pure-insert row
+    (merge was replay-idempotent, plain append was not). Point A:
+    crash before the append commit (delete landed). Point B: crash
+    INSIDE the append's manifest PUT — txnappend- files landed but
+    uncommitted, and the replay must not adopt the orphans."""
     from pyspark.sql import functions as F
 
     from scratchdb_spark import snapshots as snap
@@ -2116,8 +2118,28 @@ def test_ann_index_refresh_crash_before_stamp_replays_idempotently(
     emb = table(spark, sf_dir, "embeddings")
     snap.append_versioned(wh, "db", "emb", emb)
     ai.build_ann_index(wh, "db", "emb", "emb_idx")
-    meta0 = ai._load_meta(wh, "db", "emb_idx")
+    import pytest as _pytest
 
+    def assert_converged():
+        meta = ai._load_meta(wh, "db", "emb_idx")
+        want = sorted(
+            (r["vec_id"], r["cid"], tuple(r["code"]))
+            for r in _assign_encode_df(
+                snap.read_snapshot(wh, "db", "emb"),
+                meta["books"], meta["cent_ids"], meta["centroids"],
+                "vec_id", "embedding",
+            ).collect()
+        )
+        got = sorted(
+            (r["__row_id"], r["cid"], tuple(r["code"]))
+            for r in snap.read_snapshot(wh, "db", "emb_idx").collect()
+        )
+        # sorted-list equality: duplicates fail loudly where a set
+        # comparison silently collapses them
+        assert got == want
+
+    # ---- point A: crash after the scoped delete, before the append
+    meta0 = ai._load_meta(wh, "db", "emb_idx")
     snap.delete_where(wh, "db", "emb", F.col("vec_id") % 7 == 3)
     snap.append_versioned(
         wh, "db", "emb",
@@ -2126,48 +2148,132 @@ def test_ann_index_refresh_crash_before_stamp_replays_idempotently(
             "embedding", "label",
         ),
     )
+    orig_append = snap.append_versioned
 
-    orig = snap.commit_snapshot
+    def crashing_append(wh_, db_, t_, *a, **k):
+        if t_ == "emb_idx":
+            raise RuntimeError("injected crash before append")
+        return orig_append(wh_, db_, t_, *a, **k)
 
-    def crashing_stamp(wh_, db_, t_, *a, summary=None, **k):
-        # the refresh's APPEND commit also routes through
-        # commit_snapshot since the r13 decomposition — only the
-        # terminal ann-refresh STAMP is the injected crash point
-        if summary and summary.get("operation") == "ann-refresh":
-            raise RuntimeError("injected crash before sidecar stamp")
-        return orig(wh_, db_, t_, *a, summary=summary, **k)
-
-    monkeypatch.setattr(snap, "commit_snapshot", crashing_stamp)
-    import pytest as _pytest
-
+    monkeypatch.setattr(snap, "append_versioned", crashing_append)
     with _pytest.raises(RuntimeError, match="injected crash"):
         ai.refresh_ann_index(wh, "db", "emb_idx")
-    monkeypatch.setattr(snap, "commit_snapshot", orig)
-
-    # crash window: DML landed, stamp didn't -> recorded src_version
-    # must still be the OLD one (that is what makes replay possible)
+    monkeypatch.setattr(snap, "append_versioned", orig_append)
+    # nothing stamped -> the recorded window is still the old one
     assert (
         ai._load_meta(wh, "db", "emb_idx")["src_version"]
         == meta0["src_version"]
     )
-
-    # the replay refresh re-applies the SAME window on top of the
-    # half-applied state and must converge exactly
     st = ai.refresh_ann_index(wh, "db", "emb_idx")
     assert st["src_version"] > meta0["src_version"]
-    meta = ai._load_meta(wh, "db", "emb_idx")
-    want = {
-        (r["vec_id"], r["cid"], tuple(r["code"]))
-        for r in _assign_encode_df(
-            snap.read_snapshot(wh, "db", "emb"),
-            meta["books"], meta["cent_ids"], meta["centroids"],
-            "vec_id", "embedding",
-        ).collect()
-    }
-    got = {
-        (r["__row_id"], r["cid"], tuple(r["code"]))
-        for r in snap.read_snapshot(wh, "db", "emb_idx").collect()
-    }
+    assert_converged()
+
+    # ---- point B: crash inside the append commit's manifest PUT —
+    # data files landed under the txnappend- prefix, nothing visible
+    meta1 = ai._load_meta(wh, "db", "emb_idx")
+    snap.append_versioned(
+        wh, "db", "emb",
+        emb.filter(F.col("vec_id") % 13 == 2).select(
+            (F.col("vec_id") + 2_000_000).alias("vec_id"),
+            "embedding", "label",
+        ),
+    )
+    orig_put = snap._put_manifest
+    app = "ann-refresh:db.emb_idx"
+
+    def crashing_put(wh_, db_, t_, manifest, *a, **k):
+        if t_ == "emb_idx" and (
+            manifest.get("summary", {}).get("operation") == "ann-refresh"
+            and app in manifest.get("txns", {})
+        ):
+            raise RuntimeError("injected crash in append PUT")
+        return orig_put(wh_, db_, t_, manifest, *a, **k)
+
+    monkeypatch.setattr(snap, "_put_manifest", crashing_put)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ai.refresh_ann_index(wh, "db", "emb_idx")
+    monkeypatch.setattr(snap, "_put_manifest", orig_put)
+    assert (
+        ai._load_meta(wh, "db", "emb_idx")["src_version"]
+        == meta1["src_version"]
+    )
+    st = ai.refresh_ann_index(wh, "db", "emb_idx")
+    assert st["src_version"] > meta1["src_version"]
+    # the orphaned first-landing files must never be adopted — the
+    # multiset check fails on any double-adoption
+    assert_converged()
+
+
+def test_dedup_index_refresh_crash_replays_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """refresh_dedup_index twin of the ANN crash-replay pin, on the
+    append-only window shape the gate cadence produces (nothing ever
+    deletes a duplicated band row there, so a double-append would be
+    permanent): crash inside the txn append's manifest PUT, replay,
+    and require the index to equal a from-scratch rebuild as a
+    MULTISET."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import dedup_index as di
+    from scratchdb_spark.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta token "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    snap.append_versioned(wh, "db", "docs", docs, stat_cols=["doc_id"])
+    di.build_dedup_index(wh, "db", "docs", "docs_idx")
+    meta0 = di._load_dedup_meta(wh, "db", "docs_idx")
+
+    # append-only churn: brand-new ids, zero delete preimages
+    snap.append_versioned(
+        wh, "db", "docs",
+        spark.range(60, 75).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("eta theta iota kappa lambda mu token "),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        ),
+    )
+
+    import pytest as _pytest
+
+    orig_put = snap._put_manifest
+    app = "dedup-refresh:db.docs_idx"
+
+    def crashing_put(wh_, db_, t_, manifest, *a, **k):
+        if t_ == "docs_idx" and app in manifest.get("txns", {}):
+            raise RuntimeError("injected crash in append PUT")
+        return orig_put(wh_, db_, t_, manifest, *a, **k)
+
+    monkeypatch.setattr(snap, "_put_manifest", crashing_put)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        di.refresh_dedup_index(wh, "db", "docs_idx")
+    monkeypatch.setattr(snap, "_put_manifest", orig_put)
+    assert (
+        di._load_dedup_meta(wh, "db", "docs_idx")["src_version"]
+        == meta0["src_version"]
+    )
+
+    st = di.refresh_dedup_index(wh, "db", "docs_idx")
+    assert st["src_version"] > meta0["src_version"]
+
+    di.build_dedup_index(wh, "db", "docs", "docs_idx2")
+    want = sorted(
+        tuple(r) for r in
+        snap.read_snapshot(wh, "db", "docs_idx2").collect()
+    )
+    got = sorted(
+        tuple(r) for r in
+        snap.read_snapshot(wh, "db", "docs_idx").collect()
+    )
     assert got == want
 
 
