@@ -2031,75 +2031,102 @@ def _spearman_from_rows(rows: DataFrame) -> DataFrame:
     — the engine behind agg_spearman_rank_corr, factored out so the
     duplicate-heavy strategy pytest can drive its own fixtures.
 
-    Duplicate PRE-AGGREGATION (r13, verdict item 3): identical (x, y)
-    rows collapse to one row with a BIGINT count weight BEFORE any
-    rank join — that one map-side-combining groupBy (a) shrinks the
-    rank-join input from N rows to distinct-(x, y) pairs, and (b)
-    DELETES salted_join's documented degeneracy: its whole-row salt
-    could never spread fully-duplicate rows (they hash identically by
-    construction), but the weighted frame is distinct on (x, y), so
-    every row is distinguishable and a hot VALUE's rows — now one row
-    per distinct partner value — always spread. The moment sums
-    become weight-multiplied (n = sum w, Sa = sum w*ra, Saa = sum
-    w*ra^2, Sab = sum w*ra*rb, ...), exact in DECIMAL(38,0): w <= N
-    and doubled ranks <= 2N+1, so each term is <= 4N^3 < 1e38 out to
-    N ~ 1e12 rows — the same exactness horizon as the unweighted r11
-    sums."""
+    Duplicate PRE-AGGREGATION, CONDITIONAL (r13, made conditional r14
+    — the r13 verdict's one measured plan regression): identical
+    (x, y) rows can collapse to one row with a BIGINT count weight
+    BEFORE any rank join, which (a) shrinks the rank-join input from
+    N rows to distinct-(x, y) pairs and (b) DELETES salted_join's
+    documented degeneracy: its whole-row salt could never spread
+    fully-duplicate rows (they hash identically by construction), but
+    the weighted frame is distinct on (x, y), so every row is
+    distinguishable and a hot VALUE's rows always spread. That
+    protection only matters when a rank join actually SALTS — and
+    pass 1 of the running sums already PROVES both rank frames' exact
+    cardinalities (diag n_frame_rows, no extra scan). When both fit
+    the broadcast budget (_RANK_BROADCAST_ROWS), the joins broadcast,
+    raw rows never shuffle, and the r13 pre-agg was pure cost: an
+    unconditional pair-keyed exchange of the whole frame (+59% wall,
+    14x shuffle bytes on the registry query's continuous shape). So:
+    broadcast-provable -> r12's unweighted plan (raw rows, broadcast
+    rank joins, one final fold); either frame above the budget ->
+    the r13 weighted plan (pre-agg, per-column broadcast-or-salted
+    joins). The weighted moment sums stay exact in DECIMAL(38,0):
+    w <= N and doubled ranks <= 2N+1, so each term is <= 4N^3 < 1e38
+    out to N ~ 1e12 rows — the same exactness horizon as the
+    unweighted sums; both paths are pytest-pinned rho-identical
+    against a pure-Python oracle."""
     from ..operators.prefix_sum import bucketed_running_sum
 
-    pairs = rows.groupBy("x", "y").agg(
-        F.count(F.lit(1)).alias("__w")
-    )
-
-    def join_ranks(base: DataFrame, col: str, out: str) -> DataFrame:
-        from ..operators.skew import salted_join
-
-        g = pairs.groupBy(col).agg(F.sum("__w").alias("c"))
+    def ranks(col: str, out: str):
+        # per-value counts from the RAW frame: identical to summing
+        # pre-agg weights by value (sum of (x,y)-counts over y ==
+        # count by x), so both paths below see the same rank frame
+        g = rows.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
         d: dict = {}
         r, _tot = bucketed_running_sum(g, col, "c", "cum", diag=d)
-        r = r.select(
-            col,
-            (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
-            .cast("long")
-            .alias(out),
+        return (
+            r.select(
+                col,
+                (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
+                .cast("long")
+                .alias(out),
+            ),
+            d,
         )
-        # Size-aware join strategy (r12, verdict item): the rank
-        # frame is value-cardinality-sized, and the join back to the
-        # pair frame is keyed on the VALUE — on a constant-heavy
-        # metric that shuffle is skewed (every pair row of a
-        # heavy-hitter value lands on one reducer). Pass 1 of the
-        # running sum already PROVED the frame's exact cardinality
-        # (n_frame_rows = distinct values, no extra scan):
-        # - within the repo's ~10 MB broadcast budget
-        #   (_RANK_BROADCAST_ROWS mirrors snapshots._DV_BROADCAST_
-        #   ROWS; 3 longs/row): broadcast — pairs never shuffle for
-        #   the join and heavy hitters cost nothing;
-        # - above it: operators/skew.salted_join — the rank frame
-        #   replicates once per salt (bounded: 8x a frame too big to
-        #   broadcast is still tiny next to the pair frame) and each
-        #   pair row's salt hashes its WHOLE row; the pair frame is
-        #   DISTINCT on (x, y) after the r13 pre-aggregation, so
-        #   every row hashes differently and a hot value's rows
-        #   always spread over the 8 reducers (the duplicate-row
-        #   degeneracy the r12 docstring could only document is now
-        #   structurally impossible here).
-        if d["n_frame_rows"] <= _RANK_BROADCAST_ROWS:
-            return base.join(F.broadcast(r), col)
-        return salted_join(base, r, col)
 
-    j = join_ranks(join_ranks(pairs, "x", "ra"), "y", "rb")
+    rx, dx = ranks("x", "ra")
+    ry, dy = ranks("y", "rb")
     dec = "decimal(38,0)"
-    w = F.col("__w").cast("decimal(18,0)")
     a = F.col("ra").cast("decimal(18,0)")
     b = F.col("rb").cast("decimal(18,0)")
-    s = j.agg(
-        F.sum("__w").cast("long").alias("n"),
-        F.sum((w * a).cast(dec)).alias("sa"),
-        F.sum((w * b).cast(dec)).alias("sb"),
-        F.sum((w * a * a).cast(dec)).alias("saa"),
-        F.sum((w * b * b).cast(dec)).alias("sbb"),
-        F.sum((w * a * b).cast(dec)).alias("sab"),
-    )
+    if (
+        dx["n_frame_rows"] <= _RANK_BROADCAST_ROWS
+        and dy["n_frame_rows"] <= _RANK_BROADCAST_ROWS
+    ):
+        # broadcast-provable: no salting anywhere, raw rows never
+        # shuffle — the pre-agg buys nothing, skip it (r14)
+        j = rows.join(F.broadcast(rx), "x").join(F.broadcast(ry), "y")
+        s = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(a.cast(dec)).alias("sa"),
+            F.sum(b.cast(dec)).alias("sb"),
+            F.sum((a * a).cast(dec)).alias("saa"),
+            F.sum((b * b).cast(dec)).alias("sbb"),
+            F.sum((a * b).cast(dec)).alias("sab"),
+        )
+    else:
+        from ..operators.skew import salted_join
+
+        pairs = rows.groupBy("x", "y").agg(
+            F.count(F.lit(1)).alias("__w")
+        )
+
+        def join_ranks(base, col, r, d):
+            # Size-aware join strategy (r12): the rank frame is
+            # value-cardinality-sized and the join is keyed on the
+            # VALUE — within the ~10 MB broadcast budget
+            # (_RANK_BROADCAST_ROWS mirrors snapshots._DV_BROADCAST_
+            # ROWS; 3 longs/row) broadcast; above it salted_join —
+            # the rank frame replicates once per salt (bounded: 8x a
+            # frame too big to broadcast is still tiny next to the
+            # pair frame) and each pair row's salt hashes its WHOLE
+            # row; the pair frame is DISTINCT on (x, y) after the
+            # pre-aggregation, so a hot value's rows always spread
+            # over the 8 reducers.
+            if d["n_frame_rows"] <= _RANK_BROADCAST_ROWS:
+                return base.join(F.broadcast(r), col)
+            return salted_join(base, r, col)
+
+        j = join_ranks(join_ranks(pairs, "x", rx, dx), "y", ry, dy)
+        w = F.col("__w").cast("decimal(18,0)")
+        s = j.agg(
+            F.sum("__w").cast("long").alias("n"),
+            F.sum((w * a).cast(dec)).alias("sa"),
+            F.sum((w * b).cast(dec)).alias("sb"),
+            F.sum((w * a * a).cast(dec)).alias("saa"),
+            F.sum((w * b * b).cast(dec)).alias("sbb"),
+            F.sum((w * a * b).cast(dec)).alias("sab"),
+        )
     n_d = F.col("n").cast("double")
     sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
     saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")

@@ -1174,7 +1174,15 @@ def _assemble_manifest_entry(
     ):
         # inline (small table, or a sharded table that shrank well
         # below the threshold — hysteresis avoids flapping)
-        entry: dict = {"files": files}
+        entry: dict = {
+            "files": files,
+            # per-commit file deltas (r14): O(churn) lists that let a
+            # CAS-losing COW commit decide REBASE vs recompute by
+            # reading only the intervening manifest JSONs — never
+            # opening shards (see _rebase_parent)
+            "added": sorted(set(added) & file_set),
+            "removed": sorted(removed),
+        }
         if cols or blooms:
             carried = (
                 _manifest_stats(
@@ -1257,6 +1265,10 @@ def _assemble_manifest_entry(
     entry = {
         "shards": sorted(shards, key=lambda r: r["first"]),
         "n_files": len(files),
+        # per-commit file deltas (r14) — same contract as the inline
+        # path: conflict-detection metadata for _rebase_parent, O(churn)
+        "added": sorted(set(added) & file_set),
+        "removed": sorted(removed),
     }
     if cols:
         entry["stat_cols"] = cols
@@ -2016,6 +2028,10 @@ def _overwrite_versioned_once(
     next_v = _cow_commit(
         wh, database, table, prev, prev_files, rewritten, changes,
         summary=summary,
+        # 'replace whatever is there' must re-derive its delete
+        # preimages from the WINNER's state — an overwrite can never
+        # rebase past a concurrent commit (r14; _retry_dml recomputes)
+        rebase=False,
         # an overwrite replaces every old row: standing tombstones
         # have nothing left to mask and must not leak onto the new
         # rows' id space (snowflake ids never repeat, but carrying
@@ -2999,6 +3015,102 @@ def _cow_rewrite(wh: Warehouse, base: str, df: DataFrame,
     return [new for _n, new in names]
 
 
+def _rebase_parent(
+    wh: Warehouse,
+    database: str,
+    table: str,
+    prev: dict,
+    guard_files: set,
+):
+    """(latest manifest, winner-added file names) iff every commit
+    that landed since ``prev`` left this COW op's READ/REPLACED file
+    set intact — the metadata half of logical conflict detection
+    (rebase instead of recompute; the Delta/Iceberg commit-protocol
+    answer to pure version-number OCC, public designs). Returns None
+    whenever safety cannot be PROVEN — the caller then falls back to
+    the full recompute, so a wrong rebase is never reachable; only a
+    missed one.
+
+    Checks, per intervening manifest (each a small JSON read — the
+    ``added``/``removed`` delta lists are O(churn) and never require
+    opening shards):
+
+    - the manifest records its file deltas at all (pre-r14 manifests
+      don't: recompute);
+    - nothing this op read or replaced was removed/retired by a
+      winner (``removed`` ∩ guard == ∅) — a winner that rewrote one
+      of our files makes our preimages/rewrites stale;
+    - globally: schema, stat/bloom config, and deletion-vector state
+      must be unchanged between prev and latest — a dv added on any
+      file means some preimage mask may be stale, and this op's
+      manifest was built under prev's stat config.
+
+    Winner-ADDED files are returned, not judged: whether new rows can
+    conflict is op-specific (a compaction never cares; a DELETE must
+    prove no added row matches its predicate to stay serializable) —
+    _cow_commit's ``validate_added`` decides (Iceberg's
+    validateNoConflictingData, public design)."""
+    vs = versions(wh, database, table)
+    newer = [v for v in vs if v > prev["version"]]
+    if not newer:
+        return None  # conflict without a visible commit: re-read
+    try:
+        latest = _manifest(wh, database, table, newer[-1])
+    except Exception:
+        return None  # expired/in-flux history: recompute path decides
+    if latest.get("schema") != prev.get("schema"):
+        return None
+    if latest.get("stat_cols", []) != prev.get("stat_cols", []) or (
+        latest.get("bloom_cols", []) != prev.get("bloom_cols", [])
+    ):
+        return None
+    if latest.get("dvs") != prev.get("dvs") or (
+        latest.get("dv_rows", 0) != prev.get("dv_rows", 0)
+    ):
+        return None
+    winner_added: list[str] = []
+    for v in newer:
+        try:
+            m = (
+                latest
+                if v == newer[-1]
+                else _manifest(wh, database, table, v)
+            )
+        except Exception:
+            return None
+        if "added" not in m or "removed" not in m:
+            return None
+        if guard_files & set(m["removed"]):
+            return None
+        winner_added += m["added"]
+    return latest, winner_added
+
+
+def _added_scan_validator(wh: Warehouse, base: str, schema, probe):
+    """``validate_added`` factory for _cow_commit: True iff NONE of
+    the named winner-added files holds a row this op would have
+    matched — ``probe`` is either a boolean Column (predicate DML) or
+    a ``(keys_df, key_col)`` pair (key-set DML / MERGE, probed via
+    semi-join). This is the churn-sized serializability validation
+    scan (Iceberg's validateNoConflictingData, public design): it
+    reads ONLY the winner's new files, and parquet row-group stats
+    give the zone-map fast path for free — a predicate/key span
+    outside a file's ranges costs a footer read, no row scan."""
+
+    def _validate(names: list[str]) -> bool:
+        df = wh.spark.read.schema(schema).parquet(
+            *[f"{base}/{n}" for n in names]
+        )
+        if isinstance(probe, tuple):
+            keys_df, key_col = probe
+            hit = df.join(keys_df, key_col, "semi")
+        else:
+            hit = df.filter(probe)
+        return hit.limit(1).count() == 0
+
+    return _validate
+
+
 def _cow_commit(
     wh: Warehouse,
     database: str,
@@ -3009,6 +3121,9 @@ def _cow_commit(
     changes: list[str] | None,
     summary: dict | None = None,
     dvs_override: tuple | None = None,
+    rebase: bool = True,
+    read_files: set | None = None,
+    validate_added=None,
 ) -> int:
     """Commit a COW file swap (``affected`` out, ``rewritten`` in) as
     the next version — the single atomic manifest PUT shared by
@@ -3024,76 +3139,172 @@ def _cow_commit(
     raises its loud out-of-band error instead of silently emitting
     nothing (the cdc=False overwrite path; caught by
     test_cdc_stream_errs_loudly_on_cdc_false_overwrite, where the
-    [] spelling produced a silent wrong feed)."""
+    [] spelling produced a silent wrong feed).
+
+    REBASE on version conflict (r14 — cross-process progress): when
+    the PUT loses the CAS to a concurrent commit, the op's recompute
+    is only STALE if the winner actually touched what this op read,
+    replaced, or would have matched. ``_rebase_parent`` proves the
+    file-set half from the intervening manifests' O(churn)
+    file-delta lists; winner-ADDED files then pass through
+    ``validate_added`` — Iceberg's validateNoConflictingData shape
+    (public design): a churn-sized scan of ONLY the winner's new
+    files proving none of their rows match this op's predicate/key
+    set, which is what keeps the repo's pinned SERIALIZABLE DML
+    semantics (a delete racing an append that inserts a matching row
+    still recomputes and deletes it — the r8 pytest's contract)
+    while letting every genuinely disjoint conflict commit without
+    re-running the op. On proof, the SAME rewritten files re-commit
+    against the winner's manifest — files/retired/txns/constraints
+    from the LATEST snapshot, this op's swap applied on top — with
+    ``rebased_from``/``rebased_onto`` provenance in the summary; the
+    cost is one manifest read + (at most) one churn-sized scan + one
+    PUT instead of a full re-tag + rewrite (the r13 starvation
+    shape). Any unprovable case raises to the caller's _retry_dml
+    recompute exactly as before.
+
+    ``validate_added``: ``None`` = winner adds are never provably
+    safe (rebase only past removed-only/metadata winners — the
+    conservative default); ``"ignore"`` = adds cannot conflict by
+    the op's nature (compaction and dv application are
+    content-preserving over THEIR files; new rows are untouched
+    either way); a ``callable(names) -> bool`` = True iff the named
+    winner-added data files provably hold no conflicting row (the
+    validators below read those files raw — winner-added files are
+    never dv-masked, because the rebase precondition already proved
+    dv state unchanged, and standing vectors bind to pre-existing
+    files). Validated names are cached across rebase attempts so a
+    multi-winner storm scans each winner's files once.
+    ``read_files``: files the op depends on staying live beyond
+    ``affected`` (MoR tombstones bind to (file, row) — a winner
+    rewriting a tombstoned file would strand the new dv entries);
+    ``rebase=False`` opts out entirely (OVERWRITE: 'replace whatever
+    is there' must recompute against the winner by definition)."""
     from pyspark.sql import types as T
 
     base = wh._path(database, table)
     schema = T.StructType.fromJson(json.loads(prev["schema"]))
-    prev_files = _manifest_files(wh, database, table, prev)
     affected = set(affected)
-    new_files = sorted(
-        [f for f in prev_files if f not in affected] + rewritten
-    )
-    # number from the SAME snapshot `prev` came from (see
-    # _next_version's OCC requirement): a racer past prev makes this
-    # PUT lose the CAS loudly instead of silently dropping its files
-    next_v = _next_version(wh, database, table, vs=[prev["version"]])
     cols = prev.get("stat_cols", [])
     blooms = prev.get("bloom_cols", [])
-    manifest = {
-        "version": next_v,
-        # replaced files stay on disk for older versions;
-        # commit_snapshot must never re-adopt them
-        "retired": sorted(set(prev.get("retired", [])) | affected),
-        "schema": prev["schema"],
-        **_assemble_manifest_entry(
-            wh, database, table, prev, new_files,
-            added=rewritten, removed=affected,
-            fresh_stats=(
-                _file_stats(
-                    wh, base, rewritten, schema, cols, blooms
-                )
-                if (cols or blooms)
-                else {}
+    # rewritten-file stats are parent-independent: compute ONCE, both
+    # the first attempt and any rebase re-commit reuse them
+    fresh = (
+        _file_stats(wh, base, rewritten, schema, cols, blooms)
+        if (cols or blooms)
+        else {}
+    )
+
+    def _attempt(parent: dict, rebase_note: dict | None) -> int:
+        parent_files = _manifest_files(wh, database, table, parent)
+        new_files = sorted(
+            [f for f in parent_files if f not in affected] + rewritten
+        )
+        # number from the SAME snapshot `parent` came from (see
+        # _next_version's OCC requirement): a racer past it makes this
+        # PUT lose the CAS loudly instead of silently dropping files
+        next_v = _next_version(
+            wh, database, table, vs=[parent["version"]]
+        )
+        manifest = {
+            "version": next_v,
+            # replaced files stay on disk for older versions;
+            # commit_snapshot must never re-adopt them
+            "retired": sorted(
+                set(parent.get("retired", [])) | affected
             ),
-            cols=cols,
-            blooms=blooms,
-        ),
-    }
-    if changes is not None:
-        manifest["changes"] = changes
-    if summary:
-        manifest["summary"] = dict(summary)
-    if prev.get("constraints"):
-        manifest["constraints"] = prev["constraints"]
-    if prev.get("txns"):
-        manifest["txns"] = prev["txns"]
-    # deletion vectors: carried by default — safe because every COW
-    # rewrite/pack reads through the mask (the rewrite-must-mask
-    # invariant, _dv_mask), so tombstoned rows are physically dropped
-    # at any move and carried entries are live-or-dead, never wrong.
-    # dvs_override=(list, rows[, files]) sets them explicitly —
-    # ([], 0) is the clear form for overwrite (all old rows replaced)
-    # and apply_deletion_vectors (tombstones physically applied); the
-    # optional third element records the dv_files coverage for
-    # file-scoped reads (MoR UPDATE's grow form)
-    if dvs_override is not None:
-        if dvs_override[0]:
-            manifest["dvs"] = list(dvs_override[0])
-            manifest["dv_rows"] = int(dvs_override[1])
-            if len(dvs_override) > 2 and dvs_override[2] is not None:
-                manifest["dv_files"] = sorted(dvs_override[2])
-    elif prev.get("dvs"):
-        manifest["dvs"] = prev["dvs"]
-        manifest["dv_rows"] = prev.get("dv_rows", 0)
-        if "dv_files" in prev:
-            # carried unchanged: a rewrite may retire a named file
-            # (its entries go dead), but dv_files only needs to stay
-            # a SUPERSET of live tombstoned files — readers intersect
-            # it with the plan's file list
-            manifest["dv_files"] = prev["dv_files"]
-    _put_manifest(wh, database, table, manifest)
-    return next_v
+            "schema": parent["schema"],
+            **_assemble_manifest_entry(
+                wh, database, table, parent, new_files,
+                added=rewritten, removed=affected,
+                fresh_stats=fresh, cols=cols, blooms=blooms,
+            ),
+        }
+        if changes is not None:
+            manifest["changes"] = changes
+        summ = dict(summary) if summary else {}
+        if rebase_note:
+            summ.update(rebase_note)
+        if summ:
+            manifest["summary"] = summ
+        if parent.get("constraints"):
+            manifest["constraints"] = parent["constraints"]
+        if parent.get("txns"):
+            # from the LATEST parent — an intervening txn append
+            # advanced per-app watermarks; carrying prev's would
+            # regress them and double-apply the next replay
+            manifest["txns"] = parent["txns"]
+        # deletion vectors: carried by default — safe because every
+        # COW rewrite/pack reads through the mask (the
+        # rewrite-must-mask invariant, _dv_mask), so tombstoned rows
+        # are physically dropped at any move and carried entries are
+        # live-or-dead, never wrong. dvs_override=(list, rows[,
+        # files]) sets them explicitly — ([], 0) is the clear form
+        # for overwrite (all old rows replaced) and
+        # apply_deletion_vectors (tombstones physically applied); the
+        # optional third element records the dv_files coverage for
+        # file-scoped reads (MoR UPDATE's grow form). On the rebase
+        # path _rebase_parent proved dv state unchanged since prev,
+        # so an override built from prev's dvs stays exact.
+        if dvs_override is not None:
+            if dvs_override[0]:
+                manifest["dvs"] = list(dvs_override[0])
+                manifest["dv_rows"] = int(dvs_override[1])
+                if (
+                    len(dvs_override) > 2
+                    and dvs_override[2] is not None
+                ):
+                    manifest["dv_files"] = sorted(dvs_override[2])
+        elif parent.get("dvs"):
+            manifest["dvs"] = parent["dvs"]
+            manifest["dv_rows"] = parent.get("dv_rows", 0)
+            if "dv_files" in parent:
+                # carried unchanged: a rewrite may retire a named
+                # file (its entries go dead), but dv_files only needs
+                # to stay a SUPERSET of live tombstoned files —
+                # readers intersect it with the plan's file list
+                manifest["dv_files"] = parent["dv_files"]
+        _put_manifest(wh, database, table, manifest)
+        return next_v
+
+    try:
+        return _attempt(prev, None)
+    except CommitConflictError as e:
+        if not rebase:
+            raise
+        last = e
+    guard = affected | (set(read_files) if read_files else set())
+    cleared: set = set()  # winner-added files already validated safe
+    for _i in range(_CAS_ATTEMPTS):
+        if _i:
+            _cas_backoff(_i)
+        found = _rebase_parent(wh, database, table, prev, guard)
+        if found is None:
+            raise last  # unprovable: caller's _retry_dml recomputes
+        parent, winner_added = found
+        suspect = [n for n in winner_added if n not in cleared]
+        if suspect:
+            if validate_added is None:
+                raise last
+            if validate_added != "ignore":
+                try:
+                    ok = bool(validate_added(suspect))
+                except Exception:
+                    ok = False  # unreadable/in-flux adds: recompute
+                if not ok:
+                    raise last  # a winner's row conflicts: recompute
+            cleared.update(suspect)
+        try:
+            return _attempt(
+                parent,
+                {
+                    "rebased_from": prev["version"],
+                    "rebased_onto": parent["version"],
+                },
+            )
+        except CommitConflictError as e:
+            last = e  # another racer landed mid-rebase: re-prove
+    raise last
 
 
 def _delete_where_once(
@@ -3184,6 +3395,10 @@ def _delete_where_once(
     next_v = _cow_commit(
         wh, database, table, prev, affected, rewritten, changes,
         summary=summary,
+        # serializable rebase (r14): a conflicting winner's new files
+        # must prove they hold no predicate-matching row, else the
+        # delete recomputes and removes those rows too
+        validate_added=_added_scan_validator(wh, base, schema, pred_true),
     )
     # deleted-row count from the change files' parquet FOOTERS (row
     # counts only, no data scan) — the old before/after counting cost
@@ -3289,6 +3504,11 @@ def _delete_keys_once(
     next_v = _cow_commit(
         wh, database, table, prev, affected, rewritten, changes,
         summary=summary,
+        # serializable rebase (r14): winner-added files must prove
+        # they hold none of the takedown keys, else recompute
+        validate_added=_added_scan_validator(
+            wh, base, schema, (keys_d, key_col)
+        ),
     )
     n_deleted = (
         wh.spark.read.parquet(
@@ -3400,6 +3620,12 @@ def _merge_upsert_once(
     next_v = _cow_commit(
         wh, database, table, prev, affected, rewritten, changes,
         summary=summary,
+        # serializable rebase (r14): MERGE's result depends on which
+        # keys EXIST — winner-added files must prove they hold none
+        # of this merge's keys (else matched-vs-insert could flip)
+        validate_added=_added_scan_validator(
+            wh, base, schema, (keys, key_col)
+        ),
     )
     return next_v, n_updated, n_inserted
 
@@ -3445,24 +3671,75 @@ def overwrite_versioned(
 #: process racers still serialize through the manifest CAS, same as
 #: before (the posture of Delta's log-store mutual exclusion +
 #: commit retries, public design).
-_DML_LOCKS: dict[str, threading.RLock] = {}
+#: key -> [RLock, refcount]; an entry exists ONLY while some thread
+#: holds or waits on the gate (r14 — the r13 dict retained one RLock
+#: per table path for the driver's lifetime, a leak for workloads
+#: that build many short-lived temp warehouses). The refcount spans
+#: registry-get .. release-done, so an entry is never evicted out
+#: from under a holder or a waiter.
+_DML_LOCKS: dict[str, list] = {}
 _DML_LOCKS_GUARD = threading.Lock()
 
 
-def _dml_lock(key: str) -> threading.RLock:
-    """Per-table RE-ENTRANT commit gate. Held two ways: transiently
-    by every manifest PUT (_put_manifest), and across a WHOLE retry
-    attempt by an escalated DML (_retry_dml) — re-entrancy lets the
-    holder's own PUT pass. While an escalated retry holds the gate
-    no other in-process commit can LAND, so the holder's
-    listing->recompute->put window closes cleanly and it commits on
-    that attempt; everyone queued behind it proceeds (and at worst
-    conflicts once, joining the queue as the next escalated
+class _DmlGate:
+    """Context manager for the per-table RE-ENTRANT commit gate. Held
+    two ways: transiently by every manifest PUT (_put_manifest), and
+    across a WHOLE retry attempt by an escalated DML (_retry_dml) —
+    re-entrancy lets the holder's own PUT pass. While an escalated
+    retry holds the gate no other in-process commit can LAND, so the
+    holder's listing->recompute->put window closes cleanly and it
+    commits on that attempt; everyone queued behind it proceeds (and
+    at worst conflicts once, joining the queue as the next escalated
     retrier). In-process scope only — the Spark driver owns its
     writer threads; cross-process racers serialize through the
-    manifest CAS exactly as before."""
-    with _DML_LOCKS_GUARD:
-        return _DML_LOCKS.setdefault(key, threading.RLock())
+    manifest CAS (plus the r14 rebase path, which turns their
+    disjoint-file conflicts into metadata-only re-commits).
+
+    WORST-CASE HOLD (r13 advisory, documented contract): an escalated
+    DML holds the gate across its entire attempt — the full Spark
+    recompute PLUS the once-fn's internal commit CAS loop, whose
+    backoffs reach ~2 s/attempt when CROSS-process racers keep
+    winning. Other in-process commits block in _put_manifest for that
+    whole window (tens of seconds at the pathological end) with no
+    fairness bound beyond the lock queue. That is the intended trade:
+    the gate exists precisely so one slow writer FINISHES instead of
+    starving, and in-process contenders landing mid-recompute would
+    conflict it right back to square one. Cross-process conflicts
+    that used to extend this window now mostly rebase without
+    recompute (_rebase_parent), which shortens the hold rather than
+    lengthening it."""
+
+    __slots__ = ("key", "_rec")
+
+    def __init__(self, key: str):
+        self.key = key
+
+    def __enter__(self):
+        with _DML_LOCKS_GUARD:
+            rec = _DML_LOCKS.get(self.key)
+            if rec is None:
+                rec = [threading.RLock(), 0]
+                _DML_LOCKS[self.key] = rec
+            rec[1] += 1  # registered BEFORE blocking: no eviction
+            self._rec = rec
+        rec[0].acquire()
+        return self
+
+    def __exit__(self, *exc):
+        rec = self._rec
+        rec[0].release()
+        with _DML_LOCKS_GUARD:
+            rec[1] -= 1
+            if rec[1] == 0 and _DML_LOCKS.get(self.key) is rec:
+                del _DML_LOCKS[self.key]
+        return False
+
+
+def _dml_lock(key: str) -> _DmlGate:
+    """The per-table commit gate for ``key`` (a table path) — see
+    _DmlGate. Use as ``with _dml_lock(path):``; entries self-evict
+    at refcount zero, so dropped/abandoned tables retain nothing."""
+    return _DmlGate(key)
 
 
 def _retry_dml(
@@ -3662,6 +3939,10 @@ def _update_where_once(
     next_v = _cow_commit(
         wh, database, table, prev, affected, rewritten, changes,
         summary=summary,
+        # serializable rebase (r14): same contract as delete_where —
+        # a winner-added predicate-matching row forces the recompute
+        # that updates it too
+        validate_added=_added_scan_validator(wh, base, schema, pred_true),
     )
     n_changed = (
         wh.spark.read.parquet(
@@ -3800,6 +4081,11 @@ def _update_where_mor_once(
     next_v = _cow_commit(
         wh, database, table, prev_m, set(), landed, changes,
         summary=summary,
+        # MoR tombstones bind to (file, row): the touched files must
+        # stay live across any rebase or the new dv entries strand
+        read_files=set(touched),
+        # serializable rebase (r14): same contract as the COW UPDATE
+        validate_added=_added_scan_validator(wh, base, schema, pred_true),
         dvs_override=(
             list(prev_m.get("dvs", [])) + dv_rel,
             int(prev_m.get("dv_rows", 0)) + n_updated,
@@ -3937,6 +4223,12 @@ def _delete_where_mor_once(
         "changes": changes,
         "dvs": list(prev_m.get("dvs", [])) + dv_files,
         "dv_rows": int(prev_m.get("dv_rows", 0)) + n_deleted,
+        # file deltas (r14): a MoR delete moves no data files — other
+        # writers' rebase checks read this instead of falling back
+        # (their dv-state equality check still rejects rebasing PAST
+        # this commit, as it must: the mask changed)
+        "added": [],
+        "removed": [],
     }
     # file-scoped mask planning: only recordable when the carried
     # vectors' coverage is known too — a legacy manifest with dvs but
@@ -4062,10 +4354,13 @@ def _apply_deletion_vectors_once(
     candidates = sorted(recorded & set(live))
     if not candidates:
         # every tombstone names a retired/repacked file: dead entries,
-        # metadata-only clear
+        # metadata-only clear. Winner-added files can't conflict with
+        # folding tombstones (they are never tombstoned — the rebase
+        # precondition pins dv state unchanged): validate_added="ignore"
         next_v = _cow_commit(
             wh, database, table, prev, set(), [], [],
             summary=summary, dvs_override=([], 0),
+            validate_added="ignore",
         )
         return next_v, 0
     tagged = (
@@ -4092,10 +4387,12 @@ def _apply_deletion_vectors_once(
     )
     if not affected:
         # every tombstone is dead (its rows already left the live
-        # files via COW/overwrite): metadata-only clear
+        # files via COW/overwrite): metadata-only clear (adds can't
+        # conflict — same reasoning as the clear above)
         next_v = _cow_commit(
             wh, database, table, prev, set(), [], [],
             summary=summary, dvs_override=([], 0),
+            validate_added="ignore",
         )
         return next_v, 0
     keep = _dv_mask(
@@ -4108,6 +4405,10 @@ def _apply_deletion_vectors_once(
     next_v = _cow_commit(
         wh, database, table, prev, affected, rewritten, [],
         summary=summary, dvs_override=([], 0),
+        # content-preserving over ITS files; winner-added files are
+        # never tombstoned (dv state pinned unchanged), so adds
+        # cannot conflict with physically applying the vectors
+        validate_added="ignore",
     )
     return next_v, len(affected)
 
@@ -4264,6 +4565,15 @@ def _merge_upsert_mor_once(
     next_v = _cow_commit(
         wh, database, table, prev_m, set(), landed, changes,
         summary=summary,
+        # tombstoned files must stay live across a rebase (dv entries
+        # bind to (file, row)), same contract as update_where_mor
+        read_files=set(touched),
+        # serializable rebase (r14): same MERGE existence-dependence
+        # as the COW form — winner-added files must hold none of this
+        # merge's keys
+        validate_added=_added_scan_validator(
+            wh, base, schema, (keys, key_col)
+        ),
         dvs_override=(
             list(prev_m.get("dvs", [])) + dv_rel,
             int(prev_m.get("dv_rows", 0)) + n_updated,
@@ -4552,9 +4862,14 @@ def _compact_small_files_once(
     new_files = sorted(
         [n for n in files if n not in set(small)] + rewritten
     )
-    # content-preserving: zero CDC rows (explicit empty change set)
+    # content-preserving: zero CDC rows (explicit empty change set).
+    # A concurrent winner's ADDED files can never conflict with
+    # packing these small files (their rows are untouched either
+    # way): rebase over appends freely — the r13 rehearsal's lost
+    # compaction races were exactly this shape
     next_v = _cow_commit(
         wh, database, table, prev, set(small), rewritten, [],
+        validate_added="ignore",
     )
     return {
         "version": next_v,

@@ -3714,3 +3714,299 @@ def test_retry_dml_escalates_retries_to_table_lock(monkeypatch):
         snap._retry_dml(
             always, attempts=3, lock_key="k-escalation-test"
         )
+
+
+# --- r14: rebase-on-disjoint-files logical conflict detection --------
+
+
+def _race_once_with(snap, monkeypatch, racer):
+    """Monkeypatch _put_manifest so the FIRST DML commit attempt (the
+    one carrying 'changes') is preceded by ``racer()`` landing a
+    concurrent commit — the deterministic conflict-injection shape of
+    the r8 serializability test. Returns the state dict."""
+    orig = snap._put_manifest
+    state = {"raced": 0, "puts": 0}
+
+    def racing_put(wh_, db_, t_, manifest, overwrite=False):
+        state["puts"] += 1
+        if not state["raced"] and not overwrite and "changes" in manifest:
+            state["raced"] = 1
+            racer()
+        return orig(wh_, db_, t_, manifest, overwrite)
+
+    monkeypatch.setattr(snap, "_put_manifest", racing_put)
+    return state
+
+
+def test_cow_delete_rebases_over_disjoint_append(
+    spark, tmp_path, monkeypatch
+):
+    """r14 logical conflict detection: a COW DELETE whose manifest PUT
+    loses the CAS to a concurrent append of NON-matching rows must
+    REBASE onto the winner — same rewritten files re-committed against
+    the winner's manifest, no second Spark recompute — instead of the
+    r13 full-recompute retry. Serializability is preserved because the
+    validation scan proves no winner-added row matches the predicate
+    (Iceberg validateNoConflictingData, public design)."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i % 5) for i in range(100)], "__row_id long, grp long"
+        ),
+    )
+
+    state = _race_once_with(
+        snap, monkeypatch,
+        lambda: snap.append_versioned(
+            wh, "db", "t",
+            # grp=4: does NOT match the delete predicate below
+            spark.createDataFrame(
+                [(777, 4)], "__row_id long, grp long"
+            ),
+        ),
+    )
+    rewrites = []
+    orig_rw = snap._cow_rewrite
+    monkeypatch.setattr(
+        snap, "_cow_rewrite",
+        lambda *a, **k: rewrites.append(1) or orig_rw(*a, **k),
+    )
+    v, n = snap.delete_where(wh, "db", "t", F.col("grp") == 2)
+
+    assert state["raced"] == 1
+    assert n == 20  # only the 20 original grp=2 rows
+    # ONE rewrite job total: the rebase re-used the first attempt's
+    # files — a recompute would have rewritten a second time
+    assert rewrites == [1]
+    live = snap.read_snapshot(wh, "db", "t")
+    assert live.count() == 81  # 100 - 20 + the winner's row
+    assert live.filter(F.col("grp") == 2).count() == 0
+    assert live.filter(F.col("__row_id") == 777).count() == 1
+    # provenance: the landed manifest says it rebased, and onto what
+    m = snap._manifest(wh, "db", "t", v)
+    assert m["summary"]["rebased_from"] == 1
+    assert m["summary"]["rebased_onto"] == 2
+    # CDC across the delete carries exactly the 20 preimages
+    ch = snap.read_changes(wh, "db", "t", 2, v)
+    assert ch.filter(F.col("_change_type") == "delete").count() == 20
+
+
+def test_cow_delete_recomputes_when_added_rows_match(
+    spark, tmp_path, monkeypatch
+):
+    """The serializable complement: when the winner's appended row
+    MATCHES the delete predicate, the validation scan must reject the
+    rebase and the full recompute must delete that row too — the r8
+    pinned semantics, now reached via an explicit validator verdict
+    (and the landed manifest must carry NO rebase provenance)."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i % 5) for i in range(100)], "__row_id long, grp long"
+        ),
+    )
+    state = _race_once_with(
+        snap, monkeypatch,
+        lambda: snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(777, 2)], "__row_id long, grp long"
+            ),
+        ),
+    )
+    v, n = snap.delete_where(wh, "db", "t", F.col("grp") == 2)
+    assert state["raced"] == 1
+    assert n == 21  # recompute saw the winner's matching row
+    live = snap.read_snapshot(wh, "db", "t")
+    assert live.count() == 80
+    assert live.filter(F.col("__row_id") == 777).count() == 0
+    assert "rebased_from" not in snap._manifest(
+        wh, "db", "t", v
+    ).get("summary", {})
+
+
+def test_merge_rebase_respects_key_overlap(spark, tmp_path, monkeypatch):
+    """MERGE's existence-dependence under rebase: a winner append with
+    DISJOINT keys rebases (one rewrite job, winner's row intact); a
+    winner append whose key OVERLAPS the merge's key set forces the
+    recompute, so latest-wins replaces the winner's row instead of
+    duplicating the key."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    def seed(name):
+        wh = Warehouse(spark, str(tmp_path / name))
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(i, 0) for i in range(50)], "__row_id long, val long"
+            ),
+        )
+        return wh
+
+    # disjoint: merge keys 10..19, winner appends key 900
+    wh = seed("wh_disj")
+    state = _race_once_with(
+        snap, monkeypatch,
+        lambda: snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame([(900, 9)], "__row_id long, val long"),
+        ),
+    )
+    ups = spark.createDataFrame(
+        [(k, 1) for k in range(10, 20)], "__row_id long, val long"
+    )
+    v, n_up, n_ins = snap.merge_upsert(wh, "db", "t", ups, "__row_id")
+    assert state["raced"] == 1 and (n_up, n_ins) == (10, 0)
+    live = snap.read_snapshot(wh, "db", "t")
+    assert live.count() == 51
+    assert live.filter(F.col("__row_id") == 900).count() == 1
+    assert snap._manifest(wh, "db", "t", v)["summary"][
+        "rebased_from"
+    ] == 1
+
+    # overlap: winner appends key 15 BEFORE the merge's commit lands —
+    # recompute must replace it (exactly one row per key, merged val)
+    monkeypatch.undo()
+    wh2 = seed("wh_ovl")
+    state2 = _race_once_with(
+        snap, monkeypatch,
+        lambda: snap.append_versioned(
+            wh2, "db", "t",
+            spark.createDataFrame([(15, 9)], "__row_id long, val long"),
+        ),
+    )
+    v2, *_ = snap.merge_upsert(wh2, "db", "t", ups, "__row_id")
+    assert state2["raced"] == 1
+    live2 = snap.read_snapshot(wh2, "db", "t")
+    k15 = live2.filter(F.col("__row_id") == 15).collect()
+    assert len(k15) == 1 and k15[0]["val"] == 1  # merge latest-wins
+    assert "rebased_from" not in snap._manifest(
+        wh2, "db", "t", v2
+    ).get("summary", {})
+
+
+def test_compact_rebases_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction racing an append — the exact shape that lost 6/7
+    races in the r13 churn rehearsal — now rebases without any
+    validation scan (content-preserving: winner-added rows are
+    untouched either way), and the final state carries both the
+    packed layout and the winner's rows."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for b in range(4):  # 4 small files -> compaction candidates
+        snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(b * 100 + i, b) for i in range(50)],
+                "__row_id long, grp long",
+            ),
+        )
+    state = _race_once_with(
+        snap, monkeypatch,
+        lambda: snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(9999, 99)], "__row_id long, grp long"
+            ),
+        ),
+    )
+    # compaction's commit carries changes=[] ('changes' in manifest),
+    # so the injected racer fires on its PUT too
+    res = snap.compact_small_files(
+        wh, "db", "t", small_file_bytes=10**9, target_file_bytes=10**9
+    )
+    assert state["raced"] == 1
+    live = snap.read_snapshot(wh, "db", "t")
+    assert live.count() == 201
+    assert live.filter(F.col("__row_id") == 9999).count() == 1
+    m = snap._manifest(wh, "db", "t", res["version"])
+    assert m["summary"]["rebased_from"] == 4
+    # CDC: content-preserving commit emitted nothing for the pack
+    ch = snap.read_changes(wh, "db", "t", 5, res["version"])
+    assert ch.count() == 0
+
+
+def test_rebase_carries_winner_txn_watermark(spark, tmp_path, monkeypatch):
+    """A rebase must take txns from the WINNER's manifest: when the
+    intervening commit is an exactly-once txn append, the rebased DML
+    carries the advanced per-app watermark forward — a replay of the
+    same (app, version) after the rebase stays zero-write."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i % 5) for i in range(100)], "__row_id long, grp long"
+        ),
+    )
+    state = _race_once_with(
+        snap, monkeypatch,
+        lambda: snap.append_versioned(
+            wh, "db", "t",
+            spark.createDataFrame(
+                [(777, 4)], "__row_id long, grp long"
+            ),
+            txn=("appA", 7),
+        ),
+    )
+    v, n = snap.delete_where(wh, "db", "t", F.col("grp") == 2)
+    assert state["raced"] == 1 and n == 20
+    m = snap._manifest(wh, "db", "t", v)
+    assert m["summary"]["rebased_from"] == 1
+    assert m["txns"] == {"appA": 7}  # winner's watermark, not prev's
+    # exact replay after the rebase: zero-write, version unchanged
+    monkeypatch.undo()
+    v_replay = snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame([(777, 4)], "__row_id long, grp long"),
+        txn=("appA", 7),
+    )
+    assert v_replay == v
+    assert snap.read_snapshot(wh, "db", "t").filter(
+        F.col("__row_id") == 777
+    ).count() == 1
+
+
+def test_dml_locks_self_evict(spark, tmp_path):
+    """r14 advisory: the per-table commit-gate registry must not
+    retain entries for the lifetime of the driver — after every DML
+    completes, _DML_LOCKS is empty (entries exist only while held or
+    waited on), so short-lived temp warehouses leak nothing."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "__row_id long, grp long"
+        ),
+    )
+    snap.delete_where(wh, "db", "t", F.col("grp") == 1)
+    snap.merge_upsert(
+        wh, "db", "t",
+        spark.createDataFrame([(2, 9)], "__row_id long, grp long"),
+        "__row_id",
+    )
+    assert snap._DML_LOCKS == {}

@@ -5399,3 +5399,38 @@ def test_dedup_refresh_append_only_skips_delete_scan(
     b = snap.read_snapshot(wh, "db", "docs_lsh_rb")
     assert a.exceptAll(b).limit(1).count() == 0
     assert b.exceptAll(a).limit(1).count() == 0
+
+
+def test_spearman_broadcast_path_skips_preagg(spark):
+    """r14 (verdict item 2): when pass-1 diag proves both rank frames
+    broadcast-sized, the duplicate pre-aggregation must be SKIPPED —
+    on a continuous shape (all pairs distinct) the groupBy(x, y)
+    exchange shuffles the whole frame for zero dedup benefit (+59%
+    wall, 14x shuffle bytes measured on the registry query in r13).
+    The broadcast plan must carry no __w weight column and no
+    pair-keyed exchange; rho must still equal the weighted path's."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark.catalog import analytics as an
+
+    rows = spark.range(5_000).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 37) % 4999).alias("y"),
+    )
+    df = an._spearman_from_rows(rows)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__w" not in plan  # no pre-agg on the broadcast path
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+    base = df.collect()[0]
+
+    # the weighted (salted-regime) path on the SAME frame agrees
+    import pytest as _pytest
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(an, "_RANK_BROADCAST_ROWS", 0)
+        weighted = an._spearman_from_rows(rows).collect()[0]
+    assert (weighted["n"], weighted["spearman_rho"]) == (
+        base["n"],
+        base["spearman_rho"],
+    )
