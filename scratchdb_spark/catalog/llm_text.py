@@ -1468,3 +1468,163 @@ def warehouse_dedup_probe_above_cap(
         "n_exact_copies long, above_cap boolean, "
         "planned_le_hashes boolean",
     )
+
+
+_S1 = "qq synthetic pair alpha beta gamma delta"
+_S2 = "rr fresh tail seed epsilon zeta eta theta"
+_S3 = "ss fresh lone iota kappa lambda mu nu"
+_S4 = "tt second fresh xi omicron pi rho sigma"
+_S5 = "uu second lone tau upsilon phi chi psi"
+
+
+@register(
+    "warehouse_dedup_deferred_gate",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    b1 AS (
+      SELECT doc_id + 900000 AS pid, text FROM documents
+      WHERE doc_id < 5
+      UNION ALL SELECT 910000, '{_S1}'
+      UNION ALL SELECT 910001, '{_S1}'
+      UNION ALL SELECT 920000, '{_S2}'
+      UNION ALL SELECT 920001, '{_S3}'),
+    b1sh AS (
+      SELECT pid, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT pid, {_DUCK_TOKENS} AS w
+            FROM (SELECT pid, text FROM b1) _a)),
+    csh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS w FROM corpus)),
+    b1_in AS (
+      SELECT DISTINCT p2.pid FROM b1sh p1 JOIN b1sh p2
+        ON p1.pid < p2.pid
+       AND len(list_intersect(p1.sh, p2.sh))
+           >= 0.8 * len(list_distinct(list_concat(p1.sh, p2.sh)))),
+    b1_k1 AS (
+      SELECT * FROM b1sh WHERE pid NOT IN (SELECT pid FROM b1_in)),
+    b1_corp AS (
+      SELECT DISTINCT k.pid FROM b1_k1 k JOIN csh c
+        ON len(list_intersect(k.sh, c.sh))
+           >= 0.8 * len(list_distinct(list_concat(k.sh, c.sh)))),
+    b1_kept AS (
+      SELECT * FROM b1_k1 WHERE pid NOT IN (SELECT pid FROM b1_corp)),
+    b2 AS (
+      SELECT 930000 AS pid, '{_S2}' AS text
+      UNION ALL
+      SELECT 930001, (SELECT text FROM documents WHERE doc_id = 7)
+      UNION ALL SELECT 940000, '{_S4}'
+      UNION ALL SELECT 940001, '{_S5}'),
+    b2sh AS (
+      SELECT pid, {_DUCK_SHINGLES} AS sh
+      FROM (SELECT pid, {_DUCK_TOKENS} AS w
+            FROM (SELECT pid, text FROM b2) _b)),
+    c2 AS (
+      SELECT doc_id AS cid, sh FROM csh
+      UNION ALL SELECT pid, sh FROM b1_kept),
+    b2_in AS (
+      SELECT DISTINCT p2.pid FROM b2sh p1 JOIN b2sh p2
+        ON p1.pid < p2.pid
+       AND len(list_intersect(p1.sh, p2.sh))
+           >= 0.8 * len(list_distinct(list_concat(p1.sh, p2.sh)))),
+    b2_k1 AS (
+      SELECT * FROM b2sh WHERE pid NOT IN (SELECT pid FROM b2_in)),
+    b2_corp AS (
+      SELECT DISTINCT k.pid FROM b2_k1 k JOIN c2 c
+        ON len(list_intersect(k.sh, c.sh))
+           >= 0.8 * len(list_distinct(list_concat(k.sh, c.sh))))
+    SELECT
+      CAST((SELECT count(*) FROM b1) AS BIGINT) AS n_b1,
+      CAST((SELECT count(*) FROM b1_in) AS BIGINT) AS b1_drop_in,
+      CAST((SELECT count(*) FROM b1_corp) AS BIGINT) AS b1_drop_corpus,
+      CAST((SELECT count(*) FROM b1_kept) AS BIGINT) AS b1_appended,
+      CAST((SELECT count(*) FROM b2) AS BIGINT) AS n_b2,
+      CAST((SELECT count(*) FROM b2_in) AS BIGINT) AS b2_drop_in,
+      CAST((SELECT count(*) FROM b2_corp) AS BIGINT) AS b2_drop_corpus,
+      CAST((SELECT count(*) FROM b2) - (SELECT count(*) FROM b2_in)
+           - (SELECT count(*) FROM b2_corp) AS BIGINT) AS b2_appended,
+      CAST((SELECT count(*) FROM b1_kept) AS BIGINT) AS n_tail_b2,
+      CAST(300 + (SELECT count(*) FROM b1_kept)
+           + (SELECT count(*) FROM b2) - (SELECT count(*) FROM b2_in)
+           - (SELECT count(*) FROM b2_corp) AS BIGINT)
+        AS corpus_rows_after,
+      true AS index_frozen_during_gates,
+      true AS refresh_equals_rebuild
+    """,
+    doc="DEFERRED-refresh dedup gate (new r14 — the sub-15 s cadence "
+        "surface): two batches gate with refresh='defer', so each "
+        "batch pays probe + ONE source-append commit and the index "
+        "commits nothing; exactness holds because the gate also "
+        "probes the un-indexed source TAIL (batch 2's copy of a "
+        "batch-1 survivor is caught by the tail probe, its corpus "
+        "copy by the index probe — both pinned in the oracle's "
+        "two-stage exact-jaccard replay where batch 2's corpus is "
+        "corpus ∪ batch-1 survivors). index_frozen_during_gates "
+        "pins Spark-side that the two gate calls created ZERO index "
+        "versions; after one explicit refresh the index equals a "
+        "fresh rebuild row-for-row (refresh_equals_rebuild). "
+        "Capture is deterministic: every planted dup is an exact "
+        "copy (jaccard 1.0, identical band hashes).",
+    bench=False,  # times temp-warehouse setup, not a scan
+)
+def warehouse_dedup_deferred_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from .. import snapshots as snap
+    from ..operators import dedup_index as di
+    from ..tables import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="wh_defer_"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    snap.append_versioned(wh, "db", "docs", corpus)
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh")
+    idx_vs0 = len(snap.versions(wh, "db", "docs_lsh"))
+
+    b1 = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(910000, _S1), (910001, _S1), (920000, _S2),
+             (920001, _S3)],
+            "doc_id long, text string",
+        )
+    )
+    s1 = di.append_deduped(wh, "db", "docs_lsh", b1, refresh="defer")
+
+    doc7 = docs.filter(F.col("doc_id") == 7).collect()[0]["text"]
+    b2 = spark.createDataFrame(
+        [(930000, _S2), (930001, doc7), (940000, _S4),
+         (940001, _S5)],
+        "doc_id long, text string",
+    )
+    s2 = di.append_deduped(wh, "db", "docs_lsh", b2, refresh="defer")
+    frozen = len(snap.versions(wh, "db", "docs_lsh")) == idx_vs0
+
+    di.refresh_dedup_index(wh, "db", "docs_lsh")
+    di.build_dedup_index(wh, "db", "docs", "docs_lsh_rb")
+    refreshed = snap.read_snapshot(wh, "db", "docs_lsh")
+    rebuilt = snap.read_snapshot(wh, "db", "docs_lsh_rb")
+    same = (
+        refreshed.exceptAll(rebuilt).limit(1).count() == 0
+        and rebuilt.exceptAll(refreshed).limit(1).count() == 0
+    )
+    after = snap.read_snapshot(wh, "db", "docs").count()
+    return spark.createDataFrame(
+        [
+            (
+                s1["n_batch"], s1["n_dropped_in_batch"],
+                s1["n_dropped_vs_corpus"], s1["n_appended"],
+                s2["n_batch"], s2["n_dropped_in_batch"],
+                s2["n_dropped_vs_corpus"], s2["n_appended"],
+                s2["n_tail"], after, frozen, same,
+            )
+        ],
+        "n_b1 long, b1_drop_in long, b1_drop_corpus long, "
+        "b1_appended long, n_b2 long, b2_drop_in long, "
+        "b2_drop_corpus long, b2_appended long, n_tail_b2 long, "
+        "corpus_rows_after long, index_frozen_during_gates boolean, "
+        "refresh_equals_rebuild boolean",
+    )

@@ -59,9 +59,15 @@ from .dedup import hashed_shingles, jaccard, minhash_band_hashes, widen
 #: per-file IN-list check O(|dict| + log h) at any h); the constant
 #: survives as the granularity the saturation-contract regression
 #: test quotes (planned files <= h <= ceil(h/4096)*4096) and as the
-#: mirror of snapshots._EQ_BLOOM_PROBE_CAP (bloom probing, an
-#: O(h)-per-file test, still caps out — range/dict checks carry the
-#: skip above it).
+#: mirror of snapshots._EQ_BLOOM_PROBE_CAP. Probe-size honesty for
+#: the ~h planned-files claim (r14, closing the r13 advisory): dict
+#: and zone-map checks hold it at ANY h; per-file BLOOM checks hold
+#: it vectorized up to snapshots._EQ_BLOOM_VEC_CAP (256k values,
+#: one numpy gather per file) — beyond that, bloom-only columns
+#: (saturated dicts + unclustered ranges) degrade to the range
+#: check and may keep ~every file. The dedup index itself never
+#: hits that edge: band_hash carries zone maps from range-clustered
+#: writes, so the range/dict path carries the skip.
 _PRUNE_MAX_HASHES = 4096
 
 
@@ -415,6 +421,52 @@ def query_dedup_index(
             pass
 
 
+def _unindexed_tail(
+    wh: Warehouse,
+    database: str,
+    meta: dict,
+    id_out: str,
+    text_out: str,
+) -> DataFrame | None:
+    """LIVE source rows the index has not absorbed yet (source
+    versions after ``meta['src_version']``) — the gap a DEFERRED
+    refresh leaves open, sized by batches-since-refresh, never by the
+    corpus: changed ids come from the CDC window, their text from the
+    current snapshot range-pruned by the changed-id span (the same
+    churn-bounded read shape as refresh_dedup_index). None when the
+    index is current."""
+    src_table = meta["src_table"]
+    cur = snap.versions(wh, database, src_table)[-1]
+    if cur == meta["src_version"]:
+        return None
+    ch = snap.read_changes(
+        wh, database, src_table, meta["src_version"], cur
+    )
+    id_col = meta["id_col"]
+    changed = ch.select(
+        F.col(id_col).cast("long").alias("__ch_id")
+    ).distinct()
+    live_src = snap.read_snapshot(wh, database, src_table, version=cur)
+    if _integral(live_src.schema, id_col):
+        rng = changed.agg(
+            F.min("__ch_id").alias("lo"), F.max("__ch_id").alias("hi")
+        ).collect()[0]
+        if rng["lo"] is not None:
+            live_src = snap.read_snapshot(
+                wh, database, src_table, version=cur,
+                prune=(id_col, rng["lo"], rng["hi"]),
+            )
+    live = live_src.join(
+        F.broadcast(changed),
+        F.col(id_col).cast("long") == F.col("__ch_id"),
+        "left_semi",
+    )
+    return live.select(
+        F.col(id_col).cast("long").alias(id_out),
+        F.col(meta["text_col"]).alias(text_out),
+    )
+
+
 def append_deduped(
     wh: Warehouse,
     database: str,
@@ -423,6 +475,7 @@ def append_deduped(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    refresh: str = "inline",
 ) -> dict:
     """Dedup-GATED ingest — the operation a training-data pipeline
     actually runs on every batch: drop the batch rows that near-dup
@@ -448,11 +501,37 @@ def append_deduped(
     refresh is churn-sized. Nothing touches the corpus text except
     candidate verify rows.
 
-    Returns {n_batch, n_dropped_in_batch, n_dropped_vs_corpus,
-    n_appended, src_version}."""
-    from .dedup import minhash_lsh_pairs
+    ``refresh`` (r14 — the sub-15 s cadence item): ``"inline"``
+    (default) CDC-refreshes the index before returning, so the next
+    batch probes a current index — 2 commits/batch (source append +
+    index txn append). ``"defer"`` skips the refresh entirely and the
+    gate batch pays probe + ONE source-append commit; correctness is
+    preserved EXACTLY by probing the un-indexed source TAIL too
+    (_unindexed_tail: the rows appended since the index's recorded
+    src_version, sized by batches-since-refresh) with the same
+    banded-LSH + exact-verify machinery (cross_corpus_near_dups,
+    identical index params) — index ∪ tail == the full source, so
+    the drop set is identical to inline mode (pytest-pinned
+    batch-for-batch). Run refresh_dedup_index on its own cadence
+    (every N batches / on a timer); the tail grows only between
+    refreshes, so tail-probe cost is bounded by the refresh cadence,
+    not the corpus. This is what moves the gate's feasible streaming
+    trigger below the r13 floor: the index-append commit machinery
+    (the 18 s/batch residual on a 20k-file manifest) leaves the
+    per-batch path entirely.
 
+    Returns {n_batch, n_dropped_in_batch, n_dropped_vs_corpus,
+    n_appended, n_tail, src_version}; n_dropped_vs_corpus counts
+    drops against index AND tail (the corpus is the source table
+    either way); n_tail is the un-indexed rows probed (0 inline)."""
+    from .dedup import cross_corpus_near_dups, minhash_lsh_pairs
+
+    if refresh not in ("inline", "defer"):
+        raise ValueError(
+            f"refresh must be 'inline' or 'defer', got {refresh!r}"
+        )
     meta = _load_dedup_meta(wh, database, index_table)
+    kept = tail = None
     b = batch.select(
         F.col(id_col).cast("long").alias(id_col), F.col(text_col)
     ).persist()
@@ -481,21 +560,49 @@ def append_deduped(
         survivors = kept.join(
             corpus_dups, F.col(id_col) == F.col("__dup"), "left_anti"
         )
+        n_tail = 0
+        if refresh == "defer":
+            tail = _unindexed_tail(
+                wh, database, meta, id_col, text_col
+            )
+            if tail is not None:
+                tail = tail.persist()
+                n_tail = tail.count()
+            if n_tail:
+                tail_dups = (
+                    cross_corpus_near_dups(
+                        survivors, tail,
+                        text_col=text_col, id_col=id_col,
+                        n=meta["n"], num_hashes=meta["num_hashes"],
+                        bands=meta["bands"], threshold=threshold,
+                    )
+                    .select(F.col("new_id").alias("__tdup"))
+                    .distinct()
+                )
+                survivors = survivors.join(
+                    tail_dups,
+                    F.col(id_col) == F.col("__tdup"),
+                    "left_anti",
+                )
         n_appended = survivors.count()
         v = snap.append_versioned(
             wh, database, meta["src_table"], survivors
         )
-        refresh_dedup_index(wh, database, index_table)
+        if refresh == "inline":
+            refresh_dedup_index(wh, database, index_table)
         return {
             "n_batch": n_batch,
             "n_dropped_in_batch": n_batch - n_kept1,
             "n_dropped_vs_corpus": n_kept1 - n_appended,
             "n_appended": n_appended,
+            "n_tail": n_tail,
             "src_version": v,
         }
     finally:
         b.unpersist()
-        try:
-            kept.unpersist()
-        except Exception:
-            pass
+        for cached in (kept, tail):
+            if cached is not None:
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass

@@ -2062,12 +2062,24 @@ def _range_survives(rng, lo, hi) -> bool:
     return True
 
 
-#: per-file bloom probing is O(|IN-list|) PER FILE; above this many
-#: probe values the bloom test is skipped (falls through to the
-#: range check — sound: bloom skipping is an optimization, never a
-#: correctness requirement) so planning a huge probe over 10^6 files
-#: never degenerates to O(files x values) driver work
+#: per-file bloom probing above this many probe values switches from
+#: the early-exit Python loop to the VECTORIZED path (r14): probe
+#: positions are sha256-hashed ONCE per plan (_EqValues.positions)
+#: and each file's test is one numpy gather over its 512 B bitmap —
+#: ~tens of µs/file at h=10^4, so a saturated-dict bloom column keeps
+#: skipping at any realistic probe size instead of silently degrading
+#: to the range check (the r13 advisory: above-cap probes on a
+#: bloom-only column kept ~every file while the docstrings claimed
+#: ~h). The loop stays primary below the cap because its early exit
+#: wins on tiny probes.
 _EQ_BLOOM_PROBE_CAP = 4096
+
+#: above THIS many probe values even the vectorized bloom test is
+#: skipped (range/dict checks carry the skip): per-file cost is
+#: O(h·k) gathered bits, and at 10^6+ values x 10^6 files that is
+#: driver-hours — a probe that large should go through a keys-frame
+#: join (delete_keys posture), not an IN-list plan
+_EQ_BLOOM_VEC_CAP = 262_144
 
 
 class _EqValues:
@@ -2082,7 +2094,7 @@ class _EqValues:
     IN-list cap (the chunk-and-union alternative re-plans shared
     shards per chunk and re-reads files spanning chunks)."""
 
-    __slots__ = ("vset", "svals")
+    __slots__ = ("vset", "svals", "_pos")
 
     def __init__(self, vals):
         self.vset = frozenset(vals)
@@ -2090,6 +2102,49 @@ class _EqValues:
             self.svals = sorted(self.vset)
         except TypeError:  # mixed un-orderable types: no bisect path
             self.svals = None
+        self._pos: dict = {}
+
+    def positions(self, m: int, k: int):
+        """(h, k) int64 numpy matrix of bloom probe positions for the
+        whole value set — hashed ONCE per plan and cached per (m, k)
+        (r14): the per-plan cost is h sha256 calls (~0.1 s at 10^5
+        values); every per-file bloom test thereafter is one
+        vectorized gather against the file's bitmap instead of an
+        O(h·k) Python loop. Value order is fixed (svals, or an
+        arbitrary but stable list for un-orderable sets) — the test
+        only needs row-wise all/any, never value identity."""
+        key = (m, k)
+        p = self._pos.get(key)
+        if p is None:
+            import numpy as np
+
+            vals = (
+                self.svals
+                if self.svals is not None
+                else list(self.vset)
+            )
+            p = np.array(
+                [_bloom_positions(v, m, k) for v in vals],
+                dtype=np.int64,
+            ).reshape(-1, k)
+            self._pos[key] = p
+        return p
+
+
+def _bloom_test_vec(bl: dict, eqv: "_EqValues") -> bool:
+    """Vectorized _bloom_test for large probes (r14): True iff SOME
+    probed value has all k bits set in the file's bitmap. One numpy
+    gather over the decoded 512 B bitmap per file — identical
+    semantics to the per-value loop (false positives possible, false
+    negatives impossible), pinned against it by a property test."""
+    import base64
+
+    import numpy as np
+
+    bits = np.frombuffer(base64.b64decode(bl["b"]), dtype=np.uint8)
+    pos = eqv.positions(bl["m"], bl["k"])
+    hit = (bits[pos >> 3] >> (pos & 7)) & 1
+    return bool(hit.all(axis=1).any())
 
 
 def _eq_survives(rec: dict, col: str, val) -> bool:
@@ -2117,12 +2172,19 @@ def _eq_survives(rec: dict, col: str, val) -> bool:
     bl = rec.get(f"{col}__bloom")
     if isinstance(bl, dict) and "sc" in bl:
         bl = None  # externalized (r9): range check decides; never drop
-    if (
-        bl is not None
-        and len(val.vset) <= _EQ_BLOOM_PROBE_CAP
-        and not _bloom_test(bl, val.vset)
-    ):
-        return False  # definite miss; else fall through to range
+    if bl is not None:
+        h = len(val.vset)
+        if h <= _EQ_BLOOM_PROBE_CAP:
+            if not _bloom_test(bl, val.vset):
+                return False  # definite miss; else fall to range
+        elif h <= _EQ_BLOOM_VEC_CAP:
+            # r14: above the loop cap the test VECTORIZES instead of
+            # silently degrading to the range check — the plan-level
+            # positions cache makes it one gather per file, so a
+            # bloom-only column (saturated dict, wide unclustered
+            # ranges) keeps ~h planned files at large probe sizes too
+            if not _bloom_test_vec(bl, val):
+                return False
     rng = rec.get(col)
     if rng is None:
         return True  # no stats recorded -> must scan

@@ -5434,3 +5434,90 @@ def test_spearman_broadcast_path_skips_preagg(spark):
         base["n"],
         base["spearman_rho"],
     )
+
+
+def test_append_deduped_deferred_refresh_matches_inline(spark, tmp_path):
+    """r14 gate-cadence decoupling: refresh='defer' must produce
+    BATCH-FOR-BATCH identical gate decisions to inline mode — the
+    un-indexed source tail is probed with the same LSH+verify
+    machinery, so index ∪ tail == full source at every batch — while
+    committing only the source append (index versions frozen between
+    refreshes). A later refresh converges the index to a fresh
+    rebuild row-for-row."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import dedup_index as di
+    from scratchdb_spark.tables import Warehouse
+
+    def doc(i):  # unique, non-overlapping 8-token text per id
+        return " ".join(f"w{i}t{j}" for j in range(8))
+
+    corpus = [(i, doc(i)) for i in range(100)]
+    batches = [
+        # (id, text): fresh rows, one corpus copy, one in-batch pair
+        [(1000 + k, doc(10000 + k)) for k in range(10)]
+        + [(1010, doc(5)), (1011, doc(20000)), (1012, doc(20000))],
+        # fresh rows + a copy of b1 survivor 1000 (TAIL catch) + a
+        # corpus copy (index catch)
+        [(2000 + k, doc(30000 + k)) for k in range(5)]
+        + [(2005, doc(10000)), (2006, doc(7))],
+        # copies of b2 + b1 survivors (tail 1 and 2 batches deep)
+        [(3000, doc(30000)), (3001, doc(10001)), (3002, doc(40000))],
+    ]
+    # per batch: b1 = 1 in-batch (1012) + 1 corpus copy (1010);
+    # b2 = 1 tail copy (2005) + 1 corpus copy (2006);
+    # b3 = 2 tail copies (3000, 3001)
+    expect_drops = [2, 2, 2]
+
+    stats = {"inline": [], "defer": []}
+    for mode in ("inline", "defer"):
+        wh = Warehouse(spark, str(tmp_path / f"wh_{mode}"))
+        snap.append_versioned(
+            wh, "db", "docs",
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+        )
+        di.build_dedup_index(wh, "db", "docs", "lsh")
+        for rows in batches:
+            stats[mode].append(
+                di.append_deduped(
+                    wh, "db", "lsh",
+                    spark.createDataFrame(
+                        rows, "doc_id long, text string"
+                    ),
+                    refresh=mode,
+                )
+            )
+        if mode == "defer":
+            # index commits frozen between refreshes: build's version
+            # only (build_dedup_index may commit once or twice; pin
+            # that the 3 gate batches added ZERO index versions)
+            n_idx_vs = len(snap.versions(wh, "db", "lsh"))
+            di.refresh_dedup_index(wh, "db", "lsh")
+            assert len(snap.versions(wh, "db", "lsh")) == n_idx_vs + 1
+            di.build_dedup_index(wh, "db", "docs", "lsh_rb")
+            a = snap.read_snapshot(wh, "db", "lsh")
+            b = snap.read_snapshot(wh, "db", "lsh_rb")
+            assert a.exceptAll(b).limit(1).count() == 0
+            assert b.exceptAll(a).limit(1).count() == 0
+        final = sorted(
+            r["doc_id"]
+            for r in snap.read_snapshot(wh, "db", "docs")
+            .select("doc_id")
+            .collect()
+        )
+        stats[mode + "_final"] = final
+
+    for i, (si, sd) in enumerate(zip(stats["inline"], stats["defer"])):
+        for k in (
+            "n_batch", "n_dropped_in_batch", "n_dropped_vs_corpus",
+            "n_appended",
+        ):
+            assert si[k] == sd[k], (i, k, si, sd)
+        total_dropped = (
+            si["n_dropped_in_batch"] + si["n_dropped_vs_corpus"]
+        )
+        assert total_dropped == expect_drops[i], (i, si)
+    assert stats["inline"][0]["n_tail"] == 0  # inline never tails
+    assert stats["defer"][1]["n_tail"] > 0  # the gap really existed
+    assert stats["inline_final"] == stats["defer_final"]

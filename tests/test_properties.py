@@ -260,3 +260,99 @@ def test_eq_prune_in_list_never_drops_matching_rows(vals, probes):
     elif "k__dict" in rec:
         assert not _eq_survives(rec, "k", probes)
     assert _eq_survives({}, "k", probes)
+
+
+# --- r14: vectorized above-cap bloom probing -------------------------
+
+
+def _mk_bloom(values, m=4096, k=3):
+    import base64
+
+    from scratchdb_spark.snapshots import _bloom_positions
+
+    bits = bytearray(m // 8)
+    for v in values:
+        for p in _bloom_positions(v, m, k):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {
+        "m": m,
+        "k": k,
+        "b": base64.b64encode(bytes(bits)).decode(),
+    }
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    members=st.sets(
+        st.one_of(
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.text(min_size=0, max_size=8),
+        ),
+        max_size=40,
+    ),
+    probes=st.sets(
+        st.one_of(
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.text(min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_bloom_vec_matches_loop(members, probes):
+    """r14: the vectorized bloom test must be BIT-IDENTICAL to the
+    per-value loop on every (bitmap, probe-set) pair — same false
+    positives, same definite misses — since above the loop cap it
+    becomes the skip decision."""
+    from scratchdb_spark.snapshots import (
+        _bloom_test,
+        _bloom_test_vec,
+        _EqValues,
+    )
+
+    bl = _mk_bloom(members)
+    assert _bloom_test_vec(bl, _EqValues(probes)) == _bloom_test(
+        bl, probes
+    )
+    # every member is found (no false negatives, ever)
+    if members:
+        assert _bloom_test_vec(bl, _EqValues(members))
+
+
+def test_eq_survives_bloom_skips_above_loop_cap():
+    """r14 (r13 advisory): on a bloom-only stat record (saturated
+    dict, wide range) a probe ABOVE _EQ_BLOOM_PROBE_CAP used to skip
+    the bloom test wholesale and keep ~every file; now it vectorizes.
+    Probes built by rejection against the per-value loop, so the skip
+    expectation is deterministic (no false-positive flakes)."""
+    from scratchdb_spark.snapshots import (
+        _EQ_BLOOM_PROBE_CAP,
+        _EQ_BLOOM_VEC_CAP,
+        _bloom_test,
+        _eq_survives,
+    )
+
+    members = list(range(1000))
+    bl = _mk_bloom(members)
+    # wide range, no dict: only the bloom can skip
+    rec = {"k": [-10**9, 10**9], "k__bloom": bl}
+
+    absent, cand = [], 10**6
+    while len(absent) <= _EQ_BLOOM_PROBE_CAP:
+        if not _bloom_test(bl, [cand]):
+            absent.append(cand)
+        cand += 1
+    assert len(absent) > _EQ_BLOOM_PROBE_CAP  # really above the cap
+    assert len(absent) <= _EQ_BLOOM_VEC_CAP
+    assert not _eq_survives(rec, "k", absent)  # definite miss: skip
+    # one present member anywhere in the huge probe -> must survive
+    assert _eq_survives(rec, "k", absent + [members[0]])
+    # and beyond the vectorized cap the range check (sound) decides
+    import scratchdb_spark.snapshots as snap
+
+    old = snap._EQ_BLOOM_VEC_CAP
+    try:
+        snap._EQ_BLOOM_VEC_CAP = len(absent) - 1
+        assert _eq_survives(rec, "k", absent)  # falls to range: keep
+    finally:
+        snap._EQ_BLOOM_VEC_CAP = old
