@@ -54,6 +54,62 @@ def _detail(path: str) -> dict[str, dict]:
     return out
 
 
+def _walls(path: str) -> dict[str, float]:
+    with open(path) as f:
+        data = json.load(f)
+    return {
+        n: float(w)
+        for n, w in (data.get("queries") or {}).items()
+        if isinstance(w, (int, float)) and w > 0
+    }
+
+
+def _wall_band(
+    old_path: str, new_path: str, observed: dict[str, dict]
+) -> dict:
+    """Wall-ratio noise band over PLAN-IDENTICAL queries (r14,
+    verdict item 3): host-speed variance moves every query's wall by
+    a roughly uniform factor, while a real regression moves one
+    query far off that factor. Compute per-query new/old wall ratios
+    restricted to queries with byte-identical plan metrics, report
+    the median and p10-p90 band, and list outliers more than 2x off
+    the median ratio (informational — wall never fails the run; the
+    band is what makes a wall-only divergence at 0 plan diffs
+    mechanically dismissible, e.g. the r13 driver-vs-builder 1.31x
+    uniform ratio)."""
+    old_w, new_w = _walls(old_path), _walls(new_path)
+    names = [
+        n
+        for n in sorted(set(old_w) & set(new_w))
+        if n not in observed  # plan-identical only
+    ]
+    ratios = sorted(round(new_w[n] / old_w[n], 3) for n in names)
+    if not ratios:
+        return {"n": 0}
+    med = ratios[len(ratios) // 2]
+    p10 = ratios[max(0, int(0.10 * len(ratios)) - 1)]
+    p90 = ratios[min(len(ratios) - 1, int(0.90 * len(ratios)))]
+    outliers = {
+        n: {
+            "old_s": old_w[n],
+            "new_s": new_w[n],
+            "ratio": round(new_w[n] / old_w[n], 3),
+        }
+        for n in names
+        if new_w[n] / old_w[n] > 2 * med
+        or new_w[n] / old_w[n] < med / 2
+    }
+    return {
+        "n": len(ratios),
+        "median_ratio": med,
+        "p10_ratio": p10,
+        "p90_ratio": p90,
+        "total_old_s": round(sum(old_w[n] for n in names), 2),
+        "total_new_s": round(sum(new_w[n] for n in names), 2),
+        "outliers_2x_off_median": outliers,
+    }
+
+
 def _recheck(names: list[str], sf_dir: str, n_runs: int = 3) -> dict:
     """Re-run each named query n_runs times in ONE fresh session and
     collect per-run stage-metric samples. Returns
@@ -217,6 +273,9 @@ def main() -> int:
         "old": os.path.basename(old_path),
         "new": os.path.basename(new_path),
         "n_queries_compared": len(set(old) & set(new)),
+        "wall_ratio_plan_identical": _wall_band(
+            old_path, new_path, observed
+        ),
         "observed_diffs": observed,
         "explained": explained,
         "exonerated_nondeterministic": {
