@@ -388,13 +388,20 @@ def agg_robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agg_robust_price_stats",
         "rollup_histogram_quantiles (mergeable fixed-bucket partials)",
     )
+    # One percentile buffer for all three quantiles (r14): three
+    # scalar F.percentile aggs each built their OWN value-counts map
+    # and sorted it independently in the 3-task reduce — the array
+    # form sorts the group once and interpolates each p from the same
+    # sorted run (identical interpolation formula, bit-identical
+    # values; oracle re-verified).
     med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price_raw"),
-        F.round(
-            F.percentile("l_extendedprice", F.lit(0.75))
-            - F.percentile("l_extendedprice", F.lit(0.25)),
-            6,
-        ).alias("iqr"),
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.75), F.lit(0.25))
+        ).alias("__pcts")
+    ).select(
+        "l_returnflag",
+        F.col("__pcts")[0].alias("med_price_raw"),
+        F.round(F.col("__pcts")[1] - F.col("__pcts")[2], 6).alias("iqr"),
     )
     return (
         li.join(F.broadcast(med), "l_returnflag")

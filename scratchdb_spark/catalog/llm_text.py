@@ -1196,6 +1196,9 @@ def warehouse_dedup_index_incremental(
         ),
         F.countDistinct("probe_id").alias("n_probes_matched"),
     ).collect()[0]
+    # r14: everything below recomputes from snapshots, so the pair
+    # cache has served its one consumer — release it (guide §5)
+    pairs.unpersist()
 
     # churn + refresh == rebuild (the pure-function-of-text invariant)
     snap.append_versioned(wh, "db", "docs", probe)

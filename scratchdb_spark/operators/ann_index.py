@@ -335,21 +335,29 @@ def refresh_ann_index(
     # debris. Source versions are monotone and refresh is the single
     # sequential maintenance writer per index, the txn contract.
     stamp = {"ann_meta_file": meta_name, "src_version": cur}
-    if upserts.limit(1).count():
+    # Persist before probing (r14): the upserts plan (CDC window read
+    # + the assign/encode kernel) previously executed THREE times —
+    # the empty probe, the count, and the append's write job each
+    # re-ran it. One materialization serves all three.
+    upserts = upserts.persist()
+    try:
         n_upserted = upserts.count()
-        snap.append_versioned(
-            wh, database, index_table, upserts,
-            summary={"operation": "ann-refresh", **stamp},
-            txn=(f"ann-refresh:{database}.{index_table}", cur),
-        )
-    else:
-        # delete-only (or net-empty) window: nothing to append, so
-        # the stamp is its own metadata commit — the replay of a
-        # crash here is a no-op delete + re-stamp, idempotent
-        snap.commit_snapshot(
-            wh, database, index_table,
-            summary={"operation": "ann-refresh", **stamp},
-        )
+        if n_upserted:
+            snap.append_versioned(
+                wh, database, index_table, upserts,
+                summary={"operation": "ann-refresh", **stamp},
+                txn=(f"ann-refresh:{database}.{index_table}", cur),
+            )
+        else:
+            # delete-only (or net-empty) window: nothing to append, so
+            # the stamp is its own metadata commit — the replay of a
+            # crash here is a no-op delete + re-stamp, idempotent
+            snap.commit_snapshot(
+                wh, database, index_table,
+                summary={"operation": "ann-refresh", **stamp},
+            )
+    finally:
+        upserts.unpersist()
     return {
         "n_deleted": n_deleted,
         "n_upserted": n_upserted,

@@ -258,18 +258,26 @@ def refresh_dedup_index(
     # zero-write. Refresh is the single sequential maintenance writer
     # per index and source versions are monotone — the txn contract.
     stamp = {"dedup_meta": {**meta, "src_version": cur}}
-    if fresh.limit(1).count():
+    # Persist before probing (r14): the fresh-band plan (pruned
+    # source read + semi join + banding kernel) previously executed
+    # THREE times — the empty probe, the count, and the append's
+    # write job each re-ran it. One materialization serves all three.
+    fresh = fresh.persist()
+    try:
         n_inserted = fresh.count()
-        snap.append_versioned(
-            wh, database, index_table, fresh,
-            summary={"operation": "dedup-refresh", **stamp},
-            txn=(f"dedup-refresh:{database}.{index_table}", cur),
-        )
-    else:
-        snap.commit_snapshot(
-            wh, database, index_table,
-            summary={"operation": "dedup-refresh", **stamp},
-        )
+        if n_inserted:
+            snap.append_versioned(
+                wh, database, index_table, fresh,
+                summary={"operation": "dedup-refresh", **stamp},
+                txn=(f"dedup-refresh:{database}.{index_table}", cur),
+            )
+        else:
+            snap.commit_snapshot(
+                wh, database, index_table,
+                summary={"operation": "dedup-refresh", **stamp},
+            )
+    finally:
+        fresh.unpersist()
     return {
         "n_deleted": n_deleted,
         "n_inserted": n_inserted,
@@ -285,6 +293,7 @@ def query_dedup_index(
     threshold: float = 0.8,
     probe_id_col: str = "doc_id",
     probe_text_col: str = "text",
+    extra_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a PROBE batch and the indexed corpus:
     probe band rows (one fused kernel over the batch) equi-join the
@@ -325,13 +334,32 @@ def query_dedup_index(
     file and is exactly the old plan). Cost: the candidate join
     executes once inside this function (to collect the ids) and again
     at action time — batch-and-index-pruned-sized, the right trade
-    against a corpus-sized text scan."""
+    against a corpus-sized text scan.
+
+    ``extra_corpus`` (r14): additional (probe_id_col, probe_text_col)
+    corpus rows NOT yet in the persisted index — the deferred-refresh
+    gate's un-indexed source tail. Their band rows are computed on
+    the fly and unioned into the candidate join's index side, and
+    their text into the verify side, so index ∪ extra probes as ONE
+    banded join + ONE exact verify instead of a second full LSH pass
+    (the pre-r14 defer gate ran cross_corpus_near_dups against the
+    tail — a third minhash of the batch plus its own verify join,
+    measured at ~2.5 s/batch of pure duplication). Contract: extra
+    ids are disjoint from the indexed snapshot's ids (source ids are
+    unique and the tail is strictly-after-src_version rows), so no
+    pair is produced twice."""
     meta = _load_dedup_meta(wh, database, index_table)
     bands = meta["bands"]
     probe = new_docs.select(
         F.col(probe_id_col).cast("long").alias("pid"),
         F.col(probe_text_col).alias("ptext"),
     )
+    ex = None
+    if extra_corpus is not None:
+        ex = extra_corpus.select(
+            F.col(probe_id_col).cast("long").alias("corpus_id"),
+            F.col(probe_text_col).alias("__ctext"),
+        ).persist()
     prows = _band_rows(
         probe, "ptext", "pid", meta["n"], meta["num_hashes"], bands
     ).select(
@@ -353,8 +381,18 @@ def query_dedup_index(
             wh, database, index_table,
             prune_eq=("band_hash", hashes),
         )
+        idx_side = idx.select("doc_id", "band", "band_hash")
+        if ex is not None:
+            # un-indexed tail: band rows computed on the fly, unioned
+            # into the candidate join's corpus side (never written)
+            idx_side = idx_side.unionByName(
+                _band_rows(
+                    ex, "__ctext", "corpus_id",
+                    meta["n"], meta["num_hashes"], bands,
+                ).select("doc_id", "band", "band_hash")
+            )
         cand = (
-            prows.join(idx, ["band", "band_hash"])
+            prows.join(idx_side, ["band", "band_hash"])
             .filter(F.col("pid") != F.col("doc_id"))
             .select("pid", F.col("doc_id").alias("corpus_id"))
             .dropDuplicates(["pid", "corpus_id"])
@@ -395,6 +433,10 @@ def query_dedup_index(
             F.col(meta["id_col"]).cast("long").alias("corpus_id"),
             F.col(meta["text_col"]).alias("__ctext"),
         )
+        if ex is not None:
+            # tail text serves its own verify rows (those ids are not
+            # in the src_version snapshot the index reflects)
+            src_raw = src_raw.unionByName(ex)
         psh = probe.select(
             "pid",
             hashed_shingles(F.col("ptext"), meta["n"]).alias("sh_p"),
@@ -415,6 +457,8 @@ def query_dedup_index(
         )
     finally:
         prows.unpersist()
+        if ex is not None:
+            ex.unpersist()
         try:
             cand.unpersist()
         except Exception:
@@ -509,8 +553,9 @@ def append_deduped(
     preserved EXACTLY by probing the un-indexed source TAIL too
     (_unindexed_tail: the rows appended since the index's recorded
     src_version, sized by batches-since-refresh) with the same
-    banded-LSH + exact-verify machinery (cross_corpus_near_dups,
-    identical index params) — index ∪ tail == the full source, so
+    banded-LSH + exact-verify machinery (folded into the index probe
+    itself via query_dedup_index's extra_corpus, identical index
+    params — one banded join + one verify for index ∪ tail, r14) — index ∪ tail == the full source, so
     the drop set is identical to inline mode (pytest-pinned
     batch-for-batch). Run refresh_dedup_index on its own cadence
     (every N batches / on a timer); the tail grows only between
@@ -524,7 +569,7 @@ def append_deduped(
     n_appended, n_tail, src_version}; n_dropped_vs_corpus counts
     drops against index AND tail (the corpus is the source table
     either way); n_tail is the un-indexed rows probed (0 inline)."""
-    from .dedup import cross_corpus_near_dups, minhash_lsh_pairs
+    from .dedup import minhash_lsh_pairs
 
     if refresh not in ("inline", "defer"):
         raise ValueError(
@@ -549,17 +594,18 @@ def append_deduped(
             in_dups, F.col(id_col) == F.col("__dup"), "left_anti"
         ).persist()
         n_kept1 = kept.count()
-        corpus_dups = (
-            query_dedup_index(
-                wh, database, index_table, kept, threshold,
-                probe_id_col=id_col, probe_text_col=text_col,
-            )
-            .select(F.col("probe_id").alias("__dup"))
-            .distinct()
-        )
-        survivors = kept.join(
-            corpus_dups, F.col(id_col) == F.col("__dup"), "left_anti"
-        )
+        # kept is materialized — the in-batch pair cache
+        # (minhash_lsh_pairs materialize-releases into it, r14) has
+        # served its only consumer; drop it so gate batches leave no
+        # residue
+        in_pairs.unpersist()
+        # defer mode: the un-indexed source tail rides the SAME probe
+        # as the index (query_dedup_index extra_corpus, r14) — one
+        # banded join + one exact verify for index ∪ tail, instead of
+        # the pre-r14 second LSH pass (cross_corpus_near_dups) that
+        # re-minhashed the batch and ran its own verify join. The
+        # drop set is identical: a batch row is dropped iff it
+        # near-dups ANY row of index ∪ tail == the full source.
         n_tail = 0
         if refresh == "defer":
             tail = _unindexed_tail(
@@ -568,26 +614,30 @@ def append_deduped(
             if tail is not None:
                 tail = tail.persist()
                 n_tail = tail.count()
-            if n_tail:
-                tail_dups = (
-                    cross_corpus_near_dups(
-                        survivors, tail,
-                        text_col=text_col, id_col=id_col,
-                        n=meta["n"], num_hashes=meta["num_hashes"],
-                        bands=meta["bands"], threshold=threshold,
-                    )
-                    .select(F.col("new_id").alias("__tdup"))
-                    .distinct()
-                )
-                survivors = survivors.join(
-                    tail_dups,
-                    F.col(id_col) == F.col("__tdup"),
-                    "left_anti",
-                )
+        corpus_dups = (
+            query_dedup_index(
+                wh, database, index_table, kept, threshold,
+                probe_id_col=id_col, probe_text_col=text_col,
+                extra_corpus=tail if n_tail else None,
+            )
+            .select(F.col("probe_id").alias("__dup"))
+            .distinct()
+        )
+        survivors = kept.join(
+            corpus_dups, F.col(id_col) == F.col("__dup"), "left_anti"
+        )
+        # Persist before counting (r14): the survivors plan embeds the
+        # INDEX PROBE (query_dedup_index's pruned index read + verify
+        # join — the gate batch's dominant term) and, in defer mode,
+        # the tail probe; without the persist the separate count()
+        # action and append_versioned's write job each execute that
+        # whole pipeline — the probe ran TWICE per gate batch.
+        survivors = survivors.persist()
         n_appended = survivors.count()
         v = snap.append_versioned(
             wh, database, meta["src_table"], survivors
         )
+        survivors.unpersist()
         if refresh == "inline":
             refresh_dedup_index(wh, database, index_table)
         return {

@@ -559,10 +559,6 @@ def kmeans_fit(
     centroid component (scalar cells hash-compare cleanly; no array
     encodings in the correctness path).
     """
-    from decimal import Decimal
-
-    from pyspark.sql import Row
-
     from .dedup import widen
 
     n = _norm(F.col(vec_col))
@@ -574,6 +570,24 @@ def kmeans_fit(
         F.col(id_col).cast("long").alias("vid"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
     ).persist()
+
+    try:
+        return _kmeans_fit_loop(
+            base, k, iters, init, init_sample, corpus.sparkSession
+        )
+    finally:
+        # r14: the normalized-corpus cache previously outlived the
+        # call — every kmeans-quantized query in a long session (the
+        # bench runs 200+ queries on ONE session) left a corpus-sized
+        # block in storage memory, squeezing execution memory for
+        # every later query (guide §5: unpersist when done).
+        base.unpersist()
+
+
+def _kmeans_fit_loop(base, k, iters, init, init_sample, spark):
+    from decimal import Decimal
+
+    from pyspark.sql import Row
 
     if init == "maxmin":
         samp = sorted(
@@ -674,7 +688,6 @@ def kmeans_fit(
                 newC[cid] = np.round(m / norm, 6)
         C = newC
 
-    spark = corpus.sparkSession
     rows = [
         Row(
             centroid_id=cid,

@@ -474,6 +474,8 @@ def main() -> None:
     n_corpus = 50_000 if small else 500_000
     n_files = 2_000 if small else 20_000
     n_batches = 4 if small else 12
+    if "--batches" in sys.argv:
+        n_batches = int(sys.argv[sys.argv.index("--batches") + 1])
 
     dst = os.path.join(REPO, "r14_rehearsal.json")
     out: dict = {}
@@ -483,8 +485,11 @@ def main() -> None:
     if "--skip-gate" not in sys.argv:
         root = tempfile.mkdtemp(prefix="r14_gate_")
         wh = Warehouse(spark, root)
+        key = (
+            "gate_cadence_defer_small" if small else "gate_cadence_defer"
+        )
         try:
-            out["gate_cadence_defer"] = gate_cadence_defer(
+            out[key] = gate_cadence_defer(
                 spark, wh, n_corpus, n_files, n_batches,
                 refresh_every=2 if small else 4,
             )
