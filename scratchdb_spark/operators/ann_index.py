@@ -276,7 +276,21 @@ def refresh_ann_index(
     index version) when the source hasn't moved. Quantizers are never
     retrained here — drift in the data distribution degrades recall
     gracefully until the next build_ann_index, exactly the FAISS
-    operational model."""
+    operational model.
+
+    CONTRACT (r14, replaces the merge_upsert full-tag-scan): source
+    ids are unique and an id is only ever re-introduced through a
+    delete + insert (the CDC window then carries the delete preimage,
+    so the scoped delete runs first). A writer that PLAIN-APPENDS an
+    existing id to the source outside that discipline (e.g. outside
+    the dedup gate) makes the insert-side append land a DUPLICATE
+    __row_id row where the old merge silently upserted. The violation
+    is cheaply detectable at maintenance time —
+    ``read_snapshot(index).groupBy("__row_id").count() > 1`` — and is
+    pytest-pinned (test_ann_refresh_plain_reappend_is_detectable);
+    enforcing it per refresh would cost a full index scan (no
+    __row_id zone maps), the exact scan class this decomposition
+    deleted."""
     meta = _load_meta(wh, database, index_table)
     src_table = meta["src_table"]
     cur = snap.versions(wh, database, src_table)[-1]

@@ -196,7 +196,18 @@ def refresh_dedup_index(
     scoping the delete to delete-preimage ids makes the refresh cost
     purely churn-sized there (measured: r13_rehearsal.json
     gate_cadence.delete_scan_cost_s is the per-batch wall this
-    skips)."""
+    skips).
+
+    CONTRACT (shared with refresh_ann_index, r14): an existing id is
+    only re-introduced through delete + insert, so its delete
+    preimage rides the same window. A writer that PLAIN-APPENDS an
+    already-indexed id to the source (outside the dedup gate, which
+    never does this) leaves the id's OLD band rows in place and
+    appends fresh ones — duplicate ``__row_id`` keys. Cheaply
+    detectable at maintenance time via
+    ``read_snapshot(index).groupBy("__row_id").count() > 1``
+    (pytest-pinned); per-refresh enforcement would need an
+    id-pruned index probe the table has no id zone maps to bound."""
     meta = _load_dedup_meta(wh, database, index_table)
     src_table = meta["src_table"]
     cur = snap.versions(wh, database, src_table)[-1]

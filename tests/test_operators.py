@@ -1775,6 +1775,55 @@ def test_ann_index_incremental_matches_frozen_rebuild(spark, sf_dir, tmp_path):
     assert wide  # new vectors are first-class query targets
 
 
+def test_ann_refresh_plain_reappend_is_detectable(spark, sf_dir, tmp_path):
+    """Pins the refresh id-uniqueness CONTRACT and its maintenance
+    check (refresh_ann_index docstring, r14): the decomposed refresh
+    plain-appends insert-side ids, relying on 'an existing id is only
+    re-introduced via delete + insert'. Contract-respecting churn
+    must leave ZERO duplicate __row_id keys; a contract-VIOLATING
+    plain re-append of an existing id must produce a duplicate that
+    the documented maintenance-time groupBy check catches — the
+    failure mode is visible, not silent corruption of scores (each
+    duplicate row carries valid codes for the id's current vector)."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+    from scratchdb_spark.operators import ann_index as ai
+    from scratchdb_spark.tables import Warehouse, table
+
+    def dup_ids(index_table):
+        return (
+            snap.read_snapshot(wh, "db", index_table)
+            .groupBy("__row_id")
+            .count()
+            .filter(F.col("count") > 1)
+        )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    emb = table(spark, sf_dir, "embeddings")
+    snap.append_versioned(wh, "db", "emb", emb)
+    ai.build_ann_index(wh, "db", "emb", "emb_idx")
+
+    # contract-respecting churn: delete + re-insert the same ids
+    # (delete preimages ride the CDC window) -> no duplicates
+    snap.delete_where(wh, "db", "emb", F.col("vec_id") < 10)
+    snap.append_versioned(
+        wh, "db", "emb", emb.filter(F.col("vec_id") < 10)
+    )
+    ai.refresh_ann_index(wh, "db", "emb_idx")
+    assert dup_ids("emb_idx").count() == 0
+
+    # contract-violating plain re-append (no delete preimage): the
+    # duplicate lands and the maintenance check catches exactly it
+    snap.append_versioned(
+        wh, "db", "emb", emb.filter(F.col("vec_id") == 42)
+    )
+    ai.refresh_ann_index(wh, "db", "emb_idx")
+    bad = dup_ids("emb_idx").collect()
+    assert [r["__row_id"] for r in bad] == [42]
+    assert bad[0]["count"] == 2
+
+
 def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark):
     """by_residual=True's contract, pinned in its regime: on a
     corpus of tight clusters whose coarse cells align with the

@@ -488,6 +488,8 @@ def main() -> None:
         key = (
             "gate_cadence_defer_small" if small else "gate_cadence_defer"
         )
+        if "--batches" in sys.argv:
+            key += f"_b{n_batches}"  # keep the default-window run too
         try:
             out[key] = gate_cadence_defer(
                 spark, wh, n_corpus, n_files, n_batches,
