@@ -670,11 +670,19 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("chunk_tokens", ChunkTokens)
     register_testdata(spark, sf_dir)
+    # The doc_id predicate lives in a SUBQUERY below the lateral join:
+    # written as a top-level WHERE, Spark 4 leaves the filter ABOVE the
+    # ArrowEvalPythonUDTF node (plans/r14/udtf_chunk_windows_before.txt
+    # — no PushedFilters on the scan), so Python chunked ALL documents
+    # and 96% of the UDTF output was discarded. The filter commutes
+    # with the lateral join (it references only the pass-through input
+    # column), so rows are identical; pinned by the pushdown plan
+    # audit in tests/test_plans.py.
     return spark.sql(
         """
         SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
-        FROM documents d, LATERAL chunk_tokens(d.text) c
-        WHERE d.doc_id < 200
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d,
+             LATERAL chunk_tokens(d.text) c
         """
     )
 

@@ -29,7 +29,7 @@ def refuse_quadratic(
     max_rows: int | None,
     operator: str,
     alternative: str,
-) -> None:
+) -> int | None:
     """Probe ``df`` with ``LIMIT max_rows + 1`` and refuse if more
     than ``max_rows`` rows come back.
 
@@ -39,9 +39,15 @@ def refuse_quadratic(
     of counting the whole input, so the guard's cost is bounded by the
     threshold it enforces, not by the input size. That linear,
     early-exiting probe is what makes it safe to run unconditionally
-    in front of the O(n^2) work it guards."""
+    in front of the O(n^2) work it guards.
+
+    Returns the probed row count — EXACT whenever the guard passes
+    (the limit only truncates above max_rows, which raises) — or None
+    when ``max_rows`` is None (unbounded opt-in, nothing was counted).
+    Callers can use it to size their blocking/partitioning without a
+    second counting job."""
     if max_rows is None:
-        return
+        return None
     n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise QuadraticInputError(
@@ -49,6 +55,7 @@ def refuse_quadratic(
             f"more than max_rows={max_rows} rows. Use {alternative} at "
             f"scale, or pass a higher max_rows to opt in explicitly."
         )
+    return n
 
 
 def refuse_hot_groups(

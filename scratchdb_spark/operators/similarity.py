@@ -118,13 +118,36 @@ def brute_force_topk(
     )
 
 
+def _gemm_block_size(
+    n_rows: int | None, parallelism: int,
+    floor: int = 256, cap: int = 2048,
+) -> int:
+    """Adaptive GEMM block size for blocked all-pairs similarity.
+
+    Pick the block size so the B(B+1)/2 block pairs cover the cluster
+    (B ~ sqrt(2 * parallelism) blocks -> ~parallelism pair tasks)
+    while never exceeding ``cap`` rows per block — the cap bounds one
+    task's score matrix at cap^2 doubles (~32 MB at 2048), the
+    bounded-memory property the fixed default had. ``floor`` stops
+    tiny inputs from shattering into blocks whose per-task Python/
+    Arrow overhead exceeds their GEMM. Blocking is result-invariant
+    (every pair's dot product is computed over the full vectors
+    whichever block pair it lands in), so this moves only WHERE pairs
+    are computed, never what — pinned by the blocking-invariance
+    pytest."""
+    if not n_rows or n_rows <= 0:
+        return cap
+    b_target = max(int(math.ceil(math.sqrt(2.0 * parallelism))), 1)
+    return min(cap, max(floor, -(-n_rows // b_target)))
+
+
 def cosine_pairs_above(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_id: int | None = None,
-    block_size: int = 2048,
+    block_size: int | None = None,
     max_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b.
@@ -139,16 +162,30 @@ def cosine_pairs_above(
     that survives scale. Parallelism = B(B+1)/2 block pairs, each task
     touches 2·block_size rows — no row-level cross product ever
     materializes in the shuffle.
+
+    ``block_size=None`` (default) sizes blocks ADAPTIVELY from the
+    guard's row probe and the cluster parallelism (_gemm_block_size):
+    the r14 fixed 2048 default packed a 2k-vector corpus into ONE
+    block pair — one task's GEMM with the rest of the cluster idle.
+    The pair rows are also repartitioned with an EXPLICIT count:
+    block-pair rows are bytes-light but CPU-quadratic in block size,
+    exactly the shape AQE's byte-based coalescing mis-sizes (it
+    folded all pairs into one partition), and an explicit-count
+    round-robin exchange is the documented way to opt a shuffle out
+    of coalescing.
     """
     base = df
     if max_id is not None:
         base = base.filter(F.col(id_col) < max_id)
     from .guards import refuse_quadratic
 
-    refuse_quadratic(
+    n_rows = refuse_quadratic(
         base, max_rows, "cosine_pairs_above",
         "lsh_topk buckets / minhash-style banding",
     )
+    par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    if block_size is None:
+        block_size = _gemm_block_size(n_rows, par)
     # normalize once (linear, JVM codegen): pair stage then needs only
     # the dot product, and the kernel skips per-pair norms entirely
     n = _norm(F.col(vec_col))
@@ -181,9 +218,23 @@ def cosine_pairs_above(
         F.col("ids").alias("ids_b"),
         F.col("vecs").alias("vecs_b"),
     )
-    tasks = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
-        "blk_a", "blk_b"
-    )
+    # Explicit-count ROUND-ROBIN repartition of the pair rows: each row
+    # is one GEMM task whose CPU is block_size^2-proportional while its
+    # bytes are block_size-proportional, so AQE's byte-based coalescing
+    # (which CAN re-size a keyless/by-column repartition) would fold
+    # the whole pair set into one or two partitions and serialize the
+    # GEMMs. An explicit numPartitions opts the exchange out of AQE
+    # re-sizing; round-robin spreads exactly evenly (hashing ~B^2/2
+    # distinct keys into ~that many partitions would leave collision
+    # tails). Partition count: one per pair up to 2x parallelism,
+    # beyond which multiple GEMMs per task amortize scheduling.
+    pair_rows = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    if n_rows is not None:
+        n_blocks = max(-(-n_rows // block_size), 1)
+        n_parts = max(1, min(n_blocks * (n_blocks + 1) // 2, par * 2))
+    else:
+        n_parts = par * 2
+    tasks = pair_rows.repartition(n_parts)
 
     # kernel filters at threshold - eps on the raw value; the exact
     # (rounded) threshold is re-applied in Spark so boundary semantics
@@ -482,12 +533,23 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("c_vec"),
     )
+    # Candidate discovery moves KEYS ONLY (guide §2.3 / §8: decide
+    # with small rows, attach payloads once): the (tbl, bucket)
+    # collision join and the (query_id, neighbor_id) dedup see ~24-byte
+    # id rows — the pre-r14 form carried q_vec AND c_vec through the
+    # dedup exchange (~1 KB per candidate, the query's dominant
+    # shuffle) and broadcast the corpus-side explode WITH vectors
+    # (num_tables x corpus vector bytes in every executor). Vectors
+    # re-attach ONCE per side after dedup via equi-joins — at scale
+    # that shuffles the corpus once instead of num_tables times; the
+    # cosine expression and rank tie-break are unchanged expressions
+    # over unchanged inputs, so scores and ranks are bit-identical.
     qb = q.select(
-        "query_id", "q_vec",
+        "query_id",
         F.posexplode(table_keys("q_vec")).alias("tbl", "bucket"),
     )
     cb = c.select(
-        "neighbor_id", "c_vec",
+        "neighbor_id",
         F.posexplode(table_keys("c_vec")).alias("tbl", "bucket"),
     )
     cand = (
@@ -495,11 +557,12 @@ def lsh_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.join(q, "query_id").join(c, "neighbor_id")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return (
-        cand.select(
+        scored.select(
             "query_id",
             "neighbor_id",
             F.round(_dot(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),

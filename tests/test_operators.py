@@ -270,6 +270,49 @@ def test_cosine_pairs_blocked_matches_single_block(spark, sf_dir):
     assert one == many
 
 
+def test_cosine_pairs_adaptive_block_size_sizing():
+    """Pure sizing function (r14b): blocks shrink so B(B+1)/2 pair
+    tasks cover the cluster, floor 256 (per-task overhead), cap 2048
+    (bounds one GEMM's score matrix at ~32 MB)."""
+    from scratchdb_spark.operators.similarity import _gemm_block_size
+
+    # 2000 rows, 32-way: B_target = ceil(sqrt(64)) = 8 -> ceil(2000/8)
+    # = 250 -> floored to 256 -> 8 blocks -> 36 pair tasks
+    assert _gemm_block_size(2000, 32) == 256
+    # large corpora keep the memory cap
+    assert _gemm_block_size(1_000_000, 32) == 2048
+    # tiny inputs never shatter below the floor
+    assert _gemm_block_size(100, 32) == 256
+    # unknown count (unbounded opt-in) keeps the legacy fixed size
+    assert _gemm_block_size(None, 32) == 2048
+    assert _gemm_block_size(0, 32) == 2048
+
+
+def test_cosine_pairs_adaptive_default_matches_explicit(spark, sf_dir):
+    """block_size=None (adaptive, the registry path) must equal the
+    r13 fixed 2048 — blocking is placement, never values — and its
+    pair exchange must be an explicit-count round-robin (AQE byte-
+    based coalescing folded the CPU-quadratic GEMM rows into one
+    partition; REPARTITION_BY_NUM opts out)."""
+    from scratchdb_spark.operators.similarity import cosine_pairs_above
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    adaptive = cosine_pairs_above(emb, 0.4)
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in adaptive.collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in cosine_pairs_above(emb, 0.4, block_size=2048).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+    plan = adaptive._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
+    assert "REPARTITION_BY_NUM" in plan
+
+
 def test_minhash_signature_agreement_tracks_jaccard(spark):
     from scratchdb_spark.operators.dedup import (
         hashed_shingles,
