@@ -118,6 +118,16 @@ def brute_force_topk(
     )
 
 
+
+#: Bytes-per-task floor for the GEMM-family kernels (kmeans Lloyd
+#: accumulate, PQ encode/assign): their numpy work per byte is light
+#: enough that shattering a small corpus across the whole cluster
+#: costs more in fixed Python/Arrow task round-trips than it buys in
+#: parallelism (measured: 2000 rows split 32 ways ran the Lloyd pass
+#: 2x slower than 8 ways). 128 KB keeps sub-MB fixtures at a handful
+#: of tasks while any at-scale input still widens to full parallelism.
+_GEMM_MIN_TASK_BYTES = 128 * 1024
+
 def _gemm_block_size(
     n_rows: int | None, parallelism: int,
     floor: int = 256, cap: int = 2048,
@@ -629,7 +639,7 @@ def kmeans_fit(
     # one-row-group corpus would run every pass on one core (the
     # ivf_topk rehearsal catch); DECIMAL-summed updates are
     # partition-invariant, so the layout change cannot move a centroid
-    base = widen(corpus).select(
+    base = widen(corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES).select(
         F.col(id_col).cast("long").alias("vid"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
     ).persist()
@@ -912,7 +922,7 @@ def pq_encode(
     # pure, so the round-robin shuffle cannot change any output)
     from .dedup import widen
 
-    src = widen(corpus).select(
+    src = widen(corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES).select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("v"),
     )
@@ -1178,7 +1188,7 @@ def _assign_encode_df(corpus, books, cent_ids, C, id_col, vec_col):
     # widen: same single-task hazard/fix as pq_encode (per-row pure)
     from .dedup import widen
 
-    return widen(corpus).select(
+    return widen(corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES).select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("v"),
     ).mapInPandas(assign_encode, "vec_id long, cid long, code array<int>")
@@ -1497,7 +1507,7 @@ def _assign_encode_residual_df(corpus, books, cent_ids, C, id_col, vec_col):
     # widen: same single-task hazard/fix as pq_encode (per-row pure)
     from .dedup import widen
 
-    return widen(corpus).select(
+    return widen(corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES).select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).alias("v"),
     ).mapInPandas(assign_encode, "vec_id long, cid long, code array<int>")

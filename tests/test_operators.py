@@ -270,6 +270,28 @@ def test_cosine_pairs_blocked_matches_single_block(spark, sf_dir):
     assert one == many
 
 
+def test_widen_bytes_floor_caps_small_inputs(spark, sf_dir):
+    """widen(min_bytes_per_task=...) must not shatter a sub-MB corpus
+    across the whole cluster (r14b: the kmeans Lloyd pass ran 2x
+    slower at 32 tiny tasks than at 8 — pure task overhead), while a
+    huge floor still yields a runnable >= 1-partition frame and the
+    legacy call keeps targeting full parallelism."""
+    from scratchdb_spark.operators.dedup import widen
+    from scratchdb_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    plain = widen(emb).rdd.getNumPartitions()
+    floored = widen(
+        emb, min_bytes_per_task=128 * 1024
+    ).rdd.getNumPartitions()
+    assert plain >= min(par, 2) or par == 1  # legacy widens to cluster
+    assert 1 <= floored <= plain
+    if par > 1:  # the tiny fixture must not occupy the whole cluster
+        assert floored < par
+    assert widen(emb, min_bytes_per_task=1 << 45).rdd.getNumPartitions() >= 1
+
+
 def test_cosine_pairs_adaptive_block_size_sizing():
     """Pure sizing function (r14b): blocks shrink so B(B+1)/2 pair
     tasks cover the cluster, floor 256 (per-task overhead), cap 2048
