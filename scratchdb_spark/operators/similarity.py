@@ -91,6 +91,12 @@ def brute_force_topk(
     # as the ivf_topk rehearsal catch)
     from .dedup import widen
 
+    # NO bytes-per-task floor here (unlike the GEMM-family sites): the
+    # per-candidate scoring below is |queries| interpreted HOF dots per
+    # CORPUS ROW — orders of magnitude more CPU per byte than a numpy
+    # batch GEMM, so byte-flooring under-parallelizes it (measured:
+    # ann_cosine_topk 0.9 -> 3.1 s at ~6 partitions; full-parallelism
+    # widen restored it).
     c = widen(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -372,7 +378,7 @@ def ivf_topk(
     # dedup.widen)
     from .dedup import widen
 
-    c = widen(corpus).select(
+    c = widen(corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("c_vec"),
     ).withColumn("cid", assign_centroid("c_vec"))
@@ -539,7 +545,7 @@ def lsh_topk(
     # per-row pure, so layout cannot change any bucket)
     from .dedup import widen
 
-    c = widen(corpus).select(
+    c = widen(corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES).select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("c_vec"),
     )
@@ -1700,7 +1706,9 @@ def semdedup_prune(
     n = _norm(F.col(vec_col))
     from .dedup import widen as _widen
 
-    normed = _widen(corpus).select(
+    normed = _widen(
+        corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES
+    ).select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
     )
