@@ -4695,7 +4695,7 @@ def events_contingency_coef(
 def events_ab_kolmogorov_smirnov(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..operators.prefix_sum import bucketed_running_sum
+    from ..operators.prefix_sum import bucketed_running_sums
     from ..operators.split import hash_bucket
 
     ev = table(spark, sf_dir, "events").select(
@@ -4706,8 +4706,14 @@ def events_ab_kolmogorov_smirnov(
         F.sum((F.col("arm") == 0).cast("long")).alias("cnt_a"),
         F.sum((F.col("arm") == 1).cast("long")).alias("cnt_b"),
     )
-    c, n_a = bucketed_running_sum(g, "x", "cnt_a", "cum_a")
-    c, n_b = bucketed_running_sum(c, "x", "cnt_b", "cum_b")
+    # ONE prefix-bucket construction for both arms (r14b): the two
+    # stacked single-column constructions each re-executed g's
+    # subtree for their min/max and stats driver folds — buckets and
+    # window are functions of x alone, so the fused form is
+    # bit-identical and pays pass 1 once.
+    c, (n_a, n_b) = bucketed_running_sums(
+        g, "x", [("cnt_a", "cum_a"), ("cnt_b", "cum_b")]
+    )
     d = c.select(
         "x",
         F.abs(

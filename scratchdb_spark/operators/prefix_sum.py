@@ -129,7 +129,56 @@ def bucketed_running_sum(
     'n_frame_rows', 'splits_per_level'} for tests/rehearsals and for
     callers that want pass 1's cardinality proof (e.g. to decide a
     broadcast of the result frame) without a second scan.
+
+    Several running sums over the SAME ordering: use
+    ``bucketed_running_sums`` (this function is its single-column
+    wrapper) — one construction computes every column's cumulative,
+    instead of stacking constructions whose stats/min-max passes each
+    re-execute the input subtree (r14b: the KS query stacked two).
     """
+    out, totals = bucketed_running_sums(
+        df,
+        order_col,
+        [(value_col, out_col)],
+        n_buckets=n_buckets,
+        tiebreak_cols=tiebreak_cols,
+        max_depth=max_depth,
+        hot_factor=hot_factor,
+        max_splits_per_level=max_splits_per_level,
+        min_split_rows=min_split_rows,
+        diag=diag,
+    )
+    return out, totals[0]
+
+
+def bucketed_running_sums(
+    df: DataFrame,
+    order_col: str,
+    value_out_cols: list,
+    n_buckets: int = 256,
+    tiebreak_cols: tuple = (),
+    max_depth: int = 3,
+    hot_factor: float = 2.0,
+    max_splits_per_level: int = 32,
+    min_split_rows: int = 100_000,
+    diag: dict | None = None,
+) -> tuple[DataFrame, list]:
+    """Multi-column form of ``bucketed_running_sum``: add one INCLUSIVE
+    running-sum column per ``(value_col, out_col)`` pair, all over the
+    same ascending ``order_col`` order, in ONE construction. Returns
+    ``(frame, [grand_total, ...])`` in pair order.
+
+    Buckets, re-splits and the window are pure functions of the order
+    column's stats and row counts — identical whatever the value
+    columns — so each output column is bit-identical to what a
+    separate single-column construction would produce; the min/max
+    pass, the stats passes and the per-bucket window are simply paid
+    once instead of once per column (the value sums ride the same
+    stats aggregate and the same window).
+    """
+    if not value_out_cols:
+        raise ValueError("value_out_cols must name at least one pair")
+    val_cols = [v for v, _ in value_out_cols]
     mm = df.agg(
         F.min(order_col).alias("mn"), F.max(order_col).alias("mx")
     ).collect()[0]
@@ -142,35 +191,42 @@ def bucketed_running_sum(
             splits_per_level=[],
         )
     if mn is None:
-        # empty input (or all-NULL order): column exists, no rows
-        return (
-            df.withColumn(out_col, F.lit(None).cast("long")),
-            0,
-        )
+        # empty input (or all-NULL order): columns exist, no rows
+        out = df
+        for _, out_col in value_out_cols:
+            out = out.withColumn(out_col, F.lit(None).cast("long"))
+        return out, [0] * len(value_out_cols)
     if (float(mx) - float(mn)) <= 0:
         bkt = F.lit(0).cast("long")
     else:
         bkt = _sub_bucket_expr(order_col, mn, mx, n_buckets)
     keyed = df.withColumn("__psb", bkt)
 
-    # Pass 1 (+ bounded re-split levels): per-bucket net / count /
-    # sub-range. The collect is bounded by n_buckets plus at most
-    # max_splits_per_level*(n_buckets-1) new buckets per level.
-    nets: dict[int, int] = {}
+    # Pass 1 (+ bounded re-split levels): per-bucket nets (one per
+    # value column) / count / sub-range. The collect is bounded by
+    # n_buckets plus at most max_splits_per_level*(n_buckets-1) new
+    # buckets per level.
+    nets: dict[int, list] = {}
     total_rows = 0
     splits_per_level: list[int] = []
     for level in range(max_depth + 1):
         stats = (
             keyed.groupBy("__psb")
             .agg(
-                F.sum(F.col(value_col).cast("long")).alias("net"),
+                *[
+                    F.sum(F.col(v).cast("long")).alias(f"net{i}")
+                    for i, v in enumerate(val_cols)
+                ],
                 F.count(F.lit(1)).alias("cnt"),
                 F.min(order_col).alias("bmn"),
                 F.max(order_col).alias("bmx"),
             )
             .collect()
         )
-        nets = {r["__psb"]: r["net"] for r in stats}
+        nets = {
+            r["__psb"]: [r[f"net{i}"] for i in range(len(val_cols))]
+            for r in stats
+        }
         if level == 0:
             total_rows = sum(r["cnt"] for r in stats)
         threshold = max(
@@ -212,11 +268,12 @@ def bucketed_running_sum(
             (F.col("__psb") * F.lit(n_buckets) + sub).cast("long"),
         )
 
-    offsets: dict[int, int] = {}
-    cum = 0
+    offsets: dict[int, list] = {}
+    cums = [0] * len(val_cols)
     for b in sorted(nets):
-        offsets[b] = cum
-        cum += nets[b]
+        offsets[b] = list(cums)
+        for i in range(len(val_cols)):
+            cums[i] += nets[b][i]
     if diag is not None:
         diag.update(
             levels=len(splits_per_level),
@@ -229,33 +286,41 @@ def bucketed_running_sum(
         .orderBy(order_col, *tiebreak_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    in_bucket = F.sum(F.col(value_col).cast("long")).over(w)
+    out = keyed
     if len(offsets) <= 1024:
-        off_map = F.create_map(
-            *[
-                F.lit(x)
-                for b, o in sorted(offsets.items())
-                for x in (b, o)
-            ]
-        )
-        out = keyed.withColumn(
-            out_col,
-            (
-                F.coalesce(
-                    F.element_at(off_map, F.col("__psb")), F.lit(0)
-                )
-                + in_bucket
-            ).cast("long"),
-        )
+        for i, (v, out_col) in enumerate(value_out_cols):
+            off_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for b, o in sorted(offsets.items())
+                    for x in (b, o[i])
+                ]
+            )
+            out = out.withColumn(
+                out_col,
+                (
+                    F.coalesce(
+                        F.element_at(off_map, F.col("__psb")), F.lit(0)
+                    )
+                    + F.sum(F.col(v).cast("long")).over(w)
+                ).cast("long"),
+            )
     else:
         off_df = keyed.sparkSession.createDataFrame(
-            sorted(offsets.items()), "__psb long, __off long"
+            [(b,) + tuple(o) for b, o in sorted(offsets.items())],
+            "__psb long, "
+            + ", ".join(f"__off{i} long" for i in range(len(val_cols))),
         )
-        out = (
-            keyed.join(F.broadcast(off_df), "__psb")
-            .withColumn(
-                out_col, (F.col("__off") + in_bucket).cast("long")
+        out = out.join(F.broadcast(off_df), "__psb")
+        for i, (v, out_col) in enumerate(value_out_cols):
+            out = out.withColumn(
+                out_col,
+                (
+                    F.col(f"__off{i}")
+                    + F.sum(F.col(v).cast("long")).over(w)
+                ).cast("long"),
             )
-            .drop("__off")
+        out = out.drop(
+            *[f"__off{i}" for i in range(len(val_cols))]
         )
-    return out.drop("__psb"), cum
+    return out.drop("__psb"), cums

@@ -4863,6 +4863,44 @@ def test_bucketed_running_sum_exact_and_partitioned(spark):
     ) == rows
 
 
+def test_bucketed_running_sums_multi_matches_stacked_singles(spark):
+    """r14b: the multi-column form must be bit-identical to stacking
+    two single-column constructions (buckets/re-splits/window are
+    pure functions of the order column and row counts, never of the
+    value columns) while paying pass 1 once — the KS query's two
+    stacked calls re-executed the grouped subtree per call."""
+    from scratchdb_spark.operators.prefix_sum import (
+        bucketed_running_sum,
+        bucketed_running_sums,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") * 37 % 99_991).alias("x"),
+        (F.col("id") % 13 + 1).alias("a"),
+        (F.col("id") % 7).alias("b"),
+    ).groupBy("x").agg(
+        F.sum("a").alias("a"), F.sum("b").alias("b")
+    )
+    fused, (ta, tb) = bucketed_running_sums(
+        df, "x", [("a", "cum_a"), ("b", "cum_b")]
+    )
+    s1, ta1 = bucketed_running_sum(df, "x", "a", "cum_a")
+    s2, tb1 = bucketed_running_sum(s1, "x", "b", "cum_b")
+    assert (ta, tb) == (ta1, tb1)
+    assert sorted(
+        tuple(r) for r in fused.select("x", "cum_a", "cum_b").collect()
+    ) == sorted(
+        tuple(r) for r in s2.select("x", "cum_a", "cum_b").collect()
+    )
+    # empty input: every requested column lands with a zero total
+    empty = spark.createDataFrame([], "x long, a long, b long")
+    out_e, totals_e = bucketed_running_sums(
+        empty, "x", [("a", "cum_a"), ("b", "cum_b")]
+    )
+    assert totals_e == [0, 0]
+    assert {"cum_a", "cum_b"} <= set(out_e.columns)
+
+
 def test_bucketed_running_sum_fractional_and_empty(spark):
     """Double-typed order columns ride the fractional-width branch
     (monotone bucket, last-bucket clamp); empty input returns the
