@@ -58,6 +58,24 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _normalized(vec_col):
+    """L2-normalized copy of an array<float|double> column (r15).
+
+    Written as ``zip_with(vec, array_repeat(norm, size(vec)), x/nn)``
+    rather than ``transform(vec, x -> x / norm)``: inside a transform
+    lambda the norm subexpression (itself an O(d) aggregate over the
+    array) is re-evaluated PER ELEMENT — O(d²) per row, measured 4-5x
+    slower on the 64-dim bench corpus — while ``array_repeat``'s
+    arguments are evaluated once per row. Values are bit-identical
+    (the same division by the same norm, per element)."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.zip_with(
+        col,
+        F.array_repeat(_norm(col), F.size(col)),
+        lambda x, nn: x.cast("double") / nn,
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -204,10 +222,9 @@ def cosine_pairs_above(
         block_size = _gemm_block_size(n_rows, par)
     # normalize once (linear, JVM codegen): pair stage then needs only
     # the dot product, and the kernel skips per-pair norms entirely
-    n = _norm(F.col(vec_col))
     normed = base.select(
         F.col(id_col).cast("long").alias("pid"),
-        F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
+        _normalized(vec_col).alias("v"),
     )
     # id-range blocks: blk is monotonic in pid, so blk_a < blk_b
     # implies every id in a < every id in b — the i<j constraint only
@@ -368,7 +385,6 @@ def ivf_topk(
         order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(cent_ids[order]))
 
-    n = _norm(F.col(vec_col))
     # widen before the CPU-bound Python assign stage: a one-row-group
     # parquet corpus scans as ONE task, serializing the per-batch
     # GEMMs no matter how wide the cluster is (caught by the 10x
@@ -380,11 +396,11 @@ def ivf_topk(
 
     c = widen(corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES).select(
         F.col(id_col).alias("neighbor_id"),
-        F.transform(vec_col, lambda x: x.cast("double") / n).alias("c_vec"),
+        _normalized(vec_col).alias("c_vec"),
     ).withColumn("cid", assign_centroid("c_vec"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.transform(vec_col, lambda x: x.cast("double") / n).alias("q_vec"),
+        _normalized(vec_col).alias("q_vec"),
     ).withColumn("cid", F.explode(probe_centroids("q_vec")))
 
     cand = q.join(c, "cid").filter(
@@ -535,10 +551,9 @@ def lsh_topk(
         return pd.Series(list(keys))
 
     # normalize once (linear): candidate scoring is then a single dot
-    n = _norm(F.col(vec_col))
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.transform(vec_col, lambda x: x.cast("double") / n).alias("q_vec"),
+        _normalized(vec_col).alias("q_vec"),
     )
     # widen: the table_keys GEMM is the CPU-bound stage (same
     # single-row-group hazard the ivf_topk rehearsal caught; keys are
@@ -547,7 +562,7 @@ def lsh_topk(
 
     c = widen(corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES).select(
         F.col(id_col).alias("neighbor_id"),
-        F.transform(vec_col, lambda x: x.cast("double") / n).alias("c_vec"),
+        _normalized(vec_col).alias("c_vec"),
     )
     # Candidate discovery moves KEYS ONLY (guide §2.3 / §8: decide
     # with small rows, attach payloads once): the (tbl, bucket)
@@ -640,14 +655,13 @@ def kmeans_fit(
     """
     from .dedup import widen
 
-    n = _norm(F.col(vec_col))
     # widen: the Lloyd accumulate kernel is CPU-bound per batch — a
     # one-row-group corpus would run every pass on one core (the
     # ivf_topk rehearsal catch); DECIMAL-summed updates are
     # partition-invariant, so the layout change cannot move a centroid
     base = widen(corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES).select(
         F.col(id_col).cast("long").alias("vid"),
-        F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
+        _normalized(vec_col).alias("v"),
     ).persist()
 
     try:
@@ -1703,14 +1717,13 @@ def semdedup_prune(
 
     cent_ids, C = _coarse_centroids(corpus, n_cells, id_col, vec_col)
 
-    n = _norm(F.col(vec_col))
     from .dedup import widen as _widen
 
     normed = _widen(
         corpus, min_bytes_per_task=_GEMM_MIN_TASK_BYTES
     ).select(
         F.col(id_col).cast("long").alias("vec_id"),
-        F.transform(vec_col, lambda x: x.cast("double") / n).alias("v"),
+        _normalized(vec_col).alias("v"),
     )
 
     @pandas_udf("long")
@@ -1784,10 +1797,9 @@ def mmr_rerank(
     cands = brute_force_topk(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
     )
-    n = _norm(F.col(vec_col))
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.transform(vec_col, lambda x: x.cast("double") / n).alias(
+        _normalized(vec_col).alias(
             "n_vec"
         ),
     )

@@ -292,6 +292,34 @@ def test_widen_bytes_floor_caps_small_inputs(spark, sf_dir):
     assert widen(emb, min_bytes_per_task=1 << 45).rdd.getNumPartitions() >= 1
 
 
+def test_normalized_matches_per_element_form(spark):
+    """_normalized (r15: zip_with + array_repeat, norm evaluated once
+    per row) must be value-identical to the per-element transform form
+    it replaced (norm re-evaluated per element — O(d²) per row), on
+    vectors including negatives, empties and NULLs."""
+    from scratchdb_spark.operators.similarity import _norm, _normalized
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),
+            (2, [-1.5, 2.5, 0.0]),
+            (3, [0.1234567]),
+            (4, []),
+            (5, None),
+        ],
+        "id long, v array<double>",
+    )
+    n = _norm(F.col("v"))
+    old = df.select(
+        "id",
+        F.transform("v", lambda x: x.cast("double") / n).alias("nv"),
+    )
+    new = df.select("id", _normalized("v").alias("nv"))
+    assert sorted(map(repr, old.collect())) == sorted(
+        map(repr, new.collect())
+    )
+
+
 def test_cosine_pairs_adaptive_block_size_sizing():
     """Pure sizing function (r14b): blocks shrink so B(B+1)/2 pair
     tasks cover the cluster, floor 256 (per-task overhead), cap 2048
