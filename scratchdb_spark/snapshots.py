@@ -3083,15 +3083,16 @@ def _rebase_parent(
     table: str,
     prev: dict,
     guard_files: set,
+    allow_dv_growth: bool = False,
 ):
-    """(latest manifest, winner-added file names) iff every commit
-    that landed since ``prev`` left this COW op's READ/REPLACED file
-    set intact — the metadata half of logical conflict detection
-    (rebase instead of recompute; the Delta/Iceberg commit-protocol
-    answer to pure version-number OCC, public designs). Returns None
-    whenever safety cannot be PROVEN — the caller then falls back to
-    the full recompute, so a wrong rebase is never reachable; only a
-    missed one.
+    """(latest manifest, winner-added file names, winner-added dv
+    entries) iff every commit that landed since ``prev`` left this
+    COW op's READ/REPLACED file set intact — the metadata half of
+    logical conflict detection (rebase instead of recompute; the
+    Delta/Iceberg commit-protocol answer to pure version-number OCC,
+    public designs). Returns None whenever safety cannot be PROVEN —
+    the caller then falls back to the full recompute, so a wrong
+    rebase is never reachable; only a missed one.
 
     Checks, per intervening manifest (each a small JSON read — the
     ``added``/``removed`` delta lists are O(churn) and never require
@@ -3102,10 +3103,18 @@ def _rebase_parent(
     - nothing this op read or replaced was removed/retired by a
       winner (``removed`` ∩ guard == ∅) — a winner that rewrote one
       of our files makes our preimages/rewrites stale;
-    - globally: schema, stat/bloom config, and deletion-vector state
-      must be unchanged between prev and latest — a dv added on any
-      file means some preimage mask may be stale, and this op's
-      manifest was built under prev's stat config.
+    - globally: schema and stat/bloom config must be unchanged
+      between prev and latest (this op's manifest was built under
+      prev's stat config);
+    - deletion-vector state must be unchanged — UNLESS the caller set
+      ``allow_dv_growth`` (r15: MoR DML, whose commit re-assembles dv
+      state from the parent), in which case vectors may have GROWN
+      (prev's entries all still live, dv_rows monotonic). Shrinkage
+      (apply_deletion_vectors / maintenance folded vectors) always
+      refuses: the mask semantics moved backwards relative to what
+      this op read. Winner-added dv entries are returned for the
+      caller's row-level disjointness scan — a winner that tombstoned
+      a row this op ALSO matched makes our postimages/changes stale.
 
     Winner-ADDED files are returned, not judged: whether new rows can
     conflict is op-specific (a compaction never cares; a DELETE must
@@ -3126,10 +3135,20 @@ def _rebase_parent(
         latest.get("bloom_cols", []) != prev.get("bloom_cols", [])
     ):
         return None
+    dv_added: list[str] = []
     if latest.get("dvs") != prev.get("dvs") or (
         latest.get("dv_rows", 0) != prev.get("dv_rows", 0)
     ):
-        return None
+        if not allow_dv_growth:
+            return None
+        prev_dvs = list(prev.get("dvs", []))
+        latest_dvs = list(latest.get("dvs", []))
+        if not set(prev_dvs) <= set(latest_dvs) or (
+            latest.get("dv_rows", 0) < prev.get("dv_rows", 0)
+        ):
+            return None  # vectors folded/cleared: recompute
+        seen = set(prev_dvs)
+        dv_added = [d for d in latest_dvs if d not in seen]
     winner_added: list[str] = []
     for v in newer:
         try:
@@ -3145,7 +3164,7 @@ def _rebase_parent(
         if guard_files & set(m["removed"]):
             return None
         winner_added += m["added"]
-    return latest, winner_added
+    return latest, winner_added, dv_added
 
 
 def _added_scan_validator(wh: Warehouse, base: str, schema, probe):
@@ -3186,6 +3205,7 @@ def _cow_commit(
     rebase: bool = True,
     read_files: set | None = None,
     validate_added=None,
+    dvs_add: tuple | None = None,
 ) -> int:
     """Commit a COW file swap (``affected`` out, ``rewritten`` in) as
     the next version — the single atomic manifest PUT shared by
@@ -3232,11 +3252,22 @@ def _cow_commit(
     content-preserving over THEIR files; new rows are untouched
     either way); a ``callable(names) -> bool`` = True iff the named
     winner-added data files provably hold no conflicting row (the
-    validators below read those files raw — winner-added files are
-    never dv-masked, because the rebase precondition already proved
-    dv state unchanged, and standing vectors bind to pre-existing
-    files). Validated names are cached across rebase attempts so a
+    validators below read those files raw — safe even when a later
+    winner tombstoned rows in an earlier winner's added file, because
+    a raw read only sees MORE rows than the mask, so it can only turn
+    a would-be rebase into the recompute, never the reverse).
+    Validated names are cached across rebase attempts so a
     multi-winner storm scans each winner's files once.
+
+    MoR-vs-MoR rebase (r15, the grow form): when this op supplies
+    ``dvs_add``, the precondition relaxes from dv-equality to
+    dv-GROWTH (_rebase_parent), and the winner's new dv entries must
+    additionally prove row-level disjointness from ours — one
+    churn-sized semi-join of the two (file, rid) sidecar sets. An
+    intersection means both ops matched the same row; serializability
+    demands the recompute (which reads the winner's postimage), so
+    the rebase refuses. Disjoint concurrent MoR updates — the common
+    multi-writer shape — commit without re-running the op.
     ``read_files``: files the op depends on staying live beyond
     ``affected`` (MoR tombstones bind to (file, row) — a winner
     rewriting a tombstoned file would strand the new dv entries);
@@ -3300,15 +3331,36 @@ def _cow_commit(
         # COW rewrite/pack reads through the mask (the
         # rewrite-must-mask invariant, _dv_mask), so tombstoned rows
         # are physically dropped at any move and carried entries are
-        # live-or-dead, never wrong. dvs_override=(list, rows[,
-        # files]) sets them explicitly — ([], 0) is the clear form
-        # for overwrite (all old rows replaced) and
-        # apply_deletion_vectors (tombstones physically applied); the
-        # optional third element records the dv_files coverage for
-        # file-scoped reads (MoR UPDATE's grow form). On the rebase
-        # path _rebase_parent proved dv state unchanged since prev,
-        # so an override built from prev's dvs stays exact.
-        if dvs_override is not None:
+        # live-or-dead, never wrong. dvs_add=(new entries, new rows,
+        # touched files) is the GROW form (MoR DML, r15): this op's
+        # OWN delta, assembled onto whatever parent the attempt
+        # commits against — which is what lets a MoR update rebase
+        # past a winner that also grew the vectors (the old prebuilt
+        # override was exact only under prev, forcing dv-equality in
+        # the rebase precondition). dvs_override=(list, rows[, files])
+        # sets state verbatim — ([], 0) is the clear form for
+        # overwrite (all old rows replaced) and apply_deletion_vectors
+        # (tombstones physically applied); override callers keep the
+        # dv-equality rebase precondition, so a prev-built override
+        # stays exact on every attempt.
+        if dvs_add is not None:
+            new_dvs = list(parent.get("dvs", [])) + list(dvs_add[0])
+            if new_dvs:
+                manifest["dvs"] = new_dvs
+                manifest["dv_rows"] = int(parent.get("dv_rows", 0)) + int(
+                    dvs_add[1]
+                )
+                # file-scoped mask coverage stays recordable only when
+                # the parent's own coverage is known (the legacy rule
+                # MoR DML applied against prev, now per-attempt)
+                if (
+                    not parent.get("dvs") or "dv_files" in parent
+                ) and dvs_add[2] is not None:
+                    manifest["dv_files"] = sorted(
+                        set(parent.get("dv_files", []))
+                        | set(dvs_add[2])
+                    )
+        elif dvs_override is not None:
             if dvs_override[0]:
                 manifest["dvs"] = list(dvs_override[0])
                 manifest["dv_rows"] = int(dvs_override[1])
@@ -3337,13 +3389,20 @@ def _cow_commit(
         last = e
     guard = affected | (set(read_files) if read_files else set())
     cleared: set = set()  # winner-added files already validated safe
+    dv_cleared: set = set()  # winner dv entries already proven disjoint
     for _i in range(_CAS_ATTEMPTS):
         if _i:
             _cas_backoff(_i)
-        found = _rebase_parent(wh, database, table, prev, guard)
+        found = _rebase_parent(
+            wh, database, table, prev, guard,
+            # only the grow-form caller knows how to re-assemble dv
+            # state onto a moved parent; everyone else still needs
+            # dv equality (their override/carry was built under prev)
+            allow_dv_growth=dvs_add is not None,
+        )
         if found is None:
             raise last  # unprovable: caller's _retry_dml recomputes
-        parent, winner_added = found
+        parent, winner_added, dv_added = found
         suspect = [n for n in winner_added if n not in cleared]
         if suspect:
             if validate_added is None:
@@ -3356,6 +3415,32 @@ def _cow_commit(
                 if not ok:
                     raise last  # a winner's row conflicts: recompute
             cleared.update(suspect)
+        dv_suspect = [d for d in dv_added if d not in dv_cleared]
+        if dv_suspect:
+            # row-level disjointness (r15): the winner tombstoned rows
+            # too — safe iff NONE of them is a row this op matched
+            # (intersecting (file, rid) sets mean both ops touched the
+            # same row: serializability demands our recompute see the
+            # winner's postimage). One churn-sized semi-join over the
+            # two sidecar sets; sizes are O(matched rows) by MoR's
+            # contract.
+            try:
+                ours = _dv_frame(
+                    wh, database, table, list(dvs_add[0])
+                )
+                theirs = _dv_frame(wh, database, table, dv_suspect)
+                clash = (
+                    ours is not None
+                    and theirs is not None
+                    and theirs.join(
+                        ours, ["file", "rid"], "semi"
+                    ).limit(1).count() > 0
+                )
+            except Exception:
+                clash = True  # unreadable/in-flux vectors: recompute
+            if clash:
+                raise last  # same row tombstoned twice: recompute
+            dv_cleared.update(dv_suspect)
         try:
             return _attempt(
                 parent,
@@ -4134,12 +4219,6 @@ def _update_where_mor_once(
         )
     finally:
         matched.unpersist()
-    # dv_files coverage: the union stays recordable only when the
-    # carried vectors' coverage is known (same legacy rule as
-    # delete_where_mor)
-    dvf = None
-    if not prev_m.get("dvs") or "dv_files" in prev_m:
-        dvf = sorted(set(prev_m.get("dv_files", [])) | set(touched))
     next_v = _cow_commit(
         wh, database, table, prev_m, set(), landed, changes,
         summary=summary,
@@ -4148,11 +4227,13 @@ def _update_where_mor_once(
         read_files=set(touched),
         # serializable rebase (r14): same contract as the COW UPDATE
         validate_added=_added_scan_validator(wh, base, schema, pred_true),
-        dvs_override=(
-            list(prev_m.get("dvs", [])) + dv_rel,
-            int(prev_m.get("dv_rows", 0)) + n_updated,
-            dvf,
-        ),
+        # grow form (r15): OUR dv delta only — _cow_commit assembles
+        # it onto whatever parent each attempt commits against, which
+        # is what lets a MoR update REBASE past a concurrent MoR
+        # update on disjoint rows (the r14 prebuilt override forced
+        # dv-equality, so every MoR-vs-MoR conflict recomputed); the
+        # dv_files legacy rule is applied per-attempt inside
+        dvs_add=(dv_rel, n_updated, set(touched)),
     )
     return next_v, n_updated
 

@@ -3987,6 +3987,128 @@ def test_rebase_carries_winner_txn_watermark(spark, tmp_path, monkeypatch):
     ).count() == 1
 
 
+def test_mor_update_rebases_over_disjoint_mor_update(
+    spark, tmp_path, monkeypatch
+):
+    """r15 DV-aware rebase (the r14 verdict's carried-weak item): a
+    MoR UPDATE losing the CAS to a concurrent MoR UPDATE on DISJOINT
+    rows must REBASE — its dv delta re-assembled onto the winner's
+    grown vector set, row-level disjointness proven by one semi-join
+    of the two sidecars — instead of the r14 full recompute (the old
+    dv-equality precondition refused every MoR-vs-MoR conflict)."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i % 5, i) for i in range(100)],
+            "__row_id long, grp long, val long",
+        ),
+    )
+    state = _race_once_with(
+        snap, monkeypatch,
+        lambda: snap.update_where_mor(
+            wh, "db", "t", F.col("grp") == 4,
+            {"val": F.col("val") + 1000},
+        ),
+    )
+    rewrites = []
+    orig_rw = snap._cow_rewrite
+    monkeypatch.setattr(
+        snap, "_cow_rewrite",
+        lambda *a, **k: rewrites.append(1) or orig_rw(*a, **k),
+    )
+    v, n = snap.update_where_mor(
+        wh, "db", "t", F.col("grp") == 2, {"val": F.col("val") + 100}
+    )
+    assert state["raced"] == 1
+    assert n == 20
+    # TWO rewrites total — the loser's first attempt + the winner's
+    # own (the racer runs inside the loser's first PUT, after the
+    # patch): the rebase re-used the loser's files; a recompute would
+    # have made it three
+    assert rewrites == [1, 1]
+    m = snap._manifest(wh, "db", "t", v)
+    assert m["summary"]["rebased_from"] == 1
+    assert m["summary"]["rebased_onto"] == 2
+    # dv state = winner's entries + ours, rows summed, coverage union
+    assert m["dv_rows"] == 40
+    winner_m = snap._manifest(wh, "db", "t", 2)
+    assert set(winner_m["dvs"]) < set(m["dvs"])
+    assert set(winner_m.get("dv_files", [])) <= set(m["dv_files"])
+    # payload: BOTH updates visible, nothing else changed
+    live = snap.read_snapshot(wh, "db", "t")
+    assert live.count() == 100
+    assert (
+        live.filter(F.col("grp") == 2)
+        .filter(F.col("val") != F.col("__row_id") + 100).count() == 0
+    )
+    assert (
+        live.filter(F.col("grp") == 4)
+        .filter(F.col("val") != F.col("__row_id") + 1000).count() == 0
+    )
+    assert (
+        live.filter(~F.col("grp").isin(2, 4))
+        .filter(F.col("val") != F.col("__row_id")).count() == 0
+    )
+    # CDC at the rebased commit: exactly our 20 pre+post pairs
+    ch = snap.read_changes(wh, "db", "t", 2, v)
+    assert ch.count() == 40
+    assert ch.filter(F.col("_change_type") == "delete").count() == 20
+
+
+def test_mor_update_recomputes_when_same_row_raced(
+    spark, tmp_path, monkeypatch
+):
+    """The serializable complement: when the concurrent MoR UPDATE
+    touched an OVERLAPPING row set, the dv sidecar semi-join finds the
+    intersection, the rebase refuses, and the loser's recompute
+    applies to the winner's POSTIMAGE — last-writer-wins per row,
+    exactly as if the ops ran sequentially. No rebase provenance."""
+    from pyspark.sql import functions as F
+
+    from scratchdb_spark import snapshots as snap
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    snap.append_versioned(
+        wh, "db", "t",
+        spark.createDataFrame(
+            [(i, i % 5, i) for i in range(100)],
+            "__row_id long, grp long, val long",
+        ),
+    )
+    state = _race_once_with(
+        snap, monkeypatch,
+        # winner: rows 0..49 get +1000 — overlaps grp==2 (10, 15, ...)
+        lambda: snap.update_where_mor(
+            wh, "db", "t", F.col("__row_id") < 50,
+            {"val": F.col("val") + 1000},
+        ),
+    )
+    v, n = snap.update_where_mor(
+        wh, "db", "t", F.col("grp") == 2, {"val": F.col("val") + 100}
+    )
+    assert state["raced"] == 1
+    assert n == 20
+    assert "rebased_from" not in snap._manifest(
+        wh, "db", "t", v
+    ).get("summary", {})
+    live = snap.read_snapshot(wh, "db", "t")
+    assert live.count() == 100
+    # grp==2 rows under 50 saw BOTH updates (serialized after winner)
+    assert (
+        live.filter((F.col("grp") == 2) & (F.col("__row_id") < 50))
+        .filter(F.col("val") != F.col("__row_id") + 1100).count() == 0
+    )
+    assert (
+        live.filter((F.col("grp") == 2) & (F.col("__row_id") >= 50))
+        .filter(F.col("val") != F.col("__row_id") + 100).count() == 0
+    )
+
+
 def test_dml_locks_self_evict(spark, tmp_path):
     """r14 advisory: the per-table commit-gate registry must not
     retain entries for the lifetime of the driver — after every DML
