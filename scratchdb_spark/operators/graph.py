@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "components_for_pairs"]
 
+#: r15 (VERDICT item 6 — fewer jobs per iteration): pagerank's
+#: per-iteration localCheckpoint is NOT lazy under AQE (r14 measured:
+#: eager=False still executes at the call), so every iteration ran its
+#: own job during plan construction. Checkpoint every K iterations
+#: instead: lineage depth stays bounded at K join+agg rounds (the O(1)
+#: plan-depth property within a constant) while a short run — the
+#: catalog's 3-iteration query — fuses into ONE action that AQE plans
+#: jointly. Module-level so tools/r15_ab.py can run both shapes.
+_PAGERANK_CKPT_EVERY = 4
+
 
 def _canonical(e: DataFrame) -> DataFrame:
     """Orient every edge (u, v) as u > v and drop loops/duplicates."""
@@ -201,7 +211,7 @@ def pagerank_int(
     # never re-shuffled after the one-time persist, and the only
     # exchange per iteration carries the partial dst sums. Leave
     # False for graphs whose node count itself is at data scale.
-    for _ in range(iterations):
+    for i in range(iterations):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = edges_deg.join(rhs, "src").select(
             F.col("dst"), F.expr("r_e6 div deg").alias("c")
@@ -216,8 +226,13 @@ def pagerank_int(
                     + F.expr(f"{damping_e2} * s div 100")
                 ).alias("r_e6"),
             )
-            .localCheckpoint(eager=False)
         )
+        # checkpoint every K-th iteration only (see _PAGERANK_CKPT_EVERY):
+        # the lineage chain is LINEAR (ranks_i references ranks_{i-1}
+        # once), so a K-deep tail is a bounded plan, and skipping the
+        # (AQE-eager) checkpoint lets short runs execute as one action.
+        if (i + 1) % _PAGERANK_CKPT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(F.col("src").alias("node"), "r_e6")
 
 

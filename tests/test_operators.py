@@ -5701,3 +5701,24 @@ def test_append_deduped_deferred_refresh_matches_inline(spark, tmp_path):
     assert stats["inline"][0]["n_tail"] == 0  # inline never tails
     assert stats["defer"][1]["n_tail"] > 0  # the gap really existed
     assert stats["inline_final"] == stats["defer_final"]
+
+
+def test_parallelize_rightsized_default(spark):
+    """r15: sc.parallelize's DEFAULT slice count is capped at len(c)
+    (session._install_rightsized_parallelize) so tiny literal frames
+    stop scheduling one (almost always empty) write task per core.
+    Pins: (1) the cap, (2) explicit numSlices untouched, (3) un-sized
+    iterables untouched, (4) values identical to the stock path."""
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    assert sc.parallelize([(1,), (2,)]).getNumPartitions() == min(2, par)
+    big = [(i,) for i in range(par + 3)]
+    assert sc.parallelize(big).getNumPartitions() == par
+    assert sc.parallelize([1, 2, 3], 7).getNumPartitions() == 7
+    # generators have no len(): the stock default applies
+    gen = (i for i in range(3))
+    assert sc.parallelize(gen).getNumPartitions() == par
+    # createDataFrame funnels through the same default, rows unchanged
+    df = spark.createDataFrame([(1, 10), (2, 20)], "a long, b long")
+    assert df.rdd.getNumPartitions() == min(2, par)
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, 10), (2, 20)]

@@ -87,8 +87,10 @@ def _wall_band(
     if not ratios:
         return {"n": 0}
     med = ratios[len(ratios) // 2]
-    p10 = ratios[max(0, int(0.10 * len(ratios)) - 1)]
-    p90 = ratios[min(len(ratios) - 1, int(0.90 * len(ratios)))]
+    # nearest-rank quantile over [0, n-1]: the old int(0.10*n)-1 form
+    # returned index 0 (the MINIMUM) for every n <= 19 (ADVICE r14)
+    p10 = ratios[round(0.10 * (len(ratios) - 1))]
+    p90 = ratios[round(0.90 * (len(ratios) - 1))]
     outliers = {
         n: {
             "old_s": old_w[n],

@@ -135,7 +135,35 @@ def case_norm(spark, repeat):
         _ab(spark, q, old, new, repeat)
 
 
-CASES = {"ivf": case_ivf, "norm": case_norm}
+def case_pagerank(spark, repeat):
+    """pagerank_int checkpoint thinning (VERDICT r14 item 6): the
+    per-iteration localCheckpoint executes a job at plan-construction
+    time under AQE (r14 finding); checkpointing every K=4 iterations
+    lets the catalog's 3-iteration query fuse into one action."""
+    from scratchdb_spark import queries as catalog
+    from scratchdb_spark.operators import graph
+
+    spec = catalog.registry()["graph_pagerank_custsupp"]
+
+    def old():
+        graph._PAGERANK_CKPT_EVERY = 1
+        try:
+            return spec.spark_fn(spark, SF_DIR)
+        finally:
+            graph._PAGERANK_CKPT_EVERY = 4
+
+    def new():
+        graph._PAGERANK_CKPT_EVERY = 4
+        return spec.spark_fn(spark, SF_DIR)
+
+    _ab(spark, "graph_pagerank_custsupp", old, new, repeat)
+
+
+CASES = {
+    "ivf": case_ivf,
+    "norm": case_norm,
+    "pagerank": case_pagerank,
+}
 
 
 def main():
